@@ -1,0 +1,51 @@
+package graft.features
+
+import org.apache.spark.ml.Model
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+import org.apache.spark.ml.param.ParamMap
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** sklearn `PredefinedSplit` analog: split rows by a 0/1 flag column,
+  * grid-tune on the train side only (reference:
+  * spark_ml_features.py:211-246).
+  *
+  * Quirk Q2 replicated and documented: the reference passes
+  * `trainRatio=1.0` to TrainValidationSplit, so its internal validation
+  * set is empty and the metric used to pick the "best" grid point is
+  * over an empty set — model selection across the grid is effectively
+  * arbitrary. Callers (and tests) must not depend on WHICH grid point
+  * wins; the returned model is "a model fit on the train split", which
+  * is all the reference guarantees. We default trainRatio to 1.0 for
+  * parity but surface it.
+  */
+object PredefinedSplit {
+  final case class Result(
+      model: Model[_], train: DataFrame, test: DataFrame)
+
+  def defaultGrid(lr: LogisticRegression): Array[ParamMap] =
+    new ParamGridBuilder()
+      .addGrid(lr.regParam, Array(0.1, 0.01))
+      .build()
+
+  def apply(
+      df: DataFrame,
+      splitCol: String = "is_train",
+      labelCol: String = "label",
+      trainRatio: Double = 1.0): Result = {
+    val train = df.filter(col(splitCol) === 1)
+    val test = df.filter(col(splitCol) === 0)
+    val lr = new LogisticRegression()
+      .setLabelCol(labelCol).setFeaturesCol("features")
+    val tvs = new TrainValidationSplit()
+      .setEstimator(lr)
+      .setEstimatorParamMaps(defaultGrid(lr))
+      .setEvaluator(new MulticlassClassificationEvaluator()
+        .setLabelCol(labelCol).setMetricName("accuracy"))
+      .setTrainRatio(trainRatio) // 1.0 = reference parity (Q2)
+      .setSeed(42L)
+    Result(tvs.fit(train), train, test)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.features
+
+import graft.SparkSpec
+import org.apache.spark.ml.linalg.Vector
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the reference-parity operators (SURVEY.md §5.2). */
+class FeaturesSpec extends SparkSpec {
+
+  private lazy val prepared =
+    PrepareFeatures(iris,
+      Seq("sepal_length", "sepal_width", "petal_length", "petal_width"),
+      "species")
+
+  test("robust_scaling: scaled column has median 0 and IQR 1") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val out = RobustScaling(df, Seq("l_quantity"), exact = true)
+    val Seq(q25, q50, q75) = out
+      .agg(percentile(col("l_quantity_scaled"), array(lit(0.25), lit(0.5), lit(0.75))))
+      .head().getSeq[Double](0).toSeq
+    assert(math.abs(q50) < 1e-12)
+    assert(math.abs((q75 - q25) - 1.0) < 1e-12)
+  }
+
+  test("robust_scaling: default columns are numeric only; strings untouched") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val out = RobustScaling(df, exact = true)
+    assert(!out.columns.contains("l_returnflag_scaled"))
+    assert(out.columns.contains("l_quantity_scaled"))
+  }
+
+  test("robust_scaling: constant column skipped by IQR guard") {
+    val df = iris.withColumn("const", lit(3.14))
+    val out = RobustScaling(df, Seq("const", "sepal_length"), exact = true)
+    assert(!out.columns.contains("const_scaled"))
+    assert(out.columns.contains("sepal_length_scaled"))
+  }
+
+  test("robust_scaling: shift/scale equivariance (scaled output invariant)") {
+    val base = RobustScaling(iris, Seq("sepal_length"), exact = true)
+      .select("sepal_length_scaled").collect().map(_.getDouble(0)).sorted
+    val shifted = RobustScaling(
+      iris.withColumn("sepal_length", col("sepal_length") * 2.5 + 7.0),
+      Seq("sepal_length"), exact = true)
+      .select("sepal_length_scaled").collect().map(_.getDouble(0)).sorted
+    base.zip(shifted).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+  }
+
+  test("add_split_column: random split is seeded-deterministic and 0/1") {
+    val a = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))
+    val b = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))
+    assert(a.toSeq == b.toSeq)
+    assert(a.forall(v => v == 0 || v == 1))
+  }
+
+  test("predefined split: train/test are disjoint and exhaustive") {
+    val df = SplitColumn.customByLabel(iris, "species", "setosa")
+    val train = SplitColumn.trainSplit(df)
+    val test = SplitColumn.testSplit(df)
+    assert(train.count() + test.count() == df.count())
+    assert(train.filter(col("species") === "setosa").count() == 0)
+    assert(test.filter(col("species") =!= "setosa").count() == 0)
+  }
+
+  test("prepare_features: (features, label) schema, indexed label") {
+    assert(prepared.columns.toSeq == Seq("features", "label"))
+    val labels = prepared.select("label").distinct().collect().map(_.getDouble(0))
+    assert(labels.sorted.toSeq == Seq(0.0, 1.0, 2.0))
+    val v = prepared.head().getAs[Vector]("features")
+    assert(v.size == 4)
+  }
+
+  test("feature_union: combined size = 2x features; no-op branch (Q6)") {
+    val out = FeatureUnion(prepared)
+    val r = out.head()
+    assert(r.getAs[Vector]("combined_features").size ==
+      2 * r.getAs[Vector]("features").size)
+    // scaled part is z-scored: mean ~ 0 per dimension
+    val noop = FeatureUnion(prepared, transformTypes = Some(Seq("other")))
+    assert(noop.columns.toSeq == prepared.columns.toSeq)
+  }
+
+  test("dim_reduction: kmeans yields k clusters; pca yields k dims; bad method throws") {
+    val km = DimReduction(prepared, "kmeans", k = 3)
+    assert(km.select("prediction").distinct().count() == 3)
+    val pca = DimReduction(prepared, "pca", k = 2)
+    assert(pca.head().getAs[Vector]("pca_features").size == 2)
+    intercept[IllegalArgumentException] {
+      DimReduction(prepared, "tsne")
+    }
+  }
+
+  test("probability_prediction: probabilities sum to 1, argmax = prediction") {
+    val out = ProbabilityPrediction(prepared)
+    out.collect().foreach { r =>
+      val p = r.getAs[Vector]("probability")
+      assert(math.abs(p.toArray.sum - 1.0) < 1e-6)
+      assert(p.argmax.toDouble == r.getDouble(r.fieldIndex("prediction")))
+    }
+  }
+
+  test("validation_curves: one metric per grid point, metrics in [0,1]") {
+    val out = ValidationCurves(spark, prepared,
+      paramRange = Seq(0.01, 0.1), numFolds = 2)
+    val rows = out.collect()
+    assert(rows.length == 2)
+    rows.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
+
+  test("predefined_split: fit on train only, test side transformable (Q2)") {
+    val df = SplitColumn.customByLabel(prepared, "label", 0.0)
+    val r = PredefinedSplit(df)
+    assert(r.train.filter(col("label") === 0.0).count() == 0)
+    assert(r.test.filter(col("label") =!= 0.0).count() == 0)
+    val preds = r.model.transform(r.test)
+    assert(preds.count() == r.test.count())
+    assert(preds.columns.contains("prediction"))
+  }
+}
