@@ -1,0 +1,213 @@
+package graft.llm
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, from cheap to
+  * fuzzy: exact (normalized hash), MinHash+LSH (Jaccard), SimHash
+  * (Hamming), n-gram Jaccard verification, and embedding-cosine
+  * near-dup. All are built to survive 100 TB: every path is
+  * candidate-generation-by-key (hash/band/bucket join) + local
+  * verification — never an all-pairs cross join.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on the whitespace/case-normalized text. Keeps the row
+    * with the smallest `idCol` per duplicate group.
+    *
+    * Scale: one hash-partitioned shuffle on a 64-char key; the
+    * row_number window runs inside each partition. Identical shape to
+    * a groupBy-agg — no skew risk beyond genuinely pathological
+    * single-document duplication, which salting the window key fixes.
+    */
+  def exact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val keyed = df.withColumn("content_hash",
+      sha2(TextAnalysis.normalize(col(textCol)), 256))
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Exact-dedup summary: per duplicate group, the kept id and the
+    * group size (oracle-friendly shape — no window needed, pure
+    * groupBy). */
+  def exactGroups(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(TextAnalysis.normalize(col(textCol)), 256)
+        .as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash+LSH near-dup candidate pairs over word 3-shingles.
+    * Pipeline: tokenize → 3-gram shingles → HashingTF (binary
+    * presence; hashing, not vocab-fitting, so no fit pass and no
+    * out-of-vocabulary zero vectors at any corpus size) → MinHashLSH →
+    * approxSimilarityJoin at `jaccardDist`.
+    *
+    * Scale: LSH banding turns all-pairs into an equi-join on band
+    * hashes — the cluster-safe path. `numHashTables` trades recall for
+    * join fan-out. Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashTables: Int = 8,
+      jaccardDist: Double = 0.6,
+      seed: Long = 42L): DataFrame = {
+    val tokens = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
+      .transform(df.select(col(idCol), col(textCol)))
+    val shingled = new NGram().setN(3)
+      .setInputCol("tokens").setOutputCol("shingles")
+      .transform(tokens)
+      // a doc with <3 tokens has no 3-shingles; MinHash requires ≥1
+      // non-zero entry, so keep singles for tiny docs
+      .withColumn("shingles",
+        when(size(col("shingles")) > 0, col("shingles")).otherwise(col("tokens")))
+      .filter(size(col("shingles")) > 0)
+    val vectorized = new HashingTF()
+      .setInputCol("shingles").setOutputCol("features")
+      .setBinary(true).setNumFeatures(1 << 20)
+      .transform(shingled)
+    val lsh = new MinHashLSH().setNumHashTables(numHashTables)
+      .setInputCol("features").setOutputCol("hashes").setSeed(seed)
+    val model = lsh.fit(vectorized)
+    model.approxSimilarityJoin(vectorized, vectorized, jaccardDist, "jaccard_dist")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        col("jaccard_dist"))
+      .filter(col("id_a") < col("id_b"))
+  }
+
+  /** MinHash dedup: drop every doc that is LSH-near a doc with a
+    * smaller id (greedy single-pass suppression — the standard
+    * at-scale approximation of connected-component dedup). */
+  def minhash(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", jaccardDist: Double = 0.6): DataFrame = {
+    val losers = minhashPairs(df, textCol, idCol, jaccardDist = jaccardDist)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash per document, computed without UDFs: explode
+    * tokens, xxhash64 each, and sum each bit's ±1 contribution in one
+    * groupBy — a single shuffle keyed by doc id, partial-aggregated
+    * map-side. Near-dups then pair by Hamming distance on band-equal
+    * buckets (`bands` prefix blocks of the fingerprint).
+    */
+  def simhash(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", outputCol: String = "simhash"): DataFrame = {
+    val tokens = df
+      .select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // For bit i: contribution +1 if bit set else -1; final bit i of the
+    // simhash = 1 iff sum > 0.
+    val bitSums: Seq[Column] = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val sums = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[Column]((a, b) => a.bitwiseOR(b))
+    sums.select(col(idCol), fp.as(outputCol))
+  }
+
+  /** SimHash near-dup pairs: candidates share at least one of `bands`
+    * 16-bit blocks (Hamming ≤ 3 over 64 bits guarantees one equal
+    * 16-bit block by pigeonhole for bands=4); verified by exact
+    * Hamming distance ≤ `maxHamming`. */
+  def simhashPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val fps = simhash(df, textCol, idCol).cache()
+    val banded = fps.select(col(idCol), col("simhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("key"))
+      }: _*)).as("bk"))
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("bk"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("bk"))
+    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
+    a.join(b, a("bk") === b("bk") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  // ------------------------------------------------------- n-gram jaccard
+
+  /** Exact n-gram Jaccard similarity for candidate pairs — the
+    * verification stage after any fuzzy candidate generator. Takes a
+    * (id_a, id_b) pair frame, joins the token-shingle sets back in, and
+    * computes |A∩B|/|A∪B| with array intersection — no re-shuffle of
+    * the corpus, only of the (usually tiny) candidate set. */
+  def ngramJaccard(
+      docs: DataFrame,
+      pairs: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val tokens = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
+      .transform(docs.select(col(idCol), col(textCol)))
+    val shingles = new NGram().setN(n)
+      .setInputCol("tokens").setOutputCol("shingles")
+      .transform(tokens)
+      .select(col(idCol), array_distinct(col("shingles")).as("sh"))
+    val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ---------------------------------------------------- embedding cosine
+
+  /** Embedding near-dup pairs: cosine similarity ≥ `minCosine` via
+    * BucketedRandomProjectionLSH on L2-normalized vectors (for unit
+    * vectors, euclidean² = 2−2·cos, so a cosine threshold maps to a
+    * euclidean radius — LSH stays an equi-join, never a cross join). */
+  def embeddingPairs(
+      df: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.95,
+      numHashTables: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+    import org.apache.spark.ml.functions.array_to_vector
+    val vecs = df.select(col(idCol),
+        array_to_vector(col(embCol).cast("array<double>")).as("v"))
+    val normed = new Normalizer().setInputCol("v").setOutputCol("nv").setP(2.0)
+      .transform(vecs)
+    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(radius * 2).setNumHashTables(numHashTables)
+      .setInputCol("nv").setOutputCol("hashes").setSeed(seed)
+    val model = lsh.fit(normed)
+    model.approxSimilarityJoin(normed, normed, radius, "dist")
+      .select(
+        col(s"datasetA.$idCol").as("id_a"),
+        col(s"datasetB.$idCol").as("id_b"),
+        (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
+      .filter(col("id_a") < col("id_b"))
+  }
+}

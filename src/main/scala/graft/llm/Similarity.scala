@@ -1,0 +1,130 @@
+package graft.llm
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Three tiers, cheap → scale:
+  *  1. [[cosineTopK]] — brute-force per-query top-k against the corpus:
+  *     exact, broadcast the (small) query set, one pass over the
+  *     corpus. The correctness baseline.
+  *  2. [[selfTopK]] — all-vectors × all-vectors exact top-k; quadratic,
+  *     only for validation at small SF and for recall measurement.
+  *  3. [[ivfTopK]] — IVF (inverted-file) index: KMeans coarse
+  *     quantizer, probe the `nProbe` nearest centroids per query,
+  *     exact re-rank inside the probed cells. At 100 TB this turns
+  *     O(N·Q) into O(N·Q·nProbe/nCells) with one co-partitioned join
+  *     on cell id — the classic billion-scale ANN layout (IVF-Flat).
+  */
+object Similarity {
+
+  /** Codegen'd cosine similarity between two double-array columns. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
+    val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
+    val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
+    dot / (na * nb)
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k neighbors for each query id in `queries` (a subset of
+    * ids or a separate frame with the same `(idCol, embCol)` schema).
+    *
+    * Scale: `queries` is broadcast (small by construction); the corpus
+    * is scanned once; the only shuffle is the per-query top-k window
+    * over `queryId` — cardinality = |queries|, partial top-k pushed
+    * map-side by the rank filter. */
+  def cosineTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    val q = broadcast(queries.select(
+      col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(embCol)).as("c_emb"))
+    val scored = c.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Exact self-join top-k (validation / recall baseline only —
+    * quadratic). */
+  def selfTopK(df: DataFrame, k: Int = 10, embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    cosineTopK(df, df, k, embCol, idCol)
+
+  /** IVF-Flat ANN: KMeans(nCells) coarse quantizer over a sample,
+    * corpus partitioned by nearest-centroid cell, queries probe their
+    * `nProbe` closest cells and re-rank exactly within them.
+    *
+    * Returns the same shape as [[cosineTopK]]; recall < 1.0 by design,
+    * measured by [[recallAgainst]]. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      seed: Long = 42L): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(embCol)).as("c_emb"))
+      .withColumn("v", array_to_vector(col("c_emb")))
+    val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("v")
+      .setPredictionCol("cell")
+    val model = km.fit(vecs)
+    val centroids = model.clusterCenters.zipWithIndex.map {
+      case (ctr, i) => (i, ctr.toArray)
+    }.toSeq
+    import spark.implicits._
+    val centroidDf = broadcast(centroids.toDF("cell", "centroid"))
+
+    // corpus side: one narrow pass assigns each vector to its cell
+    val cells = model.transform(vecs).select(col("neighbor_id"),
+      col("c_emb"), col("cell"))
+
+    // query side: nProbe nearest centroids per query (tiny cross join:
+    // |queries| × nCells, both small)
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(embCol)).as("q_emb"))
+    val probes = q.crossJoin(centroidDf)
+      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))))
+      .filter(col("crank") <= nProbe)
+      .select("query_id", "q_emb", "cell")
+
+    // equi-join on cell id — co-partitioned scan of only probed cells
+    val scored = cells.join(broadcast(probes), "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank", "cosine")
+  }
+
+  /** Recall@k of `approx` against exact `truth` (both in topK shape):
+    * fraction of true neighbors the approximate index found. */
+  def recallAgainst(approx: DataFrame, truth: DataFrame): Double = {
+    val hits = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val total = truth.count()
+    if (total == 0) 1.0 else hits.toDouble / total
+  }
+}
