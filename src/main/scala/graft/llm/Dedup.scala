@@ -126,23 +126,48 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: candidates share at least one of `bands`
-    * 16-bit blocks (Hamming ≤ 3 over 64 bits guarantees one equal
-    * 16-bit block by pigeonhole for bands=4); verified by exact
-    * Hamming distance ≤ `maxHamming`. */
+    * equal blocks of the 64-bit fingerprint (pigeonhole: Hamming ≤
+    * `maxHamming` < `bands` guarantees one equal block); verified by
+    * exact Hamming distance ≤ `maxHamming`.
+    *
+    * Banding fan-out bound: `bands` blocks of 64/`bands` bits give
+    * 2^(64/bands) buckets per band — at the default 4×16 that is 65 536
+    * buckets, and within-bucket candidate pairing is quadratic, so at
+    * corpora where n >> 2^(64/bands) raise `bands`→wider keys is NOT
+    * possible (keys get narrower); instead LOWER `bands` (e.g. 2×32-bit
+    * blocks, 4G buckets, recall only for Hamming ≤ 1) or pre-salt the
+    * band key with a cheap second feature (length bucket) — both keep
+    * the join an equi-join. Default stays 4×16 for the Hamming≤3 recall
+    * guarantee at test scale.
+    *
+    * No cache: both join sides read the same aggregation output and
+    * Catalyst's exchange reuse materializes that shuffle once
+    * (ReusedExchange in the physical plan) — caching it would only leak
+    * executor storage across calls. */
   def simhashPairs(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val fps = simhash(df, textCol, idCol).cache()
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < bands " +
+        s"(got $maxHamming >= $bands)")
+    val bandBits = 64 / bands
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val fps = simhash(df, textCol, idCol)
     val banded = fps.select(col(idCol), col("simhash"),
-      explode(array((0 until 4).map { b =>
+      explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFF).as("key"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
+    // distinct band-key names on each side: with a shared lineage,
+    // a("bk") === b("bk") silently resolves to a trivially-true self
+    // comparison and the equi-join degenerates into a cross join.
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("bk"))
+      col("bk").as("bk_a"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("bk"))
+      col("bk").as("bk_b"))
     val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
-    a.join(b, a("bk") === b("bk") && col("id_a") < col("id_b"))
+    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()

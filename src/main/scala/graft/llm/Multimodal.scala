@@ -1,0 +1,81 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: one frame joining text, embeddings, and opaque
+  * binary payloads with typed metadata.
+  *
+  * The image/audio decode itself is out of scope in this container (no
+  * codec libs) — [[fakeDecodeFeatures]] stands in with a deterministic
+  * hash-derived feature vector so the Spark-side plumbing (schema,
+  * partitioning, codegen'd projection shape) is real and tested, and a
+  * real decoder can drop in behind the same column contract.
+  */
+object Multimodal {
+
+  /** Join the text modality (`documents`) with the vector modality
+    * (`embeddings`) into one profile frame: per-doc text stats + the
+    * embedding's dimension and L2 norm.
+    *
+    * Scale notes: an equi-join on the id key — both sides shuffle-hash/
+    * sort-merge partition by id at scale (AQE picks; neither side is
+    * assumed small). Text stats and norm are narrow codegen'd
+    * projections fused into the join's input scans; sums inside
+    * `aggregate` are sequential per-row folds, deterministic, so only
+    * the norm (float-derived) is rounded. */
+  def profile(
+      docs: DataFrame,
+      embs: DataFrame,
+      docIdCol: String = "doc_id",
+      vecIdCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    val stats = TextAnalysis.tokenStats(docs).select(
+      col(docIdCol), col("lang"), col("source"),
+      col("n_chars_calc"), col("ws_token_count"), col("bpe_token_count"))
+    val e = embs.select(
+      col(vecIdCol), col("label"),
+      size(col(embCol)).as("emb_dim"),
+      round(sqrt(aggregate(
+        transform(col(embCol).cast("array<double>"), x => x * x),
+        lit(0.0), (s, x) => s + x)), 6).as("emb_norm"))
+    stats.join(e, stats(docIdCol) === e(vecIdCol)).drop(vecIdCol)
+  }
+
+  /** Opaque-binary payload stats: byte length + md5 content id. Works on
+    * any `binary` column (image/audio/video bytes); at 100 TB this is a
+    * narrow projection at parquet-scan speed. */
+  def binaryStats(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      octet_length(col(binCol)).as("byte_len"),
+      md5(col(binCol)).as("content_md5"))
+
+  /** Typed metadata struct for an opaque payload column — the schema a
+    * real decoder would populate (mime sniffed from magic bytes). */
+  def payloadMeta(binCol: Column): Column = {
+    val head = hex(substring(binCol, 1, 4))
+    val mime = when(head.startsWith("89504E47"), "image/png")
+      .when(head.startsWith("FFD8FF"), "image/jpeg")
+      .when(head.startsWith("52494646"), "audio/wav")
+      .otherwise("application/octet-stream")
+    struct(mime.as("mime"), octet_length(binCol).as("bytes"))
+  }
+
+  /** STUB decoder (clearly marked): deterministic pseudo-features from
+    * the payload bytes — `dim` doubles in [-1, 1) derived from seeded
+    * xxhash64. Real decode (pixels/spectrogram) would replace ONLY the
+    * per-element expression; the schema, batch shape, and downstream
+    * contract (array<double> feature column) stay identical. */
+  def fakeDecodeFeatures(
+      df: DataFrame,
+      binCol: String,
+      dim: Int = 8,
+      outputCol: String = "decoded_features"): DataFrame =
+    df.withColumn(outputCol,
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => pmod(xxhash64(col(binCol), i), lit(1000000L)).cast("double")
+          / 500000.0 - 1.0))
+}

@@ -23,18 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Codegen'd cosine similarity between two double-array columns. */
+  /** Codegen'd cosine similarity between two double-array columns.
+    * Zero-norm vectors yield -1: under ANSI mode a plain `/` throws
+    * DIVIDE_BY_ZERO, and without ANSI the NaN result sorts ABOVE every
+    * double, so an unguarded zero vector would win a top-k slot for
+    * every query. `try_divide` returns null there; coalesce to -1. */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))
-    dot / (na * nb)
+    coalesce(try_divide(dot, na * nb), lit(-1.0))
   }
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
   /** Exact top-k neighbors for each query id in `queries` (a subset of
     * ids or a separate frame with the same `(idCol, embCol)` schema).
+    *
+    * `roundAt >= 0` rounds the cosine to that many decimals BEFORE
+    * ranking (ties then broken by neighbor_id) — this is what makes the
+    * result hash-comparable against a DuckDB oracle despite cross-engine
+    * ulp differences in the float reduction.
     *
     * Scale: `queries` is broadcast (small by construction); the corpus
     * is scanned once; the only shuffle is the per-query top-k window
@@ -45,14 +54,16 @@ object Similarity {
       queries: DataFrame,
       k: Int = 10,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      roundAt: Int = -1): DataFrame = {
     val q = broadcast(queries.select(
       col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb")))
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(embCol)).as("c_emb"))
+    val sim = cosine(col("q_emb"), col("c_emb"))
     val scored = c.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", if (roundAt >= 0) round(sim, roundAt) else sim)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -66,9 +77,17 @@ object Similarity {
       idCol: String = "vec_id"): DataFrame =
     cosineTopK(df, df, k, embCol, idCol)
 
-  /** IVF-Flat ANN: KMeans(nCells) coarse quantizer over a sample,
-    * corpus partitioned by nearest-centroid cell, queries probe their
-    * `nProbe` closest cells and re-rank exactly within them.
+  /** IVF-Flat ANN: KMeans(nCells) coarse quantizer fit on a SAMPLE of
+    * the corpus (at target scale the fit must not see every row —
+    * recall depends only on centroid geometry), corpus partitioned by
+    * nearest-centroid cell, queries probe their `nProbe` closest cells
+    * and re-rank exactly within them.
+    *
+    * Metric consistency: vectors are L2-normalized before BOTH cell
+    * assignment and probe ranking, and both use euclidean distance —
+    * on unit vectors euclidean argmin == cosine argmax, so the
+    * quantizer geometry agrees with the final cosine re-rank (an
+    * unnormalized/mixed-metric IVF silently probes the wrong cells).
     *
     * Returns the same shape as [[cosineTopK]]; recall < 1.0 by design,
     * measured by [[recallAgainst]]. */
@@ -80,14 +99,22 @@ object Similarity {
       nProbe: Int = 4,
       embCol: String = "embedding",
       idCol: String = "vec_id",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      fitSampleFraction: Double = 0.25): DataFrame = {
     val spark = corpus.sparkSession
+    def sqNorm(c: Column): Column =
+      aggregate(transform(c, x => x * x), lit(0.0), (s, x) => s + x)
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(embCol)).as("c_emb"))
-      .withColumn("v", array_to_vector(col("c_emb")))
+      .withColumn("n", sqrt(sqNorm(col("c_emb"))))
+      .filter(col("n") > 0)
+      .withColumn("v", array_to_vector(
+        transform(col("c_emb"), x => x / col("n"))))
+      .drop("n")
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("v")
       .setPredictionCol("cell")
-    val model = km.fit(vecs)
+    val model = km.fit(
+      vecs.select("v").sample(withReplacement = false, fitSampleFraction, seed))
     val centroids = model.clusterCenters.zipWithIndex.map {
       case (ctr, i) => (i, ctr.toArray)
     }.toSeq
@@ -99,13 +126,20 @@ object Similarity {
       col("c_emb"), col("cell"))
 
     // query side: nProbe nearest centroids per query (tiny cross join:
-    // |queries| × nCells, both small)
+    // |queries| × nCells, both small), ranked by euclidean distance of
+    // the UNIT query to each centroid — the assignment metric
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(embCol)).as("q_emb"))
+      .withColumn("qn", sqrt(sqNorm(col("q_emb"))))
+      .filter(col("qn") > 0)
+      .withColumn("q_unit", transform(col("q_emb"), x => x / col("qn")))
+    val eDist = aggregate(
+      zip_with(col("q_unit"), col("centroid"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (s, x) => s + x)
     val probes = q.crossJoin(centroidDf)
-      .withColumn("cdist", cosine(col("q_emb"), col("centroid")))
+      .withColumn("cdist", eDist)
       .withColumn("crank", row_number().over(
-        Window.partitionBy(col("query_id")).orderBy(col("cdist").desc, col("cell"))))
+        Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))))
       .filter(col("crank") <= nProbe)
       .select("query_id", "q_emb", "cell")
 

@@ -14,17 +14,19 @@ object TextAnalysis {
   /** Whitespace-token and BPE-ish subword token counts plus basic size
     * stats. `bpe_token_count` approximates a byte-pair-encoded token
     * stream with the common "word-or-punctuation-run" pre-tokenizer
-    * regex (≈ GPT-2 pre-tokenization granularity): letters-runs,
-    * digit-runs and single punctuation each count as one token. */
+    * granularity (≈ GPT-2 pre-tokenization): alphanumeric runs and
+    * single non-space punctuation each count as one token. The match
+    * patterns avoid lookarounds so the SAME regex runs under Java
+    * (Spark) and RE2 (the DuckDB oracle). */
   def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     df
       .withColumn("n_chars_calc", length(t))
       .withColumn("ws_token_count",
-        size(filter(split(t, "\\s+"), x => length(x) > 0)))
+        size(regexp_extract_all(t, lit("\\S+"), lit(0))))
       .withColumn("bpe_token_count",
-        size(filter(split(t, "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
-          x => length(trim(x)) > 0)))
+        size(regexp_extract_all(t,
+          lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0))))
   }
 
   /** Heuristic document-quality signals (Gopher/C4-style filters):

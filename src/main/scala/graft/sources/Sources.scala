@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Data sources. The reference's only scan is a header+inferSchema CSV
+  * read (reference spark_ml_features.py:27, `load_sample_data`); the
+  * driver harness feeds parquet. Both are surfaced here so a reference
+  * user can switch load paths without touching operator code.
+  *
+  * Scale notes: parquet is the at-scale format (columnar, predicate
+  * pushdown, column pruning — `.explain` shows PushedFilters/ReadSchema
+  * reaching the scan). CSV `inferSchema` costs one extra full pass over
+  * the file before the real scan — acceptable for samples, wrong for
+  * 100 TB; at scale pass an explicit schema instead.
+  */
+object Sources {
+
+  /** Reference `load_sample_data` parity: CSV with header + schema
+    * inference (spark_ml_features.py:27). */
+  def csv(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path)
+
+  /** CSV with a caller-supplied schema — the at-scale variant (no
+    * inference pass). */
+  def csv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** One driver-testdata table: `$dir/$table.parquet`. */
+  def parquetTable(spark: SparkSession, dir: String, table: String): DataFrame =
+    spark.read.parquet(s"$dir/$table.parquet")
+
+  /** `events.parquet` ships TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
+    * (legacy conf) and convert to microsecond timestamps — the data is
+    * micro-aligned (ns % 1000 == 0 across all rows), so no precision is
+    * lost and values agree with DuckDB's native ns→us read. */
+  def eventsTable(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/`: epoch-nanos (~1.7e18) exceed double's
+        // 2^53 mantissa, so float division truncates off-by-one micros
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+}

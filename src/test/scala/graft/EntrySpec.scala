@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Smoke + shape checks for the driver contract. */
+class EntrySpec extends SparkSpec {
+
+  test("entry: flagship chains 5 operators and yields rows") {
+    val out = SparkEntry.entry(spark)
+    assert(out.count() > 0)
+    assert(out.columns.contains("probability"))
+  }
+
+  test("every oracle key has a registered query") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(missing.isEmpty, s"oracleSql without query: $missing")
+  }
+
+  test("registered queries emit no array/vector columns except declared") {
+    // Driver pandas diff crashes on array columns (round-1 lesson):
+    // oracle-checked queries must be scalar-only.
+    val allowArray = Set[String]() // none today
+    SparkEntry.oracleSql.keys.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sf0001)
+      df.schema.fields.foreach { f =>
+        val bad = f.dataType.typeName == "array" ||
+          f.dataType.typeName.startsWith("vector")
+        assert(!bad || allowArray.contains(name),
+          s"$name emits non-scalar column ${f.name}: ${f.dataType}")
+      }
+    }
+  }
+}

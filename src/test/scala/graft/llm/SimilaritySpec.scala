@@ -1,0 +1,54 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embeddings =
+    spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("cosineTopK: hand-computed neighbors on a 3-vector corpus") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0)), (2L, Seq(1.0, 1.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0L), k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // neighbor 2 first (cos = 1/sqrt(2)), then neighbor 1 (cos = 0)
+    assert(out.map(_._1).toSeq == Seq(2L, 1L))
+    assert(math.abs(out(0)._3 - 1.0 / math.sqrt(2)) < 1e-12)
+    assert(math.abs(out(1)._3 - 0.0) < 1e-12)
+  }
+
+  test("cosine: zero-norm vector scores -1, never tops the ranking") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, Seq(1.0, 1.0)), (1L, Seq(0.9, 1.1)), (2L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(df, df.filter(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(out(0).getLong(1) == 1L)
+    assert(out(1).getLong(1) == 2L && out(1).getDouble(3) == -1.0)
+  }
+
+  test("roundAt: cosine rounded before ranking") {
+    val out = Similarity.cosineTopK(embeddings,
+      embeddings.filter(col("vec_id") === 0L), k = 5, roundAt = 6)
+    out.collect().foreach { r =>
+      val c = r.getDouble(3)
+      assert(math.abs(c * 1e6 - math.round(c * 1e6)) < 1e-6)
+    }
+  }
+
+  test("ivfTopK: recall >= 0.9 vs exact top-k on the 500-row fixture") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
+    val approx = Similarity.ivfTopK(embeddings, queries, k = 10,
+      nCells = 16, nProbe = 8)
+    val recall = Similarity.recallAgainst(approx, truth)
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+}

@@ -1,0 +1,59 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def one(text: String) = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, text)).toDF("doc_id", "text")
+  }
+
+  test("tokenStats: crafted counts") {
+    val r = TextAnalysis.tokenStats(one("Hello, world! 123 foo")).head()
+    assert(r.getAs[Int]("n_chars_calc") == 21)
+    assert(r.getAs[Int]("ws_token_count") == 4)
+    // Hello , world ! 123 foo
+    assert(r.getAs[Int]("bpe_token_count") == 6)
+  }
+
+  test("normalize: trim, lowercase, collapse whitespace") {
+    val out = one("  A  B\t\nc ")
+      .select(TextAnalysis.normalize(col("text"))).head().getString(0)
+    assert(out == "a b c")
+  }
+
+  test("fingerprint: stable under reformatting, distinct for distinct text") {
+    val fp = (t: String) => TextAnalysis.fingerprint(one(t))
+      .head().getAs[Long]("fingerprint")
+    assert(fp("Foo  Bar") == fp("foo bar"))
+    assert(fp("foo bar") != fp("foo baz"))
+  }
+
+  test("languageId: detects en/de, 'und' for no-signal text") {
+    val pred = (t: String) => TextAnalysis.languageId(one(t))
+      .head().getAs[String]("lang_pred")
+    assert(pred("the cat sat on the mat and it was happy") == "en")
+    assert(pred("der hund ist mit der katze und nicht im haus") == "de")
+    assert(pred("qwfp zxcv brkl 42") == "und")
+  }
+
+  test("qualityScore: clean prose beats digit-heavy junk; ratios in [0,1]") {
+    val good = TextAnalysis.qualityScore(one(
+      "the quick brown fox jumps over the lazy dog and it was glad " +
+        "for this fine day in the meadow with friends on the hill")).head()
+    val junk = TextAnalysis.qualityScore(one(
+      "9481 1239 8431 99 00 1 2 3 4 5 6 7 8 9 !!!! ???? 0000")).head()
+    val gq = good.getAs[Double]("quality_score")
+    val jq = junk.getAs[Double]("quality_score")
+    assert(gq > 0.2, s"good=$gq")
+    assert(gq > jq, s"good=$gq junk=$jq")
+    Seq("stopword_ratio", "punct_ratio", "digit_ratio", "upper_ratio")
+      .foreach { c =>
+        val v = good.getAs[Double](c)
+        assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+      }
+  }
+}

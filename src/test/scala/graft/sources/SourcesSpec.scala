@@ -1,0 +1,38 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+import java.nio.file.Files
+
+class SourcesSpec extends SparkSpec {
+
+  test("csv: header + inferSchema parity with reference load_sample_data") {
+    val dir = Files.createTempDirectory("graft-csv")
+    val f = dir.resolve("iris.csv")
+    Files.writeString(f,
+      """sepal_length,petal_width,species
+        |5.1,0.2,setosa
+        |7.0,1.4,versicolor
+        |""".stripMargin)
+    val df = Sources.csv(spark, f.toString)
+    assert(df.count() == 2)
+    assert(df.schema("sepal_length").dataType == DoubleType)
+    assert(df.schema("species").dataType == StringType)
+  }
+
+  test("csv: explicit schema skips the inference pass") {
+    val dir = Files.createTempDirectory("graft-csv2")
+    val f = dir.resolve("t.csv")
+    Files.writeString(f, "a,b\n1,x\n2,y\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a", IntegerType),
+      org.apache.spark.sql.types.StructField("b", StringType)))
+    val df = Sources.csv(spark, f.toString, schema)
+    assert(df.schema("a").dataType == IntegerType)
+    assert(df.count() == 2)
+  }
+
+  test("parquetTable: reads driver testdata") {
+    assert(Sources.parquetTable(spark, sf0001, "region").count() == 5)
+  }
+}

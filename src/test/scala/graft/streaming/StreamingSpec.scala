@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The same StreamOps code path must produce identical results whether
+  * driven as a batch DataFrame or as a Structured Streaming source —
+  * that is the point of writing transforms against the unified API. */
+class StreamingSpec extends SparkSpec {
+
+  private val rows = Seq(
+    ("2024-01-01 00:10:00", "click", 1.5),
+    ("2024-01-01 00:40:00", "click", 2.5),
+    ("2024-01-01 00:55:00", "view", 1.0),
+    ("2024-01-01 01:05:00", "click", 4.0),
+    ("2024-01-01 02:20:00", "view", 0.5))
+
+  private def shape(df: DataFrame): DataFrame =
+    df.withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("windowedEventCounts: streaming (MemoryStream) matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val batch = StreamOps.windowedEventCounts(
+      shape(rows.toDF("ts_s", "event_type", "value")))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    val stream = MemoryStream[(String, String, Double)]
+    stream.addData(rows: _*)
+    val sdf = shape(stream.toDF.toDF("ts_s", "event_type", "value"))
+    val q = StreamOps.windowedEventCounts(sdf, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("wec")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("wec")
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+    } finally q.stop()
+  }
+}
