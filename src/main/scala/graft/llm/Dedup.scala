@@ -107,10 +107,13 @@ object Dedup {
     */
   def simhash(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", outputCol: String = "simhash"): DataFrame = {
+    // plain predicate instead of a higher-order filter(..., lambda):
+    // LambdaVariable-bearing plans never canonicalize equal, which
+    // would defeat exchange reuse in simhashPairs' self-join
     val tokens = df
       .select(col(idCol),
-        explode(filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
-          w => length(w) > 0)).as("tok"))
+        explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
       .withColumn("h", xxhash64(col("tok")))
     // For bit i: contribution +1 if bit set else -1; final bit i of the
     // simhash = 1 iff sum > 0.
@@ -140,11 +143,23 @@ object Dedup {
     * the join an equi-join. Default stays 4×16 for the Hamming≤3 recall
     * guarantee at test scale.
     *
-    * No cache: both join sides read the same aggregation output and
-    * Catalyst's exchange reuse materializes that shuffle once
-    * (ReusedExchange in the physical plan) — caching it would only leak
-    * executor storage across calls. */
+    * Cost note: the fingerprint aggregation feeds BOTH sides of the
+    * self-join; Spark's exchange reuse is not guaranteed to dedupe it
+    * (canonicalization misses here), so as written the corpus is
+    * scanned and aggregated twice — a linear overhead, no extra memory.
+    * When that second pass matters (very large corpora, expensive
+    * upstream), compute [[simhash]] once, persist it under YOUR
+    * lifecycle, and call [[simhashPairsFromFingerprints]] — the library
+    * deliberately never caches internally (no unpersist leaks). */
   def simhashPairs(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4): DataFrame =
+    simhashPairsFromFingerprints(
+      simhash(df, textCol, idCol), idCol, maxHamming, bands)
+
+  /** [[simhashPairs]] over a precomputed `(idCol, simhash)` frame (see
+    * cost note there — persist `fps` yourself if recompute matters). */
+  def simhashPairsFromFingerprints(fps: DataFrame,
       idCol: String = "doc_id", maxHamming: Int = 3,
       bands: Int = 4): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
@@ -153,22 +168,25 @@ object Dedup {
         s"(got $maxHamming >= $bands)")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
-    val fps = simhash(df, textCol, idCol)
     val banded = fps.select(col(idCol), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
       }: _*)).as("bk"))
-    // distinct band-key names on each side: with a shared lineage,
-    // a("bk") === b("bk") silently resolves to a trivially-true self
-    // comparison and the equi-join degenerates into a cross join.
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("bk").as("bk_a"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("bk").as("bk_b"))
-    val hamming = bit_count(col("sh_a").bitwiseXOR(col("sh_b")))
-    a.join(b, col("bk_a") === col("bk_b") && col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), hamming.as("hamming"))
+    // Self-join via dataset aliases, renaming only AFTER the join: the
+    // two join inputs are then canonically identical subtrees, so the
+    // banded-fingerprint aggregation+shuffle is computed ONCE and the
+    // second side becomes a ReusedExchange. (Renaming before the join
+    // breaks that match and silently doubles the aggregation; a naive
+    // unaliased a("bk") === b("bk") is worse still — it resolves to a
+    // trivially-true self comparison and cross-joins.)
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    x.join(y, col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        hamming.as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

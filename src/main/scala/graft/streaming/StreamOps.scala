@@ -1,7 +1,22 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event row for stateful streaming ops (field names match the
+  * `events` table). */
+final case class SessionEvent(
+    event_id: Long, user_id: Long, ts: java.sql.Timestamp)
+
+/** Output of [[StreamOps.sessionizeStream]] — same shape and semantics
+  * as the batch `operators.Events.sessionize`. */
+final case class SessionizedEvent(
+    event_id: Long, user_id: Long, ts: java.sql.Timestamp,
+    session_idx: Long)
+
+/** Per-user session state carried across micro-batches. */
+final case class SessionState(lastTsMs: Long, idx: Long)
 
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
@@ -30,5 +45,53 @@ object StreamOps {
         col("window.start").as("window_start"),
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
+  }
+
+  /** Stateful streaming sessionization via `flatMapGroupsWithState` —
+    * the custom-state path the built-in windowed aggregates can't
+    * express. Semantics match the batch `Events.sessionize` (gap rule
+    * on second-truncated timestamps, 1-based per-user index) when
+    * events arrive in event-time order per user (in-batch disorder is
+    * sorted; cross-batch disorder is the streaming caveat).
+    *
+    * Scale notes: state is ONE fixed-size record per live user
+    * (lastTs, idx) hash-partitioned by user_id; the event-time timeout
+    * evicts users idle past their session gap once the watermark
+    * passes, so state size tracks ACTIVE users, not all users ever
+    * seen. */
+  def sessionizeStream(
+      events: Dataset[SessionEvent],
+      gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[SessionizedEvent] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionizedEvent](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (user: Long, it: Iterator[SessionEvent],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.ts.getTime)
+            if (sorted.isEmpty) Iterator.empty
+            else {
+              var (last, idx) = state.getOption
+                .map(s => (s.lastTsMs, s.idx)).getOrElse((Long.MinValue, 0L))
+              val out = sorted.map { e =>
+                val gapExceeded = last == Long.MinValue ||
+                  e.ts.getTime / 1000L - last / 1000L > gapMinutes * 60L
+                if (gapExceeded) idx += 1
+                last = e.ts.getTime
+                SessionizedEvent(e.event_id, user, e.ts, idx)
+              }
+              state.update(SessionState(last, idx))
+              state.setTimeoutTimestamp(last + gapMs)
+              out.iterator
+            }
+          }
+      }
   }
 }

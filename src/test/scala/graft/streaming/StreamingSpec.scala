@@ -45,4 +45,44 @@ class StreamingSpec extends SparkSpec {
       assert(batch.nonEmpty)
     } finally q.stop()
   }
+
+  test("sessionizeStream: stateful sessionization matches batch across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val timeline = Seq(
+      (1L, 7L, "2024-01-01 00:00:00"),
+      (2L, 7L, "2024-01-01 00:10:00"), // same session
+      (3L, 7L, "2024-01-01 00:50:00"), // +40min: new session
+      (5L, 9L, "2024-01-01 00:05:00"),
+      (4L, 7L, "2024-01-01 01:10:00"), // +20min: same session
+      (6L, 9L, "2024-01-01 02:00:00")) // new session for user 9
+
+    val batchDf = graft.operators.Events.sessionize(
+      timeline.toDF("event_id", "user_id", "ts_s")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s"))
+    val expected = batchDf.orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+
+    val stream = MemoryStream[(Long, Long, String)]
+    val sds = stream.toDS
+      .map { case (id, u, t) =>
+        SessionEvent(id, u, java.sql.Timestamp.valueOf(t)) }
+    val q = StreamOps.sessionizeStream(sds)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    try {
+      // two micro-batches, event-time-ordered per user
+      stream.addData(timeline.take(4): _*)
+      q.processAllAvailable()
+      stream.addData(timeline.drop(4): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("sess").orderBy("event_id")
+        .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      assert(streamed == expected)
+      assert(expected == Seq(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+        5L -> 1L, 6L -> 2L))
+    } finally q.stop()
+  }
 }
