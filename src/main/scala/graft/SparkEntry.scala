@@ -51,7 +51,7 @@ object SparkEntry {
     * feature lists are fixed at registration. */
   private def vecToScalars(df: DataFrame, cols: (String, Int)*): DataFrame = {
     val names = cols.map(_._1).toSet
-    val keep = df.columns.filterNot(names).map(col)
+    val keep = df.columns.filterNot(names).toSeq.map(col)
     val elems = cols.flatMap { case (c, n) =>
       val arr = org.apache.spark.ml.functions.vector_to_array(col(c))
       (0 until n).map(i => arr.getItem(i).as(s"${c}_$i"))

@@ -20,9 +20,11 @@ object Dedup {
     * with the smallest `idCol` per duplicate group.
     *
     * Scale: one hash-partitioned shuffle on a 64-char key; the
-    * row_number window runs inside each partition. Identical shape to
-    * a groupBy-agg — no skew risk beyond genuinely pathological
-    * single-document duplication, which salting the window key fixes.
+    * row_number window runs inside each partition. Skew-safe even for
+    * a pathologically duplicated single document: Spark plans the
+    * rn=1 filter as a WindowGroupLimit with a PARTIAL pass before the
+    * exchange (visible in `graft.Explain`), so each map task ships at
+    * most one row per hash — the hot key never concentrates.
     */
   def exact(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {

@@ -47,6 +47,21 @@ object StreamOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming exact dedup: keep the first arrival per content key
+    * within the watermark horizon. `withWatermark` + `dropDuplicates`
+    * is the built-in state-bounded pair — state holds one entry per
+    * distinct key seen inside the horizon and is evicted as the
+    * watermark advances (unbounded dedup state is the classic
+    * streaming-dedup OOM). Works identically on batch frames (the
+    * watermark is a no-op there). */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String = "ts",
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state path the built-in windowed aggregates can't
     * express. Semantics match the batch `Events.sessionize` (gap rule

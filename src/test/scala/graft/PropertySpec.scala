@@ -1,0 +1,108 @@
+package graft
+
+import graft.features.{RobustScaling, SplitColumn}
+import graft.llm.{Similarity, TextAnalysis}
+import graft.operators.Events
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** Property-style tests over seeded random inputs: each case checks an
+  * algebraic invariant against a brute-force reference computation
+  * rather than a hand-picked expectation. */
+class PropertySpec extends SparkSpec {
+
+  private val rng = new Random(42)
+
+  test("property: robust scaling is invariant under affine input transforms") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val data = Seq.fill(200)(rng.nextDouble() * 100 - 50)
+      val shift = rng.nextDouble() * 10 - 5
+      val scale = rng.nextDouble() * 4 + 0.5
+      val base = data.toDF("x")
+      val transformed = data.map(v => v * scale + shift).toDF("x")
+      val a = RobustScaling(base, Seq("x"), exact = true)
+        .select("x_scaled").collect().map(_.getDouble(0)).sorted
+      val b = RobustScaling(transformed, Seq("x"), exact = true)
+        .select("x_scaled").collect().map(_.getDouble(0)).sorted
+      a.zip(b).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
+  test("property: split column is 0/1 and train+test partitions the frame") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val df = Seq.fill(100)((rng.nextInt(5), rng.nextDouble())).toDF("g", "v")
+      val excluded = rng.nextInt(5)
+      val split = SplitColumn.customByLabel(df, "g", excluded)
+      val flags = split.select("is_train").distinct()
+        .collect().map(_.getInt(0)).toSet
+      assert(flags.subsetOf(Set(0, 1)))
+      assert(SplitColumn.trainSplit(split).count() +
+        SplitColumn.testSplit(split).count() == 100)
+    }
+  }
+
+  test("property: normalize is idempotent on whitespace-mangled text") {
+    val s = spark
+    import s.implicits._
+    val words = Seq("alpha", "Beta", "GAMMA", "delta42", "x")
+    val texts = (1 to 20).map { _ =>
+      (1 to rng.nextInt(10) + 1).map { _ =>
+        val pad = Seq(" ", "  ", "\t", "\n").apply(rng.nextInt(4))
+        pad + words(rng.nextInt(words.size))
+      }.mkString
+    }
+    val df = texts.toDF("text")
+    val once = df.select(TextAnalysis.normalize(col("text")).as("n"))
+    val twice = once.select(TextAnalysis.normalize(col("n")).as("n"))
+    assert(once.collect().map(_.getString(0)).toSeq ==
+      twice.collect().map(_.getString(0)).toSeq)
+  }
+
+  test("property: cosine bounded in [-1,1], self-similarity 1") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0L until 20L).map(i =>
+      (i, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.selfTopK(df, k = 19, embCol = "embedding")
+    out.collect().foreach { r =>
+      val c = r.getDouble(3)
+      assert(c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12)
+    }
+    val self = df.select(
+      Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+    self.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("property: sessionize matches a brute-force reference on random timelines") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val events = (1L to 60L).map { id =>
+        val user = rng.nextInt(4).toLong
+        val t = 1704067200L + rng.nextInt(6 * 3600) // 6h span, second-aligned
+        (id, user, new java.sql.Timestamp(t * 1000L))
+      }
+      val df = events.toDF("event_id", "user_id", "ts")
+      val got = Events.sessionize(df, gapMinutes = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      // brute force: per user, order by (ts, id), count gaps > 1800s
+      val expected = events.groupBy(_._2).flatMap { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3.getTime, e._1))
+        var idx = 0L
+        var last = Long.MinValue
+        sorted.map { case (id, _, ts) =>
+          val sec = ts.getTime / 1000
+          if (last == Long.MinValue || sec - last > 1800) idx += 1
+          last = sec
+          id -> idx
+        }
+      }.toMap
+      assert(got == expected)
+    }
+  }
+}

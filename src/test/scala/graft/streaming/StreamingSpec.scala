@@ -46,6 +46,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupStream: duplicate keys within the horizon are dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String)]
+    val sdf = stream.toDF.toDF("k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val q = StreamOps.dedupStream(sdf, Seq("k"))
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:00"),
+        ("b", "2024-01-01 00:01:00"))
+      q.processAllAvailable()
+      stream.addData(("a", "2024-01-01 00:00:00")) // dup across batches
+      q.processAllAvailable()
+      val out = spark.table("dedup").collect().map(_.getString(0)).sorted
+      assert(out.toSeq == Seq("a", "b"))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: stateful sessionization matches batch across batches") {
     val s = spark
     import s.implicits._
