@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSql}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two
+  * `array<double>` columns, with whole-stage codegen (`doGenCode`).
+  *
+  * Why a custom Expression (the brief's preferred extension order):
+  * the composable alternative — `aggregate(zip_with(a,b,*), ...)` —
+  * builds lambda-variable closures that Catalyst evaluates INTERPRETED
+  * (higher-order functions have no codegen), allocating per row. This
+  * expression compiles to a tight primitive loop inside the enclosing
+  * WholeStageCodegen stage: no allocation, no virtual calls — the shape
+  * that matters when scoring billions of corpus rows per query batch.
+  *
+  * Semantics (bit-identical to the HOF formulation, asserted in
+  * SimilaritySpec): sequential left-fold of dot and squared norms,
+  * result = dot / (sqrt(na)*sqrt(nb)); zero-norm input yields -1
+  * (never NaN/null — NaN sorts above every double and would win every
+  * desc top-k). Dot runs over min(len); norms over each full array.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<double> arguments, got " +
+        s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    val n = math.min(nx, ny)
+    var dot = 0.0
+    var i = 0
+    while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
+    var na = 0.0
+    i = 0
+    while (i < nx) { val v = x.getDouble(i); na += v * v; i += 1 }
+    var nb = 0.0
+    i = 0
+    while (i < ny) { val v = y.getDouble(i); nb += v * v; i += 1 }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) -1.0 else dot / denom
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val v = ctx.freshName("v")
+      val denom = ctx.freshName("denom")
+      s"""
+         |final int $nx = $a.numElements();
+         |final int $ny = $b.numElements();
+         |final int $n = java.lang.Math.min($nx, $ny);
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |double $na = 0.0;
+         |for (int $i = 0; $i < $nx; $i++) {
+         |  final double $v = $a.getDouble($i); $na += $v * $v;
+         |}
+         |double $nb = 0.0;
+         |for (int $i = 0; $i < $ny; $i++) {
+         |  final double $v = $b.getDouble($i); $nb += $v * $v;
+         |}
+         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |${ev.value} = ($denom == 0.0) ? -1.0 : $dot / $denom;
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Column wrapper: usable anywhere a built-in function is. */
+  def apply(a: Column, b: Column): Column =
+    GraftSql.column(
+      CosineSimilarity(GraftSql.expression(a), GraftSql.expression(b)))
+}

@@ -23,12 +23,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Codegen'd cosine similarity between two double-array columns.
-    * Zero-norm vectors yield -1: under ANSI mode a plain `/` throws
-    * DIVIDE_BY_ZERO, and without ANSI the NaN result sorts ABOVE every
-    * double, so an unguarded zero vector would win a top-k slot for
-    * every query. `try_divide` returns null there; coalesce to -1. */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two double-array columns — the custom
+    * Catalyst expression [[graft.functions.CosineSimilarity]] (tight
+    * codegen'd loop; higher-order functions would evaluate interpreted
+    * in this hot path). Zero-norm vectors yield -1, never NaN/null —
+    * NaN sorts ABOVE every double and would win each desc top-k. */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity(a, b)
+
+  /** The composable `sql.functions`-only formulation, kept as the
+    * bit-parity cross-check for the custom expression (SimilaritySpec)
+    * and as a porting reference. `try_divide` guards ANSI
+    * divide-by-zero; coalesce maps the null to -1 like [[cosine]]. */
+  private[llm] def cosineHof(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (s, x) => s + x)
     val na = sqrt(aggregate(transform(a, x => x * x), lit(0.0), (s, x) => s + x))
     val nb = sqrt(aggregate(transform(b, x => x * x), lit(0.0), (s, x) => s + x))

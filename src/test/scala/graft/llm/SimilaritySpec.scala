@@ -43,6 +43,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("cosine custom expression: bit-identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val rows = (0 until 50).map { i =>
+      (i.toLong,
+        Seq.fill(16)(rng.nextDouble() * 2 - 1),
+        if (i == 49) Seq.fill(16)(0.0) else Seq.fill(16)(rng.nextDouble()))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("fast"),
+      Similarity.cosineHof(col("a"), col("b")).as("hof"))
+    out.collect().foreach { r =>
+      // exact double equality, including the zero-norm -1 guard row
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
+    }
+  }
+
   test("ivfTopK: recall >= 0.9 vs exact top-k on the 500-row fixture") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
