@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: JIT + codegen + parquet-footer caches otherwise
+    // land entirely on whichever query sorts first, distorting its
+    // number by seconds.
+    spark.range(100000).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     // A failed query is reported as -1 and excluded from the total — it
     // must not masquerade as a fast success (a query that throws
     // instantly would otherwise look like a speedup).

@@ -29,6 +29,21 @@ class FeaturesSpec extends SparkSpec {
     assert(out.columns.contains("l_quantity_scaled"))
   }
 
+  test("robust_scaling: approx (GK sketch) path tracks the exact path") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val exact = RobustScaling(df, Seq("l_extendedprice"), exact = true)
+      .agg(percentile(col("l_extendedprice_scaled"),
+        array(lit(0.25), lit(0.5), lit(0.75)))).head().getSeq[Double](0)
+    val approx = RobustScaling(df, Seq("l_extendedprice"),
+      quantileError = 0.01)
+      .agg(percentile(col("l_extendedprice_scaled"),
+        array(lit(0.25), lit(0.5), lit(0.75)))).head().getSeq[Double](0)
+    // same shape: median ~0, IQR ~1, within the sketch's tolerance
+    assert(math.abs(approx(1)) < 0.05)
+    assert(math.abs((approx(2) - approx(0)) - 1.0) < 0.05)
+    exact.zip(approx).foreach { case (e, a) => assert(math.abs(e - a) < 0.05) }
+  }
+
   test("robust_scaling: constant column skipped by IQR guard") {
     val df = iris.withColumn("const", lit(3.14))
     val out = RobustScaling(df, Seq("const", "sepal_length"), exact = true)
