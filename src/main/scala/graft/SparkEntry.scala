@@ -159,8 +159,7 @@ object SparkEntry {
       Dedup.exactGroups(documents(s, dir))),
     // LSH sketch paths — no SQL twin; ScalaTest invariants + recall tests.
     "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairs(documents(s, dir), jaccardDist = 0.8)
-        .select(col("id_a"), col("id_b"))),
+      Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
 

@@ -46,38 +46,96 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash+LSH near-dup candidate pairs over word 3-shingles.
-    * Pipeline: tokenize → 3-gram shingles → HashingTF (binary
-    * presence; hashing, not vocab-fitting, so no fit pass and no
-    * out-of-vocabulary zero vectors at any corpus size) → MinHashLSH →
-    * approxSimilarityJoin at `jaccardDist`.
+  /** MinHash near-dup pairs, the brief's literal pipeline:
+    * shingle → minhash signature → band → bucket equi-join →
+    * exact-Jaccard verification. Implemented as codegen'd aggregation
+    * (like [[simhash]]): explode word 3-shingles, take
+    * `min(xxhash64(shingle, seed_i))` per doc for `numHashes` seeded
+    * hash functions in ONE groupBy — a single doc-keyed shuffle with
+    * map-side partials. Signatures are banded (`numHashes / bands`
+    * rows each); docs sharing any band hash become candidates via an
+    * equi-join; candidates are verified with exact n-gram Jaccard
+    * ([[ngramJaccard]]) and filtered to `minJaccard`.
     *
-    * Scale: LSH banding turns all-pairs into an equi-join on band
-    * hashes — the cluster-safe path. `numHashTables` trades recall for
-    * join fan-out. Returns (id_a, id_b, jaccard_dist) with id_a < id_b.
-    */
+    * Recall: a pair with true Jaccard s shares a band with probability
+    * 1-(1-s^r)^b (r = numHashes/bands rows per band, b = bands) —
+    * defaults (64, 16) give ≥ 0.99 recall at s ≥ 0.7. Precision is
+    * exact: the verification stage computes true Jaccard on the
+    * (small) candidate set only.
+    *
+    * Scale: never an all-pairs join — candidate generation is an
+    * equi-join on 64-bit band keys (no 2^16 bucket ceiling like
+    * simhash's fixed bands); verification re-joins only candidate ids.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def minhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val docs = df.select(col(idCol), col(textCol))
+    // explode distinct shingles (dedup within doc: Jaccard is over SETS)
+    val shingles = shingled(docs, textCol, idCol)
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+      .distinct()
+    // one groupBy computes the full signature: numHashes seeded minima
+    val sigCols = (0 until numHashes).map { i =>
+      min(xxhash64(col("sh"), lit(seed + i))).as(s"mh$i")
+    }
+    val sigs = shingles.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    // band key = hash of the band's signature rows (+ band index)
+    val banded = sigs.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(rows: _*).as("key"))
+      }: _*)).as("bk"))
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val candidates = x.join(y, col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** Word 3-shingles with the tiny-doc fallback (docs under 3 tokens
+    * keep their single tokens so they still participate). */
+  private def shingled(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val tokens = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
+      .transform(docs)
+    new NGram().setN(3)
+      .setInputCol("tokens").setOutputCol("shingles")
+      .transform(tokens)
+      .withColumn("shingles",
+        when(size(col("shingles")) > 0, col("shingles")).otherwise(col("tokens")))
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol), col("shingles"))
+  }
+
+  /** MLlib MinHashLSH variant (HashingTF sparse vectors +
+    * approxSimilarityJoin), kept as the recall cross-check for
+    * [[minhashPairs]] — same equi-join scale shape, heavier constants
+    * (interpreted keyDistance on 2^20-dim sparse vectors).
+    * Returns (id_a, id_b, jaccard_dist) with id_a < id_b. */
+  def minhashPairsLsh(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       numHashTables: Int = 8,
       jaccardDist: Double = 0.6,
       seed: Long = 42L): DataFrame = {
-    val tokens = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
-      .transform(df.select(col(idCol), col(textCol)))
-    val shingled = new NGram().setN(3)
-      .setInputCol("tokens").setOutputCol("shingles")
-      .transform(tokens)
-      // a doc with <3 tokens has no 3-shingles; MinHash requires ≥1
-      // non-zero entry, so keep singles for tiny docs
-      .withColumn("shingles",
-        when(size(col("shingles")) > 0, col("shingles")).otherwise(col("tokens")))
-      .filter(size(col("shingles")) > 0)
     val vectorized = new HashingTF()
       .setInputCol("shingles").setOutputCol("features")
       .setBinary(true).setNumFeatures(1 << 20)
-      .transform(shingled)
+      .transform(shingled(df.select(col(idCol), col(textCol)), textCol, idCol))
     val lsh = new MinHashLSH().setNumHashTables(numHashTables)
       .setInputCol("features").setOutputCol("hashes").setSeed(seed)
     val model = lsh.fit(vectorized)
@@ -89,12 +147,12 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
   }
 
-  /** MinHash dedup: drop every doc that is LSH-near a doc with a
+  /** MinHash dedup: drop every doc that is minhash-near a doc with a
     * smaller id (greedy single-pass suppression — the standard
     * at-scale approximation of connected-component dedup). */
   def minhash(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", jaccardDist: Double = 0.6): DataFrame = {
-    val losers = minhashPairs(df, textCol, idCol, jaccardDist = jaccardDist)
+      idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
+    val losers = minhashPairs(df, textCol, idCol, minJaccard = minJaccard)
       .select(col("id_b").as(idCol)).distinct()
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -43,15 +43,27 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("group_size") == 2L)
   }
 
-  test("minhashPairs: finds the planted near-dup, id_a < id_b") {
-    val pairs = Dedup.minhashPairs(planted, jaccardDist = 0.5)
+  test("minhashPairs: finds the planted near-dup with exact jaccard, id_a < id_b") {
+    val pairs = Dedup.minhashPairs(planted, minJaccard = 0.5)
     val hit = pairs.filter(col("id_a") === 1L && col("id_b") === 100001L)
-    assert(hit.count() == 1)
+      .collect()
+    assert(hit.length == 1)
+    assert(hit(0).getAs[Double]("jaccard") > 0.5 &&
+      hit(0).getAs[Double]("jaccard") < 1.0)
     assert(pairs.filter(col("id_a") >= col("id_b")).count() == 0)
   }
 
+  test("minhashPairs agrees with the MLlib LSH cross-check on the planted pair") {
+    val banded = Dedup.minhashPairs(planted, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val mllib = Dedup.minhashPairsLsh(planted, jaccardDist = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(banded.contains((1L, 100001L)))
+    assert(mllib.contains((1L, 100001L)))
+  }
+
   test("minhash: suppresses the larger-id member of a near-dup pair") {
-    val out = Dedup.minhash(planted, jaccardDist = 0.5)
+    val out = Dedup.minhash(planted, minJaccard = 0.5)
     assert(out.filter(col("doc_id") === 1L).count() == 1)
     assert(out.filter(col("doc_id") === 100001L).count() == 0)
   }
