@@ -220,6 +220,8 @@ object SparkEntry {
       Events.sessionize(events(s, dir))
         .withColumn("ts",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+    "events_props_agg" -> ((s, dir) =>
+      Events.propsAgg(events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -426,6 +428,11 @@ object SparkEntry {
         |  event_type, COUNT(*) AS n_events,
         |  ROUND(SUM(value), 6) AS total_value
         |FROM events GROUP BY 1, 2, 3""".stripMargin,
+
+    "events_props_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 6) AS avg_k
+        |FROM events GROUP BY 1""".stripMargin,
 
     // floor(epoch) mirrors Spark's cast(timestamp as long) second
     // truncation — events carry microsecond precision.

@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Events {
 
+  /** Parse the JSON `props` payload into typed columns (`from_json`
+    * with an explicit DDL schema — no inference pass, fixed output
+    * shape at any scale). */
+  def extractProps(events: DataFrame, ddl: String = "k INT",
+      propsCol: String = "props"): DataFrame = {
+    val parsed = events.withColumn("_p",
+      from_json(col(propsCol), org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+    org.apache.spark.sql.types.StructType.fromDDL(ddl).fieldNames
+      .foldLeft(parsed)((d, f) => d.withColumn(f, col(s"_p.$f")))
+      .drop("_p")
+  }
+
+  /** Per-event-type stats over the extracted JSON metric: one
+    * partial-aggregated shuffle; avg rounded (merge-order float). */
+  def propsAgg(events: DataFrame): DataFrame =
+    extractProps(events)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 6).as("avg_k"))
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —

@@ -21,6 +21,25 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("extractProps/propsAgg: JSON payload parsed and aggregated") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "click", """{"k": 10}"""),
+      (2L, "click", """{"k": 20}"""),
+      (3L, "view", """{"k": 7}"""),
+      (4L, "view", "not json")
+    ).toDF("event_id", "event_type", "props")
+    val ext = Events.extractProps(df)
+    assert(ext.filter(col("event_id") === 1L).head().getAs[Int]("k") == 10)
+    assert(ext.filter(col("event_id") === 4L).head().isNullAt(
+      ext.columns.indexOf("k"))) // malformed -> null, not a crash
+    val agg = Events.propsAgg(df).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(agg("click") == (2L, 15.0))
+    assert(agg("view")._1 == 2L)
+  }
+
   test("sessionize: exact-boundary gap (== gap) stays in session") {
     val s = spark
     import s.implicits._
