@@ -118,8 +118,11 @@ object Similarity {
       .withColumn("v", array_to_vector(
         transform(col("c_emb"), x => x / col("n"))))
       .drop("n")
+    // quantizer quality needs coarse centroid geometry, not converged
+    // Lloyd: cap iterations/init rounds (recall guarded by the spec's
+    // recall test; each extra iteration is a full pass over the sample)
     val km = new KMeans().setK(nCells).setSeed(seed).setFeaturesCol("v")
-      .setPredictionCol("cell")
+      .setPredictionCol("cell").setMaxIter(10).setInitSteps(1)
     val model = km.fit(
       vecs.select("v").sample(withReplacement = false, fitSampleFraction, seed))
     val centroids = model.clusterCenters.zipWithIndex.map {
