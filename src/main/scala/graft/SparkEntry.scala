@@ -163,6 +163,10 @@ object SparkEntry {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
 
+    // llm counterpart of demo_all_features: quality → lang filter →
+    // exact dedup composed in one plan, oracle-checked END-TO-END.
+    "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
+
     // ------------------------------------------ §7 LLM-pipeline: text ops
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(documents(s, dir))
@@ -315,6 +319,53 @@ object SparkEntry {
       """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // composed curation oracle: mirrors the proven text_quality,
+    // text_language, and dedup_exact pieces stage by stage.
+    "llm_curate" ->
+      """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    GREATEST(length(text), 1) AS n_chars,
+        |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS nw
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_filter(words, w -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE) / nw AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS p_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS d_ratio,
+        |    CAST(len(list_filter(words, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], x))) AS DOUBLE) / nw AS s_en,
+        |    CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','auf','im','dem','zu'], x))) AS DOUBLE) / nw AS s_de,
+        |    CAST(len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'], x))) AS DOUBLE) / nw AS s_fr,
+        |    CAST(len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','no'], x))) AS DOUBLE) / nw AS s_es,
+        |    CAST(len(list_filter(words, x -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del','le','si','da'], x))) AS DOUBLE) / nw AS s_it
+        |  FROM d
+        |), scored AS (
+        |  SELECT doc_id, text,
+        |    LEAST(1.0, CAST(n_words AS DOUBLE) / 20.0) * LEAST(1.0, stop_ratio * 5.0)
+        |      * (1.0 - LEAST(1.0, p_ratio * 3.0)) * (1.0 - LEAST(1.0, d_ratio * 3.0)) AS quality_score,
+        |    list_reverse_sort([
+        |      struct_pack(score := s_en, lang := 'en'),
+        |      struct_pack(score := s_de, lang := 'de'),
+        |      struct_pack(score := s_fr, lang := 'fr'),
+        |      struct_pack(score := s_es, lang := 'es'),
+        |      struct_pack(score := s_it, lang := 'it')])[1] AS b
+        |  FROM s
+        |), kept AS (
+        |  SELECT doc_id, text, quality_score,
+        |    CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END AS lang_pred
+        |  FROM scored
+        |  WHERE quality_score >= 0.1
+        |), hashed AS (
+        |  SELECT doc_id, lang_pred, quality_score,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM kept WHERE lang_pred = 'en'
+        |)
+        |SELECT doc_id, lang_pred, ROUND(quality_score, 6) AS quality_score, content_hash
+        |FROM (SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+        |      FROM hashed)
+        |WHERE rn = 1""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,
