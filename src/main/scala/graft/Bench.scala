@@ -12,9 +12,14 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed warmup: JIT + codegen + parquet-footer caches otherwise
     // land entirely on whichever query sorts first, distorting its
-    // number by seconds.
-    spark.range(100000).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // number by seconds. Best-effort — a missing warmup table must not
+    // abort the bench (per-query failures are reported, this isn't one).
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup skipped: ${e.getMessage}")
+    }
     // A failed query is reported as -1 and excluded from the total — it
     // must not masquerade as a fast success (a query that throws
     // instantly would otherwise look like a speedup).

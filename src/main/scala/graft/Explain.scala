@@ -36,10 +36,12 @@ object Explain {
       try {
         val df = SparkEntry.queries(n)(spark, sfDir)
         if (run) {
-          // noop sink materializes THIS plan (count() would build and
-          // run a different one, leaving this AdaptiveSparkPlan unrun)
-          df.write.mode("overwrite").format("noop").save()
-          println(df.queryExecution.executedPlan.toString)
+          // execute THIS QueryExecution via its RDD: count()/write both
+          // build a separate plan, leaving df's AdaptiveSparkPlan unrun
+          // (isFinalPlan=false) — toRdd runs the exact plan we print
+          val qe = df.queryExecution
+          qe.toRdd.foreachPartition(_ => ())
+          println(qe.executedPlan.toString)
         } else df.explain("formatted")
       } catch { case e: Throwable =>
         println(s"EXPLAIN FAILED: ${e.getMessage}") }

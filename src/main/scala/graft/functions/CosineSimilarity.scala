@@ -45,9 +45,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     val nx = x.numElements()
     val ny = y.numElements()
+    // null element anywhere → -1, matching the HOF formulation (null
+    // propagates through its aggregate, coalesced to -1); getDouble on
+    // a null slot would NPE (interpreted) or read garbage (codegen)
+    var i = 0
+    while (i < nx) { if (x.isNullAt(i)) return -1.0; i += 1 }
+    i = 0
+    while (i < ny) { if (y.isNullAt(i)) return -1.0; i += 1 }
     val n = math.min(nx, ny)
     var dot = 0.0
-    var i = 0
+    i = 0
     while (i < n) { dot += x.getDouble(i) * y.getDouble(i); i += 1 }
     var na = 0.0
     i = 0
@@ -70,24 +77,36 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val v = ctx.freshName("v")
       val denom = ctx.freshName("denom")
+      val hasNull = ctx.freshName("hasNull")
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
-         |final int $n = java.lang.Math.min($nx, $ny);
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $a.getDouble($i) * $b.getDouble($i);
+         |boolean $hasNull = false;
+         |for (int $i = 0; $i < $nx && !$hasNull; $i++) {
+         |  $hasNull = $a.isNullAt($i);
          |}
-         |double $na = 0.0;
-         |for (int $i = 0; $i < $nx; $i++) {
-         |  final double $v = $a.getDouble($i); $na += $v * $v;
+         |for (int $i = 0; $i < $ny && !$hasNull; $i++) {
+         |  $hasNull = $b.isNullAt($i);
          |}
-         |double $nb = 0.0;
-         |for (int $i = 0; $i < $ny; $i++) {
-         |  final double $v = $b.getDouble($i); $nb += $v * $v;
+         |if ($hasNull) {
+         |  ${ev.value} = -1.0;
+         |} else {
+         |  final int $n = java.lang.Math.min($nx, $ny);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  double $na = 0.0;
+         |  for (int $i = 0; $i < $nx; $i++) {
+         |    final double $v = $a.getDouble($i); $na += $v * $v;
+         |  }
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $ny; $i++) {
+         |    final double $v = $b.getDouble($i); $nb += $v * $v;
+         |  }
+         |  final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |  ${ev.value} = ($denom == 0.0) ? -1.0 : $dot / $denom;
          |}
-         |final double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |${ev.value} = ($denom == 0.0) ? -1.0 : $dot / $denom;
          |""".stripMargin
     })
 

@@ -104,14 +104,14 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
-  /** Word 3-shingles with the tiny-doc fallback (docs under 3 tokens
+  /** Word n-shingles with the tiny-doc fallback (docs under n tokens
     * keep their single tokens so they still participate). */
   private def shingled(docs: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, n: Int = 3): DataFrame = {
     val tokens = new RegexTokenizer()
       .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
       .transform(docs)
-    new NGram().setN(3)
+    new NGram().setN(n)
       .setInputCol("tokens").setOutputCol("shingles")
       .transform(tokens)
       .withColumn("shingles",
@@ -204,13 +204,14 @@ object Dedup {
     * guarantee at test scale.
     *
     * Cost note: the fingerprint aggregation feeds BOTH sides of the
-    * self-join; Spark's exchange reuse is not guaranteed to dedupe it
-    * (canonicalization misses here), so as written the corpus is
-    * scanned and aggregated twice — a linear overhead, no extra memory.
-    * When that second pass matters (very large corpora, expensive
-    * upstream), compute [[simhash]] once, persist it under YOUR
-    * lifecycle, and call [[simhashPairsFromFingerprints]] — the library
-    * deliberately never caches internally (no unpersist leaks). */
+    * self-join. Under AQE the two identical aggregation subtrees are
+    * deduplicated at runtime — the executed plan carries a
+    * ReusedExchange (verify with SPARK_EXPLAIN_RUN=1 graft.Explain), so
+    * the corpus is scanned/aggregated once. With AQE disabled that
+    * reuse is not guaranteed; compute [[simhash]] once, persist it
+    * under YOUR lifecycle, and call [[simhashPairsFromFingerprints]] —
+    * the library deliberately never caches internally (no unpersist
+    * leaks). */
   def simhashPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
       bands: Int = 4): DataFrame =
@@ -264,12 +265,11 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val tokens = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
-      .transform(docs.select(col(idCol), col(textCol)))
-    val shingles = new NGram().setN(n)
-      .setInputCol("tokens").setOutputCol("shingles")
-      .transform(tokens)
+    // same shingling (incl. the tiny-doc single-token fallback) as the
+    // candidate generators — otherwise a sub-n-token doc that banding
+    // matched would verify against an EMPTY shingle set and score 0
+    val shingles = shingled(docs.select(col(idCol), col(textCol)),
+        textCol, idCol, n)
       .select(col(idCol), array_distinct(col("shingles")).as("sh"))
     val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))

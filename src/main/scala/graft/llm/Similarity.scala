@@ -111,10 +111,14 @@ object Similarity {
     val spark = corpus.sparkSession
     def sqNorm(c: Column): Column =
       aggregate(transform(c, x => x * x), lit(0.0), (s, x) => s + x)
+    // zero-norm vectors are KEPT (unit-divide guarded by a 1.0 floor):
+    // cosineTopK scores them -1, and ivfTopK must not silently drop
+    // rows its exact twin would return
     val vecs = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(embCol)).as("c_emb"))
-      .withColumn("n", sqrt(sqNorm(col("c_emb"))))
-      .filter(col("n") > 0)
+      .withColumn("n",
+        when(sqrt(sqNorm(col("c_emb"))) > 0, sqrt(sqNorm(col("c_emb"))))
+          .otherwise(lit(1.0)))
       .withColumn("v", array_to_vector(
         transform(col("c_emb"), x => x / col("n"))))
       .drop("n")
@@ -140,8 +144,9 @@ object Similarity {
     // the UNIT query to each centroid — the assignment metric
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(embCol)).as("q_emb"))
-      .withColumn("qn", sqrt(sqNorm(col("q_emb"))))
-      .filter(col("qn") > 0)
+      .withColumn("qn",
+        when(sqrt(sqNorm(col("q_emb"))) > 0, sqrt(sqNorm(col("q_emb"))))
+          .otherwise(lit(1.0)))
       .withColumn("q_unit", transform(col("q_emb"), x => x / col("qn")))
     val eDist = aggregate(
       zip_with(col("q_unit"), col("centroid"), (x, y) => (x - y) * (x - y)),

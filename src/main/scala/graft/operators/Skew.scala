@@ -17,9 +17,10 @@ object Skew {
     * aggregate, then groupBy (key) merging the per-salt partials. The
     * caller supplies both phases, e.g. partial `count` merged by `sum`,
     * or partial `collect_set` merged by `array_distinct(flatten(...))`.
-    * Salt is derived from a hash of the whole row spread over
-    * `saltBuckets`, so the hot key's rows split evenly and
-    * deterministically (no rand()). */
+    * Salt comes from `monotonically_increasing_id` — a row-content hash
+    * would send IDENTICAL duplicate rows (the worst hot-key case) all
+    * to one bucket. The salt only routes rows; the merged result is
+    * salt-independent, so the id's run-to-run instability is harmless. */
   def saltedAgg(
       df: DataFrame,
       keyCols: Seq[String],
@@ -28,7 +29,7 @@ object Skew {
       saltBuckets: Int = 16,
       outputCol: String = "agg"): DataFrame = {
     val salted = df.withColumn("_salt",
-      pmod(xxhash64(df.columns.map(col).toIndexedSeq: _*), lit(saltBuckets)))
+      pmod(monotonically_increasing_id(), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keyCols :+ "_salt").map(col): _*)
       .agg(partial.as("_partial"))

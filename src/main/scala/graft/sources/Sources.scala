@@ -45,7 +45,14 @@ object Sources {
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * (legacy conf) and convert to microsecond timestamps — the data is
     * micro-aligned (ns % 1000 == 0 across all rows), so no precision is
-    * lost and values agree with DuckDB's native ns→us read. */
+    * lost and values agree with DuckDB's native ns→us read.
+    *
+    * The nanosAsLong conf is deliberately left set for the session
+    * (the scan consults it at execution time, so restoring it after
+    * plan construction would break the deferred read): any later
+    * NANOS-typed column in this session reads as LongType instead of
+    * failing — callers of other nanos tables must convert like this
+    * method does. */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.parquet(s"$dir/events.parquet")

@@ -48,19 +48,19 @@ object StreamOps {
   }
 
   /** Streaming exact dedup: keep the first arrival per content key
-    * within the watermark horizon. `withWatermark` + `dropDuplicates`
-    * is the built-in state-bounded pair — state holds one entry per
-    * distinct key seen inside the horizon and is evicted as the
-    * watermark advances (unbounded dedup state is the classic
-    * streaming-dedup OOM). Works identically on batch frames (the
-    * watermark is a no-op there). */
+    * within the watermark horizon, REGARDLESS of each duplicate's own
+    * timestamp — `dropDuplicatesWithinWatermark` keys state on
+    * `keyCols` alone and evicts entries once the watermark passes
+    * (plain `dropDuplicates(keys :+ ts)` would treat re-arrivals with
+    * a different timestamp as new rows; unbounded keys without a
+    * watermark are the classic streaming-dedup OOM). */
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],
       tsCol: String = "ts",
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state path the built-in windowed aggregates can't
@@ -73,7 +73,15 @@ object StreamOps {
     * (lastTs, idx) hash-partitioned by user_id; the event-time timeout
     * evicts users idle past their session gap once the watermark
     * passes, so state size tracks ACTIVE users, not all users ever
-    * seen. */
+    * seen.
+    *
+    * Known batch divergence (inherent to eviction): once a user's
+    * state is evicted, their next event restarts `session_idx` at 1,
+    * while the batch operator keeps counting — `(user_id,
+    * session_idx)` is only unique within one state lifetime. Callers
+    * needing a globally-unique session key should pair the index with
+    * the session's first event time. Keeping the counter across
+    * evictions would mean never evicting, i.e. unbounded state. */
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,

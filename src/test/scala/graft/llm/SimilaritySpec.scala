@@ -60,6 +60,14 @@ class SimilaritySpec extends SparkSpec {
       // exact double equality, including the zero-norm -1 guard row
       assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0)
     }
+    // null ELEMENT parity: both formulations map it to -1
+    val withNull = df.limit(1).select(
+      Similarity.cosine(array(lit(1.0), lit(null).cast("double")),
+        col("a")).as("fast"),
+      Similarity.cosineHof(array(lit(1.0), lit(null).cast("double")),
+        col("a")).as("hof"))
+    val r = withNull.head()
+    assert(r.getDouble(0) == -1.0 && r.getDouble(1) == -1.0)
   }
 
   test("ivfTopK: recall >= 0.9 vs exact top-k on the 500-row fixture") {

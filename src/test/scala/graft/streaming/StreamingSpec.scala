@@ -57,10 +57,11 @@ class StreamingSpec extends SparkSpec {
       .writeStream.format("memory").queryName("dedup")
       .outputMode("append").start()
     try {
-      stream.addData(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:00"),
+      stream.addData(("a", "2024-01-01 00:00:00"), ("a", "2024-01-01 00:00:10"),
         ("b", "2024-01-01 00:01:00"))
       q.processAllAvailable()
-      stream.addData(("a", "2024-01-01 00:00:00")) // dup across batches
+      // dup across batches, at a DIFFERENT timestamp: still one "a"
+      stream.addData(("a", "2024-01-01 00:05:00"))
       q.processAllAvailable()
       val out = spark.table("dedup").collect().map(_.getString(0)).sorted
       assert(out.toSeq == Seq("a", "b"))

@@ -88,6 +88,9 @@ for name in names:
     detail = ("; " + " | ".join(bad[:3])) if bad else ""
     results[name] = f"{tag} rows={len(s)}{note}{detail}"
 
+if not results:
+    print("no queries found (empty dump dir and oracle_sql.json?)")
+    sys.exit(1)
 width = max(len(n) for n in results)
 n_pass = sum(1 for v in results.values() if v.startswith("EXACT"))
 for n, v in sorted(results.items()):
