@@ -282,6 +282,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------------ copied passages
+
+  /** Copied-passage pairs: documents sharing at least `minShared`
+    * content-defined chunks ([[TextAnalysis.chunkFingerprints]]) —
+    * catches partial duplication (a lifted paragraph) that whole-doc
+    * fingerprints miss.
+    *
+    * Scale: explode chunk hashes, DROP ubiquitous chunks (doc
+    * frequency > `maxDocFreq` — boilerplate shared by everything would
+    * make its bucket quadratic), then equi-join on chunk hash and
+    * count shared chunks per pair. Same candidate-by-key shape as the
+    * other fuzzy paths. */
+  def passagePairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val chunks = TextAnalysis.chunkFingerprints(df, textCol)
+      .select(col(idCol), explode(col("chunk_hashes")).as("chunk"))
+      .distinct()
+    val rare = chunks.groupBy("chunk")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq)
+      .select("chunk")
+    val kept = chunks.join(rare, "chunk")
+    val x = kept.alias("x")
+    val y = kept.alias("y")
+    x.join(y, col("x.chunk") === col("y.chunk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+  }
+
   // ---------------------------------------------------- embedding cosine
 
   /** Embedding near-dup pairs: cosine similarity ≥ `minCosine` via

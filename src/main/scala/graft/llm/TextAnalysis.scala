@@ -100,6 +100,21 @@ object TextAnalysis {
       outputCol: String = "fingerprint"): DataFrame =
     df.withColumn(outputCol, xxhash64(normalize(col(textCol))))
 
+  /** Content-defined chunk fingerprints of the normalized text via the
+    * Rabin-style rolling hash ([[graft.functions.RollingChunkHashes]]):
+    * `array<long>` chunk hashes whose boundaries follow content, so
+    * shared passages produce shared hashes at any offset. Input to
+    * [[Dedup.passagePairs]]. */
+  def chunkFingerprints(
+      df: DataFrame,
+      textCol: String = "text",
+      outputCol: String = "chunk_hashes",
+      avgChunkBits: Int = 6,
+      window: Int = 16): DataFrame =
+    df.withColumn(outputCol,
+      graft.functions.RollingChunkHashes(
+        normalize(col(textCol)), avgChunkBits, window))
+
   /** Canonical text normalization used by fingerprint + exact dedup:
     * trim, lowercase, collapse all whitespace runs to single spaces. */
   def normalize(t: Column): Column =
