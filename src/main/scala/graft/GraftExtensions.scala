@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+import graft.functions.{CosineSimilarity, RollingChunkHashes}
+
+/** SparkSessionExtensions entry point exposing graft's custom Catalyst
+  * expressions as SQL functions:
+  *
+  *   spark.sql.extensions=graft.GraftExtensions
+  *
+  * then `SELECT cosine_similarity(a.embedding, b.embedding)` and
+  * `SELECT rolling_chunk_hashes(text [, avgChunkBits [, minChunk]])`
+  * work from plain SQL. For a session that already exists (the driver
+  * harness owns creation), use
+  * `org.apache.spark.sql.GraftSql.registerFunctions(spark)` instead.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("cosine_similarity"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName,
+        "cosine_similarity"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          s"cosine_similarity takes 2 arguments, got ${args.length}")
+        CosineSimilarity(args.head, args(1))
+      }),
+    (FunctionIdentifier("rolling_chunk_hashes"),
+      new ExpressionInfo(classOf[RollingChunkHashes].getName,
+        "rolling_chunk_hashes"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 3,
+          s"rolling_chunk_hashes takes 1-3 arguments, got ${args.length}")
+        RollingChunkHashes(args.head,
+          avgChunkBits =
+            if (args.length > 1) intLit(args(1), "avgChunkBits") else 6,
+          window = if (args.length > 2) intLit(args(2), "minChunk") else 16)
+      }))
+}

@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSql {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register graft's SQL functions into an EXISTING session (the
+    * `withExtensions`/`spark.sql.extensions` path in
+    * [[graft.GraftExtensions]] only applies to sessions built after
+    * configuration — e.g. the driver harness owns session creation). */
+  def registerFunctions(spark: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
 }
