@@ -187,6 +187,10 @@ object SparkEntry {
     "text_language" -> ((s, dir) =>
       TextAnalysis.languageId(documents(s, dir))
         .select("doc_id", "lang", "lang_pred")),
+    "text_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(documents(s, dir))
+        .select(col("doc_id"),
+          round(col("char_entropy"), 6).as("char_entropy"))),
 
     // ---------------------------------------- §7 LLM-pipeline: similarity
     "similarity_topk" -> ((s, dir) => {
@@ -410,6 +414,13 @@ object SparkEntry {
         |    * (1.0 - LEAST(1.0, p_ratio * 3.0))
         |    * (1.0 - LEAST(1.0, d_ratio * 3.0)), 6) AS quality_score
         |FROM d""".stripMargin,
+
+    "text_entropy" ->
+      """SELECT doc_id, ROUND(ent, 6) AS char_entropy FROM (
+        |  SELECT doc_id, entropy(c) AS ent FROM (
+        |    SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
+        |    FROM documents)
+        |  GROUP BY doc_id)""".stripMargin,
 
     // argmax over (score, lang) structs: list_reverse_sort = Spark's
     // sort_array(desc) — both compare score first, tie-break lang desc.

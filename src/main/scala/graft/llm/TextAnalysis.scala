@@ -100,6 +100,24 @@ object TextAnalysis {
       outputCol: String = "fingerprint"): DataFrame =
     df.withColumn(outputCol, xxhash64(normalize(col(textCol))))
 
+  /** Per-document Shannon character entropy (bits/char) — the standard
+    * gibberish / compressibility quality signal (low = repetitive
+    * noise, ~4-4.5 = natural language, high = random). Computed as a
+    * shuffle-free projection: distinct chars × counts via array HOFs,
+    * O(distinct·len) per row — no explode/groupBy, pipelines with the
+    * other per-row text signals at scan speed. */
+  def charEntropy(
+      df: DataFrame,
+      textCol: String = "text",
+      outputCol: String = "char_entropy"): DataFrame = {
+    val chars = regexp_extract_all(col(textCol), lit("[\\s\\S]"), lit(0))
+    val n = greatest(size(chars), lit(1)).cast("double")
+    val probs = transform(array_distinct(chars),
+      c => size(filter(chars, x => x === c)).cast("double") / n)
+    df.withColumn(outputCol,
+      -aggregate(probs, lit(0.0), (s, p) => s + p * log(2.0, p)))
+  }
+
   /** Content-defined chunk fingerprints of the normalized text via the
     * Rabin-style rolling hash ([[graft.functions.RollingChunkHashes]]):
     * `array<long>` chunk hashes whose boundaries follow content, so

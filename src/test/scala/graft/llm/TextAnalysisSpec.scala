@@ -40,6 +40,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pred("qwfp zxcv brkl 42") == "und")
   }
 
+  test("charEntropy: hand-computed values, ordering, empty-safe") {
+    val ent = (t: String) => TextAnalysis.charEntropy(one(t))
+      .head().getAs[Double]("char_entropy")
+    assert(math.abs(ent("aabb") - 1.0) < 1e-12)
+    assert(ent("aaaa") == 0.0)
+    assert(ent("") == 0.0)
+    // natural text sits between constant noise and uniform randomness
+    val prose = ent("the quick brown fox jumps over the lazy dog")
+    assert(prose > 3.0 && prose < 5.0, s"prose=$prose")
+    assert(ent("ababababab") < prose)
+  }
+
   test("qualityScore: clean prose beats digit-heavy junk; ratios in [0,1]") {
     val good = TextAnalysis.qualityScore(one(
       "the quick brown fox jumps over the lazy dog and it was glad " +
