@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features._
 import graft.llm._
-import graft.operators.Events
+import graft.operators.{Events, Skew}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -60,9 +60,14 @@ object SparkEntry {
   }
 
   /** Flagship `demo_all_features` analog (reference
-    * spark_ml_features.py:268-315): one plan chaining robust scaling →
-    * feature prep → feature union → KMeans reduction → probability
-    * prediction on sf0.001 customer. Driver smoke-checks rows>0. */
+    * spark_ml_features.py:268-315): chains ALL reference stages —
+    * robust scaling → feature prep → validation curves → feature union
+    * → KMeans reduction → probability prediction → split column →
+    * predefined split — on sf0.001 customer. The row-shaped stages form
+    * one plan; the fixed-size artifacts (CV curve winner, test-side
+    * split accuracy) ride along as broadcast metadata columns so every
+    * stage is observable in the output schema. Driver smoke-checks
+    * rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     val base = customer(spark, dir)
@@ -73,7 +78,24 @@ object SparkEntry {
     val unioned = FeatureUnion(feats)
     val clustered = DimReduction(unioned, "kmeans", k = 3)
       .withColumnRenamed("prediction", "cluster")
-    ProbabilityPrediction(clustered)
+    val probed = ProbabilityPrediction(clustered)
+    // §2.1 #4-5 validation curves (small grid at smoke scale); the
+    // curve's winning point is the stage's fixed-size artifact
+    val curve = ValidationCurves(spark, feats,
+      paramRange = Seq(0.01, 0.1), numFolds = 2)
+    val best = curve
+      .orderBy(col("avg_metric").desc, col("param_value")).limit(1)
+      .select(col("param_value").as("cv_best_param"),
+        col("avg_metric").as("cv_best_metric"))
+    // §2.1 #10-11 split column + predefined split: grid-fit on the
+    // train flag, score the held-out test side
+    val split = PredefinedSplit(SplitColumn.customByLabel(
+      clustered, "label", 0.0))
+    val splitScore = split.model.transform(split.test)
+      .agg(count(lit(1)).as("split_test_rows"),
+        avg((col("prediction") === col("label")).cast("double"))
+          .as("split_test_accuracy"))
+    probed.crossJoin(broadcast(best)).crossJoin(broadcast(splitScore))
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + §7. */
@@ -153,8 +175,11 @@ object SparkEntry {
     }),
 
     // --------------------------------------------- §7 LLM-pipeline: dedup
+    // Registered shape is keeper-ids-only, so the groupBy fast path
+    // applies (same rows as the window variant at ~1/5 the cost; the
+    // window path stays oracle-covered end-to-end through llm_curate).
     "dedup_exact" -> ((s, dir) =>
-      Dedup.exact(documents(s, dir)).select("doc_id", "content_hash")),
+      Dedup.exactKeepers(documents(s, dir))),
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir))),
     // LSH sketch paths — no SQL twin; ScalaTest invariants + recall tests.
@@ -212,6 +237,34 @@ object SparkEntry {
       Multimodal.binaryStats(
         documents(s, dir).select(col("doc_id"),
           col("text").cast("binary").as("payload")), "payload")),
+    // frame slices hex-projected to scalars (driver diff can't hash
+    // binary/array columns); oracle byte-slices via hex-string substring
+    // (2 hex chars per byte — DuckDB has no blob substring).
+    "multimodal_frame_sample" -> ((s, dir) => {
+      val payload = documents(s, dir).select(col("doc_id"),
+        col("text").cast("binary").as("payload"))
+      Multimodal.frameSample(payload, "payload", n = 4, frameBytes = 16)
+        .select(col("doc_id") +:
+          (0 until 4).map(i =>
+            hex(element_at(col("frames"), i + 1)).as(s"frame_$i")): _*)
+    }),
+    "multimodal_payload_meta" -> ((s, dir) => {
+      val meta = Multimodal.payloadMeta(col("payload"))
+      documents(s, dir)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          hex(substring(col("payload"), 1, 4)).as("head_hex"),
+          meta.getField("mime").as("mime"),
+          meta.getField("bytes").as("bytes"))
+    }),
+
+    // ------------------------------------------------- §7 skew handling
+    // The merged result is salt-independent, so DuckDB computes it as a
+    // plain GROUP BY — oracle-exact despite the nondeterministic salt.
+    "skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedAgg(events(s, dir), Seq("event_type"),
+        partial = count(lit(1)), merge = p => sum(p),
+        outputCol = "n_events")),
 
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
@@ -483,6 +536,40 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
+
+    // byte slicing via the hex string (2 chars/byte): frame i covers
+    // bytes [i*stride, i*stride+16) with stride = floor(len/4) bytes,
+    // exactly Spark's substring-on-binary offsets.
+    "multimodal_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    GREATEST(octet_length(encode(text)) // 4, 1) AS stride
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  substring(h, 0 * stride * 2 + 1, 32) AS frame_0,
+        |  substring(h, 1 * stride * 2 + 1, 32) AS frame_1,
+        |  substring(h, 2 * stride * 2 + 1, 32) AS frame_2,
+        |  substring(h, 3 * stride * 2 + 1, 32) AS frame_3
+        |FROM b""".stripMargin,
+
+    "multimodal_payload_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |    substring(hex(encode(text)), 1, 8) AS head_hex
+        |  FROM documents
+        |)
+        |SELECT doc_id, head_hex,
+        |  CASE WHEN starts_with(head_hex, '89504E47') THEN 'image/png'
+        |       WHEN starts_with(head_hex, 'FFD8FF') THEN 'image/jpeg'
+        |       WHEN starts_with(head_hex, '52494646') THEN 'audio/wav'
+        |       ELSE 'application/octet-stream' END AS mime,
+        |  CAST(octet_length(payload) AS INT) AS bytes
+        |FROM b""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
 
     "events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -9,14 +9,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class SessionEvent(
     event_id: Long, user_id: Long, ts: java.sql.Timestamp)
 
-/** Output of [[StreamOps.sessionizeStream]] — same shape and semantics
-  * as the batch `operators.Events.sessionize`. */
+/** Output of [[StreamOps.sessionizeStream]] — the batch
+  * `operators.Events.sessionize` shape plus `session_start` (first
+  * event time of the session): `(user_id, session_start)` is globally
+  * unique even across state evictions, where the restarting
+  * `session_idx` alone is not. */
 final case class SessionizedEvent(
     event_id: Long, user_id: Long, ts: java.sql.Timestamp,
-    session_idx: Long)
+    session_idx: Long, session_start: java.sql.Timestamp)
 
 /** Per-user session state carried across micro-batches. */
-final case class SessionState(lastTsMs: Long, idx: Long)
+final case class SessionState(lastTsMs: Long, idx: Long, startMs: Long)
 
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
@@ -78,10 +81,13 @@ object StreamOps {
     * Known batch divergence (inherent to eviction): once a user's
     * state is evicted, their next event restarts `session_idx` at 1,
     * while the batch operator keeps counting — `(user_id,
-    * session_idx)` is only unique within one state lifetime. Callers
-    * needing a globally-unique session key should pair the index with
-    * the session's first event time. Keeping the counter across
-    * evictions would mean never evicting, i.e. unbounded state. */
+    * session_idx)` is only unique within one state lifetime. The
+    * output therefore carries `session_start` (the session's first
+    * event time): a restarted counter necessarily starts a NEW
+    * session at a later timestamp, so `(user_id, session_start)` is
+    * globally unique across evictions. Keeping the counter itself
+    * across evictions would mean never evicting, i.e. unbounded
+    * state. */
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,
@@ -101,16 +107,18 @@ object StreamOps {
             val sorted = it.toArray.sortBy(_.ts.getTime)
             if (sorted.isEmpty) Iterator.empty
             else {
-              var (last, idx) = state.getOption
-                .map(s => (s.lastTsMs, s.idx)).getOrElse((Long.MinValue, 0L))
+              var (last, idx, start) = state.getOption
+                .map(s => (s.lastTsMs, s.idx, s.startMs))
+                .getOrElse((Long.MinValue, 0L, Long.MinValue))
               val out = sorted.map { e =>
                 val gapExceeded = last == Long.MinValue ||
                   e.ts.getTime / 1000L - last / 1000L > gapMinutes * 60L
-                if (gapExceeded) idx += 1
+                if (gapExceeded) { idx += 1; start = e.ts.getTime }
                 last = e.ts.getTime
-                SessionizedEvent(e.event_id, user, e.ts, idx)
+                SessionizedEvent(e.event_id, user, e.ts, idx,
+                  new java.sql.Timestamp(start))
               }
-              state.update(SessionState(last, idx))
+              state.update(SessionState(last, idx, start))
               state.setTimeoutTimestamp(last + gapMs)
               out.iterator
             }

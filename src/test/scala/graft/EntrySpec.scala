@@ -5,10 +5,18 @@ import org.apache.spark.sql.functions._
 /** Smoke + shape checks for the driver contract. */
 class EntrySpec extends SparkSpec {
 
-  test("entry: flagship chains 5 operators and yields rows") {
+  test("entry: flagship chains the full reference demo and yields rows") {
     val out = SparkEntry.entry(spark)
     assert(out.count() > 0)
-    assert(out.columns.contains("probability"))
+    // every demo stage is observable in the output schema
+    Seq("probability", "prediction", "label",
+      "cv_best_param", "cv_best_metric",
+      "split_test_rows", "split_test_accuracy").foreach { c =>
+      assert(out.columns.contains(c), s"missing column $c")
+    }
+    val head = out.select("cv_best_metric", "split_test_accuracy").head()
+    assert(head.getDouble(0) >= 0.0 && head.getDouble(0) <= 1.0)
+    assert(head.getDouble(1) >= 0.0 && head.getDouble(1) <= 1.0)
   }
 
   test("every oracle key has a registered query") {

@@ -35,6 +35,42 @@ class DedupSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 0L).count() == 1)
   }
 
+  test("exactKeepers: same result set as the window variant's keeper ids") {
+    val fromWindow = Dedup.exact(planted).select("doc_id", "content_hash")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fast = Dedup.exactKeepers(planted)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fast == fromWindow)
+  }
+
+  test("connectedComponents: transitive chain A~B~C labels all three with A") {
+    val s = spark
+    import s.implicits._
+    // edges A~B, B~C (A≁C directly) + an unrelated pair D~E
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels(1L) == 1L && labels(2L) == 1L && labels(3L) == 1L)
+    assert(labels(10L) == 10L && labels(11L) == 10L)
+  }
+
+  test("minhashConnected: keeps one doc per near-dup cluster through chains") {
+    val s = spark
+    import s.implicits._
+    // B = A with one word edited, C = B with another word edited:
+    // A~B and B~C are near-dups; A~C may fall below threshold. Greedy
+    // suppression on pairs alone could keep C; components must not.
+    val t0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val words = t0.split(" ")
+    val b = (words.take(words.length - 1) :+ "zzz1").mkString(" ")
+    val c = ("zzz2" +: words.tail.take(words.length - 2) :+ "zzz1").mkString(" ")
+    val chain = docs.select("doc_id", "text").unionByName(
+      Seq((200001L, b), (200002L, c)).toDF("doc_id", "text"))
+    val kept = Dedup.minhashConnected(chain, minJaccard = 0.5)
+    assert(kept.filter(col("doc_id") === 0L).count() == 1)
+    assert(kept.filter(col("doc_id").isin(200001L, 200002L)).count() == 0)
+  }
+
   test("exactGroups: duplicate group has size 2 and keeps min id") {
     val g = Dedup.exactGroups(planted).filter(col("group_size") > 1)
     assert(g.count() == 1)

@@ -107,4 +107,40 @@ class StreamingSpec extends SparkSpec {
         5L -> 1L, 6L -> 2L))
     } finally q.stop()
   }
+
+  test("sessionizeStream: (user_id, session_start) unique across an eviction") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(Long, Long, String)]
+    val sds = stream.toDS
+      .map { case (id, u, t) =>
+        SessionEvent(id, u, java.sql.Timestamp.valueOf(t)) }
+    val q = StreamOps.sessionizeStream(sds, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sess_evict")
+      .outputMode("append").start()
+    try {
+      // user 7's session at 00:00; user 8 advances the watermark far
+      // past 7's timeout, evicting 7's state
+      stream.addData((1L, 7L, "2024-01-01 00:00:00"),
+        (2L, 8L, "2024-01-01 00:00:00"))
+      q.processAllAvailable()
+      stream.addData((3L, 8L, "2024-01-01 03:00:00"))
+      q.processAllAvailable()
+      stream.addData((4L, 8L, "2024-01-01 03:01:00")) // timeout fires
+      q.processAllAvailable()
+      // user 7 returns post-eviction: session_idx restarts at 1...
+      stream.addData((5L, 7L, "2024-01-01 05:00:00"))
+      q.processAllAvailable()
+      val u7 = spark.table("sess_evict")
+        .filter(col("user_id") === 7L).orderBy("event_id")
+        .collect()
+        .map(r => (r.getLong(3), r.getTimestamp(4)))
+      assert(u7.length == 2)
+      assert(u7(0)._1 == 1L && u7(1)._1 == 1L) // ...so idx alone collides
+      // ...but session_start disambiguates: the restart is a new session
+      assert(u7(0)._2 != u7(1)._2)
+      assert(u7.map(r => (7L, r._1, r._2)).distinct.length == 2)
+    } finally q.stop()
+  }
 }
