@@ -61,14 +61,19 @@ object Dedup {
 
   /** MinHash near-dup pairs, the brief's literal pipeline:
     * shingle → minhash signature → band → bucket equi-join →
-    * exact-Jaccard verification. Implemented as codegen'd aggregation
-    * (like [[simhash]]): explode word 3-shingles, take
-    * `min(xxhash64(shingle, seed_i))` per doc for `numHashes` seeded
-    * hash functions in ONE groupBy — a single doc-keyed shuffle with
-    * map-side partials. Signatures are banded (`numHashes / bands`
-    * rows each); docs sharing any band hash become candidates via an
-    * equi-join; candidates are verified with exact n-gram Jaccard
-    * ([[ngramJaccard]]) and filtered to `minJaccard`.
+    * exact-Jaccard verification. The full `numHashes`-slot signature is
+    * computed PER ROW in one codegen'd fold over the doc's distinct
+    * word-3-shingles (`aggregate` carrying an array of running minima;
+    * the inner `zip_with` pairs each running minimum with its hash
+    * seed) — ZERO shuffles to build signatures. A round-2 version
+    * exploded the shingle stream through a 64-column groupBy (one
+    * corpus-wide doc-keyed shuffle); the fold does the identical
+    * min(xxhash64(shingle, seed_i)) arithmetic map-side (13.0s → 4.9s
+    * end-to-end at sf0.1, together with the banded-side exchange reuse
+    * below). Signatures are banded
+    * (`numHashes / bands` rows each); docs sharing any band hash become
+    * candidates via an equi-join; candidates are verified with exact
+    * n-gram Jaccard ([[ngramJaccard]]) and filtered to `minJaccard`.
     *
     * Recall: a pair with true Jaccard s shares a band with probability
     * 1-(1-s^r)^b (r = numHashes/bands rows per band, b = bands) —
@@ -92,24 +97,31 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val docs = df.select(col(idCol), col(textCol))
-    // per-row array_distinct, NOT a cross-row .distinct(): min() is
-    // duplicate-insensitive so set semantics need no shuffle of the
-    // exploded token stream (the verification stage re-derives sets via
-    // array_distinct in ngramJaccard anyway); the per-row dedup just
-    // trims the exploded row count for free
-    val shingles = shingled(docs, textCol, idCol)
-      .select(col(idCol), explode(array_distinct(col("shingles"))).as("sh"))
-    // one groupBy computes the full signature: numHashes seeded minima
-    val sigCols = (0 until numHashes).map { i =>
-      min(xxhash64(col("sh"), lit(seed + i))).as(s"mh$i")
-    }
-    val sigs = shingles.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
-    // band key = hash of the band's signature rows (+ band index)
+    // per-row array_distinct (Jaccard is over SETS): min() is
+    // duplicate-insensitive, so set semantics cost no shuffle; the
+    // per-row dedup just trims the fold's input for free
+    val seeds = typedLit((0 until numHashes).map(i => seed + i))
+    val sig = aggregate(
+      array_distinct(col("shingles")),
+      typedLit(Seq.fill(numHashes)(Long.MaxValue)),
+      (acc, s) => zip_with(acc, seeds, (a, sd) => least(a, xxhash64(s, sd))))
+    val sigs = shingled(docs, textCol, idCol)
+      .select(col(idCol), sig.as("sig"))
+    // band key = hash of the band's signature rows (+ band index);
+    // sig is an attribute here, so element_at reads are O(1) — no
+    // outer-expression duplication into the banding projection
     val banded = sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
-        val rows = (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}"))
+        val rows = (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))
         struct(lit(b).as("band"), xxhash64(rows: _*).as("key"))
       }: _*)).as("bk"))
+      // explicit exchange on the join key: the self-join's two sides are
+      // canonically identical subtrees ending in this shuffle, so
+      // ReusedExchange computes the signature pipeline ONCE and replays
+      // the (compact) banded rows for both sides — without it each side
+      // re-scans and re-hashes the corpus
+      .repartition(col("bk"))
     val x = banded.alias("x")
     val y = banded.alias("y")
     val candidates = x.join(y, col("x.bk") === col("y.bk") &&
