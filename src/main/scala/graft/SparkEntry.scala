@@ -182,6 +182,18 @@ object SparkEntry {
       Dedup.exactKeepers(documents(s, dir))),
     "dedup_exact_groups" -> ((s, dir) =>
       Dedup.exactGroups(documents(s, dir))),
+    // The exact-Jaccard verification stage over a deterministic
+    // candidate set (all consecutive id pairs) — this oracles the
+    // shingling + set-Jaccard arithmetic that minhash/simhash pairs
+    // rely on, so only their (seeded) CANDIDATE GENERATION is left to
+    // invariant tests.
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.ngramJaccard(docs, pairs)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+    }),
     // LSH sketch paths — no SQL twin; ScalaTest invariants + recall tests.
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
@@ -376,6 +388,31 @@ object SparkEntry {
       """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // RegexTokenizer(lowercase, gaps on [^\p{L}\p{N}]+, minTokenLength 1)
+    // = regexp_split_to_array(lower) + empty filter; NGram(3) = space-
+    // joined triples; tiny-doc fallback keeps single tokens.
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  ROUND(CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) END, 6) AS jaccard
+        |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
+        |JOIN sh a ON a.doc_id = p.id_a
+        |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
 
     // composed curation oracle: mirrors the proven text_quality,
     // text_language, and dedup_exact pieces stage by stage.

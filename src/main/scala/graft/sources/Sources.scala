@@ -41,6 +41,27 @@ object Sources {
       partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** Bucketed managed-table sink: rows are hash-distributed into
+    * `numBuckets` files per partition by `bucketCol` (and optionally
+    * sorted within buckets) at WRITE time. Every later equi-join or
+    * aggregation on the bucket key between same-bucketed tables then
+    * plans with ZERO Exchange — the shuffle is paid once at ingest
+    * instead of per query, the at-scale pattern for fact tables joined
+    * repeatedly on one key (see SourcesSpec: a bucketed self-join's
+    * physical plan contains no Exchange even with broadcast disabled).
+    * Bucketing metadata lives in the catalog, so this writes a managed
+    * table (`saveAsTable`), not a bare path. */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int = 32,
+      sortWithinBuckets: Boolean = true): Unit = {
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+    (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)
+  }
+
   /** `events.parquet` ships TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * (legacy conf) and convert to microsecond timestamps — the data is

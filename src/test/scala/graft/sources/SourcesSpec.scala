@@ -51,4 +51,30 @@ class SourcesSpec extends SparkSpec {
       .head.toString
     assert(!scanned.contains("event_type=view") || back.count() > 0)
   }
+
+  test("writeBucketed: equi-join on the bucket key plans with zero Exchange") {
+    import org.apache.spark.sql.functions.col
+    val docs = Sources.parquetTable(spark, sf0001, "documents")
+      .select("doc_id", "lang")
+    Sources.writeBucketed(docs, "graft_bucketed_docs", "doc_id",
+      numBuckets = 4)
+    try {
+      val t = spark.table("graft_bucketed_docs")
+      // force the sort-merge path: broadcast would hide the exchange
+      // question entirely (the point is the SHUFFLE is pre-paid)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val joined = t.alias("l").join(t.alias("r"), "doc_id")
+        joined.count()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"), plan.take(800))
+        assert(!plan.contains("Exchange"), plan.take(800))
+        // the same pre-partitioning also serves a bucket-key aggregation
+        val agg = t.groupBy("doc_id").count()
+        agg.count()
+        assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
+      } finally
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_docs")
+  }
 }
