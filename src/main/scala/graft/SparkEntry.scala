@@ -235,6 +235,8 @@ object SparkEntry {
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
         k = 10, roundAt = 6)
     }),
+    "embedding_label_stats" -> ((s, dir) =>
+      Similarity.labelStats(embeddings(s, dir))),
     // IVF-Flat ANN — approximate by design; recall-tested in ScalaTest.
     "similarity_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
@@ -557,6 +559,20 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored
         |) WHERE rn <= 10""".stripMargin,
+
+    "embedding_label_stats" ->
+      """WITH n AS (
+        |  SELECT label, len(embedding) AS emb_dim,
+        |    ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |                                       x -> x * x))), 6) AS n
+        |  FROM embeddings
+        |)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  CAST(MIN(emb_dim) AS INT) AS min_dim,
+        |  CAST(MAX(emb_dim) AS INT) AS max_dim,
+        |  ROUND(AVG(n), 6) AS avg_norm,
+        |  MIN(n) AS min_norm, MAX(n) AS max_norm
+        |FROM n GROUP BY 1""".stripMargin,
 
     "multimodal_profile" ->
       """SELECT d.doc_id, d.lang, d.source,

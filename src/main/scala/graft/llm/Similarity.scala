@@ -340,4 +340,28 @@ object Similarity {
     val total = truth.count()
     if (total == 0) 1.0 else hits.toDouble / total
   }
+
+  /** Per-label embedding-quality profile: vector count, dimension, and
+    * L2-norm spread. The first sanity scan over any new embedding
+    * corpus (zero norms? dimension drift? label skew?) — one narrow
+    * codegen'd projection (per-row sequential fold = deterministic
+    * norm) into one partial-aggregated groupBy. Norms are rounded 6dp
+    * per row BEFORE aggregation so min/max are oracle-exact; the mean
+    * is rounded again after. */
+  def labelStats(
+      df: DataFrame,
+      embCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val normSq = aggregate(
+      transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
+    df.select(col(labelCol), size(col(embCol)).as("emb_dim"),
+        round(sqrt(normSq), 6).as("n"))
+      .groupBy(col(labelCol))
+      .agg(count(lit(1)).as("n_vecs"),
+        min(col("emb_dim")).as("min_dim"),
+        max(col("emb_dim")).as("max_dim"),
+        round(avg(col("n")), 6).as("avg_norm"),
+        min(col("n")).as("min_norm"),
+        max(col("n")).as("max_norm"))
+  }
 }

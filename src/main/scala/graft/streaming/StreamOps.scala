@@ -65,6 +65,42 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Streaming curation: the batch [[graft.llm.Curate]] stage order on
+    * an unbounded document stream. Quality scoring and language-id are
+    * stateless codegen'd projections (they run unchanged on a stream);
+    * exact dedup becomes `dropDuplicatesWithinWatermark` on the
+    * content hash — state holds one entry per DISTINCT hash inside the
+    * watermark horizon, which is what bounds it on an endless crawl.
+    *
+    * Keeper-rule divergence vs batch (inherent to streaming): batch
+    * keeps the MIN doc id per hash; a stream keeps the FIRST ARRIVAL
+    * (a later smaller id cannot retract an emitted row in append
+    * mode). When arrival order is id order the outputs are identical
+    * (asserted in StreamingSpec). Filters still run BEFORE the
+    * stateful dedup, so rejected documents never enter state — the
+    * same order-of-stages economics as the batch plan at 100 TB. */
+  def curateStream(
+      docs: DataFrame,
+      minQuality: Double = 0.1,
+      langs: Seq[String] = Seq("en"),
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      tsCol: String = "ingest_ts",
+      watermark: String = "1 hour"): DataFrame = {
+    val scored = graft.llm.TextAnalysis.languageId(
+      graft.llm.TextAnalysis.qualityScore(docs, textCol), textCol)
+    scored
+      .filter(col("quality_score") >= minQuality &&
+        col("lang_pred").isin(langs: _*))
+      .withColumn("content_hash",
+        sha2(graft.llm.TextAnalysis.normalize(col(textCol)), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("content_hash"))
+      .select(col(idCol), col("lang_pred"),
+        round(col("quality_score"), 6).as("quality_score"),
+        col("content_hash"))
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state path the built-in windowed aggregates can't
     * express. Semantics match the batch `Events.sessionize` (gap rule

@@ -108,6 +108,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateStream: streaming curation matches batch Curate in arrival=id order") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // duplicate of doc 0 (normalize-equal), arriving in a later batch
+    val dupOf0 = "  " + base.head._2.toUpperCase + "  "
+    val all = base :+ (900000L, dupOf0)
+
+    val batch = graft.llm.Curate(
+      all.toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF.toDF("doc_id", "text")
+      .withColumn("ingest_ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+    val q = StreamOps.curateStream(sdf)
+      .writeStream.format("memory").queryName("curate_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(base: _*)
+      q.processAllAvailable()
+      stream.addData((900000L, dupOf0))
+      q.processAllAvailable()
+      val streamed = spark.table("curate_stream")
+        .orderBy("doc_id").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      assert(batch.nonEmpty)
+      // the late-arriving duplicate was dropped by hash state
+      assert(!streamed.exists(_.head == 900000L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: (user_id, session_start) unique across an eviction") {
     val s = spark
     import s.implicits._
