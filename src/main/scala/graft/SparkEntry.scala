@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features._
 import graft.llm._
-import graft.operators.{Events, Skew}
+import graft.operators.{Events, Relational, Skew}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -271,6 +271,17 @@ object SparkEntry {
           meta.getField("mime").as("mime"),
           meta.getField("bytes").as("bytes"))
     }),
+
+    // ------------------------------------------ §2.2 engine primitives
+    // composed at scale: pushed-down date filter, per-order pre-agg,
+    // two key joins, two broadcast dims, low-cardinality rollup.
+    "revenue_by_nation" -> ((s, dir) =>
+      Relational.revenueByNation(
+        lineitem(s, dir),
+        Sources.parquetTable(s, dir, "orders"),
+        customer(s, dir),
+        Sources.parquetTable(s, dir, "nation"),
+        Sources.parquetTable(s, dir, "region"))),
 
     // ------------------------------------------------- §7 skew handling
     // The merged result is salt-independent, so DuckDB computes it as a
@@ -623,6 +634,18 @@ object SparkEntry {
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "revenue_by_nation" ->
+      """SELECT r.r_name, n.n_name,
+        |  COUNT(*) AS n_lineitems,
+        |  ROUND(SUM(l.l_extendedprice * (1.0 - l.l_discount)), 2) AS revenue
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        |GROUP BY 1, 2""".stripMargin,
 
     "events_window" ->
       """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,

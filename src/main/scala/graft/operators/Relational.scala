@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** General relational rollups over the TPC-H-shaped driver tables —
+  * the engine-primitive surface (scan/filter/join/agg) composed the way
+  * a 100 TB deployment wants it, beyond the reference's single-table
+  * feature ops.
+  */
+object Relational {
+
+  /** Revenue by region/nation: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region with a ship-date filter, the canonical star-join rollup.
+    *
+    * The at-scale plan, in order:
+    *  - the `since` predicate is pushed INTO the lineitem parquet scan
+    *    (`PushedFilters`), so excluded row groups are never read;
+    *  - lineitem is PRE-AGGREGATED to one revenue row per order key
+    *    before any join — at ~4 lineitems/order this shrinks the
+    *    big-big join input ~4× for one partial-combined shuffle;
+    *  - lineitem⋈orders and ⋈customer are key shuffles (AQE picks
+    *    broadcast at small SF, sort-merge once both sides outgrow it);
+    *  - nation and region are BROADCAST by hint — fixed-size dimension
+    *    tables never justify shuffling the fact side;
+    *  - the final rollup is a low-cardinality partial+final aggregate.
+    *
+    * Revenue is rounded to cents (2dp) on both engine sides: group
+    * sums reach ~1e10 where cross-engine summation-order noise is
+    * ~1e-5 — far inside 2dp, far outside 6dp. */
+  def revenueByNation(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      since: String = "1996-01-01"): DataFrame = {
+    val perOrder = lineitem
+      .filter(col("l_shipdate") >= lit(since).cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("order_rev"),
+        count(lit(1)).as("n_items"))
+    perOrder
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(col("n_items")).as("n_lineitems"),
+        round(sum(col("order_rev")), 2).as("revenue"))
+  }
+}

@@ -52,6 +52,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ent("ababababab") < prose)
   }
 
+  test("charEntropy: 100 KB doc matches a local reference and stays fast") {
+    // long-doc guard: the previous distinct×filter formulation was
+    // O(distinct·len) per row (~10M comparisons for exactly this doc);
+    // the run-length fold must agree with a locally computed entropy
+    // and finish at scan-ish speed
+    val rng = new scala.util.Random(11)
+    val alphabet = ('a' to 'z') ++ ('0' to '9') ++ Seq(' ', '.', ',', '\n')
+    val doc = Array.fill(100000)(alphabet(rng.nextInt(alphabet.length))).mkString
+    val expected = {
+      val n = doc.length.toDouble
+      -doc.groupBy(identity).values
+        .map(g => g.length / n * (math.log(g.length / n) / math.log(2.0)))
+        .sum
+    }
+    val t0 = System.nanoTime()
+    val got = TextAnalysis.charEntropy(one(doc)).head().getAs[Double]("char_entropy")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(math.abs(got - expected) < 1e-9, s"got=$got expected=$expected")
+    assert(secs < 10.0, s"100 KB entropy took ${secs}s")
+  }
+
   test("qualityScore: clean prose beats digit-heavy junk; ratios in [0,1]") {
     val good = TextAnalysis.qualityScore(one(
       "the quick brown fox jumps over the lazy dog and it was glad " +
