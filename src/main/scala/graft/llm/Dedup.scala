@@ -201,16 +201,22 @@ object Dedup {
     * contracts in O(log n) rounds — the per-round plan here (equi-join
     * + min-groupBy, both on the node key) is unchanged.
     *
-    * Each round's result is persisted and the previous freed; the loop
-    * itself is driver-side control flow over fully distributed steps
-    * (the only collects are the fixpoint counts). */
+    * Each round's labels are eagerly `localCheckpoint`ed — in an
+    * iterative algorithm the plan tree otherwise GROWS by one
+    * join+agg per round and Catalyst re-optimizes the whole history
+    * every iteration (quadratic planning, the classic Spark iterative
+    * trap; GraphX checkpoints for the same reason). The checkpoint
+    * both caches the round and truncates its lineage to the
+    * materialized blocks. The loop itself is driver-side control flow
+    * over fully distributed steps (the only collects are the fixpoint
+    * counts). */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
-      .persist()
+      .localCheckpoint(true)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -219,15 +225,13 @@ object Dedup {
         .select(col("dst").as("id"), col("component"))
       val next = labels.select("id", "component").union(propagated)
         .groupBy("id").agg(min("component").as("component"))
-        .persist()
+        .localCheckpoint(true)
       changed = next
         .join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
-      labels.unpersist()
       labels = next
       iter += 1
     }
-    edges.unpersist()
     labels
   }
 

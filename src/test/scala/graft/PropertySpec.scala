@@ -78,6 +78,61 @@ class PropertySpec extends SparkSpec {
     self.collect().foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
   }
 
+  test("property: charEntropy matches a local reference on random strings") {
+    val s = spark
+    import s.implicits._
+    val alphabet = "abcdefg 123.,\n"
+    val texts = (1 to 25).map { _ =>
+      Array.fill(rng.nextInt(400) + 1)(alphabet(rng.nextInt(alphabet.length)))
+        .mkString
+    }
+    def local(t: String): Double = {
+      val n = t.length.toDouble
+      -t.groupBy(identity).values
+        .map(g => g.length / n * (math.log(g.length / n) / math.log(2.0)))
+        .sum
+    }
+    val got = TextAnalysis.charEntropy(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val e = got(i.toLong)
+      assert(math.abs(e - local(t)) < 1e-9, s"doc $i")
+      // Shannon bound: entropy never exceeds log2(#distinct chars)
+      assert(e >= 0.0 &&
+        e <= math.log(t.distinct.length.toDouble) / math.log(2.0) + 1e-9)
+    }
+  }
+
+  test("property: connectedComponents matches brute-force union-find") {
+    val s = spark
+    import s.implicits._
+    (1 to 2).foreach { _ =>
+      val edges = Seq.fill(15)(
+        (rng.nextInt(18).toLong, rng.nextInt(18).toLong))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val got = graft.llm.Dedup.connectedComponents(
+        edges.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // brute-force union-find with min-label roots
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { val lo = math.min(ra, rb)
+          parent(math.max(ra, rb)) = lo }
+      }
+      val expected = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == expected.filterKeys(got.contains).toMap)
+      assert(got.keySet == expected.keySet)
+    }
+  }
+
   test("property: sessionize matches a brute-force reference on random timelines") {
     val s = spark
     import s.implicits._

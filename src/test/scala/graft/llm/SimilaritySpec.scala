@@ -70,6 +70,15 @@ class SimilaritySpec extends SparkSpec {
     assert(r.getDouble(0) == -1.0 && r.getDouble(1) == -1.0)
   }
 
+  test("ivfIndex: rejects nAssign outside [1, nCells]") {
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(embeddings, nCells = 8, nAssign = 9)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(embeddings, nCells = 8, nAssign = 0)
+    }
+  }
+
   test("ivfTopK: recall >= 0.9 vs exact top-k on the 500-row fixture") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
