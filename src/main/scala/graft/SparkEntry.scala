@@ -228,6 +228,8 @@ object SparkEntry {
       TextAnalysis.charEntropy(documents(s, dir))
         .select(col("doc_id"),
           round(col("char_entropy"), 6).as("char_entropy"))),
+    "text_source_profile" -> ((s, dir) =>
+      TextAnalysis.sourceProfile(documents(s, dir))),
 
     // ---------------------------------------- §7 LLM-pipeline: similarity
     "similarity_topk" -> ((s, dir) => {
@@ -524,6 +526,29 @@ object SparkEntry {
         |    SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS c
         |    FROM documents)
         |  GROUP BY doc_id)""".stripMargin,
+
+    "text_source_profile" ->
+      """WITH raw AS (
+        |  SELECT source, lang, text,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    GREATEST(length(text), 1) AS n_chars
+        |  FROM documents
+        |), q AS (
+        |  SELECT source, lang,
+        |    ROUND(
+        |      LEAST(1.0, CAST(len(words) AS DOUBLE) / 20.0)
+        |      * LEAST(1.0, (CAST(len(list_filter(words, w -> list_contains(
+        |          ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE)
+        |          / GREATEST(len(words), 1)) * 5.0)
+        |      * (1.0 - LEAST(1.0, (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars) * 3.0))
+        |      * (1.0 - LEAST(1.0, (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars) * 3.0)), 6) AS q
+        |  FROM raw
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  ROUND(AVG(q), 6) AS avg_quality,
+        |  ROUND(AVG(CASE WHEN q < 0.1 THEN 1.0 ELSE 0.0 END), 6) AS junk_share
+        |FROM q GROUP BY 1""".stripMargin,
 
     // argmax over (score, lang) structs: list_reverse_sort = Spark's
     // sort_array(desc) — both compare score first, tie-break lang desc.

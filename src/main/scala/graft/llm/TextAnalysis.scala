@@ -59,6 +59,33 @@ object TextAnalysis {
         (lit(1.0) - least(lit(1.0), col("digit_ratio") * lit(3.0))))
   }
 
+  /** Per-source corpus-quality rollup — the curation-monitoring query
+    * ("which crawl sources are junk?"): document count, language
+    * spread, mean quality, and the share of documents below the
+    * curation threshold, per source. One narrow projection (the
+    * [[qualityScore]] signals) into one partial-aggregated groupBy on
+    * a low-cardinality key — scan-speed at any corpus size.
+    *
+    * Per-row quality is rounded 6dp BEFORE aggregating: the rounded
+    * values are the cross-engine-stable ones (text_quality's oracle
+    * proves them hash-exact), so the below-threshold classification
+    * can never flip on a boundary ulp. */
+  def sourceProfile(
+      df: DataFrame,
+      textCol: String = "text",
+      sourceCol: String = "source",
+      langCol: String = "lang",
+      minQuality: Double = 0.1): DataFrame = {
+    val q = round(col("quality_score"), 6)
+    qualityScore(df, textCol)
+      .select(col(sourceCol), col(langCol), q.as("q"))
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(langCol)).as("n_langs"),
+        round(avg(col("q")), 6).as("avg_quality"),
+        round(avg((col("q") < minQuality).cast("double")), 6).as("junk_share"))
+  }
+
   /** N-gram/stopword language identification. Scores each language by
     * the fraction of the document's words that are that language's
     * high-frequency function words; picks the argmax, "und"
