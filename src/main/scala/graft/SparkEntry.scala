@@ -545,7 +545,7 @@ object SparkEntry {
         |  FROM raw
         |)
         |SELECT source, COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT lang) AS n_langs,
+        |  CAST(COUNT(DISTINCT lang) AS INT) AS n_langs,
         |  ROUND(AVG(q), 6) AS avg_quality,
         |  ROUND(AVG(CASE WHEN q < 0.1 THEN 1.0 ELSE 0.0 END), 6) AS junk_share
         |FROM q GROUP BY 1""".stripMargin,

@@ -81,7 +81,10 @@ object TextAnalysis {
       .select(col(sourceCol), col(langCol), q.as("q"))
       .groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col(langCol)).as("n_langs"),
+        // size(collect_set), not countDistinct: the lang domain is a
+        // handful of codes, so set state is bounded — and countDistinct
+        // plans a second expand/aggregate shuffle this rollup doesn't need
+        size(collect_set(col(langCol))).as("n_langs"),
         round(avg(col("q")), 6).as("avg_quality"),
         round(avg((col("q") < minQuality).cast("double")), 6).as("junk_share"))
   }

@@ -1,0 +1,61 @@
+package graft
+
+/** Structural plan-shape guard over the registered queries: the plans
+  * PLANS.md documents are asserted here so an operator edit that
+  * reintroduces a shuffle, a cartesian product, or an unpruned scan
+  * fails CI instead of silently regressing the at-scale story.
+  *
+  * Counts are over the pre-execution physical plan (AQE may coalesce
+  * or convert joins at runtime but never ADDS shuffles): "Exchange
+  * hashpartitioning" = a real shuffle; BroadcastExchange is allowed
+  * everywhere (it is the point of dimension broadcasts).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+
+  private def shuffles(p: String): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(p).length
+
+  test("narrow projections plan with zero shuffles") {
+    Seq("robust_scaling", "text_token_stats", "text_normalize",
+      "text_quality", "text_entropy", "text_language",
+      "multimodal_binary_stats", "multimodal_frame_sample",
+      "multimodal_payload_meta", "prepare_features", "add_split_column",
+      "predefined_split_train", "predefined_split_test")
+      .foreach { q =>
+        val p = plan(q)
+        assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
+      }
+  }
+
+  test("single-shuffle aggregations and windows stay single-shuffle") {
+    Seq("dedup_exact" -> 1, "dedup_exact_groups" -> 1,
+      "events_window" -> 1, "events_sessionize" -> 1,
+      "events_props_agg" -> 1, "embedding_label_stats" -> 1,
+      "text_source_profile" -> 1, "llm_curate" -> 1,
+      "skew_salted_agg" -> 2) // two-phase by design
+      .foreach { case (q, n) =>
+        val p = plan(q)
+        assert(shuffles(p) == n,
+          s"$q expected $n shuffle(s), got ${shuffles(p)}:\n${p.take(600)}")
+      }
+  }
+
+  test("no registered query plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { q =>
+      // BroadcastNestedLoopJoin over a broadcast query set is the
+      // declared topk shape; an unbounded CartesianProduct never is
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("scans are column-pruned: lineitem reads only what robust_scaling needs") {
+    val p = plan("robust_scaling")
+    assert(p.contains("ReadSchema"), p.take(400))
+    assert(!p.contains("l_tax") && !p.contains("l_shipdate"),
+      "robust_scaling scan reads columns it does not use")
+  }
+}
