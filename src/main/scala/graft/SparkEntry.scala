@@ -88,9 +88,11 @@ object SparkEntry {
       .select(col("param_value").as("cv_best_param"),
         col("avg_metric").as("cv_best_metric"))
     // §2.1 #10-11 split column + predefined split: grid-fit on the
-    // train flag, score the held-out test side
-    val split = PredefinedSplit(SplitColumn.customByLabel(
-      clustered, "label", 0.0))
+    // train flag, score the held-out test side. Seeded RANDOM split,
+    // not the by-label branch: excluding a label would make the test
+    // fold exactly the class the model never saw, pinning the
+    // observable accuracy at ~0 regardless of model quality
+    val split = PredefinedSplit(SplitColumn.random(clustered))
     val splitScore = split.model.transform(split.test)
       .agg(count(lit(1)).as("split_test_rows"),
         avg((col("prediction") === col("label")).cast("double"))
@@ -535,13 +537,13 @@ object SparkEntry {
         |  FROM documents
         |), q AS (
         |  SELECT source, lang,
-        |    ROUND(
+        |    COALESCE(ROUND(
         |      LEAST(1.0, CAST(len(words) AS DOUBLE) / 20.0)
         |      * LEAST(1.0, (CAST(len(list_filter(words, w -> list_contains(
         |          ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE)
         |          / GREATEST(len(words), 1)) * 5.0)
         |      * (1.0 - LEAST(1.0, (CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars) * 3.0))
-        |      * (1.0 - LEAST(1.0, (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars) * 3.0)), 6) AS q
+        |      * (1.0 - LEAST(1.0, (CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars) * 3.0)), 6), 0.0) AS q
         |  FROM raw
         |)
         |SELECT source, COUNT(*) AS n_docs,

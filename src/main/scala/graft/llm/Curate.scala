@@ -22,17 +22,25 @@ object Curate {
       minQuality: Double = 0.1,
       langs: Seq[String] = Seq("en"),
       textCol: String = "text",
-      idCol: String = "doc_id"): DataFrame = {
-    val scored = TextAnalysis.languageId(
-      TextAnalysis.qualityScore(docs, textCol), textCol)
-    val kept = scored
-      .filter(col("quality_score") >= minQuality &&
-        col("lang_pred").isin(langs: _*))
-    Dedup.exact(kept, textCol, idCol)
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.exact(scoredKept(docs, minQuality, langs, textCol), textCol, idCol)
       .select(col(idCol), col("lang_pred"),
         round(col("quality_score"), 6).as("quality_score"),
         col("content_hash"))
-  }
+
+  /** The shared pre-dedup stage — quality scoring, language-id, and the
+    * keep filters — used by BOTH the batch pipeline above and
+    * [[graft.streaming.StreamOps.curateStream]], so the two can never
+    * drift apart on what "kept" means. */
+  private[graft] def scoredKept(
+      docs: DataFrame,
+      minQuality: Double,
+      langs: Seq[String],
+      textCol: String): DataFrame =
+    TextAnalysis.languageId(
+      TextAnalysis.qualityScore(docs, textCol), textCol)
+      .filter(col("quality_score") >= minQuality &&
+        col("lang_pred").isin(langs: _*))
 
   /** [[apply]] plus fuzzy near-dup suppression (minhash) — the full
     * at-scale recipe; not SQL-expressible (seeded banding), verified by

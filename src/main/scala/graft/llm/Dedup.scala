@@ -16,6 +16,13 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
 
+  /** THE exact-dedup key: sha2-256 of the whitespace/case-normalized
+    * text. One definition shared by every exact path (batch window,
+    * keeper groupBy, group summary, streaming dedup) — the hash IS the
+    * dedup semantics, so it must not fork. */
+  def contentHash(text: Column): Column =
+    sha2(TextAnalysis.normalize(text), 256)
+
   /** Exact dedup on the whitespace/case-normalized text. Keeps the row
     * with the smallest `idCol` per duplicate group.
     *
@@ -28,8 +35,7 @@ object Dedup {
     */
   def exact(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val keyed = df.withColumn("content_hash",
-      sha2(TextAnalysis.normalize(col(textCol)), 256))
+    val keyed = df.withColumn("content_hash", contentHash(col(textCol)))
     val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
     keyed.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
@@ -43,8 +49,7 @@ object Dedup {
     * result set as `exact(df).select(idCol, "content_hash")`. */
   def exactKeepers(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.groupBy(sha2(TextAnalysis.normalize(col(textCol)), 256)
-        .as("content_hash"))
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("content_hash"))
 
@@ -53,8 +58,7 @@ object Dedup {
     * groupBy). */
   def exactGroups(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame =
-    df.groupBy(sha2(TextAnalysis.normalize(col(textCol)), 256)
-        .as("content_hash"))
+    df.groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
   // -------------------------------------------------------------- minhash
@@ -225,13 +229,23 @@ object Dedup {
         .select(col("dst").as("id"), col("component"))
       val next = labels.select("id", "component").union(propagated)
         .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
+        .localCheckpoint(true) // EAGER: materialized before labels is freed
       changed = next
         .join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
+      labels.unpersist() // previous round's checkpoint blocks
       labels = next
       iter += 1
     }
+    edges.unpersist()
+    // a silent non-converged result would KEEP duplicates downstream
+    // (one cluster labeled as several components) with no signal —
+    // wrong-and-quiet is worse than failing the job
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds " +
+          s"($changed labels still changing); the graph diameter exceeds " +
+          "maxIter — raise it, or contract with large-star/small-star")
     labels
   }
 

@@ -144,11 +144,18 @@ object Similarity {
       nAssign: Int = 2): IvfIndex = {
     require(nAssign >= 1 && nAssign <= nCells,
       s"nAssign ($nAssign) must be in [1, nCells=$nCells]")
+    // takeSample, NOT sample().limit(): limit() keeps whichever rows the
+    // earliest partitions produce, so on a corpus physically ordered by
+    // source/date the quantizer would be fit on the head of the corpus
+    // only and probes over the rest would rank against irrelevant
+    // centroids. takeSample reservoir-samples UNIFORMLY across all
+    // partitions of the (pre-thinned) sample at the same bounded driver
+    // cost; the extra count pass is a build-once price.
     val sample = corpus
       .select(asDouble(col(embCol)).as("e"))
       .sample(withReplacement = false, fitSampleFraction, seed)
-      .limit(maxFitSample) // driver-memory cap; stops the scan early too
-      .collect()
+      .rdd
+      .takeSample(withReplacement = false, maxFitSample, seed)
       .map(_.getSeq[Double](0).toArray)
     val centroids = sphericalKMeans(sample, nCells, maxIter, seed)
     val base = corpus

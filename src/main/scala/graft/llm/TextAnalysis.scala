@@ -76,7 +76,11 @@ object TextAnalysis {
       sourceCol: String = "source",
       langCol: String = "lang",
       minQuality: Double = 0.1): DataFrame = {
-    val q = round(col("quality_score"), 6)
+    // null text scores null → coalesce to 0.0 so the row counts as junk
+    // in BOTH the mean and the share (avg would silently skip the null
+    // while a SQL oracle's CASE counts it in the denominator — the
+    // classic cross-engine null-divergence)
+    val q = coalesce(round(col("quality_score"), 6), lit(0.0))
     qualityScore(df, textCol)
       .select(col(sourceCol), col(langCol), q.as("q"))
       .groupBy(col(sourceCol))

@@ -87,13 +87,8 @@ object StreamOps {
       idCol: String = "doc_id",
       tsCol: String = "ingest_ts",
       watermark: String = "1 hour"): DataFrame = {
-    val scored = graft.llm.TextAnalysis.languageId(
-      graft.llm.TextAnalysis.qualityScore(docs, textCol), textCol)
-    scored
-      .filter(col("quality_score") >= minQuality &&
-        col("lang_pred").isin(langs: _*))
-      .withColumn("content_hash",
-        sha2(graft.llm.TextAnalysis.normalize(col(textCol)), 256))
+    graft.llm.Curate.scoredKept(docs, minQuality, langs, textCol)
+      .withColumn("content_hash", graft.llm.Dedup.contentHash(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("content_hash"))
       .select(col(idCol), col("lang_pred"),

@@ -45,7 +45,14 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("no registered query plans a CartesianProduct") {
-    SparkEntry.queries.keys.foreach { q =>
+    // MLlib fit queries are excluded: constructing their DataFrame RUNS
+    // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work
+    // for a plan string), their transform plans are the estimators'
+    // own, and no fit transform can introduce a cross join
+    val fits = Set("validation_curves", "predefined_split_fit",
+      "dim_reduction_kmeans", "dim_reduction_pca",
+      "probability_prediction", "similarity_ivf")
+    (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is
       assert(!plan(q).contains("CartesianProduct"), q)
