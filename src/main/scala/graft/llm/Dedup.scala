@@ -43,7 +43,7 @@ object Dedup {
 
   /** Keeper-ids-only fast path of [[exact]]: when the caller needs just
     * `(idCol, content_hash)` — not the full surviving rows — a single
-    * partial-aggregated groupBy beats the window variant by ~5× (the
+    * partial-aggregated groupBy beats the window variant ~3.5× (the
     * window must sort within hash partitions and carry whole rows;
     * min() combines map-side to one value per hash per task). Same
     * result set as `exact(df).select(idCol, "content_hash")`. */
