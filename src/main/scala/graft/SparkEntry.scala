@@ -67,9 +67,15 @@ object SparkEntry {
     * one plan; the fixed-size artifacts (CV curve winner, test-side
     * split accuracy) ride along as broadcast metadata columns so every
     * stage is observable in the output schema. Driver smoke-checks
-    * rows>0. */
-  def entry(spark: SparkSession): DataFrame = {
-    val dir = "/root/testdata/sf0.001"
+    * rows>0.
+    *
+    * Data dir: `GRAFT_ENTRY_DIR` env var when set, else the sf0.001
+    * smoke fixture — so the flagship chain can be pointed at any SF
+    * (or any dir with a `customer.parquet`) without an edit. */
+  def entry(spark: SparkSession): DataFrame =
+    entry(spark, sys.env.getOrElse("GRAFT_ENTRY_DIR", "/root/testdata/sf0.001"))
+
+  def entry(spark: SparkSession, dir: String): DataFrame = {
     val base = customer(spark, dir)
       .select("c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment")
     val scaled = RobustScaling(base, Seq("c_acctbal")) // approx (at-scale) path
@@ -201,6 +207,21 @@ object SparkEntry {
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+    // Incremental dedup: the batch tail (last decimal-digit ids) deduped
+    // against the keeper hashes of the historical 80% — the same split
+    // both engines can compute, so the anti-join is oracle-exact.
+    "dedup_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.exactIncremental(
+        docs.filter(col("doc_id") % 10 >= 8),
+        Dedup.exactKeepers(docs.filter(col("doc_id") % 10 < 8)))
+    }),
+    // Copied-passage detection: content-defined chunking is
+    // deterministic (no seed), so the registered row gives the driver a
+    // run/schema signal; the gear-hash arithmetic has no DuckDB twin
+    // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
+    "dedup_passage_pairs" -> ((s, dir) =>
+      Dedup.passagePairs(documents(s, dir), minShared = 1)),
 
     // llm counterpart of demo_all_features: quality → lang filter →
     // exact dedup composed in one plan, oracle-checked END-TO-END.
@@ -232,6 +253,15 @@ object SparkEntry {
           round(col("char_entropy"), 6).as("char_entropy"))),
     "text_source_profile" -> ((s, dir) =>
       TextAnalysis.sourceProfile(documents(s, dir))),
+    // TF-IDF projected to fixed hash buckets (murmur3 bucket ids have
+    // no DuckDB twin — adjudicated; invariants in TextFeaturesSpec).
+    // 1024 buckets keep the vector→array projection small.
+    "text_tfidf" -> ((s, dir) => {
+      val v = TextFeatures.tfidf(documents(s, dir), numFeatures = 1024)
+      val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
+      v.select(col("doc_id") +: Seq(0, 17, 256, 511, 777).map(i =>
+        round(arr.getItem(i), 6).as(s"tfidf_$i")): _*)
+    }),
 
     // ---------------------------------------- §7 LLM-pipeline: similarity
     "similarity_topk" -> ((s, dir) => {
@@ -245,6 +275,21 @@ object SparkEntry {
     "similarity_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+    // Build → persist (bucketed cells + centroid artifact) → reload →
+    // probe: the cross-session deployment shape. Deterministic (seeded
+    // build), so identical rows to probing the in-memory index —
+    // SimilaritySpec asserts the round-trip equality and the
+    // Exchange-free cells scan.
+    "similarity_ivf_persisted" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_ivf").toString
+      Similarity.writeIndex(Similarity.ivfIndex(emb),
+        "graft_ivf_cells", s"$tmp/centroids")
+      val loaded = Similarity.readIndex(s, "graft_ivf_cells", s"$tmp/centroids")
+      Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10), k = 10)
         .select("query_id", "neighbor_id", "rank")
     }),
 
@@ -405,6 +450,20 @@ object SparkEntry {
       """SELECT sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
         |  min(doc_id) AS keep_id, count(*) AS group_size
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH hashed AS (
+        |  SELECT doc_id,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |), hist AS (
+        |  SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 10 < 8
+        |), batch AS (
+        |  SELECT min(doc_id) AS doc_id, content_hash
+        |  FROM hashed WHERE doc_id % 10 >= 8 GROUP BY content_hash
+        |)
+        |SELECT doc_id, content_hash FROM batch
+        |WHERE content_hash NOT IN (SELECT content_hash FROM hist)""".stripMargin,
 
     // RegexTokenizer(lowercase, gaps on [^\p{L}\p{N}]+, minTokenLength 1)
     // = regexp_split_to_array(lower) + empty filter; NGram(3) = space-

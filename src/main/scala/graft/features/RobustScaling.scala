@@ -21,7 +21,11 @@ import org.apache.spark.sql.types.NumericType
   * medians/IQRs into one literal projection that Catalyst constant-folds
   * into whole-stage codegen. Two paths:
   *   - exact  = sort-based `percentile` (matches DuckDB `quantile_cont`
-  *     linear interpolation — used for the oracle-checked query);
+  *     linear interpolation — used for the oracle-checked query).
+  *     VALIDATION SCALE ONLY: Spark's sort-based `percentile` buffers a
+  *     value→count multiset per partition, so on high-cardinality
+  *     doubles its memory grows with the partition's distinct values —
+  *     a cliff at 100 TB. Never the at-scale path;
   *   - approx = Greenwald–Khanna `approx_percentile` with relative
   *     error `quantileError` (the reference's own sketch; the at-scale
   *     default — bounded memory per partition, no global sort).

@@ -61,6 +61,31 @@ object Dedup {
     df.groupBy(contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
 
+  /** Incremental exact dedup — THE production dedup workflow: dedup
+    * today's batch against the historical corpus without ever
+    * re-reading the corpus text. `keeperHashes` is the running keeper
+    * set (any frame with a `content_hash` column, e.g. an accumulated
+    * [[exactKeepers]] output); the result is the batch's keeper rows
+    * `(idCol, content_hash)` whose hash is NOT already kept — dedup
+    * within the batch AND against history in one call. Append the
+    * result to the keeper set to roll forward.
+    *
+    * Scale: the batch-side [[exactKeepers]] groupBy hash-partitions the
+    * (small, new) batch by `content_hash`; the history side joins by
+    * the same key. Store the keeper set as a bucketed table on
+    * `content_hash` ([[graft.sources.Sources.writeBucketed]] with
+    * numBuckets = shuffle partitions) and the 100 TB history side
+    * plans with ZERO Exchange — the anti-join reuses the batch's own
+    * groupBy partitioning and the keeper table's ingest-time bucketing,
+    * so the only shuffle in the whole plan is the tiny batch pre-agg
+    * (DedupSpec asserts exactly one Exchange). */
+  def exactIncremental(newDocs: DataFrame, keeperHashes: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exactKeepers(newDocs, textCol, idCol)
+      .join(keeperHashes.select(col("content_hash")),
+        Seq("content_hash"), "left_anti")
+      .select(col(idCol), col("content_hash"))
+
   // -------------------------------------------------------------- minhash
 
   /** MinHash near-dup pairs, the brief's literal pipeline:
@@ -213,23 +238,43 @@ object Dedup {
     * both caches the round and truncates its lineage to the
     * materialized blocks. The loop itself is driver-side control flow
     * over fully distributed steps (the only collects are the fixpoint
-    * counts). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
+    * counts).
+    *
+    * localCheckpoint CAVEAT: blocks live on executors, so losing one
+    * executor (crash, preemption, dynamic-allocation scale-down) makes
+    * the truncated lineage unrecoverable mid-run — Spark's own docs
+    * call this mode unsafe for long at-scale jobs. For those, pass
+    * `checkpointDir` (a reliable store, e.g. HDFS/S3): every round then
+    * uses fault-tolerant `checkpoint` instead. Validation-scale runs
+    * keep the (much cheaper) localCheckpoint default.
+    *
+    * If the label propagation has not converged after `maxIter` rounds
+    * (rounds needed = graph diameter), the call falls back to
+    * [[connectedComponentsStar]], whose round count is O(log n)
+    * regardless of diameter — set `starFallback = false` to get the
+    * fail-fast IllegalStateException instead. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
+      checkpointDir: Option[String] = None,
+      starFallback: Boolean = true): DataFrame = {
+    val edges = persistRound(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))),
+      checkpointDir)
+    var labels = persistRound(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")),
+      checkpointDir)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.select("id", "component").union(propagated)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true) // EAGER: materialized before labels is freed
+      // EAGER: materialized before labels is freed
+      val next = persistRound(
+        labels.select("id", "component").union(propagated)
+          .groupBy("id").agg(min("component").as("component")),
+        checkpointDir)
       changed = next
         .join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
@@ -238,15 +283,111 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    // a silent non-converged result would KEEP duplicates downstream
-    // (one cluster labeled as several components) with no signal —
-    // wrong-and-quiet is worse than failing the job
-    if (changed > 0)
+    if (changed > 0) {
+      // a silent non-converged result would KEEP duplicates downstream
+      // (one cluster labeled as several components) with no signal
+      if (starFallback)
+        return connectedComponentsStar(pairs, checkpointDir = checkpointDir)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIter rounds " +
           s"($changed labels still changing); the graph diameter exceeds " +
-          "maxIter — raise it, or contract with large-star/small-star")
+          "maxIter — raise it, or use connectedComponentsStar")
+    }
     labels
+  }
+
+  /** Connected components by alternating large-star/small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce
+    * and Beyond"): each round re-hangs every node under the minimum id
+    * it can currently see, so components contract to stars centered at
+    * their global minimum in O(log n) rounds INDEPENDENT of graph
+    * diameter — the upgrade path [[connectedComponents]]'s per-diameter
+    * label propagation needs on adversarial chains.
+    *
+    *  - large-star (per node u over its full neighborhood Γ(u)):
+    *    emit (v, min(Γ(u) ∪ u)) for every neighbor v > u;
+    *  - small-star (per node u over Γ≤(u) = neighbors ≤ u):
+    *    emit (v, min(Γ≤(u) ∪ u)) for v ∈ Γ≤(u) ∪ {u} except the min.
+    *
+    * Both phases are one equi-join + one min-groupBy on the node key —
+    * the exact per-round plan shape of [[connectedComponents]], so the
+    * same scale properties hold (no all-pairs work, partial-agg min,
+    * per-round checkpoint against the growing-lineage trap; same
+    * `checkpointDir` caveat). Edges are kept canonical (src > dst), so
+    * the fixpoint test is a set compare of identically-shaped frames.
+    * Returns the same `(id, component)` shape as
+    * [[connectedComponents]]; every node of `pairs` appears, labeled
+    * with its component's minimum id. */
+  def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var edges = persistRound(
+      pairs.select(greatest(col("id_a"), col("id_b")).as("src"),
+          least(col("id_a"), col("id_b")).as("dst"))
+        .where(col("src") =!= col("dst")).distinct(),
+      checkpointDir)
+    var converged = edges.isEmpty
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val next = persistRound(smallStar(largeStar(edges)), checkpointDir)
+      // canonical + distinct on both sides ⇒ set equality is "no row
+      // only-in-one-side" either way; both excepts ride the same plans
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges.unpersist()
+      edges = next
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds — " +
+          "O(log n) rounds should always suffice; raise maxIter")
+    // at the fixpoint edges are stars (v, root): label leaves with the
+    // root and each root with itself
+    edges.select(col("src").as("id"), col("dst").as("component"))
+      .union(edges.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** One large-star phase: over the SYMMETRIC adjacency, hang every
+    * strictly-larger neighbor of u under the minimum of u's
+    * neighborhood (including u). Output is canonical (src > dst). */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val adj = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val mins = adj.groupBy("src").agg(min(col("dst")).as("mn"))
+      .select(col("src").as("u"), least(col("src"), col("mn")).as("m"))
+    adj.join(mins, adj("src") === mins("u"))
+      .where(col("dst") > col("src")) // v > u ≥ m ⇒ output already canonical
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** One small-star phase: over canonically-oriented edges (src > dst,
+    * i.e. grouped by the LARGER endpoint u), hang u and all its
+    * smaller neighbors under their collective minimum. Output is
+    * canonical (src > dst). */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy("src").agg(min(col("dst")).as("m"))
+      .select(col("src").as("u"), col("m"))
+    edges.join(mins, edges("src") === mins("u"))
+      .select(explode(array(col("src"), col("dst"))).as("v"), col("m"))
+      .where(col("v") =!= col("m")) // v ≥ m always; drop the center itself
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** Round persistence for the iterative CC loops: executor-local
+    * checkpoint by default, reliable `checkpoint(dir)` when the caller
+    * opted in (see the caveat on [[connectedComponents]]). */
+  private def persistRound(df: DataFrame, checkpointDir: Option[String])
+      : DataFrame = checkpointDir match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir mints a fresh UUID subdir per call — set once
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    case None => df.localCheckpoint(true)
   }
 
   /** MinHash dedup by connected components: drops every doc whose
@@ -271,6 +412,14 @@ object Dedup {
     * buckets (`bands` prefix blocks of the fingerprint).
     */
   def simhash(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", outputCol: String = "simhash"): DataFrame =
+    simhashFingerprints(df, textCol, idCol, outputCol).drop("len_bucket")
+
+  /** [[simhash]] plus `len_bucket = floor(log2(token count))` — the
+    * banding salt [[simhashPairs]] composes into its band keys. The
+    * count rides the fingerprint's existing per-doc aggregation, so the
+    * salt is free (same single shuffle, one more agg slot). */
+  def simhashFingerprints(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", outputCol: String = "simhash"): DataFrame = {
     // plain predicate instead of a higher-order filter(..., lambda):
     // LambdaVariable-bearing plans never canonicalize equal, which
@@ -286,11 +435,13 @@ object Dedup {
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
         .as(s"b$i")
     }
-    val sums = tokens.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    val sums = tokens.groupBy(col(idCol))
+      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_toks"): _*)
     val fp = (0 until 64).map { i =>
       when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }.reduce[Column]((a, b) => a.bitwiseOR(b))
-    sums.select(col(idCol), fp.as(outputCol))
+    sums.select(col(idCol), fp.as(outputCol),
+      floor(log(2.0, col("n_toks"))).cast("int").as("len_bucket"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of `bands`
@@ -298,47 +449,83 @@ object Dedup {
     * `maxHamming` < `bands` guarantees one equal block); verified by
     * exact Hamming distance ≤ `maxHamming`.
     *
-    * Banding fan-out bound: `bands` blocks of 64/`bands` bits give
-    * 2^(64/bands) buckets per band — at the default 4×16 that is 65 536
-    * buckets, and within-bucket candidate pairing is quadratic, so at
-    * corpora where n >> 2^(64/bands) raise `bands`→wider keys is NOT
-    * possible (keys get narrower); instead LOWER `bands` (e.g. 2×32-bit
-    * blocks, 4G buckets, recall only for Hamming ≤ 1) or pre-salt the
-    * band key with a cheap second feature (length bucket) — both keep
-    * the join an equi-join. Default stays 4×16 for the Hamming≤3 recall
-    * guarantee at test scale.
+    * Banding fan-out bound — why the band key is SALTED by default:
+    * `bands` blocks of 64/`bands` bits give 2^(64/bands) buckets per
+    * band; at the default 4×16 that is only 65 536 buckets, and
+    * within-bucket candidate pairing is quadratic — at 10^9+ docs the
+    * average bucket holds 10^4+ docs and the "candidates" explode
+    * quadratically on COINCIDENTAL 16-bit collisions. So the default
+    * band key is the composite (block value, length bucket ±1): docs
+    * only pair within the same or adjacent log2 token-count bucket,
+    * which spreads each 16-bit bucket across the corpus's length
+    * distribution while keeping the join a pure equi-join. Recall: the
+    * pigeonhole guarantee is kept for every pair within 2× token count
+    * of each other (log2 buckets differ by ≤ 1 ⇒ the ±1 replication
+    * overlaps); pairs beyond 4× length difference are never candidates
+    * — at Hamming ≤ 3 such pairs are vanishing (simhash weights every
+    * token, so a 4× length delta flips far more than 3 bits in
+    * practice). `salted = false` restores raw-block banding for
+    * exhaustive small-corpus sweeps.
     *
     * Cost note: the fingerprint aggregation feeds BOTH sides of the
     * self-join. Under AQE the two identical aggregation subtrees are
     * deduplicated at runtime — the executed plan carries a
     * ReusedExchange (verify with SPARK_EXPLAIN_RUN=1 graft.Explain), so
     * the corpus is scanned/aggregated once. With AQE disabled that
-    * reuse is not guaranteed; compute [[simhash]] once, persist it
-    * under YOUR lifecycle, and call [[simhashPairsFromFingerprints]] —
-    * the library deliberately never caches internally (no unpersist
-    * leaks). */
+    * reuse is not guaranteed; compute [[simhashFingerprints]] once,
+    * persist it under YOUR lifecycle, and call
+    * [[simhashPairsFromFingerprints]] — the library deliberately never
+    * caches internally (no unpersist leaks). */
   def simhashPairs(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      bands: Int = 4): DataFrame =
+      bands: Int = 4, salted: Boolean = true): DataFrame =
     simhashPairsFromFingerprints(
-      simhash(df, textCol, idCol), idCol, maxHamming, bands)
+      simhashFingerprints(df, textCol, idCol), idCol, maxHamming, bands,
+      saltCol = if (salted) Some("len_bucket") else None)
 
-  /** [[simhashPairs]] over a precomputed `(idCol, simhash)` frame (see
-    * cost note there — persist `fps` yourself if recompute matters). */
+  /** [[simhashPairs]] over a precomputed `(idCol, simhash[, salt])`
+    * frame (see cost note there — persist `fps` yourself if recompute
+    * matters). `saltCol` names an integer bucket column to compose into
+    * the band key (the ±1-replicated composite described on
+    * [[simhashPairs]]); None bands on the raw blocks alone. */
   def simhashPairsFromFingerprints(fps: DataFrame,
       idCol: String = "doc_id", maxHamming: Int = 3,
-      bands: Int = 4): DataFrame = {
-    require(64 % bands == 0, s"bands must divide 64, got $bands")
+      bands: Int = 4, saltCol: Option[String] = None): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming < bands " +
         s"(got $maxHamming >= $bands)")
+    simhashCandidates(fps, idCol, bands, saltCol)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Banded candidate pairs with exact Hamming distance, BEFORE the
+    * `maxHamming` filter — package-visible so specs can measure bucket
+    * fan-out (the quantity the salt exists to bound) directly. */
+  private[graft] def simhashCandidates(fps: DataFrame, idCol: String,
+      bands: Int, saltCol: Option[String]): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bandBits = 64 / bands
     val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1L
+    val blocks = (0 until bands).map { b =>
+      (b, shiftright(col("simhash"), b * bandBits).bitwiseAND(mask))
+    }
+    // with a salt: replicate each doc's band rows at salt and salt+1 so
+    // same-or-adjacent buckets still collide (one extra struct slot and
+    // 2× banded rows — the exchange ships compact (id, band, key, salt)
+    // rows either way, nothing corpus-shaped grows)
+    val bandStructs = saltCol match {
+      case Some(sc) =>
+        for { (b, key) <- blocks; off <- 0 to 1 } yield
+          struct(lit(b).as("band"), key.as("key"),
+            (col(sc) + lit(off)).as("salt"))
+      case None =>
+        blocks.map { case (b, key) =>
+          struct(lit(b).as("band"), key.as("key"))
+        }
+    }
     val banded = fps.select(col(idCol), col("simhash"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(mask).as("key"))
-      }: _*)).as("bk"))
+      explode(array(bandStructs: _*)).as("bk"))
     // Self-join via dataset aliases, renaming only AFTER the join: the
     // two join inputs are then canonically identical subtrees, so the
     // banded-fingerprint aggregation+shuffle is computed ONCE and the
@@ -353,8 +540,6 @@ object Dedup {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         hamming.as("hamming"))
-      .filter(col("hamming") <= maxHamming)
-      .distinct()
   }
 
   // ------------------------------------------------------- n-gram jaccard

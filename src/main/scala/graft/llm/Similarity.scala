@@ -90,13 +90,20 @@ object Similarity {
     * vectors, driver-resident — nCells × dim doubles, a fixed-size
     * artifact like a KMeans model) and the cell-assigned corpus
     * `(neighbor_id, c_emb, cell)`. Build once with [[ivfIndex]], probe
-    * any number of query batches with [[ivfProbe]]; persist/write
-    * `cells` under YOUR lifecycle if probes repeat (the library never
-    * caches internally). */
+    * any number of query batches with [[ivfProbe]]; persist with
+    * [[writeIndex]]/[[readIndex]] (or cache `cells` under your own
+    * lifecycle) if probes repeat — the library never caches internally.
+    *
+    * `nAssign` has NO default on purpose: the probe's replica-dedup
+    * decision depends on it matching how `cells` was actually built
+    * (cells from nAssign=1 with a flag claiming 2 — or the reverse —
+    * silently emits duplicate or missing top-k rows). Only [[ivfIndex]]
+    * and [[readIndex]] mint instances, so flag and data cannot
+    * desynchronize. */
   final case class IvfIndex(
       centroids: Array[Array[Double]],
       cells: DataFrame,
-      nAssign: Int = 2)
+      nAssign: Int)
 
   /** Build the IVF-Flat index: fit a spherical-k-means coarse quantizer
     * on a bounded corpus sample, then assign every corpus vector to its
@@ -151,12 +158,22 @@ object Similarity {
     // centroids. takeSample reservoir-samples UNIFORMLY across all
     // partitions of the (pre-thinned) sample at the same bounded driver
     // cost; the extra count pass is a build-once price.
+    // null embeddings are excluded from the fit sample (a null Seq
+    // would NPE deep inside the k-means loop with no useful message);
+    // rows with null embeddings are likewise never indexed — their
+    // cell scores are null, and explode(null) drops the row. The exact
+    // twin ranks them at cosine -1 (below any real neighbor), so the
+    // index and [[cosineTopK]] agree on every top-k that matters.
     val sample = corpus
       .select(asDouble(col(embCol)).as("e"))
+      .where(col("e").isNotNull)
       .sample(withReplacement = false, fitSampleFraction, seed)
       .rdd
       .takeSample(withReplacement = false, maxFitSample, seed)
       .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"ivfIndex: no non-null '$embCol' rows in the fit sample — " +
+        "is the embedding column entirely null, or the corpus empty?")
     val centroids = sphericalKMeans(sample, nCells, maxIter, seed)
     val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
@@ -229,6 +246,47 @@ object Similarity {
       ivfIndex(corpus, nCells, embCol, idCol, seed, fitSampleFraction,
         nAssign = nAssign),
       queries, k, nProbe, embCol, idCol)
+
+  /** Persist a built [[IvfIndex]] — the build-once/probe-many
+    * deployment shape across sessions:
+    *
+    *  - `cells` goes to a managed table BUCKETED by `cell`
+    *    ([[graft.sources.Sources.writeBucketed]]): the probe's cell
+    *    equi-join then plans with no Exchange on the (corpus-sized)
+    *    cells side even when the probe batch is too large to
+    *    broadcast — the shuffle is paid once at index build, not per
+    *    probe batch (SimilaritySpec asserts the Exchange-free scan);
+    *  - the centroids + `nAssign` go to a tiny parquet at
+    *    `centroidsPath` (nCells rows — a model artifact, like a saved
+    *    KMeans model), so [[readIndex]] can only reconstitute the flag
+    *    and the cells TOGETHER, keeping the replica-dedup decision in
+    *    sync with how the cells were actually built. */
+  def writeIndex(index: IvfIndex, cellsTable: String,
+      centroidsPath: String, numBuckets: Int = 32): Unit = {
+    graft.sources.Sources.writeBucketed(index.cells, cellsTable, "cell",
+      numBuckets, sortWithinBuckets = false)
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (ctr, i) => (i, ctr.toSeq, index.nAssign) }.toSeq
+      .toDF("cell", "centroid", "n_assign")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(centroidsPath)
+  }
+
+  /** Load an index persisted by [[writeIndex]]. The centroid read is a
+    * bounded driver collect (nCells rows); `cells` stays a lazy scan of
+    * the bucketed table. */
+  def readIndex(spark: org.apache.spark.sql.SparkSession,
+      cellsTable: String, centroidsPath: String): IvfIndex = {
+    val rows = spark.read.parquet(centroidsPath)
+      .select("cell", "centroid", "n_assign").orderBy("cell").collect()
+    require(rows.nonEmpty, s"readIndex: no centroids at $centroidsPath")
+    IvfIndex(
+      rows.map(_.getSeq[Double](1).toArray),
+      spark.table(cellsTable),
+      rows.head.getInt(2))
+  }
 
   /** `array<struct<cos,cell>>` of a vector's cosine against each
     * literal centroid — the shared scoring expression for assignment

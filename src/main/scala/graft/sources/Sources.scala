@@ -57,6 +57,17 @@ object Sources {
       bucketCol: String,
       numBuckets: Int = 32,
       sortWithinBuckets: Boolean = true): Unit = {
+    val spark = df.sparkSession
+    // `overwrite` replaces a table the CURRENT catalog knows, but a
+    // managed-table directory can outlive its (in-memory/Derby) catalog
+    // entry across JVM sessions, and CREATE then fails with
+    // LOCATION_ALREADY_EXISTS. Drop the stale entry and orphaned
+    // location first so the write is idempotent across sessions.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+    loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)

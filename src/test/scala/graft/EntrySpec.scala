@@ -19,6 +19,14 @@ class EntrySpec extends SparkSpec {
     assert(head.getDouble(1) >= 0.0 && head.getDouble(1) <= 1.0)
   }
 
+  test("entry: data dir is parameterizable (runs against a copied fixture)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = Files.createTempDirectory("graft-entry")
+    Files.copy(Paths.get(s"$sf0001/customer.parquet"),
+      tmp.resolve("customer.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    assert(SparkEntry.entry(spark, tmp.toString).count() > 0)
+  }
+
   test("every oracle key has a registered query") {
     val qs = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet.diff(qs)

@@ -49,9 +49,13 @@ class PlanAuditSpec extends SparkSpec {
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work
     // for a plan string), their transform plans are the estimators'
     // own, and no fit transform can introduce a cross join
+    // similarity_ivf_persisted additionally WRITES the index artifacts
+    // as a side effect of query construction — same exclusion reason,
+    // plus the probe join shape is already asserted in SimilaritySpec
     val fits = Set("validation_curves", "predefined_split_fit",
       "dim_reduction_kmeans", "dim_reduction_pca",
-      "probability_prediction", "similarity_ivf")
+      "probability_prediction", "similarity_ivf",
+      "similarity_ivf_persisted")
     (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is

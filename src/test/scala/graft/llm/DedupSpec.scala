@@ -136,6 +136,114 @@ class DedupSpec extends SparkSpec {
     assert(j((1L, 100001L)) > 0.5 && j((1L, 100001L)) < 1.0)
   }
 
+  test("simhash salted banding: bounds bucket fan-out on 16-bit collisions") {
+    val s = spark
+    import s.implicits._
+    // 200 docs that all COINCIDENTALLY share band 0's 16-bit block but
+    // are otherwise far apart (random upper 48 bits ⇒ no true near-dups)
+    // with lengths spread over 10 log2 buckets — the 100 TB cliff shape.
+    val rng = new scala.util.Random(7)
+    val fps = (0 until 200).map { i =>
+      (i.toLong, (rng.nextLong() << 16) | 0xABCDL, i % 10)
+    }.toDF("doc_id", "simhash", "len_bucket")
+    def distinctPairs(saltCol: Option[String]): Long = Dedup
+      .simhashCandidates(fps, "doc_id", bands = 4, saltCol)
+      .select("id_a", "id_b").distinct().count()
+    val unsalted = distinctPairs(None)
+    val salted = distinctPairs(Some("len_bucket"))
+    // every pair collides unsalted (all 19 900); salted only same/adjacent
+    // buckets pair (~5 500). The bound scales with corpus spread, not n².
+    assert(unsalted >= 19900L, s"unsalted=$unsalted")
+    assert(salted < unsalted / 3, s"salted=$salted unsalted=$unsalted")
+    // the default path flows the salt end-to-end and still verifies by
+    // exact Hamming: no false pairs survive
+    assert(Dedup.simhashPairs(
+      planted.filter(col("doc_id").isin(0L, 1L)), maxHamming = 3).count() == 0)
+  }
+
+  test("simhash salted banding: adjacent length buckets still pair (±1 overlap)") {
+    val s = spark
+    import s.implicits._
+    // identical fingerprints, len buckets 5 and 6 (e.g. 50 vs 70 tokens:
+    // under 2× apart but straddling a bucket edge) — must still collide
+    val fps = Seq((1L, 12345L, 5), (2L, 12345L, 6), (3L, 12345L, 8))
+      .toDF("doc_id", "simhash", "len_bucket")
+    val pairs = Dedup.simhashPairsFromFingerprints(
+      fps, saltCol = Some("len_bucket"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))        // adjacent buckets: kept
+    assert(!pairs.exists(_._2 == 3L))       // >1 bucket apart: pruned
+  }
+
+  test("exactIncremental: dedups the batch within itself and against history") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "  ALPHA beta   gamma "), // dup of history (normalized)
+      (11L, "zeta eta"),              // novel
+      (12L, "zeta  eta"),             // dup within batch (normalized)
+      (13L, "theta iota")             // novel
+    ).toDF("doc_id", "text")
+    val kept = Dedup.exactIncremental(batch, Dedup.exactKeepers(hist))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L))
+  }
+
+  test("exactIncremental vs bucketed keeper table: history side shuffle-free") {
+    val keepers = Dedup.exactKeepers(docs)
+    graft.sources.Sources.writeBucketed(
+      keepers, "graft_keeper_hashes", "content_hash", numBuckets = 4)
+    try {
+      val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val batch = docs.filter(col("doc_id") % 10 >= 8)
+        val out = Dedup.exactIncremental(batch,
+          spark.table("graft_keeper_hashes"))
+        out.count()
+        val plan = out.queryExecution.executedPlan.toString
+        // exactly ONE exchange: the batch's own pre-agg. The keeper
+        // scan reuses its ingest-time bucketing (no Exchange above it).
+        val exchanges = "Exchange".r.findAllIn(
+          plan.replace("ReusedExchange", "")).length
+        assert(exchanges == 1, s"want 1 exchange, plan:\n${plan.take(1500)}")
+      } finally saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_keeper_hashes")
+  }
+
+  test("connectedComponentsStar: adversarial 65-node chain converges in O(log n)") {
+    val s = spark
+    import s.implicits._
+    // diameter-64 path: label propagation needs 64 rounds; star needs ~7
+    val chain = (0L until 64L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponentsStar(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 65)
+    assert(labels.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: falls back to star contraction past maxIter") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 20L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // maxIter 3 << diameter 20: propagation can't converge; the default
+    // falls back to star and still labels the whole chain with 0
+    val labels = Dedup.connectedComponents(chain, maxIter = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 21 && labels.values.forall(_ == 0L))
+    // opting out of the fallback keeps the fail-fast contract
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 3, starFallback = false)
+    }
+  }
+
   test("embeddingPairs: planted near-identical embedding pair found") {
     val s = spark
     import s.implicits._

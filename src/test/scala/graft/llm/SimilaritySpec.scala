@@ -87,4 +87,70 @@ class SimilaritySpec extends SparkSpec {
     val recall = Similarity.recallAgainst(approx, truth)
     assert(recall >= 0.9, s"recall=$recall")
   }
+
+  test("ivfIndex: null embeddings are excluded from the fit with a clear error") {
+    val s = spark
+    import s.implicits._
+    val withNulls = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+      .unionByName(Seq((99999L, null: Seq[Double]))
+        .toDF("vec_id", "embedding"))
+    // a null row in the corpus must not NPE the quantizer fit
+    val idx = Similarity.ivfIndex(withNulls, nCells = 4,
+      fitSampleFraction = 1.0)
+    assert(idx.centroids.length == 4)
+    // an all-null corpus fails fast with a meaningful message
+    val allNull = Seq((1L, null: Seq[Double]), (2L, null: Seq[Double]))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.ivfIndex(allNull, nCells = 2, fitSampleFraction = 1.0)
+    }
+    assert(e.getMessage.contains("null"))
+  }
+
+  test("writeIndex/readIndex: persisted probe matches the in-memory probe") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val idx = Similarity.ivfIndex(embeddings, nCells = 16)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIndex(idx, "graft_test_ivf_cells", s"$tmp/centroids",
+      numBuckets = 4)
+    try {
+      val loaded = Similarity.readIndex(spark,
+        "graft_test_ivf_cells", s"$tmp/centroids")
+      assert(loaded.nAssign == idx.nAssign)
+      assert(loaded.centroids.length == idx.centroids.length)
+      assert(loaded.centroids.zip(idx.centroids)
+        .forall { case (a, b) => a.sameElements(b) })
+      val mem = Similarity.ivfProbe(idx, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val per = Similarity.ivfProbe(loaded, queries, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      assert(per == mem)
+      // the bucketed cells side joins with NO Exchange above its scan
+      // even when the probe batch can't broadcast (the at-scale case the
+      // bucketing exists for: index shuffled once at build, never again)
+      val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val probes = queries
+          .select(col("vec_id").as("query_id"),
+            col("embedding").cast("array<double>").as("q_emb"))
+          .withColumn("cell", explode(array(lit(0), lit(1))))
+        val joined = loaded.cells.join(probes, "cell")
+        joined.count()
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") ||
+          plan.contains("ShuffledHashJoin"), plan.take(800))
+        // exactly one Exchange in the whole join: the probe side's
+        assert("Exchange".r.findAllIn(
+          plan.replace("ReusedExchange", "RE")).length == 1,
+          plan.take(1500))
+      } finally saved match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None =>
+          spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_ivf_cells")
+  }
 }

@@ -62,6 +62,8 @@ class SourcesSpec extends SparkSpec {
       val t = spark.table("graft_bucketed_docs")
       // force the sort-merge path: broadcast would hide the exchange
       // question entirely (the point is the SHUFFLE is pre-paid)
+      val savedThreshold =
+        spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       try {
         val joined = t.alias("l").join(t.alias("r"), "doc_id")
@@ -73,8 +75,10 @@ class SourcesSpec extends SparkSpec {
         val agg = t.groupBy("doc_id").count()
         agg.count()
         assert(!agg.queryExecution.executedPlan.toString.contains("Exchange"))
-      } finally
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      } finally savedThreshold match {
+        case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_docs")
   }
 }
