@@ -34,7 +34,8 @@ object PredefinedSplit {
       df: DataFrame,
       splitCol: String = "is_train",
       labelCol: String = "label",
-      trainRatio: Double = 1.0): Result = {
+      trainRatio: Double = 1.0,
+      parallelism: Int = 2): Result = {
     val train = df.filter(col(splitCol) === 1)
     val test = df.filter(col(splitCol) === 0)
     val lr = new LogisticRegression()
@@ -45,6 +46,9 @@ object PredefinedSplit {
       .setEvaluator(new MulticlassClassificationEvaluator()
         .setLabelCol(labelCol).setMetricName("accuracy"))
       .setTrainRatio(trainRatio) // 1.0 = reference parity (Q2)
+      // grid points are independent fits; running them concurrently
+      // (like ValidationCurves) changes no result, only wall-clock
+      .setParallelism(math.max(1, parallelism))
       .setSeed(42L)
     Result(tvs.fit(train), train, test)
   }

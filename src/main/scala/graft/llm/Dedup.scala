@@ -555,11 +555,21 @@ object Dedup {
       n: Int = 3,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
+    // shingle ONLY docs that appear in a candidate pair: a left_semi
+    // against the (tiny) pair-id set reaches the scan as a cheap join
+    // filter, so the expensive tokenize+NGram work runs on candidates,
+    // not the whole corpus — after LSH banding the candidate set is
+    // orders of magnitude smaller than the corpus, and verification
+    // must scale with IT, not with corpus size
+    val candidateIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val candidates = docs.select(col(idCol), col(textCol))
+      .join(broadcast(candidateIds), Seq(idCol), "left_semi")
     // same shingling (incl. the tiny-doc single-token fallback) as the
     // candidate generators — otherwise a sub-n-token doc that banding
     // matched would verify against an EMPTY shingle set and score 0
-    val shingles = shingled(docs.select(col(idCol), col(textCol)),
-        textCol, idCol, n)
+    val shingles = shingled(candidates, textCol, idCol, n)
       .select(col(idCol), array_distinct(col("shingles")).as("sh"))
     val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
@@ -590,8 +600,21 @@ object Dedup {
       idCol: String = "doc_id",
       minShared: Int = 2,
       maxDocFreq: Int = 1000): DataFrame = {
+    // explode_OUTER + a post-filter on the generated attribute, not a
+    // plain explode: InferFiltersFromGenerate would otherwise add
+    // `size(chunk_hashes) > 0 AND isnotnull(chunk_hashes)` UNDER the
+    // generate, re-evaluating the (expensive, per-character) chunk
+    // hash 3× per row at the scan. outer generators are exempt from
+    // that rule, and the null/empty placeholder rows the outer explode
+    // emits are dropped by a filter on the already-generated value.
+    // The explicit isnotnull(idCol) makes this subtree IDENTICAL to
+    // what the self-join sides infer from `x.id < y.id`, so AQE plans
+    // one scan+chunk pipeline and ReusedExchanges for every consumer
+    // (doc-frequency side included) instead of three.
     val chunks = TextAnalysis.chunkFingerprints(df, textCol)
-      .select(col(idCol), explode(col("chunk_hashes")).as("chunk"))
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), explode_outer(col("chunk_hashes")).as("chunk"))
+      .filter(col("chunk").isNotNull)
       .distinct()
     val rare = chunks.groupBy("chunk")
       .agg(count(lit(1)).as("df_count"))
