@@ -222,6 +222,24 @@ object SparkEntry {
     // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
+    // Embedding near-dup via seeded BRP-LSH. The fixture corpus has no
+    // natural near pairs (max pairwise cosine 0.51 — documented), so a
+    // near-copy of vec 0 is planted IN-FLIGHT (pure column transform,
+    // no collect): the registered row then deterministically contains
+    // the planted pair. Seeded fit → stable rows; adjudicated (LSH has
+    // no DuckDB twin).
+    "dedup_embedding_pairs" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") === 0L)
+        .select(lit(900000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+            .as("embedding"))
+      Dedup.embeddingPairs(base.unionByName(planted), minCosine = 0.99)
+        .select(col("id_a"), col("id_b"),
+          round(col("cosine"), 6).as("cosine"))
+    }),
 
     // llm counterpart of demo_all_features: quality → lang filter →
     // exact dedup composed in one plan, oracle-checked END-TO-END.

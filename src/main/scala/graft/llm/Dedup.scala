@@ -122,6 +122,35 @@ object Dedup {
       bands: Int = 16,
       minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val banded =
+      minhashBandKeys(docs, textCol, idCol, numHashes, bands, seed)
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val candidates = x.join(y, col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The `(idCol, bk)` banded MinHash keys candidate generation joins
+    * on — the shared pipeline under [[minhashPairs]] and
+    * [[minhashIncremental]]. Public so the historical side of an
+    * incremental pipeline can be computed once and PERSISTED (write
+    * bucketed by `bk` via [[graft.sources.Sources.writeBucketed]] and
+    * the nightly batch's candidate join plans no history-side
+    * Exchange, like the exact-dedup keeper table). Band keys are
+    * 64-bit hashes of the band's signature rows — no 2^16 bucket
+    * ceiling. */
+  def minhashBandKeys(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -139,26 +168,63 @@ object Dedup {
     // band key = hash of the band's signature rows (+ band index);
     // sig is an attribute here, so element_at reads are O(1) — no
     // outer-expression duplication into the banding projection
-    val banded = sigs.select(col(idCol),
+    sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
         val rows = (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1))
         struct(lit(b).as("band"), xxhash64(rows: _*).as("key"))
       }: _*)).as("bk"))
-      // explicit exchange on the join key: the self-join's two sides are
+      // explicit exchange on the join key: a self-join's two sides are
       // canonically identical subtrees ending in this shuffle, so
       // ReusedExchange computes the signature pipeline ONCE and replays
       // the (compact) banded rows for both sides — without it each side
       // re-scans and re-hashes the corpus
       .repartition(col("bk"))
-    val x = banded.alias("x")
-    val y = banded.alias("y")
-    val candidates = x.join(y, col("x.bk") === col("y.bk") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
+  }
+
+  /** Incremental NEAR-dup dedup — the fuzzy twin of
+    * [[exactIncremental]]: returns the rows of `newDocs` that survive
+    * dropping (a) every batch doc minhash-near (Jaccard ≥ `minJaccard`)
+    * ANY historical doc, and (b) the larger-id member of every near-dup
+    * pair WITHIN the batch (greedy suppression, like [[minhash]]).
+    * Ids must be globally unique across batch and history (true of any
+    * append-only doc pipeline).
+    *
+    * Scale: candidate generation is two equi-joins on 64-bit band keys
+    * — batch×history and batch×batch — and verification shingles only
+    * candidate docs ([[ngramJaccard]]'s semi-join). The history side
+    * recomputes its band keys here; for a nightly pipeline compute
+    * [[minhashBandKeys]] on the history ONCE, persist it bucketed by
+    * `bk`, and run the candidate join against the persisted table —
+    * history text is only touched for the (tiny) verification set. */
+  def minhashIncremental(
+      newDocs: DataFrame,
+      histDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val batchBands = minhashBandKeys(
+      newDocs, textCol, idCol, numHashes, bands, seed)
+    val histBands = minhashBandKeys(
+      histDocs, textCol, idCol, numHashes, bands, seed)
+    val cross = batchBands.alias("x")
+      .join(histBands.alias("y"), col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+    val allDocs = newDocs.select(col(idCol), col(textCol))
+      .unionByName(histDocs.select(col(idCol), col(textCol)))
+    val crossLosers = ngramJaccard(allDocs, cross, textCol = textCol,
+        idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol))
+    val withinLosers = minhashPairs(newDocs, textCol, idCol, numHashes,
+        bands, minJaccard, seed)
+      .select(col("id_b").as(idCol))
+    newDocs.join(crossLosers.union(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   /** Word n-shingles with the tiny-doc fallback (docs under n tokens

@@ -20,11 +20,14 @@ class PlanAuditSpec extends SparkSpec {
     "Exchange (hash|range)partitioning".r.findAllIn(p).length
 
   test("narrow projections plan with zero shuffles") {
+    // text_tfidf: HashingTF has no vocabulary fit and IDF's document
+    // frequencies travel via treeAggregate (an RDD action, not an
+    // Exchange) — the registered transform must stay a pure projection
     Seq("robust_scaling", "text_token_stats", "text_normalize",
       "text_quality", "text_entropy", "text_language",
       "multimodal_binary_stats", "multimodal_frame_sample",
       "multimodal_payload_meta", "prepare_features", "add_split_column",
-      "predefined_split_train", "predefined_split_test")
+      "predefined_split_train", "predefined_split_test", "text_tfidf")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
@@ -36,7 +39,10 @@ class PlanAuditSpec extends SparkSpec {
       "events_window" -> 1, "events_sessionize" -> 1,
       "events_props_agg" -> 1, "embedding_label_stats" -> 1,
       "text_source_profile" -> 1, "llm_curate" -> 1,
-      "skew_salted_agg" -> 2) // two-phase by design
+      "skew_salted_agg" -> 2, // two-phase by design
+      // batch pre-agg + in-flight history keepers; the bucketed-keeper
+      // deployment shape (ONE exchange) is asserted in DedupSpec
+      "dedup_incremental" -> 2)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,

@@ -218,6 +218,25 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_keeper_hashes")
   }
 
+  test("minhashIncremental: drops batch docs near history, keeps novel ones") {
+    val s = spark
+    import s.implicits._
+    val hist = docs.select("doc_id", "text") // ids 0..n
+    val t0 = hist.filter(col("doc_id") === 0L).head().getString(1)
+    val words = t0.split(" ")
+    val nearHist = (words.take(words.length - 1) :+ "zzzinc").mkString(" ")
+    val novel = "a genuinely novel document about nothing seen before " +
+      "with plenty of fresh tokens to shingle"
+    val batch = Seq(
+      (500000L, nearHist),          // near-dup of hist doc 0 → dropped
+      (500001L, novel),             // novel → kept
+      (500002L, novel + " tail")    // near-dup of 500001 within batch → dropped
+    ).toDF("doc_id", "text")
+    val kept = Dedup.minhashIncremental(batch, hist, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(500001L))
+  }
+
   test("connectedComponentsStar: adversarial 65-node chain converges in O(log n)") {
     val s = spark
     import s.implicits._
