@@ -4,15 +4,16 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, RollingChunkHashes}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, RollingChunkHashes}
 
 /** SparkSessionExtensions entry point exposing graft's custom Catalyst
   * expressions as SQL functions:
   *
   *   spark.sql.extensions=graft.GraftExtensions
   *
-  * then `SELECT cosine_similarity(a.embedding, b.embedding)` and
-  * `SELECT rolling_chunk_hashes(text [, avgChunkBits [, minChunk]])`
+  * then `SELECT cosine_similarity(a.embedding, b.embedding)`,
+  * `SELECT rolling_chunk_hashes(text [, avgChunkBits [, minChunk]])` and
+  * `SELECT hyperplane_signature(emb [, numTables [, bitsPerTable [, seed]]])`
   * work from plain SQL. For a session that already exists (the driver
   * harness owns creation), use
   * `org.apache.spark.sql.GraftSql.registerFunctions(spark)` instead.
@@ -49,5 +50,23 @@ object GraftExtensions {
           avgChunkBits =
             if (args.length > 1) intLit(args(1), "avgChunkBits") else 6,
           window = if (args.length > 2) intLit(args(2), "minChunk") else 16)
+      }),
+    (FunctionIdentifier("hyperplane_signature"),
+      new ExpressionInfo(classOf[HyperplaneSignature].getName,
+        "hyperplane_signature"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 4,
+          s"hyperplane_signature takes 1-4 arguments, got ${args.length}")
+        HyperplaneSignature(args.head,
+          numTables =
+            if (args.length > 1) intLit(args(1), "numTables") else 8,
+          bitsPerTable =
+            if (args.length > 2) intLit(args(2), "bitsPerTable") else 16,
+          seed = if (args.length > 3) args(3) match {
+            case Literal(v: Long, _) => v
+            case Literal(v: Int, _) => v.toLong
+            case other => throw new IllegalArgumentException(
+              s"seed must be an integer literal, got $other")
+          } else 42L)
       }))
 }

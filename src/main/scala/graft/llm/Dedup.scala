@@ -1,5 +1,6 @@
 package graft.llm
 
+import graft.functions.{CosineSimilarity, HyperplaneSignature}
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -699,32 +700,77 @@ object Dedup {
   // ---------------------------------------------------- embedding cosine
 
   /** Embedding near-dup pairs: cosine similarity ≥ `minCosine` via
-    * BucketedRandomProjectionLSH on L2-normalized vectors (for unit
-    * vectors, euclidean² = 2−2·cos, so a cosine threshold maps to a
-    * euclidean radius — LSH stays an equi-join, never a cross join). */
+    * sign-random-projection LSH — the cosine analogue of
+    * [[minhashPairs]] and the same three-stage shape: a zero-shuffle
+    * codegen'd signature pass ([[graft.functions.HyperplaneSignature]]
+    * emits `numHashTables` 64-bit band keys per vector), a band
+    * equi-join for candidate generation, and exact verification with
+    * the codegen'd [[graft.functions.CosineSimilarity]] over candidate
+    * ids only — never an all-pairs join, never a UDF in the hot path.
+    * (Replaces an MLlib `approxSimilarityJoin` formulation whose
+    * vector-UDF distance on a near-quadratic candidate set was ~15×
+    * slower at driver scale and not codegen-able.)
+    *
+    * Auto-tuning (either knob 0): `bitsPerTable` targets ~256 vectors
+    * per bucket — `max(12, ⌈log2(n/256)⌉)` from one narrow count — so
+    * bucket occupancy, and with it the per-bucket pairing cost, stays
+    * BOUNDED as n grows (the banding lesson from simhash: a fixed key
+    * width is a scale cliff). Wider keys lower per-table recall
+    * (collision prob = (1−θ/π)^bits), so `numHashTables` compensates:
+    * `⌈ln(1/(1−targetRecall)) / p^bits⌉` clamped to [2, 64], with
+    * p evaluated AT the `minCosine` boundary — pairs above the
+    * threshold are found with ≥ `targetRecall` probability, and the
+    * table count is the honest LINEAR cost of keeping recall at scale
+    * (vs the silent quadratic blowup of overfull buckets). Nightly
+    * pipelines should pass both knobs explicitly (values logged from a
+    * tuning run) to skip the count job.
+    *
+    * Zero vectors key deterministically into one bucket per table and
+    * verify at cosine −1; null embeddings are dropped. */
   def embeddingPairs(
       df: DataFrame,
       embCol: String = "embedding",
       idCol: String = "vec_id",
       minCosine: Double = 0.95,
-      numHashTables: Int = 4,
+      numHashTables: Int = 0,
+      bitsPerTable: Int = 0,
+      targetRecall: Double = 0.9,
       seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
-    import org.apache.spark.ml.functions.array_to_vector
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1, 1), got $minCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
     val vecs = df.select(col(idCol),
-        array_to_vector(col(embCol).cast("array<double>")).as("v"))
-    val normed = new Normalizer().setInputCol("v").setOutputCol("nv").setP(2.0)
-      .transform(vecs)
-    val radius = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCosine))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setBucketLength(radius * 2).setNumHashTables(numHashTables)
-      .setInputCol("nv").setOutputCol("hashes").setSeed(seed)
-    val model = lsh.fit(normed)
-    model.approxSimilarityJoin(normed, normed, radius, "dist")
-      .select(
-        col(s"datasetA.$idCol").as("id_a"),
-        col(s"datasetB.$idCol").as("id_b"),
-        (lit(1.0) - col("dist") * col("dist") / 2.0).as("cosine"))
-      .filter(col("id_a") < col("id_b"))
+        col(embCol).cast("array<double>").as("e"))
+      .where(col("e").isNotNull)
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = math.max(1L, vecs.count())
+        math.max(12, math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt)
+      }
+    val tables =
+      if (numHashTables > 0) numHashTables
+      else {
+        val p = 1.0 - math.acos(minCosine) / math.Pi // per-bit agreement
+        val t = math.log(1.0 / (1.0 - targetRecall)) / math.pow(p, bits)
+        math.min(64, math.max(2, math.ceil(t).toInt))
+      }
+    val banded = vecs.select(col(idCol),
+        explode(HyperplaneSignature(col("e"), tables, bits, seed)).as("bk"))
+      // same exchange-reuse trick as minhashPairs: both self-join sides
+      // end in this canonical shuffle, so the signature pipeline runs once
+      .repartition(col("bk"))
+    val candidates = banded.alias("x")
+      .join(banded.alias("y"), col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    candidates
+      .join(vecs.select(col(idCol).as("id_a"), col("e").as("ea")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("e").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        CosineSimilarity(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= minCosine)
   }
 }

@@ -17,6 +17,12 @@ class GraftExtensionsSpec extends SparkSpec {
     // optional args defaulted
     assert(spark.sql("SELECT rolling_chunk_hashes('abc') AS h")
       .head().getSeq[Long](0).nonEmpty)
+    val sig = spark.sql(
+      "SELECT hyperplane_signature(array(0.5d, -0.25d, 1.0d), 4, 12) AS s")
+      .head().getSeq[Long](0)
+    assert(sig.length == 4)
+    assert(spark.sql("SELECT hyperplane_signature(array(1.0d)) AS s")
+      .head().getSeq[Long](0).length == 8)
   }
 
   test("registration is idempotent and arity errors are caught") {
