@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, RollingChunkHashes}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes}
 
 /** SparkSessionExtensions entry point exposing graft's custom Catalyst
   * expressions as SQL functions:
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   private def intLit(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Long, _) => v
+    case Literal(v: Int, _) => v.toLong
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
@@ -62,11 +69,17 @@ object GraftExtensions {
             if (args.length > 1) intLit(args(1), "numTables") else 8,
           bitsPerTable =
             if (args.length > 2) intLit(args(2), "bitsPerTable") else 16,
-          seed = if (args.length > 3) args(3) match {
-            case Literal(v: Long, _) => v
-            case Literal(v: Int, _) => v.toLong
-            case other => throw new IllegalArgumentException(
-              s"seed must be an integer literal, got $other")
-          } else 42L)
+          seed = if (args.length > 3) longLit(args(3), "seed") else 42L)
+      }),
+    (FunctionIdentifier("minhash_signature"),
+      new ExpressionInfo(classOf[MinhashSignature].getName,
+        "minhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.nonEmpty && args.length <= 3,
+          s"minhash_signature takes 1-3 arguments, got ${args.length}")
+        MinhashSignature(args.head,
+          numHashes =
+            if (args.length > 1) intLit(args(1), "numHashes") else 64,
+          seed = if (args.length > 2) longLit(args(2), "seed") else 42L)
       }))
 }

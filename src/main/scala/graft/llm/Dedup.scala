@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature}
 import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -92,15 +92,21 @@ object Dedup {
   /** MinHash near-dup pairs, the brief's literal pipeline:
     * shingle → minhash signature → band → bucket equi-join →
     * exact-Jaccard verification. The full `numHashes`-slot signature is
-    * computed PER ROW in one codegen'd fold over the doc's distinct
-    * word-3-shingles (`aggregate` carrying an array of running minima;
-    * the inner `zip_with` pairs each running minimum with its hash
-    * seed) — ZERO shuffles to build signatures. A round-2 version
-    * exploded the shingle stream through a 64-column groupBy (one
-    * corpus-wide doc-keyed shuffle); the fold does the identical
-    * min(xxhash64(shingle, seed_i)) arithmetic map-side (13.0s → 4.9s
-    * end-to-end at sf0.1, together with the banded-side exchange reuse
-    * below). Signatures are banded
+    * computed PER ROW by the custom codegen'd
+    * [[graft.functions.MinhashSignature]] expression over the doc's
+    * word-3-shingles — ZERO shuffles to build signatures, and one
+    * string hash + `numHashes` long-mixes per shingle inside
+    * WholeStageCodegen. A round-2 version exploded the shingle stream
+    * through a 64-column groupBy (one corpus-wide doc-keyed shuffle);
+    * a round-3 version folded the identical min(xxhash64(shingle,
+    * seed_i)) arithmetic map-side with `aggregate`/`zip_with` HOFs,
+    * which Spark evaluates interpreted with a fresh 64-slot array per
+    * shingle. Signatures are bit-identical at every step (asserted in
+    * MinhashSignatureSpec); end-to-end sf0.1 time went 13.0s → ~6.2s
+    * with the map-side move, while the codegen expression's win is
+    * per-row COMPUTE — at the 1.5 MB bench corpus, fixed stage
+    * overhead dominates, at 10^9 docs the signature pass is the bill.
+    * Signatures are banded
     * (`numHashes / bands` rows each); docs sharing any band hash become
     * candidates via an equi-join; candidates are verified with exact
     * n-gram Jaccard ([[ngramJaccard]]) and filtered to `minJaccard`.
@@ -156,16 +162,14 @@ object Dedup {
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val docs = df.select(col(idCol), col(textCol))
-    // per-row array_distinct (Jaccard is over SETS): min() is
-    // duplicate-insensitive, so set semantics cost no shuffle; the
-    // per-row dedup just trims the fold's input for free
-    val seeds = typedLit((0 until numHashes).map(i => seed + i))
-    val sig = aggregate(
-      array_distinct(col("shingles")),
-      typedLit(Seq.fill(numHashes)(Long.MaxValue)),
-      (acc, s) => zip_with(acc, seeds, (a, sd) => least(a, xxhash64(s, sd))))
+    // codegen'd per-row signature: one string hash per shingle +
+    // numHashes long-mixes into a reused accumulator — bit-identical
+    // to (and ~an order of magnitude cheaper than) the interpreted
+    // aggregate/zip_with/xxhash64 fold it replaces; min() is
+    // duplicate-insensitive, so set semantics still cost nothing
     val sigs = shingled(docs, textCol, idCol)
-      .select(col(idCol), sig.as("sig"))
+      .select(col(idCol),
+        MinhashSignature(col("shingles"), numHashes, seed).as("sig"))
     // band key = hash of the band's signature rows (+ band index);
     // sig is an attribute here, so element_at reads are O(1) — no
     // outer-expression duplication into the banding projection
