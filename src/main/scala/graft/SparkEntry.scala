@@ -245,6 +245,24 @@ object SparkEntry {
     // exact dedup composed in one plan, oracle-checked END-TO-END.
     "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
 
+    // Benchmark decontamination (8-gram exact overlap). The fixture has
+    // no natural 8-gram overlap across the doc_id % 41 split (checked:
+    // overlap first appears at n=3), so contaminated training docs are
+    // planted IN-FLIGHT as prefixed copies of each benchmark doc — a
+    // pure column transform the oracle SQL replicates verbatim, like
+    // dedup_embedding_pairs' planted vector. Every planted doc must be
+    // flagged with shared_ngrams == its source's distinct-8-gram count;
+    // every real doc must be absent. Oracle-EXACT.
+    "llm_decontaminate" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.filter(col("doc_id") % 41 === 0)
+      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
+        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz planted contamination prefix "), col("text"))
+            .as("text")))
+      Curate.contamination(train, bench)
+    }),
+
     // ------------------------------------------ §7 LLM-pipeline: text ops
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(documents(s, dir))
@@ -507,6 +525,51 @@ object SparkEntry {
         |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    // decontamination oracle: tokenize/8-gram parity with the proven
+    // dedup_ngram_jaccard pattern; the planted-copy CTE replicates the
+    // Spark side's in-flight contamination verbatim.
+    "llm_decontaminate" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         concat('zz planted contamination prefix ', text)
+        |  FROM bench
+        |), ttoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM train
+        |), tgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END)) AS g
+        |  FROM ttoks WHERE len(tokens) > 0
+        |), btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM bench
+        |), bgrams AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END) AS g
+        |  FROM btoks WHERE len(tokens) > 0
+        |)
+        |SELECT t.doc_id, count(*) AS shared_ngrams
+        |FROM tgrams t JOIN bgrams b ON t.g = b.g
+        |GROUP BY t.doc_id""".stripMargin,
 
     // composed curation oracle: mirrors the proven text_quality,
     // text_language, and dedup_exact pieces stage by stage.

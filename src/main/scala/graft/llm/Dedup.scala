@@ -232,6 +232,27 @@ object Dedup {
       Seq(idCol), "left_anti")
   }
 
+  /** Word n-grams with the STRICT short-doc fallback: a doc under n
+    * tokens emits its whole token sequence as ONE gram (vs [[shingled]]
+    * whose single-token fallback would make any shared WORD a match).
+    * The decontamination primitive — a short benchmark item only
+    * matches a doc with the identical full token sequence. Empty-token
+    * docs are dropped (no empty gram). */
+  private[llm] def strictGrams(docs: DataFrame, textCol: String,
+      idCol: String, n: Int): DataFrame = {
+    val tokens = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
+      .transform(docs.select(col(idCol), col(textCol)))
+    new NGram().setN(n)
+      .setInputCol("tokens").setOutputCol("grams")
+      .transform(tokens)
+      .filter(size(col("tokens")) > 0)
+      .withColumn("grams",
+        when(size(col("grams")) > 0, col("grams"))
+          .otherwise(array(concat_ws(" ", col("tokens")))))
+      .select(col(idCol), col("grams"))
+  }
+
   /** Word n-shingles with the tiny-doc fallback (docs under n tokens
     * keep their single tokens so they still participate). */
   private def shingled(docs: DataFrame, textCol: String,

@@ -42,7 +42,10 @@ class PlanAuditSpec extends SparkSpec {
       "skew_salted_agg" -> 2, // two-phase by design
       // batch pre-agg + in-flight history keepers; the bucketed-keeper
       // deployment shape (ONE exchange) is asserted in DedupSpec
-      "dedup_incremental" -> 2)
+      "dedup_incremental" -> 2,
+      // benchmark-gram distinct + per-doc hit groupBy; the corpus gram
+      // stream itself never shuffles (bench side broadcasts)
+      "llm_decontaminate" -> 2)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,

@@ -46,4 +46,40 @@ class CurateSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === keptId).count() == 1)
     assert(out.filter(col("doc_id") === 900100L).count() == 0)
   }
+
+  test("contamination: doc lifting a benchmark passage flagged; clean doc kept") {
+    val s = spark
+    import s.implicits._
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "intro words here " + benchText + " and a trailing clause"),
+      (11L, "a completely unrelated document with plenty of its own " +
+        "fresh tokens that never echo the benchmark at all")
+    ).toDF("doc_id", "text")
+    val report = Curate.contamination(train, bench)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bench has 10 tokens → 3 distinct 8-grams, all inside doc 10
+    assert(report == Map(10L -> 3L))
+    val kept = Curate.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L))
+  }
+
+  test("contamination: short benchmark item matches whole-sequence only") {
+    val s = spark
+    import s.implicits._
+    val bench = Seq((1L, "france capital paris")).toDF("doc_id", "text")
+    val train = Seq(
+      // contains every benchmark WORD and even the phrase, but is a
+      // long doc: its 8-grams never equal the short item's single gram
+      (10L, "the capital of france is paris which every quiz about " +
+        "france capital paris facts mentions sooner or later"),
+      (11L, "france capital paris"), // identical short doc → flagged
+      (12L, "france capital berlin") // short but different → kept
+    ).toDF("doc_id", "text")
+    val flagged = Curate.contamination(train, bench)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(11L))
+  }
 }
