@@ -245,6 +245,20 @@ object SparkEntry {
     // exact dedup composed in one plan, oracle-checked END-TO-END.
     "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
 
+    // Deterministic per-source mixture sampling: md5-bucket thresholds
+    // are plan literals the DuckDB oracle states as a CASE expression —
+    // same kept set on both engines by construction (no RNG).
+    "llm_mix_corpus" -> ((s, dir) =>
+      Curate.mixCorpus(documents(s, dir),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
+        .select("doc_id", "source")),
+
+    // Per-source quality quota: top-5 docs per source by 6dp-rounded
+    // quality score, id tiebreak — the rounded rank key keeps the
+    // window ordering identical across engines.
+    "llm_source_quota" -> ((s, dir) =>
+      Curate.sourceQuota(documents(s, dir), k = 5)),
+
     // Benchmark decontamination (8-gram exact overlap). The fixture has
     // no natural 8-gram overlap across the doc_id % 41 split (checked:
     // overlap first appears at n=3), so contaminated training docs are
@@ -525,6 +539,53 @@ object SparkEntry {
         |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    // mixture-sampling oracle: the md5-bucket thresholds are the same
+    // plan literals the Scala side computes (0.5→'8000', 0.25→'4000',
+    // 0.1→'199a'; 1.0→'g' which sorts above every hex char); md5 hex
+    // parity across engines is already proven by dedup_exact's sha256.
+    "llm_mix_corpus" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
+        |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
+        |  END""".stripMargin,
+
+    // quota oracle: the proven text_quality score arithmetic + a
+    // row_number over (source, 6dp-rounded score desc, id) — rounding
+    // BEFORE ranking keeps the sort key identical across engines.
+    "llm_source_quota" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    GREATEST(length(text), 1) AS n_chars
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_filter(words, w -> list_contains(
+        |      ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE)
+        |      / GREATEST(len(words), 1) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS p_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS d_ratio
+        |  FROM raw
+        |), q AS (
+        |  SELECT doc_id, source,
+        |    ROUND(
+        |      LEAST(1.0, CAST(n_words AS DOUBLE) / 20.0)
+        |      * LEAST(1.0, stop_ratio * 5.0)
+        |      * (1.0 - LEAST(1.0, p_ratio * 3.0))
+        |      * (1.0 - LEAST(1.0, d_ratio * 3.0)), 6) AS quality_score
+        |  FROM d
+        |)
+        |SELECT doc_id, source, quality_score,
+        |  CAST(quota_rank AS INT) AS quota_rank
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id) AS quota_rank
+        |  FROM q)
+        |WHERE quota_rank <= 5""".stripMargin,
 
     // decontamination oracle: tokenize/8-gram parity with the proven
     // dedup_ngram_jaccard pattern; the planted-copy CTE replicates the

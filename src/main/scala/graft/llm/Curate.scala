@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The canonical training-data curation pipeline, composed from the
@@ -41,6 +42,68 @@ object Curate {
       TextAnalysis.qualityScore(docs, textCol), textCol)
       .filter(col("quality_score") >= minQuality &&
         col("lang_pred").isin(langs: _*))
+
+  /** Deterministic per-source corpus mixing (data-mixture sampling):
+    * keeps a stable `fractions(source)` share of each source's docs by
+    * comparing a 16-bit md5 bucket of the doc id (first four hex chars
+    * — lexicographic compare on fixed-width lowercase hex IS numeric
+    * compare) against the fraction's threshold. No RNG state anywhere,
+    * so the SAME documents are kept across re-runs, engines, partition
+    * layouts and cluster sizes — the reproducibility property mixture
+    * rebalancing needs, which `sampleBy`'s per-partition RNG does not
+    * give (its sample changes with the partitioning). Sources absent
+    * from `fractions` are dropped: a mixture spec is exhaustive.
+    *
+    * Scale: a pure narrow projection-filter fused into the scan — no
+    * shuffle, no state; the threshold map is a plan literal. */
+  def mixCorpus(
+      docs: DataFrame,
+      fractions: Map[String, Double],
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty, "fractions must name at least one source")
+    val thresholds = fractions.map { case (s, f) =>
+      require(f >= 0.0 && f <= 1.0, s"fraction for $s must be in [0,1], got $f")
+      // f == 1.0 would need the 5-char "10000", which sorts BELOW
+      // "2..." lexicographically; "g" sorts above every hex char and
+      // keeps everything
+      s -> (if (f >= 1.0) "g"
+            else f"${math.min(65535L, math.round(f * 65536)).toInt}%04x")
+    }
+    val thrMap = map(
+      thresholds.toSeq.flatMap { case (s, t) => Seq(lit(s), lit(t)) }: _*)
+    docs.filter(
+      substring(md5(col(idCol).cast("string")), 1, 4) <
+        element_at(thrMap, col(sourceCol)))
+  }
+
+  /** Per-source quality quota: at most `k` docs per source, ranked by
+    * quality score (6dp-rounded so the rank key is stable across
+    * engines) with the doc id as the deterministic tiebreak. The
+    * per-domain cap every mixture pipeline applies so one crawl
+    * domain can't flood the corpus with its best-scoring boilerplate.
+    *
+    * Scale: quality scoring is a narrow codegen'd projection; the
+    * quota is ONE shuffle on `sourceCol` and a row_number whose
+    * `<= k` filter Spark rewrites into a WindowGroupLimit — each map
+    * task keeps at most k rows per source before the exchange, so a
+    * hot domain never concentrates its full row set on one reducer. */
+  def sourceQuota(
+      docs: DataFrame,
+      k: Int,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("quality_score", round(col("quality_score"), 6))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    scored.withColumn("quota_rank", row_number().over(w))
+      .filter(col("quota_rank") <= k)
+      .select(col(idCol), col(sourceCol), col("quality_score"),
+        col("quota_rank"))
+  }
 
   /** Benchmark-contamination report: for each doc in `docs` sharing at
     * least one word `n`-gram with ANY doc in `benchmark`, the number of

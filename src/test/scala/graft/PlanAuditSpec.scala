@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
       "text_quality", "text_entropy", "text_language",
       "multimodal_binary_stats", "multimodal_frame_sample",
       "multimodal_payload_meta", "prepare_features", "add_split_column",
-      "predefined_split_train", "predefined_split_test", "text_tfidf")
+      "predefined_split_train", "predefined_split_test", "text_tfidf",
+      // mixture sampling is a literal-threshold filter fused into the scan
+      "llm_mix_corpus")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
@@ -45,12 +47,28 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_incremental" -> 2,
       // benchmark-gram distinct + per-doc hit groupBy; the corpus gram
       // stream itself never shuffles (bench side broadcasts)
-      "llm_decontaminate" -> 2)
+      "llm_decontaminate" -> 2,
+      // one window shuffle on source; row_number <= k is rewritten to a
+      // WindowGroupLimit so map tasks keep <= k rows per source
+      "llm_source_quota" -> 1)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,
           s"$q expected $n shuffle(s), got ${shuffles(p)}:\n${p.take(600)}")
       }
+  }
+
+  test("source quota's rank filter becomes a map-side WindowGroupLimit") {
+    // row_number() <= k must rewrite to WindowGroupLimit with a Partial
+    // mode instance before the exchange — each map task then retains at
+    // most k rows per source, so a hot domain can't flood one reducer
+    val p = plan("llm_source_quota")
+    assert(p.contains("WindowGroupLimit"), p.take(600))
+    assert("WindowGroupLimit.*Partial".r.findFirstIn(p).isDefined ||
+      "Partial.*WindowGroupLimit".r.findFirstIn(p).isDefined ||
+      p.linesIterator.exists(l =>
+        l.contains("WindowGroupLimit") && l.contains("Partial")),
+      "expected a Partial-mode WindowGroupLimit:\n" + p.take(1200))
   }
 
   test("no registered query plans a CartesianProduct") {

@@ -47,6 +47,51 @@ class CurateSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 900100L).count() == 0)
   }
 
+  test("mixCorpus: deterministic, nested thresholds, exhaustive spec") {
+    val s = spark
+    import s.implicits._
+    val base = docs.select("doc_id", "text")
+      .withColumn("source",
+        concat(lit("s"), (col("doc_id") % 3).cast("string")))
+    def kept(f: Map[String, Double]): Set[Long] =
+      Curate.mixCorpus(base, f).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val all = base.filter(col("source") === "s0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // f = 1.0 keeps every doc of the source; absent sources are dropped
+    assert(kept(Map("s0" -> 1.0)) == all)
+    // threshold sampling nests: the 25% sample is inside the 50% sample,
+    // and both are proper subsets at this corpus size
+    val half = kept(Map("s0" -> 0.5))
+    val quarter = kept(Map("s0" -> 0.25))
+    assert(quarter.subsetOf(half) && half.subsetOf(all))
+    assert(quarter.nonEmpty && half.size < all.size)
+    // no RNG: identical call → identical kept set
+    assert(kept(Map("s0" -> 0.5)) == half)
+    assert(kept(Map("s0" -> 0.0)).isEmpty)
+  }
+
+  test("sourceQuota: at most k per source, ranked by quality with id tiebreak") {
+    val s = spark
+    import s.implicits._
+    val base = docs.select("doc_id", "text")
+      .withColumn("source",
+        concat(lit("s"), (col("doc_id") % 2).cast("string")))
+    val out = Curate.sourceQuota(base, k = 3).collect()
+    val bySource = out.groupBy(_.getString(1))
+    assert(bySource.keySet == Set("s0", "s1"))
+    bySource.values.foreach { rows =>
+      assert(rows.length == 3)
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == Seq(1, 2, 3))
+      // scores non-increasing in rank; equal scores broken by smaller id
+      sorted.sliding(2).foreach { case Array(a, b) =>
+        val (qa, qb) = (a.getDouble(2), b.getDouble(2))
+        assert(qa > qb || (qa == qb && a.getLong(0) < b.getLong(0)))
+      }
+    }
+  }
+
   test("contamination: doc lifting a benchmark passage flagged; clean doc kept") {
     val s = spark
     import s.implicits._
