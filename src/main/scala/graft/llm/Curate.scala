@@ -126,9 +126,11 @@ object Curate {
       n: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val trainGrams = Dedup.strictGrams(docs, textCol, idCol, n)
+    val trainGrams = Dedup.strictGrams(
+        docs.select(col(idCol), col(textCol)), textCol, idCol, n)
       .select(col(idCol), explode(array_distinct(col("grams"))).as("g"))
-    val benchGrams = Dedup.strictGrams(benchmark, textCol, idCol, n)
+    val benchGrams = Dedup.strictGrams(
+        benchmark.select(col(idCol), col(textCol)), textCol, idCol, n)
       .select(explode(col("grams")).as("g"))
       .distinct()
     trainGrams.join(benchGrams, "g")

@@ -238,11 +238,11 @@ object Dedup {
     * The decontamination primitive — a short benchmark item only
     * matches a doc with the identical full token sequence. Empty-token
     * docs are dropped (no empty gram). */
-  private[llm] def strictGrams(docs: DataFrame, textCol: String,
+  private[graft] def strictGrams(docs: DataFrame, textCol: String,
       idCol: String, n: Int): DataFrame = {
     val tokens = new RegexTokenizer()
       .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
-      .transform(docs.select(col(idCol), col(textCol)))
+      .transform(docs)
     new NGram().setN(n)
       .setInputCol("tokens").setOutputCol("grams")
       .transform(tokens)
@@ -250,7 +250,7 @@ object Dedup {
       .withColumn("grams",
         when(size(col("grams")) > 0, col("grams"))
           .otherwise(array(concat_ws(" ", col("tokens")))))
-      .select(col(idCol), col("grams"))
+      .drop("tokens")
   }
 
   /** Word n-shingles with the tiny-doc fallback (docs under n tokens

@@ -96,6 +96,38 @@ object StreamOps {
         col("content_hash"))
   }
 
+  /** Streaming decontamination — drop stream docs sharing any word
+    * `n`-gram with a STATIC benchmark set, as a stream-static LEFT
+    * ANTI join: STATELESS (no watermark, no state store, append mode),
+    * the decontaminate-on-ingest shape. Semantics match the batch
+    * [[graft.llm.Curate.decontaminate]] at `minShared = 1` (asserted
+    * in StreamingSpec), including the strict short-doc rule.
+    *
+    * Scale: the join condition is `array_contains(grams, g)`, so each
+    * micro-batch runs a broadcast nested-loop against the distinct
+    * benchmark gram set — right for eval-suite-sized benchmarks (the
+    * production case: thousands to low-millions of grams, broadcast
+    * once and reused across batches). For benchmark sets past
+    * broadcast size, decontaminate landed data with the batch
+    * operator's hash equi-join instead; a stateless per-doc decision
+    * cannot use the exploded equi-join shape (recovering doc ids from
+    * exploded gram rows needs a stateful distinct). */
+  def decontaminateStream(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val withGrams = graft.llm.Dedup.strictGrams(docs, textCol, idCol, n)
+    val benchGrams = graft.llm.Dedup.strictGrams(
+        benchmark.select(col(idCol), col(textCol)), textCol, idCol, n)
+      .select(explode(col("grams")).as("g"))
+      .distinct()
+    withGrams
+      .join(benchGrams, array_contains(col("grams"), col("g")), "left_anti")
+      .drop("grams")
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state path the built-in windowed aggregates can't
     * express. Semantics match the batch `Events.sessionize` (gap rule

@@ -143,6 +143,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream: stateless stream-static anti join matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "prefix words " + benchText + " suffix words"), // contaminated
+      (11L, "a clean document with enough of its own words to " +
+        "shingle into several grams none of which echo the benchmark"),
+      (12L, benchText) // identical (short-rule path) → contaminated
+    )
+    val batchKept = graft.llm.Curate.decontaminate(
+        docs.toDF("doc_id", "text"), bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    val stream = MemoryStream[(Long, String)]
+    val sdf = stream.toDF.toDF("doc_id", "text")
+    val q = StreamOps.decontaminateStream(sdf, bench)
+      .writeStream.format("memory").queryName("decon_stream")
+      .outputMode("append").start()
+    try {
+      stream.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      stream.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("decon_stream")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept)
+      assert(streamed == Set(11L))
+    } finally q.stop()
+  }
+
   test("sessionizeStream: (user_id, session_start) unique across an eviction") {
     val s = spark
     import s.implicits._
