@@ -761,31 +761,10 @@ object Dedup {
       bitsPerTable: Int = 0,
       targetRecall: Double = 0.9,
       seed: Long = 42L): DataFrame = {
-    require(minCosine > -1.0 && minCosine < 1.0,
-      s"minCosine must be in (-1, 1), got $minCosine")
-    require(targetRecall > 0.0 && targetRecall < 1.0,
-      s"targetRecall must be in (0, 1), got $targetRecall")
-    val vecs = df.select(col(idCol),
-        col(embCol).cast("array<double>").as("e"))
-      .where(col("e").isNotNull)
-    val bits =
-      if (bitsPerTable > 0) bitsPerTable
-      else {
-        val n = math.max(1L, vecs.count())
-        math.max(12, math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt)
-      }
-    val tables =
-      if (numHashTables > 0) numHashTables
-      else {
-        val p = 1.0 - math.acos(minCosine) / math.Pi // per-bit agreement
-        val t = math.log(1.0 / (1.0 - targetRecall)) / math.pow(p, bits)
-        math.min(64, math.max(2, math.ceil(t).toInt))
-      }
-    val banded = vecs.select(col(idCol),
-        explode(HyperplaneSignature(col("e"), tables, bits, seed)).as("bk"))
-      // same exchange-reuse trick as minhashPairs: both self-join sides
-      // end in this canonical shuffle, so the signature pipeline runs once
-      .repartition(col("bk"))
+    val vecs = cleanVecs(df, embCol, idCol)
+    val (tables, bits) = lshKnobs(vecs.count(), minCosine,
+      numHashTables, bitsPerTable, targetRecall)
+    val banded = embeddingBandKeys(df, embCol, idCol, tables, bits, seed)
     val candidates = banded.alias("x")
       .join(banded.alias("y"), col("x.bk") === col("y.bk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
@@ -797,5 +776,107 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         CosineSimilarity(col("ea"), col("eb")).as("cosine"))
       .filter(col("cosine") >= minCosine)
+  }
+
+  private def cleanVecs(df: DataFrame, embCol: String, idCol: String) =
+    df.select(col(idCol), col(embCol).cast("array<double>").as("e"))
+      .where(col("e").isNotNull)
+
+  /** The (band width, table count) auto-derivation shared by
+    * [[embeddingPairs]] and [[embeddingIncremental]] — see
+    * [[embeddingPairs]]' scaladoc for the math. `count` is only
+    * evaluated when a knob is left at 0. */
+  private def lshKnobs(
+      count: => Long,
+      minCosine: Double,
+      numHashTables: Int,
+      bitsPerTable: Int,
+      targetRecall: Double): (Int, Int) = {
+    require(minCosine > -1.0 && minCosine < 1.0,
+      s"minCosine must be in (-1, 1), got $minCosine")
+    require(targetRecall > 0.0 && targetRecall < 1.0,
+      s"targetRecall must be in (0, 1), got $targetRecall")
+    val bits =
+      if (bitsPerTable > 0) bitsPerTable
+      else {
+        val n = math.max(1L, count)
+        math.max(12, math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt)
+      }
+    val tables =
+      if (numHashTables > 0) numHashTables
+      else {
+        val p = 1.0 - math.acos(minCosine) / math.Pi // per-bit agreement
+        val t = math.log(1.0 / (1.0 - targetRecall)) / math.pow(p, bits)
+        math.min(64, math.max(2, math.ceil(t).toInt))
+      }
+    (tables, bits)
+  }
+
+  /** The `(idCol, bk)` sign-LSH band keys embedding candidate
+    * generation joins on — the cosine twin of [[minhashBandKeys]], and
+    * public for the same reason: compute the historical side ONCE,
+    * persist it bucketed by `bk`, and an incremental pipeline's
+    * candidate join plans no history-side Exchange. Both knobs are
+    * required here (no auto-derivation): band keys are only comparable
+    * between frames built with identical (tables, bits, seed). */
+  def embeddingBandKeys(
+      df: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      numTables: Int = 8,
+      bitsPerTable: Int = 16,
+      seed: Long = 42L): DataFrame =
+    cleanVecs(df, embCol, idCol)
+      .select(col(idCol),
+        explode(HyperplaneSignature(col("e"), numTables, bitsPerTable, seed))
+          .as("bk"))
+      // same exchange-reuse trick as minhashPairs: a self-join's two
+      // sides end in this canonical shuffle, so the signature pipeline
+      // runs once
+      .repartition(col("bk"))
+
+  /** Incremental embedding near-dup dedup — the cosine member of the
+    * incremental trio ([[exactIncremental]], [[minhashIncremental]]):
+    * returns the rows of `newVecs` that survive dropping (a) every
+    * batch vector with cosine ≥ `minCosine` against ANY historical
+    * vector, and (b) the larger-id member of every near pair WITHIN
+    * the batch. Ids must be globally unique across batch and history.
+    *
+    * Auto-knobs derive from the HISTORY count (the big side bounds
+    * bucket occupancy); nightly pipelines pass both knobs explicitly
+    * and join against persisted [[embeddingBandKeys]] output so the
+    * 100 TB side is never re-hashed. */
+  def embeddingIncremental(
+      newVecs: DataFrame,
+      histVecs: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.95,
+      numHashTables: Int = 0,
+      bitsPerTable: Int = 0,
+      targetRecall: Double = 0.9,
+      seed: Long = 42L): DataFrame = {
+    val (tables, bits) = lshKnobs(cleanVecs(histVecs, embCol, idCol).count(),
+      minCosine, numHashTables, bitsPerTable, targetRecall)
+    val batchKeys =
+      embeddingBandKeys(newVecs, embCol, idCol, tables, bits, seed)
+    val histKeys =
+      embeddingBandKeys(histVecs, embCol, idCol, tables, bits, seed)
+    val cross = batchKeys.alias("x")
+      .join(histKeys.alias("y"), col("x.bk") === col("y.bk"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val crossLosers = cross
+      .join(cleanVecs(newVecs, embCol, idCol)
+        .select(col(idCol).as("id_a"), col("e").as("ea")), "id_a")
+      .join(cleanVecs(histVecs, embCol, idCol)
+        .select(col(idCol).as("id_b"), col("e").as("eb")), "id_b")
+      .filter(CosineSimilarity(col("ea"), col("eb")) >= minCosine)
+      .select(col("id_a").as(idCol))
+    val withinLosers = embeddingPairs(newVecs, embCol, idCol, minCosine,
+        tables, bits, targetRecall, seed)
+      .select(col("id_b").as(idCol))
+    newVecs.join(crossLosers.union(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 }

@@ -263,6 +263,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("embeddingIncremental: drops batch vecs near history, keeps novel ones") {
+    val s = spark
+    import s.implicits._
+    val hist = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val v0 = hist.filter(col("vec_id") === 0L)
+      .head().getSeq[Double](1).toArray
+    val nearHist = v0.clone(); nearHist(0) += 1e-4
+    val rng = new scala.util.Random(11)
+    val novel = Array.fill(v0.length)(rng.nextGaussian())
+    val nearNovel = novel.clone(); nearNovel(1) += 1e-4
+    val batch = Seq(
+      (800000L, nearHist.toSeq),  // near hist vec 0 → dropped
+      (800001L, novel.toSeq),     // novel → kept
+      (800002L, nearNovel.toSeq)  // near 800001 within batch → dropped
+    ).toDF("vec_id", "embedding")
+    val kept = Dedup.embeddingIncremental(batch, hist, minCosine = 0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(800001L))
+  }
+
   test("embeddingPairs: planted near-identical embedding pair found") {
     val s = spark
     import s.implicits._
