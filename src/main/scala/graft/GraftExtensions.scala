@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes, WordNgrams}
 
 /** SparkSessionExtensions entry point exposing graft's custom Catalyst
   * expressions as SQL functions:
@@ -81,5 +81,17 @@ object GraftExtensions {
           numHashes =
             if (args.length > 1) intLit(args(1), "numHashes") else 64,
           seed = if (args.length > 2) longLit(args(2), "seed") else 42L)
+      }),
+    (FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 2 && args.length <= 3,
+          s"word_ngrams takes 2-3 arguments, got ${args.length}")
+        WordNgrams(args.head, n = intLit(args(1), "n"),
+          strictFallback = args.length > 2 && (args(2) match {
+            case Literal(v: Boolean, _) => v
+            case other => throw new IllegalArgumentException(
+              s"strictFallback must be a boolean literal, got $other")
+          }))
       }))
 }

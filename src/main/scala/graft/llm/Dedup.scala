@@ -1,7 +1,7 @@
 package graft.llm
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature}
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH, NGram, RegexTokenizer}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, WordNgrams}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -102,10 +102,10 @@ object Dedup {
     * seed_i)) arithmetic map-side with `aggregate`/`zip_with` HOFs,
     * which Spark evaluates interpreted with a fresh 64-slot array per
     * shingle. Signatures are bit-identical at every step (asserted in
-    * MinhashSignatureSpec); end-to-end sf0.1 time went 13.0s → ~6.2s
-    * with the map-side move, while the codegen expression's win is
-    * per-row COMPUTE — at the 1.5 MB bench corpus, fixed stage
-    * overhead dominates, at 10^9 docs the signature pass is the bill.
+    * MinhashSignatureSpec). With tokenization also moved into the
+    * codegen [[graft.functions.WordNgrams]] expression the whole path
+    * is UDF- and HOF-free: end-to-end sf0.1 time 13.0s (r2) → 6.2s
+    * (r3 fold) → 3.3s (r4 codegen signature + tokenizer).
     * Signatures are banded
     * (`numHashes / bands` rows each); docs sharing any band hash become
     * candidates via an equi-join; candidates are verified with exact
@@ -239,35 +239,18 @@ object Dedup {
     * matches a doc with the identical full token sequence. Empty-token
     * docs are dropped (no empty gram). */
   private[graft] def strictGrams(docs: DataFrame, textCol: String,
-      idCol: String, n: Int): DataFrame = {
-    val tokens = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
-      .transform(docs)
-    new NGram().setN(n)
-      .setInputCol("tokens").setOutputCol("grams")
-      .transform(tokens)
-      .filter(size(col("tokens")) > 0)
-      .withColumn("grams",
-        when(size(col("grams")) > 0, col("grams"))
-          .otherwise(array(concat_ws(" ", col("tokens")))))
-      .drop("tokens")
-  }
+      idCol: String, n: Int): DataFrame =
+    docs.withColumn("grams",
+        WordNgrams(col(textCol), n, strictFallback = true))
+      .filter(size(col("grams")) > 0)
 
   /** Word n-shingles with the tiny-doc fallback (docs under n tokens
     * keep their single tokens so they still participate). */
   private def shingled(docs: DataFrame, textCol: String,
-      idCol: String, n: Int = 3): DataFrame = {
-    val tokens = new RegexTokenizer()
-      .setInputCol(textCol).setOutputCol("tokens").setPattern("[^\\p{L}\\p{N}]+")
-      .transform(docs)
-    new NGram().setN(n)
-      .setInputCol("tokens").setOutputCol("shingles")
-      .transform(tokens)
-      .withColumn("shingles",
-        when(size(col("shingles")) > 0, col("shingles")).otherwise(col("tokens")))
+      idCol: String, n: Int = 3): DataFrame =
+    docs.select(col(idCol),
+        WordNgrams(col(textCol), n, strictFallback = false).as("shingles"))
       .filter(size(col("shingles")) > 0)
-      .select(col(idCol), col("shingles"))
-  }
 
   /** MLlib MinHashLSH variant (HashingTF sparse vectors +
     * approxSimilarityJoin), kept as the recall cross-check for
@@ -649,7 +632,7 @@ object Dedup {
       idCol: String = "doc_id"): DataFrame = {
     // shingle ONLY docs that appear in a candidate pair: a left_semi
     // against the (tiny) pair-id set reaches the scan as a cheap join
-    // filter, so the expensive tokenize+NGram work runs on candidates,
+    // filter, so the expensive word_ngrams tokenization runs on candidates,
     // not the whole corpus — after LSH banding the candidate set is
     // orders of magnitude smaller than the corpus, and verification
     // must scale with IT, not with corpus size
