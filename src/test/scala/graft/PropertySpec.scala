@@ -160,4 +160,69 @@ class PropertySpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("property: word_ngrams gram arithmetic on random token sequences") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.WordNgrams
+    val words = Vector("alpha", "beta", "Gamma42", "delta", "EPS", "zeta7")
+    (1 to 3).foreach { _ =>
+      val docs = Seq.fill(50) {
+        val n = rng.nextInt(12)
+        (0 until n).map(_ => words(rng.nextInt(words.length)))
+          .mkString(Seq(" ", ", ", " -- ", "\t")(rng.nextInt(4)))
+      }.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val n = 2 + rng.nextInt(3)
+      docs.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"),
+          WordNgrams(col("text"), n, strictFallback = false).as("g"))
+        .collect().foreach { r =>
+          val toks = r.getString(1).toLowerCase
+            .split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+          val grams = r.getSeq[String](2)
+          if (toks.length >= n) {
+            // sliding-window count, and every gram has exactly n tokens
+            assert(grams.length == toks.length - n + 1)
+            assert(grams.forall(_.split(' ').length == n))
+            assert(grams == toks.sliding(n).map(_.mkString(" ")).toSeq)
+          } else assert(grams == toks.toSeq)
+        }
+    }
+  }
+
+  test("property: minhash signature containment tracks Jaccard direction") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.MinhashSignature
+    // signature of a SUPERSET is elementwise <= (more candidates for
+    // each min); identical sets give identical signatures
+    (1 to 3).foreach { _ =>
+      val base = Seq.fill(20)(rng.alphanumeric.take(8).mkString).distinct
+      val superset = base ++ Seq.fill(10)(rng.alphanumeric.take(8).mkString)
+      val rows = Seq((1L, base), (2L, superset), (3L, rng.shuffle(base)))
+        .toDF("id", "sh")
+        .select(col("id"), MinhashSignature(col("sh"), 32, 7L).as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      rows(1L).zip(rows(2L)).foreach { case (a, b) => assert(b <= a) }
+      assert(rows(1L) == rows(3L)) // order-insensitive: same SET, same sig
+    }
+  }
+
+  test("property: hyperplane signature is invariant to positive scaling only") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.HyperplaneSignature
+    (1 to 3).foreach { _ =>
+      val v = Seq.fill(32)(rng.nextGaussian())
+      val lambda = rng.nextDouble() * 9 + 0.1
+      val rows = Seq(
+        (1L, v), (2L, v.map(_ * lambda)), (3L, v.map(-_)))
+        .toDF("id", "e")
+        .select(col("id"), HyperplaneSignature(col("e"), 4, 16, 42L).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(rows(1L) == rows(2L)) // cos(v, λv) = 1: keys identical
+      // negation flips every sign bit: no table may collide (cos = -1)
+      assert(rows(1L).intersect(rows(3L)).isEmpty)
+    }
+  }
 }
