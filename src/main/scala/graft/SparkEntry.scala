@@ -216,6 +216,27 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8),
         Dedup.exactKeepers(docs.filter(col("doc_id") % 10 < 8)))
     }),
+    // Incremental near-dup twins, same % 10 batch/history split.
+    // Seeded banding has no DuckDB twin → adjudicated; the registered
+    // rows give the driver run/schema signal (the r3 gap for
+    // tfidf/passage_pairs, closed preemptively here). Deterministic:
+    // seeded hashes + explicit knobs (no auto-count dependence).
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Dedup.minhashIncremental(
+        docs.filter(col("doc_id") % 10 >= 8),
+        docs.filter(col("doc_id") % 10 < 8),
+        minJaccard = 0.5)
+        .select("doc_id")
+    }),
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Dedup.embeddingIncremental(
+        emb.filter(col("vec_id") % 10 >= 8),
+        emb.filter(col("vec_id") % 10 < 8),
+        minCosine = 0.99, numHashTables = 4, bitsPerTable = 12)
+        .select("vec_id")
+    }),
     // Copied-passage detection: content-defined chunking is
     // deterministic (no seed), so the registered row gives the driver a
     // run/schema signal; the gear-hash arithmetic has no DuckDB twin
