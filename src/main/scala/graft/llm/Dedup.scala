@@ -215,20 +215,32 @@ object Dedup {
       newDocs, textCol, idCol, numHashes, bands, seed)
     val histBands = minhashBandKeys(
       histDocs, textCol, idCol, numHashes, bands, seed)
+    // both candidate joins consume the SAME batch band-key subtree
+    // (ReusedExchange computes the batch signatures once); a naive
+    // minhashPairs(newDocs) call here would rebuild the whole pipeline
     val cross = batchBands.alias("x")
       .join(histBands.alias("y"), col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
+    val within = batchBands.alias("x")
+      .join(batchBands.alias("y"), col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
     val allDocs = newDocs.select(col(idCol), col(textCol))
       .unionByName(histDocs.select(col(idCol), col(textCol)))
-    val crossLosers = ngramJaccard(allDocs, cross, textCol = textCol,
+    // ONE verification pass over the unioned candidate set. Pair kinds
+    // are distinguished by id_b (ids are globally unique): id_b in the
+    // batch ⇒ within pair, its id_b loses (greedy smaller-id-wins);
+    // id_b in history ⇒ cross pair, its batch-side id_a loses
+    val verified = ngramJaccard(allDocs,
+        cross.unionByName(within).distinct(), textCol = textCol,
         idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as(idCol))
-    val withinLosers = minhashPairs(newDocs, textCol, idCol, numHashes,
-        bands, minJaccard, seed)
+    val batchIdsB = newDocs.select(col(idCol).as("id_b"))
+    val withinLosers = verified.join(batchIdsB, Seq("id_b"), "left_semi")
       .select(col("id_b").as(idCol))
-    newDocs.join(crossLosers.union(withinLosers).distinct(),
+    val crossLosers = verified.join(batchIdsB, Seq("id_b"), "left_anti")
+      .select(col("id_a").as(idCol))
+    newDocs.join(withinLosers.union(crossLosers).distinct(),
       Seq(idCol), "left_anti")
   }
 
@@ -845,21 +857,33 @@ object Dedup {
       embeddingBandKeys(newVecs, embCol, idCol, tables, bits, seed)
     val histKeys =
       embeddingBandKeys(histVecs, embCol, idCol, tables, bits, seed)
+    // both candidate joins consume the SAME batch band-key subtree; an
+    // embeddingPairs(newVecs) call here would rebuild the pipeline
     val cross = batchKeys.alias("x")
       .join(histKeys.alias("y"), col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    val crossLosers = cross
-      .join(cleanVecs(newVecs, embCol, idCol)
-        .select(col(idCol).as("id_a"), col("e").as("ea")), "id_a")
-      .join(cleanVecs(histVecs, embCol, idCol)
-        .select(col(idCol).as("id_b"), col("e").as("eb")), "id_b")
+    val within = batchKeys.alias("x")
+      .join(batchKeys.alias("y"), col("x.bk") === col("y.bk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+    val batchVecs = cleanVecs(newVecs, embCol, idCol)
+    val allVecs = batchVecs.unionByName(cleanVecs(histVecs, embCol, idCol))
+    // ONE verification pass; pair kinds split by id_b (ids unique):
+    // id_b in the batch ⇒ within pair, id_b loses; else cross pair,
+    // the batch-side id_a loses
+    val verified = cross.unionByName(within).distinct()
+      .join(batchVecs.select(col(idCol).as("id_a"), col("e").as("ea")),
+        "id_a")
+      .join(allVecs.select(col(idCol).as("id_b"), col("e").as("eb")),
+        "id_b")
       .filter(CosineSimilarity(col("ea"), col("eb")) >= minCosine)
-      .select(col("id_a").as(idCol))
-    val withinLosers = embeddingPairs(newVecs, embCol, idCol, minCosine,
-        tables, bits, targetRecall, seed)
+      .select("id_a", "id_b")
+    val batchIdsB = batchVecs.select(col(idCol).as("id_b"))
+    val withinLosers = verified.join(batchIdsB, Seq("id_b"), "left_semi")
       .select(col("id_b").as(idCol))
-    newVecs.join(crossLosers.union(withinLosers).distinct(),
+    val crossLosers = verified.join(batchIdsB, Seq("id_b"), "left_anti")
+      .select(col("id_a").as(idCol))
+    newVecs.join(withinLosers.union(crossLosers).distinct(),
       Seq(idCol), "left_anti")
   }
 }
