@@ -28,9 +28,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
   * drop zero/null embeddings upstream, as verification scores them
   * −1 anyway.
   *
-  * The ±1 hyperplane matrix (`numTables·bitsPerTable·dim` entries) is
-  * derived from `seed` via splitmix64 and memoized in a per-JVM cache
-  * (a few KB for typical dims) — each executor materializes it once,
+  * The ±1 hyperplane matrix (`numTables·bitsPerTable·dim` entries,
+  * hard-capped at 2^24 elements per parameterization) is derived from
+  * `seed` via splitmix64 and memoized in a per-JVM cache (a few MB at
+  * typical dims) — each executor materializes it once,
   * then every row is `numTables·bitsPerTable` sign dot products with
   * no allocation beyond the output array. Codegen is the same
   * static-helper shape as [[RollingChunkHashes]]: one monomorphic call
@@ -42,10 +43,10 @@ case class HyperplaneSignature(
     bitsPerTable: Int = 16,
     seed: Long = 42L) extends UnaryExpression {
 
-  require(numTables >= 1 && numTables <= 1024,
-    s"numTables must be in [1, 1024], got $numTables")
-  require(bitsPerTable >= 1 && bitsPerTable <= 48,
-    s"bitsPerTable must be in [1, 48], got $bitsPerTable")
+  require(numTables >= 1 && numTables <= 128,
+    s"numTables must be in [1, 128], got $numTables")
+  require(bitsPerTable >= 1 && bitsPerTable <= 32,
+    s"bitsPerTable must be in [1, 32], got $bitsPerTable")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -79,13 +80,20 @@ object HyperplaneSignature {
   }
 
   // (seed, tables, bits, dim) -> row-major ±1 matrix [table][bit][dim].
-  // Bounded: one entry per distinct parameterization used in the JVM.
+  // One entry per distinct parameterization used in the JVM, size
+  // tables·bits·dim doubles each — hard-capped below so arbitrary SQL
+  // (the function is registered via GraftExtensions) cannot pin
+  // multi-GB arrays in every executor.
+  private val MaxMatrixElems = 1 << 24 // 16M doubles = 128 MB ceiling
   private val planes = new ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
 
   private def hyperplanes(
       seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
     planes.computeIfAbsent((seed, tables, bits, dim), { key =>
       val (s, t, b, d) = key
+      require(t.toLong * b * d <= MaxMatrixElems,
+        s"hyperplane matrix numTables*bitsPerTable*dim = ${t.toLong * b * d} " +
+          s"exceeds $MaxMatrixElems elements; reduce tables/bits for this dim")
       val m = new Array[Double](t * b * d)
       var i = 0
       while (i < m.length) {

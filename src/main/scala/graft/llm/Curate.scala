@@ -129,14 +129,24 @@ object Curate {
     val trainGrams = Dedup.strictGrams(
         docs.select(col(idCol), col(textCol)), textCol, idCol, n)
       .select(col(idCol), explode(array_distinct(col("grams"))).as("g"))
-    val benchGrams = Dedup.strictGrams(
-        benchmark.select(col(idCol), col(textCol)), textCol, idCol, n)
-      .select(explode(col("grams")).as("g"))
-      .distinct()
-    trainGrams.join(benchGrams, "g")
+    trainGrams.join(benchmarkGrams(benchmark, n, textCol, idCol), "g")
       .groupBy(idCol)
       .agg(count(lit(1)).as("shared_ngrams"))
   }
+
+  /** The distinct benchmark gram set both [[contamination]] and
+    * [[graft.streaming.StreamOps.decontaminateStream]] join against —
+    * one definition so batch and stream can never diverge on what a
+    * benchmark gram is. */
+  private[graft] def benchmarkGrams(
+      benchmark: DataFrame,
+      n: Int,
+      textCol: String,
+      idCol: String): DataFrame =
+    Dedup.strictGrams(
+        benchmark.select(col(idCol), col(textCol)), textCol, idCol, n)
+      .select(explode(col("grams")).as("g"))
+      .distinct()
 
   /** The rows of `docs` that survive decontamination: everything with
     * fewer than `minShared` distinct n-grams in common with the

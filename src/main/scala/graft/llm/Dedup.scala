@@ -470,9 +470,13 @@ object Dedup {
       : DataFrame = checkpointDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      // setCheckpointDir mints a fresh UUID subdir per call — set once
-      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-        sc.setCheckpointDir(dir)
+      // setCheckpointDir mints a fresh UUID subdir per call AND stores
+      // a scheme-qualified path (so comparing against the raw `dir`
+      // would never match — and re-setting every round would scatter
+      // checkpoints across one UUID dir per round). Set only when no
+      // checkpoint dir exists yet; an application-configured dir is
+      // respected rather than repointed.
+      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
       df.checkpoint(true)
     case None => df.localCheckpoint(true)
   }
@@ -643,16 +647,20 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     // shingle ONLY docs that appear in a candidate pair: a left_semi
-    // against the (tiny) pair-id set reaches the scan as a cheap join
-    // filter, so the expensive word_ngrams tokenization runs on candidates,
-    // not the whole corpus — after LSH banding the candidate set is
-    // orders of magnitude smaller than the corpus, and verification
-    // must scale with IT, not with corpus size
+    // against the pair-id set, so the expensive word_ngrams
+    // tokenization runs on candidates, not the whole corpus — after
+    // LSH banding the candidate set is orders of magnitude smaller
+    // than the corpus, and verification must scale with IT, not with
+    // corpus size. No broadcast HINT: the candidate count is
+    // data-dependent (a boilerplate-heavy corpus can band into
+    // millions of pairs) and a forced broadcast would hit the 8 GB
+    // broadcast ceiling / driver memory exactly when it matters; AQE
+    // picks broadcast at runtime whenever the id set is actually small
     val candidateIds = pairs
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
     val candidates = docs.select(col(idCol), col(textCol))
-      .join(broadcast(candidateIds), Seq(idCol), "left_semi")
+      .join(candidateIds, Seq(idCol), "left_semi")
     // same shingling (incl. the tiny-doc single-token fallback) as the
     // candidate generators — otherwise a sub-n-token doc that banding
     // matched would verify against an EMPTY shingle set and score 0
@@ -795,7 +803,10 @@ object Dedup {
       if (bitsPerTable > 0) bitsPerTable
       else {
         val n = math.max(1L, count)
-        math.max(12, math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt)
+        // clamp to HyperplaneSignature's key-width bound; 32 bits
+        // covers occupancy targets past 10^12 vectors
+        math.min(32, math.max(12,
+          math.ceil(math.log(n / 256.0) / math.log(2.0)).toInt))
       }
     val tables =
       if (numHashTables > 0) numHashTables

@@ -63,10 +63,13 @@ object Sources {
     // entry across JVM sessions, and CREATE then fails with
     // LOCATION_ALREADY_EXISTS. Drop the stale entry and orphaned
     // location first so the write is idempotent across sessions.
-    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // parse (possibly db-qualified) names properly: backticking the
+    // raw string would treat "db.t" as a table literally named "db.t"
+    // and compute the wrong default location
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    spark.sql(s"DROP TABLE IF EXISTS ${ident.quotedString}")
     val loc = new org.apache.hadoop.fs.Path(
-      spark.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      spark.sessionState.catalog.defaultTablePath(ident))
     loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)

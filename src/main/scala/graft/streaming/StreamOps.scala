@@ -118,13 +118,15 @@ object StreamOps {
       n: Int = 8,
       textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val withGrams = graft.llm.Dedup.strictGrams(docs, textCol, idCol, n)
-    val benchGrams = graft.llm.Dedup.strictGrams(
-        benchmark.select(col(idCol), col(textCol)), textCol, idCol, n)
-      .select(explode(col("grams")).as("g"))
-      .distinct()
+    // grams computed WITHOUT strictGrams' zero-gram row filter: a
+    // punctuation-only doc has no grams, cannot be contaminated, and
+    // must pass through — exactly what batch decontaminate does
+    // (zero-token docs never enter its contamination report)
+    val withGrams = docs.withColumn("grams",
+      graft.functions.WordNgrams(col(textCol), n, strictFallback = true))
     withGrams
-      .join(benchGrams, array_contains(col("grams"), col("g")), "left_anti")
+      .join(graft.llm.Curate.benchmarkGrams(benchmark, n, textCol, idCol),
+        array_contains(col("grams"), col("g")), "left_anti")
       .drop("grams")
   }
 

@@ -153,7 +153,8 @@ class StreamingSpec extends SparkSpec {
       (10L, "prefix words " + benchText + " suffix words"), // contaminated
       (11L, "a clean document with enough of its own words to " +
         "shingle into several grams none of which echo the benchmark"),
-      (12L, benchText) // identical (short-rule path) → contaminated
+      (12L, benchText), // identical (short-rule path) → contaminated
+      (13L, "...!!!")   // zero tokens: not contaminable → must pass through
     )
     val batchKept = graft.llm.Curate.decontaminate(
         docs.toDF("doc_id", "text"), bench)
@@ -172,7 +173,7 @@ class StreamingSpec extends SparkSpec {
       val streamed = spark.table("decon_stream")
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(streamed == batchKept)
-      assert(streamed == Set(11L))
+      assert(streamed == Set(11L, 13L))
     } finally q.stop()
   }
 
