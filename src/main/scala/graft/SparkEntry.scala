@@ -202,6 +202,20 @@ object SparkEntry {
       Dedup.ngramJaccard(docs, pairs)
         .withColumn("jaccard", round(col("jaccard"), 6))
     }),
+    // Connected components over a DETERMINISTIC edge set: the
+    // consecutive-id pairs whose (oracle-proven) n-gram Jaccard clears
+    // the threshold. Min-label propagation has an exact DuckDB twin
+    // (recursive reachability + min), so the one iterative-graph
+    // operator family gets an oracle-EXACT row.
+    "dedup_components" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      val edges = Dedup.ngramJaccard(docs, pairs)
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b")
+      Dedup.connectedComponents(edges)
+    }),
     // LSH sketch paths — no SQL twin; ScalaTest invariants + recall tests.
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
@@ -296,6 +310,19 @@ object SparkEntry {
           concat(lit("zz planted contamination prefix "), col("text"))
             .as("text")))
       Curate.contamination(train, bench)
+    }),
+    // The keep-side anti-join twin — the artifact a pipeline actually
+    // ships. Same planted fixture; oracle = the contamination CTE
+    // flipped to NOT IN. Every real doc survives, every planted copy
+    // (and short-doc whole-sequence match) is dropped.
+    "llm_decontaminate_kept" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.filter(col("doc_id") % 41 === 0)
+      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
+        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz planted contamination prefix "), col("text"))
+            .as("text")))
+      Curate.decontaminate(train, bench).select("doc_id")
     }),
 
     // ------------------------------------------ §7 LLM-pipeline: text ops
@@ -560,6 +587,42 @@ object SparkEntry {
         |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
         |JOIN sh a ON a.doc_id = p.id_a
         |JOIN sh b ON b.doc_id = p.id_b""".stripMargin,
+
+    // connected-components oracle: the edge set reuses the proven
+    // dedup_ngram_jaccard arithmetic (UNROUNDED jaccard at the filter —
+    // the ratio of small integers is exact on both engines); the
+    // min-label fixpoint is recursive undirected reachability + min.
+    "dedup_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), edges AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.5
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM edges
+        |), reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM sym
+        |  UNION
+        |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+        |)
+        |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
 
     // mixture-sampling oracle: the md5-bucket thresholds are the same
     // plan literals the Scala side computes (0.5→'8000', 0.25→'4000',
