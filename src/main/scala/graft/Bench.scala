@@ -47,26 +47,39 @@ object Bench {
     // A failed query is reported as -1 and excluded from the total — it
     // must not masquerade as a fast success (a query that throws
     // instantly would otherwise look like a speedup).
+    //
+    // Each query runs TWICE and the MIN is reported: single-shot timings
+    // on a shared box swung 1.6s→11.6s across rounds on identical code
+    // (llm_curate, dedup_exact — sub-2s plans charged 10-19s by
+    // transient contention). The min of two runs is the steady-state
+    // cost of the plan; both runs are printed under "runs" so any drift
+    // between them stays auditable.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // per-query isolation: cached fold/CV blocks from one query must
-      // not occupy (or re-register, cf. the r4 "block already exists"
-      // churn) block-manager state while a later query is timed
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch {
-        case e: Throwable =>
-          System.err.println(
-            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          false
+      val runs = (1 to 2).map { _ =>
+        // per-query isolation: cached fold/CV blocks from one query must
+        // not occupy (or re-register, cf. the r4 "block already exists"
+        // churn) block-manager state while a later query is timed
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+            false
+        }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      val ok = runs.forall(_._2)
+      (name, runs.map(_._1).min, ok, runs.map(_._1))
     }
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
-    val failed = results.collect { case (n, _, false) => "\"" + n + "\"" }
+    val runsJson = results.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val failed = results.collect { case (n, _, false, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v, true, _) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -45,6 +45,31 @@ object SparkEntry {
     PrepareFeatures(customer(s, dir),
       Seq("c_acctbal", "c_nationkey", "c_custkey"), "c_mktsegment")
 
+  /** Best-effort recursive delete for the per-invocation artifacts of
+    * `similarity_ivf_persisted` (temp centroid dir). */
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(): Unit
+  }
+
+  /** Write `bands` as a uniquely-named bucketed band-key table, run
+    * `body` against it, drop the table before returning. The registered
+    * incremental twins use this to demonstrate the at-scale persisted-
+    * history shape (candidate join against an ingest-time-bucketed
+    * table — zero history-side Exchange) while staying re-entrant:
+    * unique name per invocation, no catalog entry survives the call.
+    * `body` must materialize its result (localCheckpoint) — the frame
+    * it returns may not reference the dropped table lazily. */
+  private def withBucketedBands(s: SparkSession, prefix: String,
+      bands: DataFrame)(body: String => DataFrame): DataFrame = {
+    val table =
+      prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "_")
+    try {
+      Sources.writeBucketed(bands, table, "bk")
+      body(table)
+    } finally s.sql(s"DROP TABLE IF EXISTS `$table`")
+  }
+
   /** Project ML Vector columns to scalar element columns `name_0..name_{n-1}`
     * so the verify dump contains no array-typed columns (driver pandas
     * diff requirement). Sizes are static per query — the assembled
@@ -207,8 +232,25 @@ object SparkEntry {
     // the threshold. Min-label propagation has an exact DuckDB twin
     // (recursive reachability + min), so the one iterative-graph
     // operator family gets an oracle-EXACT row.
+    //
+    // The fixture corpus has no consecutive-id pair with jaccard ≥ 0.5
+    // (checked at sf0.01 — the natural edge set is EMPTY, which made the
+    // r4-r6 row vacuously green on 0 vs 0 rows). So a 3-doc near-dup
+    // CHAIN is planted in-flight (the llm_decontaminate planted-copy
+    // pattern): consecutive planted texts share 3 of 5 distinct
+    // 3-shingles (jaccard 0.6), ids 2000000-2000002 are consecutive so
+    // both chain edges enter the candidate set, and the ends of the
+    // chain are NOT direct candidates — the oracle now proves 2-hop
+    // transitive min-label propagation, not just edge discovery.
     "dedup_components" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (2000000L, "alpha beta gamma delta epsilon zeta"),
+        (2000001L, "alpha beta gamma delta epsilon eta"),
+        (2000002L, "alpha beta gamma delta epsilon theta"))
+        .toDF("doc_id", "text")
       val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
       val pairs = docs.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1).as("id_b"))
       val edges = Dedup.ngramJaccard(docs, pairs)
@@ -235,21 +277,37 @@ object SparkEntry {
     // rows give the driver run/schema signal (the r3 gap for
     // tfidf/passage_pairs, closed preemptively here). Deterministic:
     // seeded hashes + explicit knobs (no auto-count dependence).
+    // Registered in the PRODUCTION shape: history band keys are
+    // persisted bucketed by `bk` and the candidate join consumes the
+    // table — zero history-side Exchange (the at-scale point of the
+    // incremental twins; the recompute-history convenience path stays
+    // covered by DedupSpec). Same results as the in-query path — the
+    // table holds exactly what minhashBandKeys/embeddingBandKeys emit.
     "dedup_minhash_incremental" -> ((s, dir) => {
       val docs = documents(s, dir)
-      Dedup.minhashIncremental(
-        docs.filter(col("doc_id") % 10 >= 8),
-        docs.filter(col("doc_id") % 10 < 8),
-        minJaccard = 0.5)
-        .select("doc_id")
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      withBucketedBands(s, "graft_mh_hist", Dedup.minhashBandKeys(hist)) {
+        tbl =>
+          Dedup.minhashIncremental(batch, hist, minJaccard = 0.5,
+            histBands = Some(s.table(tbl)))
+            .select("doc_id")
+            .localCheckpoint(true)
+      }
     }),
     "dedup_embedding_incremental" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Dedup.embeddingIncremental(
-        emb.filter(col("vec_id") % 10 >= 8),
-        emb.filter(col("vec_id") % 10 < 8),
-        minCosine = 0.99, numHashTables = 4, bitsPerTable = 12)
-        .select("vec_id")
+      val batch = emb.filter(col("vec_id") % 10 >= 8)
+      val hist = emb.filter(col("vec_id") % 10 < 8)
+      withBucketedBands(s, "graft_emb_hist",
+        Dedup.embeddingBandKeys(hist, numTables = 4, bitsPerTable = 12)) {
+        tbl =>
+          Dedup.embeddingIncremental(batch, hist,
+            minCosine = 0.99, numHashTables = 4, bitsPerTable = 12,
+            histBands = Some(s.table(tbl)))
+            .select("vec_id")
+            .localCheckpoint(true)
+      }
     }),
     // Copied-passage detection: content-defined chunking is
     // deterministic (no seed), so the registered row gives the driver a
@@ -379,16 +437,28 @@ object SparkEntry {
     // probe: the cross-session deployment shape. Deterministic (seeded
     // build), so identical rows to probing the in-memory index —
     // SimilaritySpec asserts the round-trip equality and the
-    // Exchange-free cells scan.
+    // Exchange-free cells scan. The table name is minted per invocation
+    // (concurrent sessions must not collide on one catalog entry) and
+    // both artifacts are dropped before returning: the probe result is
+    // eagerly localCheckpoint'ed — the real bucketed-scan plan executes
+    // at that point — so the returned frame no longer references the
+    // table and repeated runs leave no orphan dirs or catalog entries.
     "similarity_ivf_persisted" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft_ivf").toString
-      Similarity.writeIndex(Similarity.ivfIndex(emb),
-        "graft_ivf_cells", s"$tmp/centroids")
-      val loaded = Similarity.readIndex(s, "graft_ivf_cells", s"$tmp/centroids")
-      Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10), k = 10)
-        .select("query_id", "neighbor_id", "rank")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
+      val table = "graft_ivf_cells_" +
+        tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
+      try {
+        Similarity.writeIndex(Similarity.ivfIndex(emb),
+          table, s"$tmp/centroids")
+        val loaded = Similarity.readIndex(s, table, s"$tmp/centroids")
+        Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10), k = 10)
+          .select("query_id", "neighbor_id", "rank")
+          .localCheckpoint(true)
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS `$table`")
+        deleteRecursively(tmp.toFile)
+      }
     }),
 
     // ---------------------------------------- §7 LLM-pipeline: multimodal
@@ -592,12 +662,22 @@ object SparkEntry {
     // dedup_ngram_jaccard arithmetic (UNROUNDED jaccard at the filter —
     // the ratio of small integers is exact on both engines); the
     // min-label fixpoint is recursive undirected reachability + min.
+    // The VALUES CTE replicates the Spark side's planted 3-doc chain
+    // verbatim (consecutive jaccard 3/5).
     "dedup_components" ->
-      """WITH RECURSIVE toks AS (
+      """WITH RECURSIVE docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+        |    (2000000, 'alpha beta gamma delta epsilon zeta'),
+        |    (2000001, 'alpha beta gamma delta epsilon eta'),
+        |    (2000002, 'alpha beta gamma delta epsilon theta'))
+        |    v(doc_id, text)
+        |), toks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |                t -> length(t) > 0) AS tokens
-        |  FROM documents
+        |  FROM docs2
         |), sh AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
@@ -607,7 +687,7 @@ object SparkEntry {
         |  FROM toks WHERE len(tokens) > 0
         |), edges AS (
         |  SELECT p.id_a, p.id_b
-        |  FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
+        |  FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM docs2) p
         |  JOIN sh a ON a.doc_id = p.id_a
         |  JOIN sh b ON b.doc_id = p.id_b
         |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
@@ -715,6 +795,52 @@ object SparkEntry {
         |SELECT t.doc_id, count(*) AS shared_ngrams
         |FROM tgrams t JOIN bgrams b ON t.g = b.g
         |GROUP BY t.doc_id""".stripMargin,
+
+    // keep-side oracle: the llm_decontaminate CTE with the final select
+    // flipped to NOT IN — every train doc whose doc_id is absent from
+    // the contaminated set survives.
+    "llm_decontaminate_kept" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         concat('zz planted contamination prefix ', text)
+        |  FROM bench
+        |), ttoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM train
+        |), tgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END)) AS g
+        |  FROM ttoks WHERE len(tokens) > 0
+        |), btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM bench
+        |), bgrams AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END) AS g
+        |  FROM btoks WHERE len(tokens) > 0
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id FROM tgrams t JOIN bgrams b ON t.g = b.g
+        |)
+        |SELECT doc_id FROM train
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
 
     // composed curation oracle: mirrors the proven text_quality,
     // text_language, and dedup_exact pieces stage by stage.

@@ -83,12 +83,20 @@ object HyperplaneSignature {
   // One entry per distinct parameterization used in the JVM, size
   // tables·bits·dim doubles each — hard-capped below so arbitrary SQL
   // (the function is registered via GraftExtensions) cannot pin
-  // multi-GB arrays in every executor.
+  // multi-GB arrays in every executor. The ENTRY COUNT is bounded too:
+  // a long-lived executor serving many jobs with distinct
+  // seeds/dims/knobs would otherwise grow the map without limit (up to
+  // 128 MB per entry). A real pipeline uses a handful of
+  // parameterizations; when the cap is hit the whole map is dropped and
+  // rebuilt on demand — a rare, cheap (derivation is a few ms) flush,
+  // chosen over LRU bookkeeping on the per-row hot path.
   private val MaxMatrixElems = 1 << 24 // 16M doubles = 128 MB ceiling
+  private val MaxCacheEntries = 16
   private val planes = new ConcurrentHashMap[(Long, Int, Int, Int), Array[Double]]()
 
   private def hyperplanes(
-      seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] =
+      seed: Long, tables: Int, bits: Int, dim: Int): Array[Double] = {
+    if (planes.size > MaxCacheEntries) planes.clear()
     planes.computeIfAbsent((seed, tables, bits, dim), { key =>
       val (s, t, b, d) = key
       require(t.toLong * b * d <= MaxMatrixElems,
@@ -102,6 +110,7 @@ object HyperplaneSignature {
       }
       m
     })
+  }
 
   /** Static helper shared by interpreted eval and generated code. */
   def compute(arr: ArrayData, tables: Int, bits: Int, seed: Long): ArrayData = {

@@ -9,12 +9,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 
 /** Full MinHash signature of a shingle set in ONE codegen'd pass:
   * `numHashes` running minima of per-lane shingle hashes, where lane i
-  * of shingle s is `xxhash64(s, seed + i)` — BIT-IDENTICAL to the SQL
-  * formulation `aggregate(shingles, [Long.Max,...], (acc, s) =>
+  * of shingle s is `xxhash64(s, seed + i)` — BIT-IDENTICAL, for
+  * null-free shingle arrays, to the SQL formulation
+  * `aggregate(shingles, [Long.Max,...], (acc, s) =>
   * zip_with(acc, seeds, (a, sd) => least(a, xxhash64(s, sd))))` this
   * expression replaces (Spark's two-arg xxhash64 folds left from the
   * fixed seed 42: `hashLong(sd, hashUTF8String(s, 42))`; asserted in
-  * MinhashSignatureSpec).
+  * MinhashSignatureSpec). The null-free qualifier matters: Spark's
+  * xxhash64 treats a NULL argument as a no-op (the lane would fold the
+  * bare seed through `hashLong`), while this expression SKIPS null
+  * slots entirely (a null is not a shingle). The shingle producer here,
+  * [[WordNgrams]], never emits null elements, so the two never diverge
+  * in this library's pipelines.
   *
   * Why: higher-order functions are evaluated INTERPRETED (no codegen)
   * and that fold allocates a fresh `numHashes`-slot array per shingle

@@ -54,6 +54,12 @@ object Curate {
     * give (its sample changes with the partitioning). Sources absent
     * from `fractions` are dropped: a mixture spec is exhaustive.
     *
+    * Granularity: thresholds quantize to 1/65536 steps (the 16-bit
+    * bucket), so the kept share of a source is within ±1/65536 of the
+    * requested fraction. A nonzero fraction small enough to round to
+    * the keep-nothing threshold is rejected rather than silently
+    * dropping the whole source — pass 0.0 to drop a source on purpose.
+    *
     * Scale: a pure narrow projection-filter fused into the scan — no
     * shuffle, no state; the threshold map is a plan literal. */
   def mixCorpus(
@@ -64,6 +70,9 @@ object Curate {
     require(fractions.nonEmpty, "fractions must name at least one source")
     val thresholds = fractions.map { case (s, f) =>
       require(f >= 0.0 && f <= 1.0, s"fraction for $s must be in [0,1], got $f")
+      require(f == 0.0 || math.round(f * 65536) >= 1,
+        s"fraction for $s ($f) is below the 1/65536 mixing granularity " +
+          "and would keep NOTHING; use 0.0 to drop the source explicitly")
       // f == 1.0 would need the 5-char "10000", which sorts BELOW
       // "2..." lexicographically; "g" sorts above every hex char and
       // keeps everything

@@ -146,11 +146,15 @@ object Dedup {
     * on — the shared pipeline under [[minhashPairs]] and
     * [[minhashIncremental]]. Public so the historical side of an
     * incremental pipeline can be computed once and PERSISTED (write
-    * bucketed by `bk` via [[graft.sources.Sources.writeBucketed]] and
-    * the nightly batch's candidate join plans no history-side
-    * Exchange, like the exact-dedup keeper table). Band keys are
-    * 64-bit hashes of the band's signature rows — no 2^16 bucket
-    * ceiling. */
+    * bucketed by `bk` via [[graft.sources.Sources.writeBucketed]], pass
+    * the table through `histBands`, and the nightly batch's candidate
+    * join plans no history-side Exchange, like the exact-dedup keeper
+    * table). Band keys are FLAT 64-bit hashes of (band index, the
+    * band's signature rows) — no 2^16 bucket ceiling, a primitive
+    * bucketing/shuffle key, and the band index inside the hash keeps
+    * bands from colliding with each other (a cross-band accidental
+    * equality needs a full 64-bit collision, and even then only adds a
+    * candidate the exact-Jaccard verification discards). */
   def minhashBandKeys(
       df: DataFrame,
       textCol: String = "text",
@@ -170,14 +174,14 @@ object Dedup {
     val sigs = shingled(docs, textCol, idCol)
       .select(col(idCol),
         MinhashSignature(col("shingles"), numHashes, seed).as("sig"))
-    // band key = hash of the band's signature rows (+ band index);
+    // band key = hash of (band index, the band's signature rows);
     // sig is an attribute here, so element_at reads are O(1) — no
     // outer-expression duplication into the banding projection
     sigs.select(col(idCol),
       explode(array((0 until bands).map { b =>
         val rows = (0 until rowsPerBand).map(r =>
           element_at(col("sig"), b * rowsPerBand + r + 1))
-        struct(lit(b).as("band"), xxhash64(rows: _*).as("key"))
+        xxhash64(lit(b) +: rows: _*)
       }: _*)).as("bk"))
       // explicit exchange on the join key: a self-join's two sides are
       // canonically identical subtrees ending in this shuffle, so
@@ -197,11 +201,17 @@ object Dedup {
     *
     * Scale: candidate generation is two equi-joins on 64-bit band keys
     * — batch×history and batch×batch — and verification shingles only
-    * candidate docs ([[ngramJaccard]]'s semi-join). The history side
-    * recomputes its band keys here; for a nightly pipeline compute
-    * [[minhashBandKeys]] on the history ONCE, persist it bucketed by
-    * `bk`, and run the candidate join against the persisted table —
-    * history text is only touched for the (tiny) verification set. */
+    * candidate docs ([[ngramJaccard]]'s semi-join). By default the
+    * history side recomputes its band keys in-query; a nightly
+    * pipeline should instead compute [[minhashBandKeys]] on the
+    * history ONCE, persist it bucketed by `bk`
+    * ([[graft.sources.Sources.writeBucketed]]), and pass the table as
+    * `histBands` — the candidate join then plans with NO history-side
+    * Exchange (PlanAuditSpec asserts the shape) and history text is
+    * only touched for the (tiny) verification set. A supplied
+    * `histBands` must have been built with the SAME (numHashes, bands,
+    * seed) — band keys from different knobs never collide, so a
+    * mismatch silently finds nothing. */
   def minhashIncremental(
       newDocs: DataFrame,
       histDocs: DataFrame,
@@ -210,16 +220,18 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       minJaccard: Double = 0.5,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      histBands: Option[DataFrame] = None): DataFrame = {
     val batchBands = minhashBandKeys(
       newDocs, textCol, idCol, numHashes, bands, seed)
-    val histBands = minhashBandKeys(
-      histDocs, textCol, idCol, numHashes, bands, seed)
+    val hb = histBands.getOrElse(minhashBandKeys(
+      histDocs, textCol, idCol, numHashes, bands, seed))
     // both candidate joins consume the SAME batch band-key subtree
     // (ReusedExchange computes the batch signatures once); a naive
     // minhashPairs(newDocs) call here would rebuild the whole pipeline
     val cross = batchBands.alias("x")
-      .join(histBands.alias("y"), col("x.bk") === col("y.bk"))
+      .join(hb.select(col(idCol), col("bk")).alias("y"),
+        col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
     val within = batchBands.alias("x")
       .join(batchBands.alias("y"), col("x.bk") === col("y.bk") &&
@@ -339,7 +351,17 @@ object Dedup {
     * (rounds needed = graph diameter), the call falls back to
     * [[connectedComponentsStar]], whose round count is O(log n)
     * regardless of diameter — set `starFallback = false` to get the
-    * fail-fast IllegalStateException instead. */
+    * fail-fast IllegalStateException instead.
+    *
+    * Lifecycle: the RETURNED frame is backed by the final round's
+    * checkpoint blocks (its lineage is truncated — that is what makes
+    * the iterative loop plannable), so it stays materialized until the
+    * caller `.unpersist()`s it. Call unpersist once the labels are
+    * consumed. With `checkpointDir` set, per-round checkpoint FILES
+    * additionally accumulate under the dir; enable
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` to have
+    * the context cleaner reclaim them as rounds are unpersisted, or
+    * delete the directory after the job. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25,
       checkpointDir: Option[String] = None,
       starFallback: Boolean = true): DataFrame = {
@@ -372,7 +394,11 @@ object Dedup {
     edges.unpersist()
     if (changed > 0) {
       // a silent non-converged result would KEEP duplicates downstream
-      // (one cluster labeled as several components) with no signal
+      // (one cluster labeled as several components) with no signal.
+      // Free the abandoned propagation labels first — on the fallback
+      // path nothing ever consumes them again, and leaving the blocks
+      // pinned would leak one corpus-node-sized cache per fallback
+      labels.unpersist()
       if (starFallback)
         return connectedComponentsStar(pairs, checkpointDir = checkpointDir)
       throw new IllegalStateException(
@@ -404,7 +430,10 @@ object Dedup {
     * the fixpoint test is a set compare of identically-shaped frames.
     * Returns the same `(id, component)` shape as
     * [[connectedComponents]]; every node of `pairs` appears, labeled
-    * with its component's minimum id. */
+    * with its component's minimum id — including nodes that only occur
+    * as self-pairs (id_a == id_b), which label themselves. Same
+    * lifecycle as [[connectedComponents]]: the returned frame is
+    * checkpoint-backed; `.unpersist()` it when consumed. */
   def connectedComponentsStar(pairs: DataFrame, maxIter: Int = 20,
       checkpointDir: Option[String] = None): DataFrame = {
     var edges = persistRound(
@@ -429,9 +458,27 @@ object Dedup {
           "O(log n) rounds should always suffice; raise maxIter")
     // at the fixpoint edges are stars (v, root): label leaves with the
     // root and each root with itself
-    edges.select(col("src").as("id"), col("dst").as("component"))
+    val labelled = edges
+      .select(col("src").as("id"), col("dst").as("component"))
       .union(edges.select(col("dst").as("id"), col("dst").as("component")))
       .distinct()
+    // self-pairs (id_a == id_b) were dropped by the canonicalization
+    // above, but [[connectedComponents]] labels such a node with itself
+    // — a node appearing ONLY as a self-pair must not silently vanish
+    // from the star path's output. Union the missing ones back in.
+    val selfOnly = pairs
+      .where(col("id_a") === col("id_b"))
+      .select(col("id_a").as("id")).distinct()
+      .join(labelled, Seq("id"), "left_anti")
+    // materialize the labels as their own round so the final edge
+    // blocks can be freed HERE — otherwise the returned frame keeps a
+    // lazy reference to them and unpersisting it would free nothing
+    // (same caller-unpersists lifecycle as [[connectedComponents]])
+    val result = persistRound(
+      labelled.union(selfOnly.select(col("id"), col("id").as("component"))),
+      checkpointDir)
+    edges.unpersist()
+    result
   }
 
   /** One large-star phase: over the SYMMETRIC adjacency, hang every
@@ -465,7 +512,15 @@ object Dedup {
 
   /** Round persistence for the iterative CC loops: executor-local
     * checkpoint by default, reliable `checkpoint(dir)` when the caller
-    * opted in (see the caveat on [[connectedComponents]]). */
+    * opted in (see the caveat on [[connectedComponents]]).
+    *
+    * File lifecycle in the reliable mode: `checkpoint` writes each
+    * round's blocks under the dir and Spark only deletes them via the
+    * context cleaner when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (off by
+    * default) — without it the per-round files accumulate until the
+    * application exits and the dir is deleted externally. Long-running
+    * services calling CC repeatedly should set that conf. */
   private def persistRound(df: DataFrame, checkpointDir: Option[String])
       : DataFrame = checkpointDir match {
     case Some(dir) =>
@@ -850,8 +905,13 @@ object Dedup {
     *
     * Auto-knobs derive from the HISTORY count (the big side bounds
     * bucket occupancy); nightly pipelines pass both knobs explicitly
-    * and join against persisted [[embeddingBandKeys]] output so the
-    * 100 TB side is never re-hashed. */
+    * and pass persisted [[embeddingBandKeys]] output (bucketed by `bk`)
+    * as `histBands` so the 100 TB side is never re-hashed — the
+    * candidate join then plans with no history-side Exchange. A
+    * supplied `histBands` requires BOTH knobs explicit: keys are only
+    * comparable between frames built with identical (tables, bits,
+    * seed), and auto-derivation could silently disagree with however
+    * the persisted table was built. */
   def embeddingIncremental(
       newVecs: DataFrame,
       histVecs: DataFrame,
@@ -861,17 +921,23 @@ object Dedup {
       numHashTables: Int = 0,
       bitsPerTable: Int = 0,
       targetRecall: Double = 0.9,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      histBands: Option[DataFrame] = None): DataFrame = {
+    require(histBands.isEmpty || (numHashTables > 0 && bitsPerTable > 0),
+      "histBands requires explicit numHashTables and bitsPerTable — the " +
+        "persisted keys are only comparable under the exact knobs that " +
+        "built them")
     val (tables, bits) = lshKnobs(cleanVecs(histVecs, embCol, idCol).count(),
       minCosine, numHashTables, bitsPerTable, targetRecall)
     val batchKeys =
       embeddingBandKeys(newVecs, embCol, idCol, tables, bits, seed)
-    val histKeys =
-      embeddingBandKeys(histVecs, embCol, idCol, tables, bits, seed)
+    val histKeys = histBands.getOrElse(
+      embeddingBandKeys(histVecs, embCol, idCol, tables, bits, seed))
     // both candidate joins consume the SAME batch band-key subtree; an
     // embeddingPairs(newVecs) call here would rebuild the pipeline
     val cross = batchKeys.alias("x")
-      .join(histKeys.alias("y"), col("x.bk") === col("y.bk"))
+      .join(histKeys.select(col(idCol), col("bk")).alias("y"),
+        col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
     val within = batchKeys.alias("x")
       .join(batchKeys.alias("y"), col("x.bk") === col("y.bk") &&

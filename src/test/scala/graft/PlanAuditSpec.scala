@@ -76,17 +76,63 @@ class PlanAuditSpec extends SparkSpec {
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work
     // for a plan string), their transform plans are the estimators'
     // own, and no fit transform can introduce a cross join
-    // similarity_ivf_persisted additionally WRITES the index artifacts
-    // as a side effect of query construction — same exclusion reason,
-    // plus the probe join shape is already asserted in SimilaritySpec
+    // similarity_ivf_persisted and the two incremental near-dup twins
+    // additionally WRITE persisted artifacts and MATERIALIZE
+    // (localCheckpoint) as a side effect of query construction — same
+    // exclusion reason; their join shapes are asserted in
+    // SimilaritySpec and the bucketed-band-keys tests below/in DedupSpec
     val fits = Set("validation_curves", "predefined_split_fit",
       "dim_reduction_kmeans", "dim_reduction_pca",
       "probability_prediction", "similarity_ivf",
-      "similarity_ivf_persisted")
+      "similarity_ivf_persisted", "dedup_minhash_incremental",
+      "dedup_embedding_incremental")
     (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is
       assert(!plan(q).contains("CartesianProduct"), q)
+    }
+  }
+
+  test("persisted band-key candidate joins plan no history-side Exchange") {
+    // The at-scale claim of the registered incremental twins: with the
+    // history band keys persisted bucketed by bk, the candidate
+    // equi-join's only shuffle is the (small) batch side's — the
+    // corpus-sized history scan reuses its ingest-time bucketing.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val hist = docs.filter(col("doc_id") % 10 < 8)
+    val batch = docs.filter(col("doc_id") % 10 >= 8)
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val cases = Seq(
+      ("graft_plan_mh", graft.llm.Dedup.minhashBandKeys(hist),
+        graft.llm.Dedup.minhashBandKeys(batch)),
+      ("graft_plan_emb",
+        graft.llm.Dedup.embeddingBandKeys(
+          emb.filter(col("vec_id") % 10 < 8), numTables = 4,
+          bitsPerTable = 12, seed = 42L),
+        graft.llm.Dedup.embeddingBandKeys(
+          emb.filter(col("vec_id") % 10 >= 8), numTables = 4,
+          bitsPerTable = 12, seed = 42L)))
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try cases.foreach { case (tbl, histBands, batchBands) =>
+      try {
+        graft.sources.Sources.writeBucketed(histBands, tbl, "bk",
+          numBuckets = 4)
+        val cands = batchBands.join(spark.table(tbl), "bk")
+        cands.count()
+        val plan = cands.queryExecution.executedPlan.toString
+        // exactly ONE exchange: the batch side's repartition(bk); the
+        // history table scan sits under no Exchange at all
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(
+          plan.replace("ReusedExchange", "")).length
+        assert(exchanges == 1, s"$tbl: want 1 exchange, plan:\n${plan.take(1500)}")
+        assert(plan.contains("Bucketed: true"),
+          s"$tbl scan is not bucket-read:\n${plan.take(1500)}")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 

@@ -69,6 +69,13 @@ class CurateSpec extends SparkSpec {
     // no RNG: identical call → identical kept set
     assert(kept(Map("s0" -> 0.5)) == half)
     assert(kept(Map("s0" -> 0.0)).isEmpty)
+    // a nonzero fraction below the 1/65536 threshold granularity would
+    // silently keep nothing — rejected; explicit 0.0 is the drop spelling
+    intercept[IllegalArgumentException] {
+      Curate.mixCorpus(base, Map("s0" -> 1e-7))
+    }
+    // the smallest representable fraction is accepted (threshold 0001)
+    Curate.mixCorpus(base, Map("s0" -> 1.0 / 65536)).count()
   }
 
   test("sourceQuota: at most k per source, ranked by quality with id tiebreak") {

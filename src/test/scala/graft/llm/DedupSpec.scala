@@ -235,6 +235,19 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.minhashIncremental(batch, hist, minJaccard = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(500001L))
+    // the persisted-history path (band keys from a bucketed table) is
+    // the same computation with the history subtree swapped for a scan
+    // — identical survivors by construction
+    graft.sources.Sources.writeBucketed(
+      Dedup.minhashBandKeys(hist), "graft_mh_bands_spec", "bk",
+      numBuckets = 4)
+    try {
+      val keptPersisted = Dedup.minhashIncremental(batch, hist,
+        minJaccard = 0.5,
+        histBands = Some(spark.table("graft_mh_bands_spec")))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(keptPersisted == kept)
+    } finally spark.sql("DROP TABLE IF EXISTS graft_mh_bands_spec")
   }
 
   test("connectedComponentsStar: adversarial 65-node chain converges in O(log n)") {
@@ -246,6 +259,21 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(labels.size == 65)
     assert(labels.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents and star variant agree on self-pairs") {
+    val s = spark
+    import s.implicits._
+    // node 7 only ever appears as a self-pair; both variants must keep
+    // it (labeled with itself) rather than silently dropping it
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 7L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L)
+    val prop = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == expected)
+    assert(star == expected)
   }
 
   test("connectedComponents: falls back to star contraction past maxIter") {
@@ -282,6 +310,21 @@ class DedupSpec extends SparkSpec {
     val kept = Dedup.embeddingIncremental(batch, hist, minCosine = 0.99)
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(kept == Set(800001L))
+    // persisted-history path: same survivors; knobs must be explicit
+    graft.sources.Sources.writeBucketed(
+      Dedup.embeddingBandKeys(hist, numTables = 4, bitsPerTable = 12),
+      "graft_emb_bands_spec", "bk", numBuckets = 4)
+    try {
+      val keptPersisted = Dedup.embeddingIncremental(batch, hist,
+        minCosine = 0.99, numHashTables = 4, bitsPerTable = 12,
+        histBands = Some(spark.table("graft_emb_bands_spec")))
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(keptPersisted == Set(800001L))
+      intercept[IllegalArgumentException] {
+        Dedup.embeddingIncremental(batch, hist, minCosine = 0.99,
+          histBands = Some(spark.table("graft_emb_bands_spec")))
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS graft_emb_bands_spec")
   }
 
   test("embeddingPairs: planted near-identical embedding pair found") {
