@@ -115,7 +115,11 @@ object Dedup {
     * 1-(1-s^r)^b (r = numHashes/bands rows per band, b = bands) —
     * defaults (64, 16) give ≥ 0.99 recall at s ≥ 0.7. Precision is
     * exact: the verification stage computes true Jaccard on the
-    * (small) candidate set only.
+    * (small) candidate set only. Passing 0 for either knob derives
+    * BOTH from the corpus count and `minJaccard` via [[minhashKnobs]]
+    * (recall held at the threshold, spurious-candidate mass bounded
+    * per doc — costs one count job; nightly pipelines should log the
+    * derived pair once and pass it explicitly).
     *
     * Scale: never an all-pairs join — candidate generation is an
     * equi-join on 64-bit band keys (no 2^16 bucket ceiling like
@@ -130,8 +134,9 @@ object Dedup {
       minJaccard: Double = 0.5,
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
     val banded =
-      minhashBandKeys(docs, textCol, idCol, numHashes, bands, seed)
+      minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
     val x = banded.alias("x")
     val y = banded.alias("y")
     val candidates = x.join(y, col("x.bk") === col("y.bk") &&
@@ -140,6 +145,58 @@ object Dedup {
       .distinct()
     ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The `(numHashes, bands)` auto-derivation for the MinHash family —
+    * the Jaccard twin of `lshKnobs` (embedding side), opt-in by passing
+    * 0 for EITHER knob; explicit knobs pass through untouched. `count`
+    * is by-name and only evaluated when deriving.
+    *
+    * Derivation: with r rows per band and b bands, a pair at Jaccard s
+    * shares a band with probability 1-(1-s^r)^b. For each candidate r,
+    * the bands needed to hold `targetRecall` at the `minJaccard`
+    * boundary are b(r) = ⌈ln(1/(1-targetRecall)) / minJaccard^r⌉, and
+    * the expected spurious-candidate mass — modeling unrelated pairs at
+    * a background similarity of minJaccard/2 — is n²/2 · b(r) ·
+    * (minJaccard/2)^r. The chosen r is the SMALLEST (cheapest
+    * signature: r·b(r) hashes) whose spurious mass stays within
+    * `maxCandidatesPerDoc` per document, i.e. b(r)·(minJaccard/2)^r ≤
+    * 2·maxCandidatesPerDoc/n — a bigger corpus therefore demands a
+    * sharper S-curve (more rows per band) AND more bands to hold
+    * recall, which is the honest linear price of precision at scale
+    * (the silent alternative is a quadratic candidate blowup). Bands
+    * cap at 64 (cost ceiling, like lshKnobs' table clamp); when no r
+    * meets the budget under the cap, the sharpest feasible r wins and
+    * the verification stage absorbs the extra candidates. Thresholds
+    * low enough that even r=2 exceeds the cap fall back to (128, 64) —
+    * pass explicit knobs there. */
+  private[graft] def minhashKnobs(
+      count: => Long,
+      minJaccard: Double,
+      numHashes: Int,
+      bands: Int,
+      targetRecall: Double = 0.9,
+      maxCandidatesPerDoc: Int = 8): (Int, Int) = {
+    if (numHashes > 0 && bands > 0) (numHashes, bands)
+    else {
+      require(minJaccard > 0.0 && minJaccard < 1.0,
+        s"minJaccard must be in (0, 1) to derive knobs, got $minJaccard")
+      require(targetRecall > 0.0 && targetRecall < 1.0,
+        s"targetRecall must be in (0, 1), got $targetRecall")
+      val n = math.max(2L, count)
+      val sBg = minJaccard / 2.0
+      def bandsFor(r: Int): Int = math.ceil(
+        math.log(1.0 / (1.0 - targetRecall)) / math.pow(minJaccard, r)).toInt
+      val budget = 2.0 * maxCandidatesPerDoc / n
+      val feasible = (2 to 12).filter(bandsFor(_) <= 64)
+      if (feasible.isEmpty) (128, 64)
+      else {
+        val r = feasible
+          .find(r => bandsFor(r) * math.pow(sBg, r) <= budget)
+          .getOrElse(feasible.last)
+        (r * bandsFor(r), bandsFor(r))
+      }
+    }
   }
 
   /** The `(idCol, bk)` banded MinHash keys candidate generation joins
@@ -222,10 +279,17 @@ object Dedup {
       minJaccard: Double = 0.5,
       seed: Long = 42L,
       histBands: Option[DataFrame] = None): DataFrame = {
+    require(histBands.isEmpty || (numHashes > 0 && bands > 0),
+      "histBands requires explicit numHashes and bands — the persisted " +
+        "keys are only comparable under the exact knobs that built them")
+    // auto-knobs (either 0) derive from the HISTORY count — the big
+    // side bounds spurious-candidate mass, as in embeddingIncremental
+    val (nh, nb) = minhashKnobs(
+      histDocs.select(col(idCol)).count(), minJaccard, numHashes, bands)
     val batchBands = minhashBandKeys(
-      newDocs, textCol, idCol, numHashes, bands, seed)
+      newDocs, textCol, idCol, nh, nb, seed)
     val hb = histBands.getOrElse(minhashBandKeys(
-      histDocs, textCol, idCol, numHashes, bands, seed))
+      histDocs, textCol, idCol, nh, nb, seed))
     // both candidate joins consume the SAME batch band-key subtree
     // (ReusedExchange computes the batch signatures once); a naive
     // minhashPairs(newDocs) call here would rebuild the whole pipeline

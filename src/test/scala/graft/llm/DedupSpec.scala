@@ -250,6 +250,30 @@ class DedupSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_mh_bands_spec")
   }
 
+  test("minhashKnobs: explicit passthrough; derived knobs scale with corpus") {
+    // both knobs explicit → passthrough, count never evaluated
+    assert(Dedup.minhashKnobs(
+      sys.error("count must not be evaluated"), 0.5, 64, 16) == (64, 16))
+    // derived (either knob 0): a larger corpus needs a sharper S-curve
+    // (more rows per band) to bound spurious candidates, and more bands
+    // to hold recall at the threshold — pinned at two corpus sizes
+    val small = Dedup.minhashKnobs(100L, 0.7, 0, 0)
+    val large = Dedup.minhashKnobs(1000000L, 0.7, 0, 0)
+    assert(small == (40, 10), s"small: $small")   // r=4, b=10
+    assert(large == (522, 58), s"large: $large")  // sharpest feasible r=9, b=58
+    val (nhS, nbS) = small
+    val (nhL, nbL) = large
+    assert(nhS % nbS == 0 && nhL % nbL == 0) // minhashBandKeys contract
+    assert(nhL / nbL > nhS / nbS && nbL > nbS)
+    // recall at the minJaccard boundary >= 0.9 for the derived pairs
+    def recall(s: Double, r: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(s, r), b)
+    assert(recall(0.7, nhS / nbS, nbS) >= 0.9)
+    assert(recall(0.7, nhL / nbL, nbL) >= 0.9)
+    // a mixed spec (one explicit, one 0) still derives both
+    assert(Dedup.minhashKnobs(100L, 0.7, 64, 0) == small)
+  }
+
   test("connectedComponentsStar: adversarial 65-node chain converges in O(log n)") {
     val s = spark
     import s.implicits._
