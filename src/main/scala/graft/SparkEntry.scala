@@ -258,7 +258,12 @@ object SparkEntry {
         .select("id_a", "id_b")
       Dedup.connectedComponents(edges)
     }),
-    // LSH sketch paths — no SQL twin; ScalaTest invariants + recall tests.
+    // LSH sketch paths. minhash gets a BRUTE-FORCE oracle: all-pairs
+    // 3-gram Jaccard ≥ 0.2 in DuckDB — exact because the seeded
+    // banding finds every qualifying pair on this fixture (verified;
+    // deterministic seed ⇒ stable), so the row now also guards RECALL,
+    // not just schema. simhash fingerprint arithmetic (xxhash64 token
+    // lanes) has no DuckDB twin — invariants only.
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -273,10 +278,11 @@ object SparkEntry {
         Dedup.exactKeepers(docs.filter(col("doc_id") % 10 < 8)))
     }),
     // Incremental near-dup twins, same % 10 batch/history split.
-    // Seeded banding has no DuckDB twin → adjudicated; the registered
-    // rows give the driver run/schema signal (the r3 gap for
-    // tfidf/passage_pairs, closed preemptively here). Deterministic:
-    // seeded hashes + explicit knobs (no auto-count dependence).
+    // Both now carry BRUTE-FORCE oracles (all-pairs similarity rules in
+    // DuckDB): exact because the seeded candidate generation finds
+    // every qualifying pair on this fixture — the rows guard the full
+    // survivor semantics including recall. Deterministic: seeded
+    // hashes + explicit knobs (no auto-count dependence).
     // Registered in the PRODUCTION shape: history band keys are
     // persisted bucketed by `bk` and the candidate join consumes the
     // table — zero history-side Exchange (the at-scale point of the
@@ -295,10 +301,35 @@ object SparkEntry {
             .localCheckpoint(true)
       }
     }),
+    // Planted in-flight near-dup fixture (the fixture corpus has no
+    // natural pair above cosine 0.51, so the row was vacuously "all
+    // batch vectors survive"): 900001 = history vec 0 nudged (cross
+    // loser), 900002 = the NEGATION of history vec 5 (novel — |cosine|
+    // vs everything natural ≤ 0.51), 900003 = 900002 nudged (within
+    // loser, larger id). Oracle = brute-force all-pairs cosine rules —
+    // exact here because the seeded LSH finds every ≥0.99 pair on this
+    // fixture (miss probability ~1e-8 per pair, deterministic seed).
     "dedup_embedding_incremental" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val batch = emb.filter(col("vec_id") % 10 >= 8)
-      val hist = emb.filter(col("vec_id") % 10 < 8)
+      val base = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val hist = base.filter(col("vec_id") % 10 < 8)
+      val h0 = hist.filter(col("vec_id") === 0L)
+      val h5 = hist.filter(col("vec_id") === 5L)
+      // materialized ONCE: the 4-branch planted union is consumed by
+      // four plan subtrees (two candidate joins, verification, final
+      // anti-join) and would otherwise be re-scanned by each of them
+      val batch = base.filter(col("vec_id") % 10 >= 8)
+        .unionByName(h0.select(lit(900001L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+            .as("embedding")))
+        .unionByName(h5.select(lit(900002L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(h5.select(lit(900003L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
+            .as("embedding")))
+        .localCheckpoint(true)
       withBucketedBands(s, "graft_emb_hist",
         Dedup.embeddingBandKeys(hist, numTables = 4, bitsPerTable = 12)) {
         tbl =>
@@ -315,12 +346,13 @@ object SparkEntry {
     // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
-    // Embedding near-dup via seeded BRP-LSH. The fixture corpus has no
+    // Embedding near-dup via seeded sign-LSH. The fixture corpus has no
     // natural near pairs (max pairwise cosine 0.51 — documented), so a
     // near-copy of vec 0 is planted IN-FLIGHT (pure column transform,
     // no collect): the registered row then deterministically contains
-    // the planted pair. Seeded fit → stable rows; adjudicated (LSH has
-    // no DuckDB twin).
+    // the planted pair. Oracle = brute-force all-pairs cosine ≥ 0.99
+    // in DuckDB (exactly the planted pair) — exact recall on this
+    // fixture under the fixed seed.
     "dedup_embedding_pairs" -> ((s, dir) => {
       val base = embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -633,6 +665,63 @@ object SparkEntry {
         |SELECT doc_id, content_hash FROM batch
         |WHERE content_hash NOT IN (SELECT content_hash FROM hist)""".stripMargin,
 
+    // BRUTE-FORCE minhash oracles (pairs + incremental survivors): the
+    // all-pairs 3-gram Jaccard ground truth the seeded LSH must find.
+    // Exact at driver scale because banding recall is complete on this
+    // fixture (checked; deterministic seed ⇒ stable across runs). The
+    // jaccard value is a ratio of small exact ints — bit-identical
+    // IEEE division on both engines, no rounding needed.
+    "dedup_minhash_pairs" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.2""".stripMargin,
+
+    "dedup_minhash_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) >= 0.5
+        |), batch AS (SELECT doc_id FROM documents WHERE doc_id % 10 >= 8),
+        |losers AS (
+        |  SELECT id_b AS doc_id FROM pairs
+        |  WHERE id_b IN (SELECT doc_id FROM batch)
+        |  UNION
+        |  SELECT id_a FROM pairs
+        |  WHERE id_b NOT IN (SELECT doc_id FROM batch)
+        |    AND id_a IN (SELECT doc_id FROM batch)
+        |)
+        |SELECT doc_id FROM batch
+        |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
+
     // RegexTokenizer(lowercase, gaps on [^\p{L}\p{N}]+, minTokenLength 1)
     // = regexp_split_to_array(lower) + empty filter; NGram(3) = space-
     // joined triples; tiny-doc fallback keeps single tokens.
@@ -703,6 +792,53 @@ object SparkEntry {
         |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
         |)
         |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // BRUTE-FORCE embedding oracles: all-pairs cosine ground truth the
+    // seeded sign-LSH must find (miss probability ~1e-8 per ≥0.99 pair
+    // at 4×12-bit tables; deterministic seed ⇒ stable). Planted CTEs
+    // replicate the Spark side's in-flight vectors bit-for-bit (same
+    // IEEE literals, same single-op arithmetic); thresholds sit far
+    // from every pair's cosine, so engine summation-order ulps cannot
+    // flip a classification.
+    "dedup_embedding_pairs" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |  UNION ALL
+        |  SELECT CAST(900000 AS BIGINT), list_prepend(e[1] + 1e-4, e[2:])
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id = 0)
+        |)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  ROUND(list_cosine_similarity(a.e, b.e), 6) AS cosine
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.e, b.e) >= 0.99""".stripMargin,
+
+    "dedup_embedding_incremental" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), hist AS (SELECT vec_id, e FROM base WHERE vec_id % 10 < 8),
+        |batch AS (
+        |  SELECT vec_id, e FROM base WHERE vec_id % 10 >= 8
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), list_prepend(e[1] + 1e-4, e[2:])
+        |  FROM hist WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT CAST(900002 AS BIGINT), list_transform(e, x -> -x)
+        |  FROM hist WHERE vec_id = 5
+        |  UNION ALL
+        |  SELECT CAST(900003 AS BIGINT),
+        |    list_prepend(-e[1] + 1e-4, list_transform(e[2:], x -> -x))
+        |  FROM hist WHERE vec_id = 5
+        |), cross_losers AS (
+        |  SELECT DISTINCT b.vec_id FROM batch b JOIN hist h
+        |  ON list_cosine_similarity(b.e, h.e) >= 0.99
+        |), within_losers AS (
+        |  SELECT DISTINCT y.vec_id FROM batch x JOIN batch y
+        |  ON x.vec_id < y.vec_id AND list_cosine_similarity(x.e, y.e) >= 0.99
+        |)
+        |SELECT vec_id FROM batch
+        |WHERE vec_id NOT IN (SELECT vec_id FROM cross_losers)
+        |  AND vec_id NOT IN (SELECT vec_id FROM within_losers)""".stripMargin,
 
     // mixture-sampling oracle: the md5-bucket thresholds are the same
     // plan literals the Scala side computes (0.5→'8000', 0.25→'4000',
