@@ -39,6 +39,19 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Sources.eventsTable(spark, dir)
 
+  /** documents plus three in-flight planted PII rows (the corpus has
+    * none naturally — same planting trick as llm_decontaminate). The
+    * appended sentence and id offset are mirrored literally in the
+    * text_pii / text_redact oracles. */
+  private def piiFixture(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("text"))
+    base.unionByName(base.filter(col("doc_id") < 3).select(
+      (col("doc_id") + lit(2000000L)).as("doc_id"),
+      concat(col("text"), lit(" mail alice.smith@example.com call " +
+        "+49-151-1234-5678 host 192.168.10.42 ssn 123-45-6789"))
+        .as("text")))
+  }
+
   /** customer with `(features, label)` — the ML-pipeline input frame
     * (label = c_mktsegment indexed, features = numeric customer cols). */
   private def customerFeatures(s: SparkSession, dir: String): DataFrame =
@@ -441,6 +454,28 @@ object SparkEntry {
           round(col("char_entropy"), 6).as("char_entropy"))),
     "text_source_profile" -> ((s, dir) =>
       TextAnalysis.sourceProfile(documents(s, dir))),
+    // Gopher-style repetition filters. Fractions are ratios of small
+    // exact ints — bit-identical IEEE division on both engines; the
+    // 6dp rounding is belt-and-braces. Top-gram ties break
+    // lexicographically in BOTH engines (fold over the sorted array
+    // here, count-desc/gram-asc row_number in DuckDB).
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(documents(s, dir))
+        .select(col("doc_id"), col("ngram_total"), col("ngram_distinct"),
+          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"),
+          col("top_ngram"), col("top_ngram_count"),
+          round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"))),
+    // PII scan/redact over an in-flight planted fixture: the corpus
+    // has no natural PII, so three docs get an appended PII sentence
+    // (the decontaminate planted-copy pattern) and the oracle mirrors
+    // the same literals — non-vacuous counts and masking.
+    "text_pii" -> ((s, dir) =>
+      TextAnalysis.piiScan(piiFixture(documents(s, dir)))
+        .select("doc_id", "n_emails", "n_phones", "n_ipv4", "n_ids",
+          "has_pii")),
+    "text_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(piiFixture(documents(s, dir)))
+        .select("doc_id", "redacted")),
     // TF-IDF projected to fixed hash buckets (murmur3 bucket ids have
     // no DuckDB twin — adjudicated; invariants in TextFeaturesSpec).
     // 1024 buckets keep the vector→array projection small.
@@ -1128,6 +1163,84 @@ object SparkEntry {
         |SELECT doc_id, lang,
         |  CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END AS lang_pred
         |FROM best""".stripMargin,
+
+    // Gopher repetition twin: per-doc top gram via unnest+count+
+    // row_number (count desc, gram asc = the Spark fold's first-max-
+    // in-sorted-order tie-break); fractions are exact-int ratios.
+    "text_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN len(tokens) >= 2 THEN
+        |      list_transform(range(1, len(tokens)),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1]))
+        |    ELSE CAST([] AS VARCHAR[]) END AS grams
+        |  FROM toks
+        |), top AS (
+        |  SELECT doc_id, gram, cnt FROM (
+        |    SELECT doc_id, gram, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY doc_id
+        |                         ORDER BY count(*) DESC, gram) AS rn
+        |    FROM (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |    GROUP BY doc_id, gram
+        |  ) WHERE rn = 1
+        |)
+        |SELECT g.doc_id,
+        |  CAST(len(grams) AS INT) AS ngram_total,
+        |  CAST(len(list_distinct(grams)) AS INT) AS ngram_distinct,
+        |  ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+        |  END, 6) AS dup_ngram_frac,
+        |  COALESCE(top.gram, '') AS top_ngram,
+        |  CAST(COALESCE(top.cnt, 0) AS INT) AS top_ngram_count,
+        |  ROUND(CASE WHEN len(grams) = 0 THEN 0.0
+        |    ELSE CAST(COALESCE(top.cnt, 0) * length(COALESCE(top.gram, ''))
+        |              AS DOUBLE) / GREATEST(length(g.text), 1)
+        |  END, 6) AS top_ngram_char_frac
+        |FROM g LEFT JOIN top ON g.doc_id = top.doc_id""".stripMargin,
+
+    // PII twins: identical lookaround-free regexes run under RE2 here
+    // and Java there (greedy char-class patterns are leftmost-identical
+    // in both); the planted fixture rows use the same literals.
+    "text_pii" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    text || ' mail alice.smith@example.com call +49-151-1234-5678 host 192.168.10.42 ssn 123-45-6789'
+        |  FROM documents WHERE doc_id < 3
+        |)
+        |SELECT doc_id, n_emails, n_phones, n_ipv4, n_ids,
+        |  CASE WHEN n_emails + n_phones + n_ipv4 + n_ids > 0
+        |       THEN 1 ELSE 0 END AS has_pii
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |    CAST(len(regexp_extract_all(text, '\+[0-9][0-9\-]{7,}[0-9]')) AS INT) AS n_phones,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ipv4,
+        |    CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS INT) AS n_ids
+        |  FROM base
+        |)""".stripMargin,
+
+    "text_redact" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000,
+        |    text || ' mail alice.smith@example.com call +49-151-1234-5678 host 192.168.10.42 ssn 123-45-6789'
+        |  FROM documents WHERE doc_id < 3
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |    '\+[0-9][0-9\-]{7,}[0-9]', '[PHONE]', 'g'),
+        |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{3}-[0-9]{2}-[0-9]{4}', '[ID]', 'g') AS redacted
+        |FROM base""".stripMargin,
 
     "similarity_topk" ->
       """WITH q AS (

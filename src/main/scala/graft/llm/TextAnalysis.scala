@@ -192,6 +192,117 @@ object TextAnalysis {
       graft.functions.RollingChunkHashes(
         normalize(col(textCol)), avgChunkBits, window))
 
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1): the
+    * duplicate-2-gram fraction and the character share of the single
+    * most frequent 2-gram — the standard "templated / boilerplate
+    * document" quality filters for LLM training corpora. Tokenization
+    * matches the dedup family (lowercase, split on non-alphanumeric).
+    *
+    * Shuffle-free: per-doc 2-gram counts come from `array_sort` + one
+    * run-length fold (the [[charEntropy]] trick), NOT explode+groupBy —
+    * at 100 TB an explode keyed by (doc_id, gram) is a shuffle of the
+    * whole corpus re-written as n-grams, while this stays a per-row
+    * projection at parquet-scan speed. Ties for the top gram break to
+    * the lexicographically smallest (first in sorted order, strict `>`
+    * in the fold), so the output is deterministic across engines. */
+  def repetitionStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    // _toks/_grams bound as attributes first: a HOF lambda body inlines
+    // any OUTER expression it references and re-evaluates it per
+    // element — referencing the split/regex tree inside `transform`
+    // would turn this into O(n²) regex work per row.
+    val bound = df
+      .withColumn("_toks", toks)
+      .withColumn("_grams", array_sort(
+        when(size(col("_toks")) >= 2,
+          transform(sequence(lit(1), size(col("_toks")) - 1),
+            i => concat_ws(" ",
+              element_at(col("_toks"), i), element_at(col("_toks"), i + 1))))
+          .otherwise(array().cast("array<string>"))))
+    // One left-fold over the sorted grams: run lengths count distinct
+    // grams and track the longest run (= max multiplicity) plus its
+    // gram. Strict `>` keeps the FIRST maximal run — the sort makes
+    // that the lexicographically smallest top gram on ties.
+    val zero = struct(lit("").as("prev"), lit(0).as("run"),
+      lit(0).as("nDistinct"), lit(0).as("best"), lit("").as("bestGram"))
+    val folded = aggregate(
+      col("_grams"),
+      zero,
+      (st, x) => {
+        val isNew = st.getField("prev") =!= x
+        val run = when(isNew, lit(1)).otherwise(st.getField("run") + 1)
+        val isBetter = run > st.getField("best")
+        struct(x.as("prev"), run.as("run"),
+          when(isNew, st.getField("nDistinct") + 1)
+            .otherwise(st.getField("nDistinct")).as("nDistinct"),
+          when(isBetter, run).otherwise(st.getField("best")).as("best"),
+          when(isBetter, x).otherwise(st.getField("bestGram")).as("bestGram"))
+      })
+    val total = size(col("_grams")).cast("double")
+    val nChars = greatest(length(col(textCol)), lit(1)).cast("double")
+    bound
+      .withColumn("_rep", folded) // bound once: 4 output columns read it
+      .withColumn("ngram_total", size(col("_grams")))
+      .withColumn("ngram_distinct", col("_rep").getField("nDistinct"))
+      .withColumn("dup_ngram_frac",
+        when(col("ngram_total") === 0, lit(0.0))
+          .otherwise(lit(1.0) - col("ngram_distinct").cast("double") / total))
+      .withColumn("top_ngram", col("_rep").getField("bestGram"))
+      .withColumn("top_ngram_count", col("_rep").getField("best"))
+      .withColumn("top_ngram_char_frac",
+        when(col("ngram_total") === 0, lit(0.0))
+          .otherwise(col("top_ngram_count").cast("double") *
+            length(col("top_ngram")).cast("double") / nChars))
+      .drop("_toks", "_grams", "_rep")
+  }
+
+  /** PII detection patterns. Kept lookaround-free and alternation-free
+    * so the SAME pattern produces the SAME matches under Java regex
+    * (Spark) and RE2 (the DuckDB oracle): greedy character-class
+    * quantifiers are leftmost-identical in both engines. Heuristic by
+    * design — a redaction pass for training corpora, not a compliance
+    * scanner. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+[0-9][0-9\\-]{7,}[0-9]"
+  val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  val IdRe = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+  /** Per-document PII hit counts (emails, intl-format phones, IPv4s,
+    * SSN-shaped ids) + a 0/1 `has_pii` flag — the triage query before
+    * [[piiRedact]]. All counts scan the ORIGINAL text independently,
+    * so overlapping pattern families never mask each other. Narrow
+    * codegen'd projection, zero shuffles. */
+  def piiScan(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val cnt = (re: String) => size(regexp_extract_all(t, lit(re), lit(0)))
+    df
+      .withColumn("n_emails", cnt(EmailRe))
+      .withColumn("n_phones", cnt(PhoneRe))
+      .withColumn("n_ipv4", cnt(Ipv4Re))
+      .withColumn("n_ids", cnt(IdRe))
+      .withColumn("has_pii",
+        (col("n_emails") + col("n_phones") + col("n_ipv4") + col("n_ids") > 0)
+          .cast("int"))
+  }
+
+  /** Masks PII in place with typed placeholders. Passes apply in a
+    * FIXED order (email → phone → IPv4 → id) so nested matches — an
+    * id-shaped run inside a phone number — resolve identically in any
+    * engine replaying the same sequence. */
+  def piiRedact(
+      df: DataFrame,
+      textCol: String = "text",
+      outputCol: String = "redacted"): DataFrame =
+    df.withColumn(outputCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(textCol), EmailRe, "[EMAIL]"),
+            PhoneRe, "[PHONE]"),
+          Ipv4Re, "[IP]"),
+        IdRe, "[ID]"))
+
   /** Canonical text normalization used by fingerprint + exact dedup:
     * trim, lowercase, collapse all whitespace runs to single spaces. */
   def normalize(t: Column): Column =

@@ -89,4 +89,62 @@ class TextAnalysisSpec extends SparkSpec {
         assert(v >= 0.0 && v <= 1.0, s"$c=$v")
       }
   }
+
+  test("repetitionStats: crafted counts, deterministic tie-break, empty-safe") {
+    // "a b a b a" → 2-grams (a b, b a, a b, b a): total 4, distinct 2,
+    // dup frac 0.5; counts tie 2-2 → lexicographic winner "a b"
+    val r = TextAnalysis.repetitionStats(one("a b a b a")).head()
+    assert(r.getAs[Int]("ngram_total") == 4)
+    assert(r.getAs[Int]("ngram_distinct") == 2)
+    assert(math.abs(r.getAs[Double]("dup_ngram_frac") - 0.5) < 1e-12)
+    assert(r.getAs[String]("top_ngram") == "a b")
+    assert(r.getAs[Int]("top_ngram_count") == 2)
+    // 2 occurrences × 3 chars ("a b") / 9 chars of text
+    assert(math.abs(r.getAs[Double]("top_ngram_char_frac") - 6.0 / 9.0) < 1e-12)
+
+    // all-distinct grams → dup frac 0
+    val d = TextAnalysis.repetitionStats(one("one two three four")).head()
+    assert(d.getAs[Int]("ngram_total") == 3)
+    assert(d.getAs[Double]("dup_ngram_frac") == 0.0)
+
+    // fewer than 2 tokens → no grams, zeros not nulls/NaNs
+    Seq("", "word", "!!!").foreach { t =>
+      val e = TextAnalysis.repetitionStats(one(t)).head()
+      assert(e.getAs[Int]("ngram_total") == 0, s"text='$t'")
+      assert(e.getAs[Double]("dup_ngram_frac") == 0.0)
+      assert(e.getAs[Double]("top_ngram_char_frac") == 0.0)
+      assert(e.getAs[String]("top_ngram") == "")
+    }
+  }
+
+  test("repetitionStats: boilerplate scores above varied prose") {
+    val spam = TextAnalysis.repetitionStats(one(
+      "click here buy now click here buy now click here buy now")).head()
+    val prose = TextAnalysis.repetitionStats(one(
+      "the quick brown fox jumps over the lazy dog near the river")).head()
+    assert(spam.getAs[Double]("dup_ngram_frac") >
+      prose.getAs[Double]("dup_ngram_frac"))
+    assert(spam.getAs[Double]("top_ngram_char_frac") >
+      prose.getAs[Double]("top_ngram_char_frac"))
+  }
+
+  test("piiScan/piiRedact: planted hits counted and masked, clean text untouched") {
+    val dirty = "mail alice.smith@example.com or bob@test.org, " +
+      "call +49-151-1234-5678, host 192.168.10.42, ssn 123-45-6789"
+    val r = TextAnalysis.piiScan(one(dirty)).head()
+    assert(r.getAs[Int]("n_emails") == 2)
+    assert(r.getAs[Int]("n_phones") == 1)
+    assert(r.getAs[Int]("n_ipv4") == 1)
+    assert(r.getAs[Int]("n_ids") == 1)
+    assert(r.getAs[Int]("has_pii") == 1)
+
+    val red = TextAnalysis.piiRedact(one(dirty)).head().getAs[String]("redacted")
+    assert(red == "mail [EMAIL] or [EMAIL], call [PHONE], host [IP], ssn [ID]")
+
+    val clean = "no personal data here just plain words"
+    val c = TextAnalysis.piiScan(one(clean)).head()
+    assert(c.getAs[Int]("has_pii") == 0)
+    assert(TextAnalysis.piiRedact(one(clean)).head()
+      .getAs[String]("redacted") == clean)
+  }
 }
