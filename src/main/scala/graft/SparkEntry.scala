@@ -592,6 +592,22 @@ object SparkEntry {
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
     "events_props_agg" -> ((s, dir) =>
       Events.propsAgg(events(s, dir))),
+    // As-of join: each purchase picks the user's latest click at or
+    // before it. Oracle = DuckDB's native ASOF LEFT JOIN over the
+    // same sides (right ties pre-collapsed to max(value) there — the
+    // Spark side resolves them in the window sort, same winner).
+    "events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      Events.asofJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value"),
+        ev.filter(col("event_type") === "click"),
+        Seq("user_id"), "ts", Seq("value"))
+        .withColumn("ts",
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("asof_time",
+          date_format(col("asof_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1359,5 +1375,23 @@ object SparkEntry {
         |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events)""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the ground truth for the composed
+    // union+window operator; right-side (user_id, ts) ties collapse to
+    // max(value) = the struct-max the Spark window sort picks.
+    "events_asof" ->
+      """WITH l AS (
+        |  SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT user_id, ts, max(value) AS value FROM events
+        |  WHERE event_type = 'click' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id,
+        |  strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts, l.value,
+        |  strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS asof_time,
+        |  r.value AS asof_value
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
   )
 }

@@ -37,6 +37,64 @@ object Events {
       .agg(count(lit(1)).as("n_events"),
         round(avg(col("k")), 6).as("avg_k"))
 
+  /** As-of (backward) join: each left row picks the LATEST right row
+    * with the same key and `right.time <= left.time` — the
+    * point-in-time lookup (latest price/click/feature before an event)
+    * that Spark has no native operator for.
+    *
+    * Composed scale-first instead of ported: tag both sides, union,
+    * and run ONE window per key ordered by (time, tag, right-values)
+    * carrying `last(right-values, ignoreNulls)` — a single hash
+    * shuffle on the key, an in-partition sort, NO aggregate and NO
+    * range-condition join (a naive `l.key = r.key AND r.ts <= l.ts`
+    * equi+range join degenerates into per-key cross products at
+    * scale). Right rows sort BEFORE left rows at equal timestamps
+    * (tag 0 < 1), giving inclusive `<=` semantics; right-side ties on
+    * (key, time) are resolved by the value struct itself being the
+    * sort's final key — the struct-max right row sorts last, so
+    * `last` picks it deterministically under any partitioning (a
+    * pre-collapse groupBy(key, time) would cost a SECOND Exchange:
+    * its (key, time) hash partitioning cannot serve the window's
+    * (key) requirement).
+    *
+    * Matched right values land in `asof_<col>` columns plus
+    * `asof_time` (the matched right timestamp); unmatched left rows
+    * keep them null. `toleranceSec` nulls matches older than the
+    * window — rows are KEPT (left-join semantics), not dropped. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      timeCol: String,
+      rightValueCols: Seq[String],
+      toleranceSec: Option[Long] = None): DataFrame = {
+    val keys = keyCols.map(col)
+    val taggedRight = right
+      .select(keys ++ Seq(col(timeCol),
+        struct(col(timeCol).as("asof_time") +:
+          rightValueCols.map(c => col(c).as(s"asof_$c")): _*)
+          .as("_rv")): _*)
+      .withColumn("_tag", lit(0))
+    val tagged = left.withColumn("_tag", lit(1))
+      .unionByName(taggedRight, allowMissingColumns = true)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col(timeCol).asc, col("_tag").asc, col("_rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tagged
+      .withColumn("_match", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_tag") === 1)
+    val bounded = toleranceSec match {
+      case Some(tol) => matched.withColumn("_match",
+        when(col(timeCol).cast("long") -
+          col(s"_match.asof_time").cast("long") <= tol, col("_match")))
+      case None => matched
+    }
+    val outCols = left.columns.toIndexedSeq.map(col) ++
+      (("asof_time" +: rightValueCols.map("asof_" + _))
+        .map(c => col(s"_match.$c").as(c)))
+    bounded.select(outCols: _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —

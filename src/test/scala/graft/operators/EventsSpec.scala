@@ -40,6 +40,68 @@ class EventsSpec extends SparkSpec {
     assert(agg("view")._1 == 2L)
   }
 
+  test("asofJoin: latest right row at-or-before each left time, per key") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 7L, "2024-01-01 00:10:00"), // after r@00:05 -> 5.0
+      (2L, 7L, "2024-01-01 00:20:00"), // after r@00:15 -> 15.0
+      (3L, 7L, "2024-01-01 00:15:00"), // EQUAL ts -> inclusive, 15.0
+      (4L, 7L, "2024-01-01 00:01:00"), // before any right -> null
+      (5L, 9L, "2024-01-01 00:30:00")  // other key, no right rows -> null
+    ).toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq(
+      (7L, "2024-01-01 00:05:00", 5.0),
+      (7L, "2024-01-01 00:15:00", 15.0),
+      (7L, "2024-01-01 00:15:00", 12.0), // tie on (key, ts): max wins
+      (7L, "2024-01-01 00:25:00", 25.0)  // later than every left -> unused
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("value"))
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("asof_value"))).toMap
+    assert(out == Map(1L -> Some(5.0), 2L -> Some(15.0), 3L -> Some(15.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofJoin: tolerance nulls stale matches but keeps the row") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 7L, "2024-01-01 01:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq((7L, "2024-01-01 00:00:00", 5.0))
+      .toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val within = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("value"), toleranceSec = Some(3600L)).head()
+    assert(within.getAs[Double]("asof_value") == 5.0)
+    val stale = Events.asofJoin(left, right, Seq("user_id"), "ts",
+      Seq("value"), toleranceSec = Some(3599L)).collect()
+    assert(stale.length == 1 && stale.head.isNullAt(
+      stale.head.fieldIndex("asof_value")))
+  }
+
+  test("asofJoin: single Exchange (one hash shuffle on the key)") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 7L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((7L, java.sql.Timestamp.valueOf("2024-01-01 00:05:00"), 5.0))
+      .toDF("user_id", "ts", "value")
+    val plan = Events.asofJoin(left, right, Seq("user_id"), "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    // ties collapse inside the window's own sort (no groupBy, whose
+    // (key, time) partitioning would cost a second Exchange); no join
+    // operator at all — the naive equi+range join shape would be a
+    // per-key cross product at 100 TB
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash Exchange, plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("Aggregate"))
+  }
+
   test("sessionize: exact-boundary gap (== gap) stays in session") {
     val s = spark
     import s.implicits._
