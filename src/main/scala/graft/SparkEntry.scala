@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features._
 import graft.llm._
-import graft.operators.{Events, Relational, Skew}
+import graft.operators.{Events, RangeJoin, Relational, Skew}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -608,6 +608,39 @@ object SparkEntry {
         .withColumn("asof_time",
           date_format(col("asof_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
     }),
+    // Bucketed range join: every click within 6h after a purchase by
+    // the same user. Times compared as epoch micros on both engines
+    // (integer domain — no timestamp-unit or truncation hazards);
+    // bucket width = the window span, so each interval lands in ≤ 2
+    // buckets and the plan is a pure equi-join (no nested loop —
+    // PlanAuditSpec asserts it).
+    "events_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          unix_micros(col("ts")).as("click_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("lo_us"),
+          (unix_micros(col("ts")) + lit(21600000000L)).as("hi_us"))
+      RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
+        "click_us", "lo_us", "hi_us", bucketWidth = 21600000000L)
+        .select("user_id", "click_id", "purchase_id", "click_us", "lo_us")
+    }),
+
+    // Sliding-window chunking for context packing: 32-token windows,
+    // stride 24 (8-token overlap). chunk_idx = start/stride in both
+    // engines; ws tokenization matches text_token_stats.
+    "text_chunk" -> ((s, dir) =>
+      TextAnalysis.chunk(documents(s, dir).select("doc_id", "text"),
+        chunkTokens = 32, stride = 24)
+        .select("doc_id", "chunk_idx", "chunk_tokens", "chunk")),
+
+    // Exact TF-IDF top-3 terms per doc — the un-hashed, oracle-checkable
+    // twin of text_tfidf. Rank key is all-integer (tf desc, df asc,
+    // term asc); the float tfidf value rides along rounded to 6dp.
+    "text_tfidf_exact" -> ((s, dir) =>
+      TextFeatures.tfidfExact(documents(s, dir), topK = 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1393,5 +1426,54 @@ object SparkEntry {
         |  r.value AS asof_value
         |FROM l ASOF LEFT JOIN r
         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // Plain inequality join is fine at oracle scale; the Spark side's
+    // bucketed equi-join must produce the identical pair set.
+    "events_range_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, epoch_us(ts) AS click_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS lo_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.user_id, c.click_id, p.purchase_id, c.click_us, p.lo_us
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND c.click_us >= p.lo_us
+        |  AND c.click_us <= p.lo_us + 21600000000""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS toks FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(start // 24 AS INT) AS chunk_idx,
+        |  CAST(LEAST(32, len(toks) - start) AS INT) AS chunk_tokens,
+        |  array_to_string(toks[start + 1 : start + 32], ' ') AS chunk
+        |FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS start
+        |      FROM t)""".stripMargin,
+
+    "text_tfidf_exact" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), terms AS (
+        |  SELECT doc_id, unnest(tokens) AS term FROM toks
+        |), tfc AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT doc_id, term, tf, df_docs,
+        |  ROUND(tf * (ln((n + 1.0) / (df_docs + 1.0)) + 1.0), 6) AS tfidf,
+        |  CAST(rank AS INT) AS rank
+        |FROM (
+        |  SELECT tfc.doc_id, tfc.term, tfc.tf, dfx.df_docs, n.n,
+        |    row_number() OVER (PARTITION BY tfc.doc_id
+        |      ORDER BY tfc.tf DESC, dfx.df_docs ASC, tfc.term ASC) AS rank
+        |  FROM tfc JOIN dfx USING (term) CROSS JOIN n)
+        |WHERE rank <= 3""".stripMargin,
   )
 }

@@ -307,6 +307,52 @@ object TextAnalysis {
     * trim, lowercase, collapse all whitespace runs to single spaces. */
   def normalize(t: Column): Column =
     trim(regexp_replace(lower(t), "\\s+", " "))
+
+  /** Fixed-size sliding-window document chunking — the
+    * context-window-packing step of a training pipeline: each document
+    * becomes ⌈n/stride⌉ chunks of up to `chunkTokens` whitespace
+    * tokens, successive chunks starting `stride` tokens apart (stride <
+    * chunkTokens ⇒ overlapping windows, the usual boundary-context
+    * trick). Tokens are `\S+` runs (the [[tokenStats]] ws tokenization,
+    * so chunk token counts and ws_token_count agree). Documents with no
+    * tokens produce no chunks.
+    *
+    * Emits one row per chunk: all input columns plus `chunk_idx`
+    * (0-based), `chunk_tokens` (actual token count — only the last
+    * chunk per doc can be short), and `chunk` (the window re-joined
+    * with single spaces).
+    *
+    * Scale notes: a pure narrow per-row projection + explode — no
+    * shuffle, no UDF, no state — so it pipelines at parquet-scan speed
+    * and parallelizes per input row at any corpus size. Output
+    * amplification is the intended chunkTokens/stride overlap factor.
+    * The token array and start list are bound as attributes before the
+    * lambda/explode consume them (the [[charEntropy]] HOF-inlining
+    * rule: referencing the regex tree inside a lambda would re-run it
+    * per element). */
+  def chunk(
+      df: DataFrame,
+      textCol: String = "text",
+      chunkTokens: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(chunkTokens > 0 && stride > 0,
+      s"chunkTokens/stride must be positive: $chunkTokens/$stride")
+    val toks = regexp_extract_all(col(textCol), lit("\\S+"), lit(0))
+    val bound = df
+      .withColumn("_toks", toks)
+      .withColumn("_starts",
+        when(size(col("_toks")) > 0,
+          sequence(lit(0), size(col("_toks")) - 1, lit(stride)))
+          .otherwise(array().cast("array<int>")))
+    bound
+      .select(col("*"),
+        posexplode(col("_starts")).as(Seq("chunk_idx", "_start")))
+      .withColumn("chunk_tokens",
+        least(lit(chunkTokens), size(col("_toks")) - col("_start")))
+      .withColumn("chunk",
+        array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " "))
+      .drop("_toks", "_starts", "_start")
+  }
 }
 
 /** High-frequency function words per language (public linguistic

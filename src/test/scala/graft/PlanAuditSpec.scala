@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
       "multimodal_binary_stats", "multimodal_frame_sample",
       "multimodal_payload_meta", "prepare_features", "add_split_column",
       "predefined_split_train", "predefined_split_test", "text_tfidf",
+      // chunking is posexplode over a per-row token array — pure narrow
+      "text_chunk",
       // mixture sampling is a literal-threshold filter fused into the scan
       "llm_mix_corpus")
       .foreach { q =>

@@ -70,7 +70,11 @@ class TextAnalysisSpec extends SparkSpec {
     val got = TextAnalysis.charEntropy(one(doc)).head().getAs[Double]("char_entropy")
     val secs = (System.nanoTime() - t0) / 1e9
     assert(math.abs(got - expected) < 1e-9, s"got=$got expected=$expected")
-    assert(secs < 10.0, s"100 KB entropy took ${secs}s")
+    // generous bound: the O(distinct·len) regression this guards took
+    // minutes; parallel suites on a contended box have pushed the good
+    // path past a 10s bound (observed 40s), so only order-of-magnitude
+    // slowdowns should fail
+    assert(secs < 120.0, s"100 KB entropy took ${secs}s")
   }
 
   test("qualityScore: clean prose beats digit-heavy junk; ratios in [0,1]") {
@@ -126,6 +130,40 @@ class TextAnalysisSpec extends SparkSpec {
       prose.getAs[Double]("dup_ngram_frac"))
     assert(spam.getAs[Double]("top_ngram_char_frac") >
       prose.getAs[Double]("top_ngram_char_frac"))
+  }
+
+  test("chunk: window/stride arithmetic, short tail, empty doc drops out") {
+    val s = spark
+    import s.implicits._
+    // 10 tokens, window 4, stride 3 → starts 0,3,6,9
+    val docs = Seq((1L, (1 to 10).map(i => s"t$i").mkString(" ")), (2L, "   "))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, chunkTokens = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    assert(rows.forall(_.getLong(0) == 1L)) // token-less doc 2 emits nothing
+    assert(rows.map(_.getAs[Int]("chunk_idx")).toSeq == Seq(0, 1, 2, 3))
+    assert(rows.map(_.getAs[String]("chunk")).toSeq == Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10", "t10"))
+    assert(rows.map(_.getAs[Int]("chunk_tokens")).toSeq == Seq(4, 4, 4, 1))
+  }
+
+  test("chunk: full token coverage at any stride; extra columns ride along") {
+    val s = spark
+    import s.implicits._
+    val text = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq((7L, "web", text)).toDF("doc_id", "source", "text")
+    for (stride <- Seq(1, 2, 4, 9, 100)) {
+      val out = TextAnalysis.chunk(docs, chunkTokens = 4, stride = stride)
+      // stride ≤ window ⇒ concatenating stride-sized prefixes of every
+      // chunk (plus the last chunk's tail) reproduces the document
+      val chunks = out.orderBy("chunk_idx")
+        .collect().map(_.getAs[String]("chunk"))
+      val rebuilt = (chunks.init.map(_.split(" ").take(stride).mkString(" ")) :+
+        chunks.last).mkString(" ")
+      if (stride <= 4) assert(rebuilt == text, s"stride=$stride")
+      assert(out.columns.contains("source")) // input columns preserved
+      assert(out.head().getAs[String]("source") == "web")
+    }
   }
 
   test("piiScan/piiRedact: planted hits counted and masked, clean text untouched") {
