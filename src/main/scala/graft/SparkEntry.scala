@@ -281,6 +281,14 @@ object SparkEntry {
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+    // simhash as candidate generator + exact-Jaccard verification —
+    // ground-truth output, so it DOES get the brute-force oracle
+    // (all-pairs Jaccard ≥ 0.5). Exact on this fixture: every
+    // qualifying pair measured Hamming ≤ 5 and len-bucket delta ≤ 1,
+    // inside maxHamming=6 / bands=8 / ±1 salt replication — the row
+    // guards simhash recall end-to-end, not just schema.
+    "dedup_simhash_verified" -> ((s, dir) =>
+      Dedup.simhashVerified(documents(s, dir), minJaccard = 0.5)),
     // Incremental dedup: the batch tail (last decimal-digit ids) deduped
     // against the keeper hashes of the historical 80% — the same split
     // both engines can compute, so the anti-join is oracle-exact.
@@ -775,6 +783,30 @@ object SparkEntry {
         |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.2""".stripMargin,
+
+    // Same ground truth at the 0.5 threshold for the simhash-candidate
+    // verified path (recall margin measured on the fixture: worst
+    // Hamming 5 vs cutoff 6, worst len-bucket delta 1 vs ±1 salt).
+    "dedup_simhash_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5""".stripMargin,
 
     "dedup_minhash_incremental" ->
       """WITH toks AS (

@@ -709,6 +709,38 @@ object Dedup {
       .distinct()
   }
 
+  /** SimHash candidate generation followed by EXACT n-gram Jaccard
+    * verification — the production near-dup pattern ([[minhashPairs]]'s
+    * shape with simhash as the sketch): fingerprint+band once, Hamming-
+    * filter the banded candidates, then verify ONLY the survivors with
+    * [[ngramJaccard]] and keep pairs at `minJaccard`. Where
+    * [[simhashPairs]] reports the sketch distance itself (Hamming),
+    * this returns ground-truth `(id_a, id_b, jaccard)` — precision is
+    * exact by construction; recall is the sketch's (a true near-dup
+    * missed by banding+Hamming never reaches verification, so size
+    * `maxHamming`/`bands` for the corpus; the pigeonhole bound
+    * `maxHamming < bands` is enforced downstream).
+    *
+    * Scale: identical plan skeleton to [[simhashPairs]] (one
+    * fingerprint shuffle reused across both self-join sides) plus one
+    * candidate-only verification join — verification cost scales with
+    * the candidate count, never the corpus. */
+  def simhashVerified(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.5,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      salted: Boolean = true): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val candidates = simhashPairs(docs, textCol, idCol, maxHamming,
+        bands, salted)
+      .select("id_a", "id_b")
+    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
   /** Banded candidate pairs with exact Hamming distance, BEFORE the
     * `maxHamming` filter — package-visible so specs can measure bucket
     * fan-out (the quantity the salt exists to bound) directly. */

@@ -126,6 +126,19 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhashVerified: finds planted near-dups with exact jaccard, " +
+      "no unrelated pairs") {
+    val out = Dedup.simhashVerified(planted, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    // mangled copy normalizes token-identical → jaccard 1.0; one-word
+    // edit lands strictly inside (0.5, 1.0)
+    assert(out((0L, 100000L)) == 1.0)
+    assert(out((1L, 100001L)) > 0.5 && out((1L, 100001L)) < 1.0)
+    // verification is exact: nothing below the threshold survives
+    assert(out.values.forall(_ >= 0.5))
+  }
+
   test("ngramJaccard: identical pair scores 1.0, edited pair in (0,1)") {
     val s = spark
     import s.implicits._
