@@ -649,6 +649,39 @@ object SparkEntry {
     // term asc); the float tfidf value rides along rounded to 6dp.
     "text_tfidf_exact" -> ((s, dir) =>
       TextFeatures.tfidfExact(documents(s, dir), topK = 3)),
+
+    // Exhaustive-probe IVF: nProbe = nCells visits every cell, so the
+    // candidate set is the entire corpus and the probe MUST return
+    // exactly the brute-force top-k — the whole index machinery
+    // (assignment, multi-assign replication, cell equi-join, replica
+    // dedup, ranking) held to the same DuckDB brute-force oracle as
+    // similarity_topk. Rounding before ranking (roundAt) makes the
+    // tie order cross-engine-stable, as in cosineTopK.
+    "similarity_ivf_exhaustive" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val idx = Similarity.ivfIndex(emb, nCells = 16)
+      Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 10),
+        k = 10, nProbe = 16, roundAt = 6)
+    }),
+
+    // Sequence packing: concatenate-and-split bin assignment — each
+    // doc's bin is where its first token lands when the source's docs
+    // are concatenated in doc_id order and cut into 512-token
+    // sequences. One prefix-sum window per source; DuckDB twin is the
+    // identical running-total window.
+    "text_pack_bins" -> ((s, dir) =>
+      TextAnalysis.packBins(
+        documents(s, dir).select("doc_id", "source", "text"),
+        binTokens = 512)
+        .select("doc_id", "source", "n_tokens", "tokens_before",
+          "bin_id", "bin_offset")),
+
+    // TPC-H Q3 shape: top-10 open BUILDING orders by outstanding
+    // revenue. Global top-k plans as TakeOrderedAndProject (per-task
+    // k-row heap + driver merge — no full sort at any scale).
+    "orders_top_revenue" -> ((s, dir) =>
+      Relational.topRevenueOrders(lineitem(s, dir),
+        Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1507,5 +1540,58 @@ object SparkEntry {
         |      ORDER BY tfc.tf DESC, dfx.df_docs ASC, tfc.term ASC) AS rank
         |  FROM tfc JOIN dfx USING (term) CROSS JOIN n)
         |WHERE rank <= 3""".stripMargin,
+
+    // identical to similarity_topk's brute-force oracle: an exhaustive
+    // probe must reproduce it bit-for-bit
+    "similarity_ivf_exhaustive" ->
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10
+        |), scored AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(q.q_emb, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.query_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank, cosine FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |  FROM scored
+        |) WHERE rn <= 10""".stripMargin,
+
+    "text_pack_bins" ->
+      """SELECT doc_id, source,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before,
+        |  CAST(tokens_before // 512 AS BIGINT) AS bin_id,
+        |  CAST(tokens_before % 512 AS BIGINT) AS bin_offset
+        |FROM (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    COALESCE(SUM(len(regexp_extract_all(text, '\S+'))) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM documents)""".stripMargin,
+
+    "orders_top_revenue" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS order_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate > TIMESTAMP '1998-06-01'
+        |  GROUP BY 1
+        |)
+        |SELECT o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o.o_orderpriority,
+        |  ROUND(p.order_rev, 2) AS revenue
+        |FROM per_order p
+        |JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |  AND c.c_mktsegment = 'BUILDING'
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
   )
 }

@@ -195,22 +195,30 @@ object Similarity {
     * Returns the same shape as [[cosineTopK]]; recall < 1.0 by design,
     * measured by [[recallAgainst]]. Scale: probes (|queries| × nProbe
     * rows) are broadcast; the cell equi-join touches only probed cells;
-    * the one shuffle is the per-query top-k window. */
+    * the one shuffle is the per-query top-k window.
+    *
+    * `roundAt` mirrors [[cosineTopK]]: round the cosine BEFORE ranking
+    * (ties then break on neighbor_id) so that an EXHAUSTIVE probe
+    * (`nProbe = nCells` — every cell visited, candidate set = whole
+    * corpus) returns bitwise the same rows as the brute-force twin and
+    * can be held to the same DuckDB oracle. */
   def ivfProbe(
       index: IvfIndex,
       queries: DataFrame,
       k: Int = 10,
       nProbe: Int = 4,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      roundAt: Int = -1): DataFrame = {
     val ranked = sort_array(cellScores(col("q_emb"), index.centroids), asc = false)
     val probes = queries
       .select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
       .withColumn("cell",
         explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell"))))
+    val sim = cosine(col("q_emb"), col("c_emb"))
     val scored = index.cells.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("cosine", if (roundAt >= 0) round(sim, roundAt) else sim)
     // multi-assignment can surface the same neighbor from two probed
     // cells; collapse replicas with a partial-aggregated groupBy (the
     // duplicate rows carry identical cosines, so max == first; the

@@ -353,6 +353,45 @@ object TextAnalysis {
         array_join(slice(col("_toks"), col("_start") + 1, lit(chunkTokens)), " "))
       .drop("_toks", "_starts", "_start")
   }
+
+  /** Sequence-packing bin assignment — the "concatenate-and-split"
+    * batching step of a training pipeline (documents are streamed in a
+    * fixed order per group, concatenated, and cut into
+    * `binTokens`-sized training sequences): each document is assigned
+    * the bin its FIRST token lands in. Emits per doc: `n_tokens`
+    * (whitespace tokens, the [[tokenStats]] tokenization),
+    * `tokens_before` (running total of earlier docs in the group),
+    * `bin_id` (= tokens_before / binTokens), and `bin_offset`
+    * (= tokens_before % binTokens, the doc's start position inside its
+    * bin). Deterministic: the order is (groupCol, idCol), no RNG.
+    *
+    * Scale: packing is inherently a sequential prefix-sum per group, so
+    * the one shuffle is the running-total window partitioned by
+    * `groupCol` — parallel ACROSS groups (sources/shards), sequential
+    * within. For a single giant group, pre-shard upstream (e.g. add a
+    * `pmod(xxhash64(id), nShards)` column and pack per (group, shard));
+    * the assignment stays deterministic because the order key inside
+    * each partition is still `idCol`. The window carries one LONG of
+    * state per row — no buffering of the frame — and everything else is
+    * a narrow projection. */
+  def packBins(
+      df: DataFrame,
+      binTokens: Int = 2048,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      groupCol: String = "source"): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", (col("tokens_before") / binTokens).cast("long"))
+      .withColumn("bin_offset", col("tokens_before") % binTokens)
+  }
 }
 
 /** High-frequency function words per language (public linguistic

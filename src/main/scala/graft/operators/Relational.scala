@@ -53,4 +53,54 @@ object Relational {
       .agg(sum(col("n_items")).as("n_lineitems"),
         round(sum(col("order_rev")), 2).as("revenue"))
   }
+
+  /** Top-k open orders by outstanding revenue for one market segment —
+    * the shipping-priority query shape (TPC-H Q3): lineitem ⋈ orders ⋈
+    * customer with date predicates on both fact sides, grouped per
+    * order, globally top-k.
+    *
+    * The at-scale plan, in order:
+    *  - both date predicates are pushed into the parquet scans
+    *    (`l_shipdate > cutoff` on lineitem, `o_orderdate < cutoff` on
+    *    orders) — at 100 TB with date-partitioned facts this is
+    *    partition pruning, not just row-group skipping;
+    *  - lineitem pre-aggregates to one revenue row per order key BEFORE
+    *    joining (partial-combined shuffle, ~4× input reduction);
+    *  - the segment filter shrinks customer first; the two key joins
+    *    shuffle only the filtered sides (AQE broadcasts whichever side
+    *    collapses below the threshold at runtime);
+    *  - the global top-k plans as `TakeOrderedAndProject` — each task
+    *    keeps a k-row heap, the driver merges; NO full sort, NO single
+    *    ordered partition, regardless of corpus size.
+    *
+    * Ties break on `o_orderkey` so the row set is deterministic;
+    * revenue is rounded to cents (cross-engine sum-order noise ~1e-5,
+    * see [[revenueByNation]]); the date is formatted as a string in the
+    * output (driver-diff timestamp parity). */
+  def topRevenueOrders(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      segment: String = "BUILDING",
+      cutoff: String = "1998-06-01",
+      k: Int = 10): DataFrame = {
+    val perOrder = lineitem
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("order_rev"))
+    perOrder
+      .join(orders.filter(col("o_orderdate") < lit(cutoff).cast("timestamp"))
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.filter(col("c_mktsegment") === segment)
+          .select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"),
+        round(col("order_rev"), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(k)
+  }
 }

@@ -88,6 +88,22 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("ivfProbe exhaustive (nProbe = nCells) equals brute-force top-k exactly") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10, roundAt = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    val idx = Similarity.ivfIndex(embeddings, nCells = 16)
+    val exhaustive = Similarity.ivfProbe(idx, queries, k = 10, nProbe = 16,
+      roundAt = 6)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3))).toSet
+    // every cell probed ⇒ candidate set = whole corpus ⇒ identical rows,
+    // ranks, and rounded cosines — the oracle contract of
+    // similarity_ivf_exhaustive
+    assert(exhaustive == truth)
+  }
+
   test("ivfIndex: null embeddings are excluded from the fit with a clear error") {
     val s = spark
     import s.implicits._

@@ -166,6 +166,30 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("packBins: hand-computed bin assignment; independent per group") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three"),        // 3 toks, before=0 → bin 0 off 0
+      (2L, "a", "four five six seven"),  // 4 toks, before=3 → bin 0 off 3
+      (3L, "a", "eight nine"),           // 2 toks, before=7 → bin 1 off 2
+      (4L, "b", "x y z w v u t s"),      // 8 toks, before=0 → bin 0 off 0
+      (5L, "b", "")                      // 0 toks, before=8 → bin 1 off 3
+    ).toDF("doc_id", "source", "text")
+    val out = TextAnalysis.packBins(docs, binTokens = 5)
+      .orderBy("source", "doc_id")
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("tokens_before"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("bin_offset")))
+    assert(out.toSeq == Seq(
+      (1L, 3, 0L, 0L, 0L),
+      (2L, 4, 3L, 0L, 3L),
+      (3L, 2, 7L, 1L, 2L),
+      (4L, 8, 0L, 0L, 0L),
+      (5L, 0, 8L, 1L, 3L)))
+  }
+
   test("piiScan/piiRedact: planted hits counted and masked, clean text untouched") {
     val dirty = "mail alice.smith@example.com or bob@test.org, " +
       "call +49-151-1234-5678, host 192.168.10.42, ssn 123-45-6789"

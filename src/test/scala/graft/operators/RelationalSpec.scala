@@ -31,4 +31,34 @@ class RelationalSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
       plan.take(800))
   }
+
+  test("topRevenueOrders: equals the direct formulation; top-k is heap-based") {
+    val cutoff = "1998-06-01"
+    val out = Relational.topRevenueOrders(
+      t("lineitem"), t("orders"), t("customer"),
+      segment = "BUILDING", cutoff = cutoff, k = 10)
+    // direct formulation: join first, aggregate after, sort everything
+    val direct = t("lineitem")
+      .filter(col("l_shipdate") > lit(cutoff).cast("timestamp"))
+      .join(t("orders").filter(col("o_orderdate") < lit(cutoff).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer").filter(col("c_mktsegment") === "BUILDING"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+    val a = out.collect().map(_.toSeq).toSeq
+    val b = direct.collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty && a.size <= 10)
+    val plan = out.queryExecution.executedPlan.toString
+    // global top-k must be the per-task-heap operator, never a full sort
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    // both date predicates reach their parquet scans
+    assert(plan.contains("PushedFilters"), plan.take(800))
+  }
 }
