@@ -682,6 +682,19 @@ object SparkEntry {
     "orders_top_revenue" -> ((s, dir) =>
       Relational.topRevenueOrders(lineitem(s, dir),
         Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
+
+    // Cardinality profile: exact countDistinct here (the oracle path);
+    // the registered API's approx=true flips to HyperLogLog++ sketches
+    // for the at-scale shape (EventsSpec pins its error bound).
+    "events_cardinality" -> ((s, dir) =>
+      Events.cardinality(events(s, dir))),
+
+    // Corpus-shape profiling: per-source token-length quantiles. Exact
+    // sort-based percentile matches DuckDB quantile_cont bit-exactly
+    // (the robust_scaling parity result); approx_percentile is the
+    // documented at-scale twin.
+    "text_length_quantiles" -> ((s, dir) =>
+      TextAnalysis.lengthQuantiles(documents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1593,5 +1606,24 @@ object SparkEntry {
         |  AND c.c_mktsegment = 'BUILDING'
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "events_cardinality" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "text_length_quantiles" ->
+      """WITH n AS (
+        |  SELECT source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS n_tokens
+        |  FROM documents
+        |)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(n_tokens, 0.25), 6) AS p25,
+        |  ROUND(quantile_cont(n_tokens, 0.50), 6) AS p50,
+        |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
+        |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
+        |FROM n GROUP BY 1""".stripMargin,
   )
 }

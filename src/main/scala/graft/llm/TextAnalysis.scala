@@ -392,6 +392,44 @@ object TextAnalysis {
       .withColumn("bin_id", (col("tokens_before") / binTokens).cast("long"))
       .withColumn("bin_offset", col("tokens_before") % binTokens)
   }
+
+  /** Token-length distribution per group (source/lang/shard) — the
+    * corpus-shape profiling query behind curation thresholds ("what is
+    * p95 doc length per crawl source?").
+    *
+    * Exact path (`exact = true`, validation/oracle): Spark's sort-based
+    * `percentile` aggregate, whose linear interpolation matches DuckDB
+    * `quantile_cont` bit-exactly (the robust_scaling parity result) —
+    * but it buffers each group's value multiset, so it is the
+    * small-SF/oracle path only. At-scale path (`exact = false`):
+    * `approx_percentile` (Greenwald–Khanna sketch, `accuracy`
+    * parameter) — bounded state per group, map-side combined, one
+    * shuffle of sketches. Same output shape, swap one flag. */
+  def lengthQuantiles(
+      df: DataFrame,
+      groupCol: String = "source",
+      textCol: String = "text",
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val nToks = size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+      .cast("double")
+    val probs = "array(0.25D, 0.5D, 0.75D, 0.95D)"
+    val q =
+      if (exact) expr(s"percentile(n_tokens, $probs)")
+      else expr(s"approx_percentile(n_tokens, $probs, $accuracy)")
+    // quantiles rounded 6dp: the p95 interpolation fraction (0.95) is
+    // not binary-exact, so the two engines' lo + frac·(hi−lo) can
+    // differ in the last ulp (3.8499999999999996 vs 3.85) — the
+    // standard cross-engine float-parity trick used across the repo
+    df.select(col(groupCol), nToks.as("n_tokens"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), q.as("q"))
+      .select(col(groupCol), col("n_docs"),
+        round(col("q").getItem(0), 6).as("p25"),
+        round(col("q").getItem(1), 6).as("p50"),
+        round(col("q").getItem(2), 6).as("p75"),
+        round(col("q").getItem(3), 6).as("p95"))
+  }
 }
 
 /** High-frequency function words per language (public linguistic

@@ -95,6 +95,37 @@ object Events {
     bounded.select(outCols: _*)
   }
 
+  /** Cardinality profile per (event_type, day): event count + distinct
+    * users — the "how big is each slice really" monitoring query every
+    * ingest pipeline runs.
+    *
+    * Two paths, matching the robust_scaling exact/approx pattern:
+    *  - `approx = false` (validation/oracle): `countDistinct`, which
+    *    Catalyst plans as a two-phase aggregate (partial distinct on
+    *    (group, user), then final count) — exact, but the first phase
+    *    keys on group × user, so its shuffle grows with the distinct
+    *    count;
+    *  - `approx = true` (the 100 TB path): HyperLogLog++
+    *    (`approx_count_distinct`, `rsd` relative error) — sketch state
+    *    is a fixed few KB per group regardless of user count, fully
+    *    map-side combined, ONE shuffle of sketches, mergeable across
+    *    days/reruns. At a billion users per day the exact path's
+    *    expand-shuffle is the bottleneck; the sketch's is not.
+    * EventsSpec pins the approx path inside its error bound against the
+    * exact path. */
+  def cardinality(
+      events: DataFrame,
+      approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
+    val users =
+      if (approx) approx_count_distinct(col("user_id"), rsd)
+      else countDistinct(col("user_id"))
+    events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"), users.as("n_users"))
+  }
+
   /** Gap-based sessionization: a new session starts when the gap to the
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —

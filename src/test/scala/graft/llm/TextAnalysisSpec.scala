@@ -190,6 +190,28 @@ class TextAnalysisSpec extends SparkSpec {
       (5L, 0, 8L, 1L, 3L)))
   }
 
+  test("lengthQuantiles: hand-computed interpolated quantiles; approx tracks exact") {
+    val s = spark
+    import s.implicits._
+    // source a: token counts 1,2,3,4 → p25=1.75 p50=2.5 p75=3.25 p95=3.85
+    val docs = Seq(
+      ("a", "x"), ("a", "x x"), ("a", "x x x"), ("a", "x x x x"),
+      ("b", "y y y y y")
+    ).toDF("source", "text")
+    val out = TextAnalysis.lengthQuantiles(docs)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(out("a") == ((4L, 1.75, 2.5, 3.25, 3.85)))
+    assert(out("b") == ((1L, 5.0, 5.0, 5.0, 5.0)))
+
+    // GK sketch path: same shape, close values at full accuracy
+    val approx = TextAnalysis.lengthQuantiles(docs, exact = false)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(approx("a") - 2.0) <= 1.0) // GK returns a real sample
+    assert(approx("b") == 5.0)
+  }
+
   test("piiScan/piiRedact: planted hits counted and masked, clean text untouched") {
     val dirty = "mail alice.smith@example.com or bob@test.org, " +
       "call +49-151-1234-5678, host 192.168.10.42, ssn 123-45-6789"

@@ -21,6 +21,39 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("cardinality: exact counts on a crafted day; approx within rsd bound") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "click", "2024-01-01 10:00:00", 7L),
+      (2L, "click", "2024-01-01 11:00:00", 7L), // same user, same day
+      (3L, "click", "2024-01-01 12:00:00", 9L),
+      (4L, "click", "2024-01-02 10:00:00", 7L), // next day
+      (5L, "view", "2024-01-01 10:30:00", 7L)
+    ).toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.cardinality(df)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      ("click", "2024-01-01") -> ((3L, 2L)),
+      ("click", "2024-01-02") -> ((1L, 1L)),
+      ("view", "2024-01-01") -> ((1L, 1L))))
+
+    // the HLL path stays inside its relative-error bound on real data
+    val ev = graft.sources.Sources.eventsTable(spark, sf0001)
+    val exact = Events.cardinality(ev)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    val approx = Events.cardinality(ev, approx = true, rsd = 0.02)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (k, e) =>
+      val a = approx(k)
+      assert(math.abs(a - e) <= math.max(3.0, 0.1 * e),
+        s"$k: exact=$e approx=$a")
+    }
+  }
+
   test("extractProps/propsAgg: JSON payload parsed and aggregated") {
     val s = spark
     import s.implicits._
