@@ -52,7 +52,15 @@ class PlanAuditSpec extends SparkSpec {
       "llm_decontaminate" -> 2,
       // one window shuffle on source; row_number <= k is rewritten to a
       // WindowGroupLimit so map tasks keep <= k rows per source
-      "llm_source_quota" -> 1)
+      "llm_source_quota" -> 1,
+      // sequence packing: one prefix-sum window on the group key
+      "text_pack_bins" -> 1,
+      // per-group exact percentile: one partial-combined aggregate
+      "text_length_quantiles" -> 1,
+      // exact countDistinct = two-phase (partial distinct on
+      // group × user, then final count); the approx=true HLL path
+      // collapses to one sketch shuffle at scale
+      "events_cardinality" -> 2)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,
@@ -86,6 +94,7 @@ class PlanAuditSpec extends SparkSpec {
     val fits = Set("validation_curves", "predefined_split_fit",
       "dim_reduction_kmeans", "dim_reduction_pca",
       "probability_prediction", "similarity_ivf",
+      "similarity_ivf_exhaustive", // same ivfIndex fit at construction
       "similarity_ivf_persisted", "dedup_minhash_incremental",
       "dedup_embedding_incremental")
     (SparkEntry.queries.keySet -- fits).foreach { q =>
