@@ -695,6 +695,12 @@ object SparkEntry {
     // documented at-scale twin.
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(documents(s, dir))),
+
+    // Deterministic held-out split: same doc → same split across
+    // engines/partitionings/reruns (md5-bucket thresholds, the
+    // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
+    "llm_hash_split" -> ((s, dir) =>
+      Curate.hashSplit(documents(s, dir).select("doc_id", "source"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1625,5 +1631,17 @@ object SparkEntry {
         |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
         |FROM n GROUP BY 1""".stripMargin,
+
+    // thresholds = cumulative weights on the 16-bit bucket:
+    // round(0.90 * 65536) = 58982 = e666, round(0.95 * 65536) = 62259
+    // = f333 — the same literals hashSplit bakes into the Spark plan
+    "llm_hash_split" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |         THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
   )
 }

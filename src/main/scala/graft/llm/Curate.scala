@@ -86,6 +86,46 @@ object Curate {
         element_at(thrMap, col(sourceCol)))
   }
 
+  /** Deterministic train/val/test (or any n-way) split by hashed id —
+    * the held-out-set assignment step of a corpus pipeline. The 16-bit
+    * md5 bucket of the id (the [[mixCorpus]] recipe: first four hex
+    * chars, fixed-width lowercase hex compares lexicographically ==
+    * numerically) is partitioned by cumulative weight thresholds, so:
+    * the same doc lands in the same split across re-runs, engines,
+    * partition layouts and cluster sizes; adding new documents NEVER
+    * reassigns existing ones (the property `rand()`-based splits and
+    * `randomSplit` cannot give — their assignment changes with the
+    * partitioning); and split shares are within 1/65536 of the
+    * requested weights. Weights are normalized; order matters (it
+    * fixes which hash range each name owns).
+    *
+    * Scale: a pure narrow projection — the thresholds are plan
+    * literals, no shuffle, no state, fused into the scan. */
+  def hashSplit(
+      docs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      idCol: String = "doc_id",
+      outputCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "weights must name at least one split")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate split names in $weights")
+    weights.foreach { case (name, w) =>
+      require(w > 0, s"weight for $name must be > 0, got $w") }
+    val total = weights.map(_._2).sum
+    // cumulative upper thresholds for all but the last split; the last
+    // takes the remaining hash range unconditionally (no "g" sentinel
+    // needed — otherwise rounding could orphan the top bucket)
+    val thresholds = weights.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => f"${math.min(65535L, math.round(c / total * 65536)).toInt}%04x")
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val label = thresholds.zip(weights.map(_._1)).foldRight(
+      lit(weights.last._1)) { case ((thr, name), els) =>
+      when(bucket < lit(thr), lit(name)).otherwise(els)
+    }
+    docs.withColumn(outputCol, label)
+  }
+
   /** Per-source quality quota: at most `k` docs per source, ranked by
     * quality score (6dp-rounded so the rank key is stable across
     * engines) with the doc id as the deterministic tiebreak. The

@@ -31,7 +31,9 @@ class PlanAuditSpec extends SparkSpec {
       // chunking is posexplode over a per-row token array — pure narrow
       "text_chunk",
       // mixture sampling is a literal-threshold filter fused into the scan
-      "llm_mix_corpus")
+      "llm_mix_corpus",
+      // hash split is a literal-threshold CASE fused into the scan
+      "llm_hash_split")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")

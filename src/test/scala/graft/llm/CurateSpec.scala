@@ -78,6 +78,37 @@ class CurateSpec extends SparkSpec {
     Curate.mixCorpus(base, Map("s0" -> 1.0 / 65536)).count()
   }
 
+  test("hashSplit: deterministic, partition-stable, shares track weights") {
+    val out = Curate.hashSplit(docs.select("doc_id"))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum.toDouble
+    // every doc labeled, all three splits present, shares near weights
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(n == docs.count())
+    assert(math.abs(counts("train") / n - 0.9) < 0.1)
+    // stability: the assignment of a doc does not depend on which other
+    // docs are in the frame (the anti-randomSplit property)
+    val subset = Curate.hashSplit(docs.select("doc_id")
+      .filter(col("doc_id") % 2 === 0))
+    val full = out.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subset.collect().foreach { r =>
+      assert(full(r.getLong(0)) == r.getString(1))
+    }
+    // normalization: unnormalized weights give the same assignment
+    val scaled = Curate.hashSplit(docs.select("doc_id"),
+      weights = Seq("train" -> 18.0, "val" -> 1.0, "test" -> 1.0))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scaled == full)
+    // bad weights rejected
+    intercept[IllegalArgumentException] {
+      Curate.hashSplit(docs, weights = Seq("a" -> 1.0, "a" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Curate.hashSplit(docs, weights = Seq("a" -> 0.0))
+    }
+  }
+
   test("sourceQuota: at most k per source, ranked by quality with id tiebreak") {
     val s = spark
     import s.implicits._
