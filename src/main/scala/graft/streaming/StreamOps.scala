@@ -50,6 +50,33 @@ object StreamOps {
         col("event_type"), col("n_events"), col("total_value"))
   }
 
+  /** Streaming cardinality profile: distinct users per
+    * (event-time window, event_type) via HyperLogLog++ sketches — the
+    * streaming twin of `operators.Events.cardinality`. The sketch path
+    * is not a convenience here but a REQUIREMENT: exact distinct
+    * aggregation is unsupported on streams (its per-group value set is
+    * unbounded state), while HLL state is a fixed few KB per group,
+    * mergeable across micro-batches, and evicted with the window once
+    * the watermark passes. The same constraint is why `approx = true`
+    * is the batch operator's documented 100 TB path — the stream just
+    * makes it mandatory sooner.
+    *
+    * StreamingSpec asserts stream == batch on the same frame and pins
+    * the sketch against the exact batch counts. */
+  def cardinalityStream(
+      events: DataFrame,
+      windowDur: String = "1 day",
+      watermark: Option[String] = None,
+      rsd: Double = 0.05): DataFrame = {
+    val in = watermark.fold(events)(w => events.withWatermark("ts", w))
+    in.groupBy(window(col("ts"), windowDur), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id"), rsd).as("n_users"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("n_users"))
+  }
+
   /** Streaming exact dedup: keep the first arrival per content key
     * within the watermark horizon, REGARDLESS of each duplicate's own
     * timestamp — `dropDuplicatesWithinWatermark` keys state on

@@ -46,6 +46,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cardinalityStream: streaming HLL matches batch HLL and tracks exact") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evRows = Seq(
+      (1L, "click", "2024-01-01 10:00:00", 7L),
+      (2L, "click", "2024-01-01 11:00:00", 7L), // same user, same day
+      (3L, "click", "2024-01-01 12:00:00", 9L),
+      (4L, "click", "2024-01-02 10:00:00", 7L), // next day
+      (5L, "view", "2024-01-01 10:30:00", 7L))
+    def ev(df: DataFrame): DataFrame =
+      df.toDF("event_id", "event_type", "ts_s", "user_id")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+    val batch = StreamOps.cardinalityStream(ev(evRows.toDF()))
+      .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+
+    val stream = MemoryStream[(Long, String, String, Long)]
+    stream.addData(evRows: _*)
+    val q = StreamOps.cardinalityStream(
+      ev(stream.toDF), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("card")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("card")
+        .orderBy("window_start", "event_type").collect().map(_.toSeq).toSeq
+      assert(streamed == batch)
+      // the sketch equals the exact distinct counts on this tiny fixture
+      val exact = graft.operators.Events.cardinality(ev(evRows.toDF()))
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3))
+        .toMap // (event_type, day) -> n_users
+      streamed.foreach { row =>
+        val eventType = row(1).asInstanceOf[String]
+        val day = row(0).toString.take(10)
+        assert(row(3).asInstanceOf[Long] == exact((eventType, day)),
+          s"($eventType, $day)")
+      }
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate keys within the horizon are dropped") {
     val s = spark
     import s.implicits._
