@@ -367,6 +367,15 @@ object SparkEntry {
     // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
+    // CDC candidates + exact shared-8-gram verification — ground-truth
+    // output, so it gets the brute-force oracle (all-pairs shared
+    // distinct 8-grams ≥ 10 in DuckDB). Exact on this fixture: every
+    // qualifying pair shares a passage long enough (≥ 17 tokens) to
+    // contain complete 16-char-avg chunks, so the fine-grained chunker
+    // proposes all of them — the row guards CDC recall end-to-end
+    // (deterministic gear hash, no seed ⇒ stable).
+    "dedup_passage_verified" -> ((s, dir) =>
+      Dedup.passageVerified(documents(s, dir))),
     // Embedding near-dup via seeded sign-LSH. The fixture corpus has no
     // natural near pairs (max pairwise cosine 0.51 — documented), so a
     // near-copy of vec 0 is planted IN-FLIGHT (pure column transform,
@@ -1631,6 +1640,30 @@ object SparkEntry {
         |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
         |FROM n GROUP BY 1""".stripMargin,
+
+    // brute-force ground truth: ALL pairs sharing >= 10 distinct word
+    // 8-grams (the llm_decontaminate tokenization) — the registered
+    // query must find every one of them through CDC candidates
+    "dedup_passage_verified" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END)) AS g
+        |  FROM toks WHERE len(tokens) > 0
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS INT) AS shared_ngrams
+        |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
 
     // thresholds = cumulative weights on the 16-bit bucket:
     // round(0.90 * 65536) = 58982 = e666, round(0.95 * 65536) = 62259

@@ -845,7 +845,9 @@ object Dedup {
       textCol: String = "text",
       idCol: String = "doc_id",
       minShared: Int = 2,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 1000,
+      avgChunkBits: Int = 6,
+      window: Int = 16): DataFrame = {
     // explode_OUTER + a post-filter on the generated attribute, not a
     // plain explode: InferFiltersFromGenerate would otherwise add
     // `size(chunk_hashes) > 0 AND isnotnull(chunk_hashes)` UNDER the
@@ -857,7 +859,8 @@ object Dedup {
     // what the self-join sides infer from `x.id < y.id`, so AQE plans
     // one scan+chunk pipeline and ReusedExchanges for every consumer
     // (doc-frequency side included) instead of three.
-    val chunks = TextAnalysis.chunkFingerprints(df, textCol)
+    val chunks = TextAnalysis.chunkFingerprints(df, textCol,
+        avgChunkBits = avgChunkBits, window = window)
       .filter(col(idCol).isNotNull)
       .select(col(idCol), explode_outer(col("chunk_hashes")).as("chunk"))
       .filter(col("chunk").isNotNull)
@@ -874,6 +877,56 @@ object Dedup {
       .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .agg(count(lit(1)).as("shared_chunks"))
       .filter(col("shared_chunks") >= minShared)
+  }
+
+  /** CDC candidate generation followed by EXACT shared-n-gram
+    * verification — [[simhashVerified]]'s production pattern with
+    * content-defined chunking as the sketch: [[passagePairs]] proposes
+    * pairs sharing at least one chunk, then ONLY those pairs are scored
+    * by their exact count of shared distinct word `n`-grams (the
+    * [[graft.llm.Curate.contamination]] tokenization, whole-sequence
+    * fallback for sub-n docs) and kept at `minSharedGrams`. Returns
+    * ground-truth `(id_a, id_b, shared_ngrams)` — precision exact by
+    * construction, recall the chunker's.
+    *
+    * Chunking defaults are FINER here than [[passagePairs]]'s
+    * (avg 2^4 = 16 chars, min 8) for recall: a copied passage long
+    * enough to clear `minSharedGrams` (≥ n + minSharedGrams − 1 tokens
+    * ≈ 90+ chars) then contains several complete chunks, so candidate
+    * generation misses only passages that straddle every boundary —
+    * vanishing at these sizes, empirically zero on the driver fixture
+    * (the registered row's brute-force oracle would catch any miss).
+    *
+    * Scale: the chunk pipeline is unchanged (zero-shuffle per-row
+    * fingerprints, doc-frequency-pruned equi-join); verification joins
+    * texts for CANDIDATE pairs only, so its cost tracks the candidate
+    * count, never corpus². */
+  def passageVerified(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      n: Int = 8,
+      minSharedGrams: Int = 10,
+      avgChunkBits: Int = 4,
+      window: Int = 8,
+      maxDocFreq: Int = 1000): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val candidates = passagePairs(docs, textCol, idCol, minShared = 1,
+        maxDocFreq, avgChunkBits, window)
+      .select("id_a", "id_b")
+    val candidateIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val grams = strictGrams(
+        docs.join(candidateIds, Seq(idCol), "left_semi"), textCol, idCol, n)
+      .select(col(idCol), array_distinct(col("grams")).as("g"))
+    val a = grams.select(col(idCol).as("id_a"), col("g").as("g_a"))
+    val b = grams.select(col(idCol).as("id_b"), col("g").as("g_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("shared_ngrams",
+        size(array_intersect(col("g_a"), col("g_b"))))
+      .filter(col("shared_ngrams") >= minSharedGrams)
+      .select("id_a", "id_b", "shared_ngrams")
   }
 
   // ---------------------------------------------------- embedding cosine

@@ -54,6 +54,38 @@ class RollingChunkHashesSpec extends SparkSpec {
       col("id_a") === 800001L && col("id_b") === 800002L).count() == 1)
   }
 
+  test("passageVerified: exact shared-gram count for a lifted paragraph; " +
+      "sub-threshold pairs dropped") {
+    val s = spark
+    import s.implicits._
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val planted = base.unionByName(Seq(
+      (800001L, "intro words first. " + para),
+      (800002L, para + " closing words after.")).toDF("doc_id", "text"))
+    val out = Dedup.passageVerified(planted)
+      .filter(col("id_a") === 800001L && col("id_b") === 800002L)
+      .collect()
+    assert(out.length == 1)
+    // exact ground truth: shared distinct 8-grams of the two planted
+    // texts, computed locally with the same tokenization
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("[^\\p{L}\\p{N}]+").filter(_.nonEmpty)
+      if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+      else Set(toks.mkString(" "))
+    }
+    val expected = (grams("intro words first. " + para) &
+      grams(para + " closing words after.")).size
+    assert(out.head.getAs[Int]("shared_ngrams") == expected)
+    assert(expected >= 10) // the planted pair clears the threshold
+    // a pair sharing chunks but fewer than minSharedGrams grams is
+    // verified OUT (precision): raise the bar past the planted overlap
+    val strict = Dedup.passageVerified(planted,
+      minSharedGrams = expected + 1)
+      .filter(col("id_a") === 800001L && col("id_b") === 800002L)
+    assert(strict.count() == 0)
+  }
+
   test("chunkFingerprints: normalization folds into the fingerprint") {
     val s = spark
     import s.implicits._
