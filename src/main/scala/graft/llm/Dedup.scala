@@ -897,6 +897,17 @@ object Dedup {
     * vanishing at these sizes, empirically zero on the driver fixture
     * (the registered row's brute-force oracle would catch any miss).
     *
+    * `maxDocFreq` defaults MUCH lower than [[passagePairs]]'s: fine
+    * chunks make boilerplate collisions common, and within-chunk
+    * pairing is quadratic in doc frequency — measured at sf0.1, 96% of
+    * the 512k candidate pairs under maxDocFreq=1000 came from the 208
+    * chunks with df > 20 (pure boilerplate; maxDocFreq=20 leaves 21k
+    * candidates and the identical verified output). A genuinely copied
+    * passage pairs through its RARE content chunks regardless — at any
+    * corpus size the bound caps per-chunk fan-out at df·(df−1)/2 with
+    * df ≤ 20, which is what keeps candidate generation linear in
+    * corpus size at 100 TB.
+    *
     * Scale: the chunk pipeline is unchanged (zero-shuffle per-row
     * fingerprints, doc-frequency-pruned equi-join); verification joins
     * texts for CANDIDATE pairs only, so its cost tracks the candidate
@@ -909,7 +920,7 @@ object Dedup {
       minSharedGrams: Int = 10,
       avgChunkBits: Int = 4,
       window: Int = 8,
-      maxDocFreq: Int = 1000): DataFrame = {
+      maxDocFreq: Int = 20): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     val candidates = passagePairs(docs, textCol, idCol, minShared = 1,
         maxDocFreq, avgChunkBits, window)
