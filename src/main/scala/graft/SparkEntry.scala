@@ -710,6 +710,22 @@ object SparkEntry {
     // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
     "llm_hash_split" -> ((s, dir) =>
       Curate.hashSplit(documents(s, dir).select("doc_id", "source"))),
+
+    // TPC-H Q1 shape: the canonical scan → partial agg → final agg
+    // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
+    "lineitem_pricing_summary" -> ((s, dir) =>
+      Relational.pricingSummary(lineitem(s, dir))),
+
+    // Conversion funnel: first click → first purchase at-or-after it,
+    // converted within 1h. One Exchange end to end (the groupBy reuses
+    // the window's user_id partitioning). Timestamps as micro strings
+    // (driver-diff parity); null first_to stays null in both engines.
+    "events_funnel" -> ((s, dir) =>
+      Events.funnel(events(s, dir))
+        .withColumn("first_from",
+          date_format(col("first_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("first_to",
+          date_format(col("first_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1676,5 +1692,39 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "lineitem_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+        |    AS sum_charge,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "events_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'click') AS first_from
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, min(e.ts) AS first_to
+        |  FROM events e JOIN f ON e.user_id = f.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= f.first_from
+        |  GROUP BY 1
+        |)
+        |SELECT f.user_id,
+        |  strftime(f.first_from, '%Y-%m-%d %H:%M:%S.%f') AS first_from,
+        |  strftime(c.first_to, '%Y-%m-%d %H:%M:%S.%f') AS first_to,
+        |  CAST(CASE WHEN c.first_to IS NOT NULL
+        |    AND epoch_us(c.first_to) - epoch_us(f.first_from) <= 3600000000
+        |    THEN 1 ELSE 0 END AS INT) AS converted
+        |FROM f LEFT JOIN c ON f.user_id = c.user_id
+        |WHERE f.first_from IS NOT NULL""".stripMargin,
   )
 }

@@ -95,6 +95,39 @@ object Events {
     bounded.select(outCols: _*)
   }
 
+  /** Two-step conversion funnel: for each user who performed `from` at
+    * least once, their FIRST `from` event, their first `to` event AT OR
+    * AFTER it, and a 0/1 `converted` flag for conversion within
+    * `horizonSec` — the canonical product-analytics funnel query.
+    *
+    * One logical key (user_id) end to end: the per-user first-`from`
+    * timestamp is a window aggregate, the first qualifying `to` a
+    * conditional min in the groupBy that follows — both hash-partition
+    * on user_id, so Catalyst plans ONE Exchange and the groupBy reuses
+    * the window's partitioning. No self-join, no range join; at 100 TB
+    * the funnel costs one shuffle of the events table. */
+  def funnel(
+      events: DataFrame,
+      from: String = "click",
+      to: String = "purchase",
+      horizonSec: Long = 3600L): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val withFirst = events
+      .withColumn("first_from",
+        min(when(col("event_type") === from, col("ts"))).over(w))
+      .filter(col("first_from").isNotNull)
+    withFirst
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("first_from")).as("first_from"),
+        min(when(col("event_type") === to &&
+          col("ts") >= col("first_from"), col("ts"))).as("first_to"))
+      .withColumn("converted",
+        (col("first_to").isNotNull &&
+          unix_micros(col("first_to")) - unix_micros(col("first_from"))
+            <= horizonSec * 1000000L).cast("int"))
+  }
+
   /** Cardinality profile per (event_type, day): event count + distinct
     * users — the "how big is each slice really" monitoring query every
     * ingest pipeline runs.

@@ -54,6 +54,35 @@ object Relational {
         round(sum(col("order_rev")), 2).as("revenue"))
   }
 
+  /** Pricing summary rollup (the TPC-H Q1 shape): per
+    * (returnflag, linestatus), summed quantities/prices/discounted
+    * charges, averages, and row counts over shipped lineitems — the
+    * canonical single-table scan → partial agg → final agg plan.
+    *
+    * Scale: the ship-date predicate pushes into the parquet scan; the
+    * aggregation is ONE partial-combined shuffle onto a handful of
+    * groups (cardinality = |returnflag| × |linestatus|), so the
+    * exchange carries a few dozen partial rows per task regardless of
+    * corpus size. Sums are rounded to cents, averages to 6dp
+    * (cross-engine partial-merge order). */
+  def pricingSummary(
+      lineitem: DataFrame,
+      until: String = "1998-09-01"): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    lineitem
+      .filter(col("l_shipdate") <= lit(until).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(disc), 2).as("sum_disc_price"),
+        round(sum(disc * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
   /** Top-k open orders by outstanding revenue for one market segment —
     * the shipping-priority query shape (TPC-H Q3): lineitem ⋈ orders ⋈
     * customer with date predicates on both fact sides, grouped per

@@ -62,7 +62,11 @@ class PlanAuditSpec extends SparkSpec {
       // exact countDistinct = two-phase (partial distinct on
       // group × user, then final count); the approx=true HLL path
       // collapses to one sketch shuffle at scale
-      "events_cardinality" -> 2)
+      "events_cardinality" -> 2,
+      // Q1 rollup: one partial-combined aggregate onto ~6 groups
+      "lineitem_pricing_summary" -> 1,
+      // funnel: groupBy reuses the window's user_id partitioning
+      "events_funnel" -> 1)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,

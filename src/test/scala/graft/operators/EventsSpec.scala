@@ -21,6 +21,41 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("funnel: crafted timeline — converted, late, never, pre-click purchase") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1: click 10:00, purchase 10:30 → converted
+      (1L, "click", "2024-01-01 10:00:00", 1L),
+      (2L, "purchase", "2024-01-01 10:30:00", 1L),
+      // user 2: click 10:00, purchase 12:00 → found but NOT converted
+      (3L, "click", "2024-01-01 10:00:00", 2L),
+      (4L, "purchase", "2024-01-01 12:00:00", 2L),
+      // user 3: click only → first_to null, not converted
+      (5L, "click", "2024-01-01 09:00:00", 3L),
+      // user 4: purchase BEFORE any click → excluded from the `to` min,
+      // their later click counts, no qualifying purchase after it
+      (6L, "purchase", "2024-01-01 08:00:00", 4L),
+      (7L, "click", "2024-01-01 09:00:00", 4L),
+      // user 5: no click at all → not in the funnel
+      (8L, "purchase", "2024-01-01 10:00:00", 5L)
+    ).toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.funnel(df)
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.getTimestamp(2)).map(_.toString), r.getInt(3))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == ((Some("2024-01-01 10:30:00.0"), 1)))
+    assert(out(2L) == ((Some("2024-01-01 12:00:00.0"), 0)))
+    assert(out(3L) == ((None, 0)))
+    assert(out(4L) == ((None, 0)))
+    // one Exchange end to end: the groupBy reuses the window's
+    // user_id hash partitioning
+    val plan = Events.funnel(df).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length == 1,
+      plan.take(800))
+  }
+
   test("cardinality: exact counts on a crafted day; approx within rsd bound") {
     val s = spark
     import s.implicits._

@@ -32,6 +32,27 @@ class RelationalSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("pricingSummary: group invariants and pushed date filter") {
+    val out = Relational.pricingSummary(t("lineitem"))
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // group count bounded by |returnflag| x |linestatus|; totals positive
+    assert(rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Double]("sum_disc_price") <= r.getAs[Double]("sum_base_price"))
+      assert(r.getAs[Double]("sum_charge") >= r.getAs[Double]("sum_disc_price"))
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+    // count_order sums to the filtered row count
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total == t("lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp")).count())
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      plan.take(800))
+  }
+
   test("topRevenueOrders: equals the direct formulation; top-k is heap-based") {
     val cutoff = "1998-06-01"
     val out = Relational.topRevenueOrders(
