@@ -726,6 +726,21 @@ object SparkEntry {
           date_format(col("first_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .withColumn("first_to",
           date_format(col("first_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+
+    // ROLLUP over the star join: nation rows + region subtotals +
+    // grand total in one Expand-fed aggregate; grouping_id = DuckDB's
+    // 2*GROUPING(r)+GROUPING(n) bit order.
+    "revenue_rollup" -> ((s, dir) =>
+      Relational.revenueRollup(
+        lineitem(s, dir),
+        Sources.parquetTable(s, dir, "orders"),
+        customer(s, dir),
+        Sources.parquetTable(s, dir, "nation"),
+        Sources.parquetTable(s, dir, "region"))),
+
+    // Pivot with an explicit value list = per-type conditional counts,
+    // one aggregate, fixed schema (COUNT FILTER twin in DuckDB).
+    "events_pivot" -> ((s, dir) => Events.typePivot(events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1726,5 +1741,37 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS INT) AS converted
         |FROM f LEFT JOIN c ON f.user_id = c.user_id
         |WHERE f.first_from IS NOT NULL""".stripMargin,
+
+    "revenue_rollup" ->
+      """WITH per_order AS (
+        |  SELECT l_orderkey,
+        |    SUM(l_extendedprice * (1 - l_discount)) AS order_rev
+        |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  GROUP BY 1
+        |)
+        |SELECT COALESCE(n2.r_name, 'ALL') AS r_name,
+        |  COALESCE(n2.n_name, 'ALL') AS n_name,
+        |  CAST(2 * GROUPING(n2.r_name) + GROUPING(n2.n_name) AS INT)
+        |    AS grouping_id,
+        |  ROUND(SUM(n2.order_rev), 2) AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM (
+        |  SELECT r.r_name, n.n_name, p.order_rev
+        |  FROM per_order p
+        |  JOIN orders o ON p.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |) n2
+        |GROUP BY ROLLUP(n2.r_name, n2.n_name)""".stripMargin,
+
+    "events_pivot" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY 1""".stripMargin,
   )
 }

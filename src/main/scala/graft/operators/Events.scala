@@ -95,6 +95,27 @@ object Events {
     bounded.select(outCols: _*)
   }
 
+  /** Day × event-type count matrix — a pivot written as DIRECT
+    * conditional counts rather than `Dataset.pivot`. Both need the
+    * explicit type list (a bare `pivot("event_type")` runs a
+    * distinct-discovery job over the corpus, and the schema must not
+    * depend on which types a slice contains — absent combinations are
+    * 0, not a missing column), but `pivot` then plans TWO aggregates
+    * (groupBy(day, type) count, then pivot_first over day — two
+    * Exchanges), while per-type `count(when(...))` is ONE
+    * partial-combined aggregate, the same `COUNT(*) FILTER` shape the
+    * SQL twin states. PlanAuditSpec pins the single shuffle. */
+  def typePivot(
+      events: DataFrame,
+      types: Seq[String] =
+        Seq("click", "view", "purchase", "signup", "error")): DataFrame = {
+    val counts = types.map(t =>
+      count(when(col("event_type") === t, 1)).as(t))
+    events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(counts.head, counts.tail: _*)
+  }
+
   /** Two-step conversion funnel: for each user who performed `from` at
     * least once, their FIRST `from` event, their first `to` event AT OR
     * AFTER it, and a 0/1 `converted` flag for conversion within

@@ -54,6 +54,42 @@ object Relational {
         round(sum(col("order_rev")), 2).as("revenue"))
   }
 
+  /** Multi-level revenue rollup: the [[revenueByNation]] star join
+    * aggregated with `ROLLUP(r_name, n_name)` — per-nation rows,
+    * per-region subtotals, and the grand total in ONE aggregate pass
+    * (Catalyst plans an Expand over the grouping sets feeding a single
+    * partial-combined shuffle — one scan, one exchange, not three
+    * queries). Rollup null slots are labeled 'ALL' (the fixture names
+    * are never null) and `grouping_id` disambiguates the level. */
+  def revenueRollup(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      nation: DataFrame,
+      region: DataFrame,
+      since: String = "1996-01-01"): DataFrame = {
+    val perOrder = lineitem
+      .filter(col("l_shipdate") >= lit(since).cast("timestamp"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("order_rev"))
+    perOrder
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("int").as("grouping_id"),
+        round(sum(col("order_rev")), 2).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(coalesce(col("r_name"), lit("ALL")).as("r_name"),
+        coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("grouping_id"), col("revenue"), col("n_orders"))
+  }
+
   /** Pricing summary rollup (the TPC-H Q1 shape): per
     * (returnflag, linestatus), summed quantities/prices/discounted
     * charges, averages, and row counts over shipped lineitems — the

@@ -66,7 +66,9 @@ class PlanAuditSpec extends SparkSpec {
       // Q1 rollup: one partial-combined aggregate onto ~6 groups
       "lineitem_pricing_summary" -> 1,
       // funnel: groupBy reuses the window's user_id partitioning
-      "events_funnel" -> 1)
+      "events_funnel" -> 1,
+      // pivot with explicit values = one conditional-count aggregate
+      "events_pivot" -> 1)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,

@@ -56,6 +56,28 @@ class EventsSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("typePivot: explicit value list fixes the schema; absent combos are 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "click", "2024-01-01 10:00:00"),
+      (2L, "click", "2024-01-01 11:00:00"),
+      (3L, "view", "2024-01-01 12:00:00"),
+      (4L, "purchase", "2024-01-02 10:00:00")
+    ).toDF("event_id", "event_type", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.typePivot(df).orderBy("day").collect()
+    // all five columns exist even though only three types appear
+    assert(out.head.schema.fieldNames.toSeq ==
+      Seq("day", "click", "view", "purchase", "signup", "error"))
+    val d1 = out(0)
+    assert(d1.getString(0) == "2024-01-01" && d1.getLong(1) == 2 &&
+      d1.getLong(2) == 1 && d1.getLong(3) == 0 && d1.getLong(4) == 0)
+    val d2 = out(1)
+    assert(d2.getString(0) == "2024-01-02" && d2.getLong(3) == 1 &&
+      d2.getLong(1) == 0)
+  }
+
   test("cardinality: exact counts on a crafted day; approx within rsd bound") {
     val s = spark
     import s.implicits._

@@ -53,6 +53,36 @@ class RelationalSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("revenueRollup: levels reconcile — nations sum to regions sum to total") {
+    val out = Relational.revenueRollup(
+      t("lineitem"), t("orders"), t("customer"), t("nation"), t("region"))
+      .collect()
+    val byGid = out.groupBy(_.getAs[Int]("grouping_id"))
+    // gid 0 = (region, nation) detail, 1 = region subtotal, 3 = grand total
+    assert(byGid.keySet == Set(0, 1, 3))
+    assert(byGid(3).length == 1)
+    def cents(d: Double) = math.round(d * 100)
+    // nations within a region reconcile (to the cent) with its subtotal
+    val regionFromNations = byGid(0)
+      .groupBy(_.getAs[String]("r_name"))
+      .view.mapValues(rs => rs.map(r => cents(r.getAs[Double]("revenue"))).sum)
+    byGid(1).foreach { r =>
+      // subtotal rounds the SUM, detail rows round each nation: equal
+      // within a cent per nation
+      val diff = math.abs(cents(r.getAs[Double]("revenue")) -
+        regionFromNations(r.getAs[String]("r_name")))
+      assert(diff <= byGid(0).length, r.getAs[String]("r_name") + s" diff=$diff")
+    }
+    // order counts reconcile exactly (integers)
+    val totalOrders = byGid(0).map(_.getAs[Long]("n_orders")).sum
+    assert(byGid(3).head.getAs[Long]("n_orders") == totalOrders)
+    // one aggregate over an Expand — not three separate queries
+    val plan = Relational.revenueRollup(
+      t("lineitem"), t("orders"), t("customer"), t("nation"), t("region"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), plan.take(600))
+  }
+
   test("topRevenueOrders: equals the direct formulation; top-k is heap-based") {
     val cutoff = "1998-06-01"
     val out = Relational.topRevenueOrders(
