@@ -741,6 +741,11 @@ object SparkEntry {
     // Pivot with an explicit value list = per-type conditional counts,
     // one aggregate, fixed schema (COUNT FILTER twin in DuckDB).
     "events_pivot" -> ((s, dir) => Events.typePivot(events(s, dir))),
+
+    // Day-N retention triangle: cohort by first signup day, distinct
+    // active users per (cohort_day, day_offset). Exact countDistinct
+    // here (oracle path); approx=true is the HLL at-scale twin.
+    "events_retention" -> ((s, dir) => Events.retention(events(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1773,5 +1778,20 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    "events_retention" ->
+      """WITH c AS (
+        |  SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'signup') AS cohort_ts
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT strftime(c.cohort_ts, '%Y-%m-%d') AS cohort_day,
+        |  CAST(datediff('day', CAST(c.cohort_ts AS DATE),
+        |                CAST(e.ts AS DATE)) AS INT) AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM events e JOIN c ON e.user_id = c.user_id
+        |WHERE c.cohort_ts IS NOT NULL
+        |  AND CAST(e.ts AS DATE) >= CAST(c.cohort_ts AS DATE)
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -175,17 +175,46 @@ object Similarity {
       s"ivfIndex: no non-null '$embCol' rows in the fit sample — " +
         "is the embedding column entirely null, or the corpus empty?")
     val centroids = sphericalKMeans(sample, nCells, maxIter, seed)
+    IvfIndex(centroids,
+      assignCells(corpus, centroids, nAssign, embCol, idCol), nAssign)
+  }
+
+  /** The one-pass cell assignment shared by [[ivfIndex]] (build) and
+    * [[ivfAppend]] (grow): centroids are plan literals, the per-row
+    * argmax/top-nAssign is a narrow codegen'd projection — no shuffle,
+    * no join, no driver loop. */
+  private def assignCells(
+      corpus: DataFrame,
+      centroids: Array[Array[Double]],
+      nAssign: Int,
+      embCol: String,
+      idCol: String): DataFrame = {
     val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
-    val cells =
-      if (nAssign == 1) base.withColumn("cell", nearestCell(col("c_emb"), centroids))
-      else base.withColumn("cell",
-        explode(transform(
-          slice(sort_array(cellScores(col("c_emb"), centroids), asc = false),
-            1, nAssign),
-          s => s.getField("cell"))))
-    IvfIndex(centroids, cells, nAssign)
+    if (nAssign == 1) base.withColumn("cell", nearestCell(col("c_emb"), centroids))
+    else base.withColumn("cell",
+      explode(transform(
+        slice(sort_array(cellScores(col("c_emb"), centroids), asc = false),
+          1, nAssign),
+        s => s.getField("cell"))))
   }
+
+  /** Grow a built index WITHOUT refitting the quantizer: the batch is
+    * assigned to cells with the index's existing centroid literals and
+    * unioned into `cells` — the incremental-ingest shape (IVF
+    * quantizers are deliberately kept stable as the corpus grows;
+    * recall drifts only if the embedding DISTRIBUTION drifts, at which
+    * point a rebuild is a policy decision, not an operator one). The
+    * assignment pass is narrow and touches only the batch; for the
+    * persisted deployment, append the returned delta cells to the
+    * bucketed table instead of re-writing the corpus. */
+  def ivfAppend(
+      index: IvfIndex,
+      batch: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): IvfIndex =
+    index.copy(cells = index.cells.unionByName(
+      assignCells(batch, index.centroids, index.nAssign, embCol, idCol)))
 
   /** Probe a built [[IvfIndex]]: rank the (literal) centroids per query
     * with the same codegen'd cosine used for assignment, explode the

@@ -95,6 +95,37 @@ object Events {
     bounded.select(outCols: _*)
   }
 
+  /** Retention cohort matrix: users are cohorted by the DAY of their
+    * first `cohortType` event; each later active day counts them under
+    * (cohort_day, day_offset) — the classic "day-N retention" triangle.
+    *
+    * Plan: the per-user cohort timestamp is a window min (one shuffle
+    * on user_id), the matrix one distinct-count aggregate. The exact
+    * `countDistinct` is the oracle path; `approx = true` flips to
+    * HyperLogLog++ for the at-scale shape, exactly as
+    * [[cardinality]]. */
+  def retention(
+      events: DataFrame,
+      cohortType: String = "signup",
+      approx: Boolean = false,
+      rsd: Double = 0.05): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val withCohort = events
+      .withColumn("cohort_ts",
+        min(when(col("event_type") === cohortType, col("ts"))).over(w))
+      .filter(col("cohort_ts").isNotNull)
+      .withColumn("day_offset",
+        datediff(to_date(col("ts")), to_date(col("cohort_ts"))))
+      .filter(col("day_offset") >= 0)
+    val users =
+      if (approx) approx_count_distinct(col("user_id"), rsd)
+      else countDistinct(col("user_id"))
+    withCohort
+      .groupBy(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(users.as("n_users"))
+  }
+
   /** Day × event-type count matrix — a pivot written as DIRECT
     * conditional counts rather than `Dataset.pivot`. Both need the
     * explicit type list (a bare `pivot("event_type")` runs a

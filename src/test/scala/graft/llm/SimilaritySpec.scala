@@ -104,6 +104,32 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive == truth)
   }
 
+  test("ivfAppend: appended vectors are probe-visible without a refit") {
+    val s = spark
+    import s.implicits._
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val idx = Similarity.ivfIndex(base, nCells = 16)
+    // batch = a near-copy of vec 0 under a fresh id
+    val batch = base.filter(col("vec_id") === 0L)
+      .select(lit(900100L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+          .as("embedding"))
+    val grown = Similarity.ivfAppend(idx, batch)
+    assert(grown.nAssign == idx.nAssign)
+    // probing with vec 0 must now return the appended near-copy as the
+    // top neighbor (cosine ~ 1.0)
+    val top = Similarity.ivfProbe(grown, base.filter(col("vec_id") === 0L),
+      k = 1).head()
+    assert(top.getLong(1) == 900100L, top.toString)
+    assert(top.getDouble(3) > 0.999)
+    // the original index object is untouched (no in-place mutation)
+    val before = Similarity.ivfProbe(idx, base.filter(col("vec_id") === 0L),
+      k = 1).head()
+    assert(before.getLong(1) != 900100L)
+  }
+
   test("ivfIndex: null embeddings are excluded from the fit with a clear error") {
     val s = spark
     import s.implicits._

@@ -56,6 +56,32 @@ class EventsSpec extends SparkSpec {
       plan.take(800))
   }
 
+  test("retention: crafted cohorts — offsets, pre-signup exclusion, no-signup exclusion") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1: signs up day 1, active days 1 and 3
+      (1L, "signup", "2024-01-01 10:00:00", 1L),
+      (2L, "click", "2024-01-01 12:00:00", 1L),
+      (3L, "click", "2024-01-03 09:00:00", 1L),
+      // user 2: same cohort day, active day 1 only; pre-signup event excluded
+      (4L, "view", "2024-01-01 08:00:00", 2L),   // before signup, SAME day → offset 0 counts
+      (5L, "signup", "2024-01-01 09:00:00", 2L),
+      // user 3: never signs up → absent entirely
+      (6L, "click", "2024-01-01 10:00:00", 3L),
+      // user 4: cohort day 2, event on day 1 (before cohort DAY) dropped
+      (7L, "click", "2024-01-01 10:00:00", 4L),
+      (8L, "signup", "2024-01-02 10:00:00", 4L)
+    ).toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.retention(df)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("2024-01-01", 0) -> 2L, // users 1 and 2 active on cohort day
+      ("2024-01-01", 2) -> 1L, // user 1 back on day 3
+      ("2024-01-02", 0) -> 1L)) // user 4's signup itself
+  }
+
   test("typePivot: explicit value list fixes the schema; absent combos are 0") {
     val s = spark
     import s.implicits._
