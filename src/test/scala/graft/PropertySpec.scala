@@ -208,6 +208,65 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: packBins is a per-group prefix sum — offsets bounded, " +
+      "totals reconcile, assignment independent of row order") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val rows = (1 to 60).map { i =>
+        (i.toLong, s"src${rng.nextInt(3)}",
+          Seq.fill(rng.nextInt(12))("w").mkString(" "))
+      }
+      val binTokens = rng.nextInt(20) + 5
+      val out = TextAnalysis.packBins(rows.toDF("doc_id", "source", "text"),
+        binTokens).collect()
+      out.foreach { r =>
+        val (before, bin, off) = (r.getAs[Long]("tokens_before"),
+          r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset"))
+        assert(off >= 0 && off < binTokens)
+        assert(bin == before / binTokens && off == before % binTokens)
+      }
+      // per group: tokens_before of each doc == sum of earlier docs'
+      // n_tokens (the prefix-sum contract, checked by brute force)
+      out.groupBy(_.getAs[String]("source")).foreach { case (_, gs) =>
+        val sorted = gs.sortBy(_.getAs[Long]("doc_id"))
+        var acc = 0L
+        sorted.foreach { r =>
+          assert(r.getAs[Long]("tokens_before") == acc)
+          acc += r.getAs[Int]("n_tokens")
+        }
+      }
+      // physical row order must not matter
+      val shuffled = TextAnalysis.packBins(
+        rng.shuffle(rows).toDF("doc_id", "source", "text"), binTokens)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("bin_id")).toMap
+      out.foreach(r => assert(
+        shuffled(r.getAs[Long]("doc_id")) == r.getAs[Long]("bin_id")))
+    }
+  }
+
+  test("property: hashSplit covers every row exactly once and is subset-stable") {
+    val s = spark
+    import s.implicits._
+    import graft.llm.Curate
+    (1 to 3).foreach { _ =>
+      val n = 200 + rng.nextInt(200)
+      val ids = (1 to n).map(_ => rng.nextLong().abs).distinct
+      val df = ids.toDF("doc_id")
+      val weights = Seq("a" -> (rng.nextDouble() + 0.1),
+        "b" -> (rng.nextDouble() + 0.1), "c" -> (rng.nextDouble() + 0.1))
+      val out = Curate.hashSplit(df, weights)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out.size == ids.size) // exactly one label per row
+      assert(out.values.toSet.subsetOf(Set("a", "b", "c")))
+      // subset stability: removing rows never relabels the rest
+      val half = ids.filter(_ % 2 == 0)
+      Curate.hashSplit(half.toDF("doc_id"), weights)
+        .collect().foreach(r => assert(out(r.getLong(0)) == r.getString(1)))
+    }
+  }
+
   test("property: hyperplane signature is invariant to positive scaling only") {
     val s = spark
     import s.implicits._
