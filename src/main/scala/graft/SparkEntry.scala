@@ -367,6 +367,16 @@ object SparkEntry {
     // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
+    // Edit-distance verification over the same consecutive-id pairs as
+    // dedup_ngram_jaccard: classic Levenshtein on the normalized
+    // 100-char prefix — both engines implement the textbook DP, so the
+    // row is oracle-exact with no rounding hazard on the int distance.
+    "dedup_edit_similarity" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pairs = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      Dedup.editSimilarity(docs, pairs)
+    }),
     // CDC candidates + exact shared-8-gram verification — ground-truth
     // output, so it gets the brute-force oracle (all-pairs shared
     // distinct 8-grams ≥ 10 in DuckDB). Exact on this fixture: every
@@ -1676,6 +1686,22 @@ object SparkEntry {
         |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
         |FROM n GROUP BY 1""".stripMargin,
+
+    "dedup_edit_similarity" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+        |           1, 100) AS t
+        |  FROM documents
+        |)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(levenshtein(a.t, b.t) AS INT) AS edit_dist,
+        |  CASE WHEN greatest(length(a.t), length(b.t)) = 0 THEN 1.0
+        |    ELSE ROUND(1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+        |      / greatest(length(a.t), length(b.t)), 6) END AS similarity
+        |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
+        |JOIN t a ON a.doc_id = p.id_a
+        |JOIN t b ON b.doc_id = p.id_b""".stripMargin,
 
     // brute-force ground truth: ALL pairs sharing >= 10 distinct word
     // 8-grams (the llm_decontaminate tokenization) — the registered

@@ -879,6 +879,43 @@ object Dedup {
       .filter(col("shared_chunks") >= minShared)
   }
 
+  /** Edit-distance similarity over candidate pairs — the
+    * entity-resolution primitive (near-identical titles, names, short
+    * records) the set-based families don't cover: Jaccard on shingles
+    * is blind to single-character edits in SHORT strings, where one
+    * typo changes most shingles. Scores each pair with Levenshtein
+    * distance over the normalized text (prefix-truncated to
+    * `maxChars`: the DP is O(len²) per pair — unbounded document
+    * bodies do not belong in it) and a `similarity` in [0,1]
+    * (1 − dist/maxLen; two empty strings are identical ⇒ 1.0).
+    *
+    * Like [[ngramJaccard]], this is the VERIFICATION arithmetic:
+    * candidates come from the caller (banding, blocking on a key, or
+    * small-domain pairs) — verification cost tracks the candidate
+    * count, never corpus². Codegen'd built-in `levenshtein`, no UDF. */
+  def editSimilarity(
+      docs: DataFrame,
+      pairs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxChars: Int = 100): DataFrame = {
+    val candidateIds = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val keyed = docs.select(col(idCol),
+        substring(TextAnalysis.normalize(col(textCol)), 1, maxChars).as("t"))
+      .join(candidateIds, Seq(idCol), "left_semi")
+    val a = keyed.select(col(idCol).as("id_a"), col("t").as("t_a"))
+    val b = keyed.select(col(idCol).as("id_b"), col("t").as("t_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .withColumn("edit_dist", levenshtein(col("t_a"), col("t_b")))
+      .withColumn("similarity",
+        when(greatest(length(col("t_a")), length(col("t_b"))) === 0, 1.0)
+          .otherwise(round(lit(1.0) - col("edit_dist").cast("double") /
+            greatest(length(col("t_a")), length(col("t_b"))), 6)))
+      .select("id_a", "id_b", "edit_dist", "similarity")
+  }
+
   /** CDC candidate generation followed by EXACT shared-n-gram
     * verification — [[simhashVerified]]'s production pattern with
     * content-defined chunking as the sketch: [[passagePairs]] proposes

@@ -28,6 +28,35 @@ class DedupSpec extends SparkSpec {
       (100000L, mangled), (100001L, edited)).toDF("doc_id", "text"))
   }
 
+  test("editSimilarity: hand-computed distances; normalization folds in") {
+    val s = spark
+    import s.implicits._
+    val frame = Seq(
+      (1L, "kitten and the cat"),
+      (2L, "sitting and the cat"),   // kitten→sitting = 3 edits
+      (3L, "  SITTING   and\tthe cat "), // normalize-equal to 2
+      (4L, ""),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.editSimilarity(frame, pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    assert(out((1L, 2L))._1 == 3)
+    assert(math.abs(out((1L, 2L))._2 - (1.0 - 3.0 / 19)) < 1e-6)
+    assert(out((2L, 3L)) == ((0, 1.0))) // normalization makes them equal
+    assert(out((4L, 5L)) == ((0, 1.0))) // two empties are identical
+    // prefix truncation bounds the DP: long texts differ only past
+    // maxChars → distance 0 at the default 100-char prefix
+    val long1 = "x " * 60 + "alpha"
+    val long2 = "x " * 60 + "omega"
+    val trunc = Dedup.editSimilarity(
+      Seq((1L, long1), (2L, long2)).toDF("doc_id", "text"),
+      Seq((1L, 2L)).toDF("id_a", "id_b"))
+      .head()
+    assert(trunc.getInt(2) == 0 && trunc.getDouble(3) == 1.0)
+  }
+
   test("exact: normalize-equal duplicate dropped, min id kept") {
     val out = Dedup.exact(planted)
     assert(out.count() == docs.count() + 1) // mangled copy collapsed
