@@ -756,6 +756,11 @@ object SparkEntry {
     // active users per (cohort_day, day_offset). Exact countDistinct
     // here (oracle path); approx=true is the HLL at-scale twin.
     "events_retention" -> ((s, dir) => Events.retention(events(s, dir))),
+
+    // Within-source quality quartile bins: ntile over the 6dp-rounded
+    // score + id tiebreak (total order identical across engines).
+    "llm_quality_quartiles" -> ((s, dir) =>
+      Curate.qualityQuartiles(documents(s, dir))),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1804,6 +1809,38 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
         |  COUNT(*) FILTER (WHERE event_type = 'error') AS error
         |FROM events GROUP BY 1""".stripMargin,
+
+    // same scored CTE as llm_source_quota (oracle-proven 6dp quality
+    // arithmetic); ntile over the identical total order
+    "llm_quality_quartiles" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    GREATEST(length(text), 1) AS n_chars
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_filter(words, w -> list_contains(
+        |      ['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE)
+        |      / GREATEST(len(words), 1) AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS p_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS d_ratio
+        |  FROM raw
+        |), q AS (
+        |  SELECT doc_id, source,
+        |    ROUND(
+        |      LEAST(1.0, CAST(n_words AS DOUBLE) / 20.0)
+        |      * LEAST(1.0, stop_ratio * 5.0)
+        |      * (1.0 - LEAST(1.0, p_ratio * 3.0))
+        |      * (1.0 - LEAST(1.0, d_ratio * 3.0)), 6) AS quality_score
+        |  FROM d
+        |)
+        |SELECT doc_id, source, quality_score,
+        |  CAST(ntile(4) OVER (
+        |    PARTITION BY source
+        |    ORDER BY quality_score DESC, doc_id) AS INT) AS quartile
+        |FROM q""".stripMargin,
 
     "events_retention" ->
       """WITH c AS (

@@ -213,6 +213,34 @@ object Curate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Per-source quality quartiles: each doc labeled 1–4 by `ntile(4)`
+    * over its source's quality ranking — the binning step behind
+    * "train on the top quartile of every source" curricula (absolute
+    * thresholds misbehave across sources with different score
+    * distributions; within-source quantile bins don't).
+    *
+    * Determinism: the rank key is the 6dp-ROUNDED score with doc id as
+    * tiebreak (the [[sourceQuota]] recipe), so the total order — and
+    * therefore every ntile boundary — is identical across engines.
+    * Scale: one shuffle, partitioned by source (never a global-order
+    * single-partition window); ntile carries O(1) state per row. */
+  def qualityQuartiles(
+      docs: DataFrame,
+      buckets: Int = 4,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val scored = TextAnalysis.qualityScore(docs, textCol)
+      .withColumn("quality_score", round(col("quality_score"), 6))
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("quality_score").desc, col(idCol))
+    scored
+      .withColumn("quartile", ntile(buckets).over(w))
+      .select(col(idCol), col(sourceCol), col("quality_score"),
+        col("quartile"))
+  }
+
   /** [[apply]] plus fuzzy near-dup suppression (minhash) — the full
     * at-scale recipe; not SQL-expressible (seeded banding), verified by
     * invariants on the component operators. */

@@ -77,6 +77,31 @@ object StreamOps {
         col("event_type"), col("n_events"), col("n_users"))
   }
 
+  /** Live retention: an event STREAM joined against a STATIC cohort
+    * table (user_id → cohort_ts, e.g. the landed output of
+    * `operators.Events.retention`'s cohort stage), counting distinct
+    * active users per (cohort_day, day_offset) with HLL sketches —
+    * "how is last week's signup cohort retaining, right now".
+    *
+    * Shape: the stream-static equi-join is STATELESS (the static side
+    * broadcasts or hash-joins per micro-batch; no state store); the
+    * only stateful operator is the windowless grouped aggregate, whose
+    * per-group state is the fixed-KB HLL sketch (exact distinct is
+    * unsupported on streams — same constraint as
+    * [[cardinalityStream]]). Offsets before the cohort day are
+    * dropped, matching the batch operator. */
+  def retentionStream(
+      events: DataFrame,
+      cohorts: DataFrame,
+      rsd: Double = 0.05): DataFrame =
+    events.join(cohorts, "user_id")
+      .withColumn("day_offset",
+        datediff(to_date(col("ts")), to_date(col("cohort_ts"))))
+      .filter(col("day_offset") >= 0)
+      .groupBy(date_format(col("cohort_ts"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+
   /** Streaming exact dedup: keep the first arrival per content key
     * within the watermark horizon, REGARDLESS of each duplicate's own
     * timestamp — `dropDuplicatesWithinWatermark` keys state on

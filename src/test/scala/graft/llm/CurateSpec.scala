@@ -109,6 +109,27 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("qualityQuartiles: balanced bins per source, best docs in bin 1") {
+    val out = Curate.qualityQuartiles(docs).collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      val sizes = rows.groupBy(_.getAs[Int]("quartile"))
+        .view.mapValues(_.length).toMap
+      // ntile: bucket sizes differ by at most 1 and cover 1..4
+      assert(sizes.keySet == (1 to math.min(4, rows.length)).toSet, src)
+      assert(sizes.values.max - sizes.values.min <= 1, src)
+      // ranking respects the rounded score: every bin-1 doc scores >=
+      // every last-bin doc within the source (when both bins exist)
+      if (sizes.contains(4)) {
+        val q1min = rows.filter(_.getAs[Int]("quartile") == 1)
+          .map(_.getAs[Double]("quality_score")).min
+        val q4max = rows.filter(_.getAs[Int]("quartile") == 4)
+          .map(_.getAs[Double]("quality_score")).max
+        assert(q1min >= q4max, src)
+      }
+    }
+  }
+
   test("sourceQuota: at most k per source, ranked by quality with id tiebreak") {
     val s = spark
     import s.implicits._

@@ -87,6 +87,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("retentionStream: stream-static cohort join matches batch retention") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evRows = Seq(
+      (1L, "signup", "2024-01-01 10:00:00", 1L),
+      (2L, "click", "2024-01-01 12:00:00", 1L),
+      (3L, "click", "2024-01-03 09:00:00", 1L),
+      (4L, "signup", "2024-01-01 09:00:00", 2L),
+      (5L, "click", "2024-01-01 10:00:00", 3L)) // user 3: no cohort → dropped
+    def ev(df: DataFrame): DataFrame =
+      df.toDF("event_id", "event_type", "ts_s", "user_id")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // static cohort table = first signup per user (landed history)
+    val cohorts = ev(evRows.toDF())
+      .filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("cohort_ts"))
+
+    val batchExact = graft.operators.Events.retention(ev(evRows.toDF()))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val stream = MemoryStream[(Long, String, String, Long)]
+    stream.addData(evRows: _*)
+    val q = StreamOps.retentionStream(ev(stream.toDF), cohorts)
+      .writeStream.format("memory").queryName("ret")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("ret")
+        .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      // HLL is exact at these cardinalities → identical to batch exact
+      assert(streamed == batchExact)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("dedupStream: duplicate keys within the horizon are dropped") {
     val s = spark
     import s.implicits._
