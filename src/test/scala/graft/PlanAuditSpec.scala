@@ -68,7 +68,15 @@ class PlanAuditSpec extends SparkSpec {
       // funnel: groupBy reuses the window's user_id partitioning
       "events_funnel" -> 1,
       // pivot with explicit values = one conditional-count aggregate
-      "events_pivot" -> 1)
+      "events_pivot" -> 1,
+      // ntile window partitioned by source; scoring is narrow
+      "llm_quality_quartiles" -> 1,
+      // cohort window (1) + final distinct count (1): the distinct's
+      // per-(group, user) phase REUSES the window's user_id
+      // partitioning — hashpartitioning on a subset of the clustering
+      // keys co-locates every (group, user) tuple, so no third
+      // Exchange is planned
+      "events_retention" -> 2)
       .foreach { case (q, n) =>
         val p = plan(q)
         assert(shuffles(p) == n,
