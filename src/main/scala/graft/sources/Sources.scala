@@ -76,6 +76,60 @@ object Sources {
     (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
 
+  /** Compact a parquet directory's small files toward `targetBytes`
+    * per output file — the maintenance pass every long-lived dataset
+    * needs (streaming sinks, fine-grained partitions, and incremental
+    * appends all accrete files far below the efficient scan size;
+    * at 100 TB a million 1 MB files turn every downstream scan into a
+    * metadata storm and starve the row-group readahead).
+    *
+    * Sizing comes from the FileSystem listing (driver-side, O(files) —
+    * the thing being fixed is files being too many, so the listing is
+    * the bottleneck exactly once; table formats with catalog-level
+    * stats can skip it). Output partition count =
+    * ceil(totalBytes / targetBytes), floor 1; the rewrite is
+    * `repartition(n)` (round-robin — even output sizes with no key
+    * assumption) into a NEW directory: compaction must never replace
+    * data in place mid-failure — swap directories/table pointers after
+    * the write commits.
+    *
+    * Returns (filesBefore, filesAfter, rows). */
+  def compact(
+      spark: SparkSession,
+      inPath: String,
+      outPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Long) = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val hadoopPath = new org.apache.hadoop.fs.Path(inPath)
+    val fs = hadoopPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val dataFiles = {
+      val it = fs.listFiles(hadoopPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet")) buf += f
+      }
+      buf.toSeq
+    }
+    require(dataFiles.nonEmpty, s"compact: no parquet files under $inPath")
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    df.repartition(nOut).write.mode("overwrite").parquet(outPath)
+    val outFs = new org.apache.hadoop.fs.Path(outPath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val written = {
+      val it = outFs.listFiles(new org.apache.hadoop.fs.Path(outPath), true)
+      var n = 0
+      while (it.hasNext) {
+        if (it.next().getPath.getName.endsWith(".parquet")) n += 1
+      }
+      n
+    }
+    (dataFiles.size, written, spark.read.parquet(outPath).count())
+  }
+
   /** `events.parquet` ships TIMESTAMP(NANOS), which Spark's parquet
     * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
     * (legacy conf) and convert to microsecond timestamps — the data is

@@ -52,6 +52,35 @@ class SourcesSpec extends SparkSpec {
     assert(!scanned.contains("event_type=view") || back.count() > 0)
   }
 
+  test("compact: many small files rewritten to few, rows preserved") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    try {
+      val df = (1 to 5000).map(i => (i.toLong, s"row $i")).toDF("id", "v")
+      df.repartition(32).write.parquet(s"$tmp/in") // 32 tiny files
+      val (before, after, rows) =
+        Sources.compact(spark, s"$tmp/in", s"$tmp/out",
+          targetBytes = 64L * 1024 * 1024)
+      assert(before == 32)
+      assert(after == 1) // total bytes far below one 64 MB target
+      assert(rows == 5000)
+      // content identical (set equality on ids)
+      val out = spark.read.parquet(s"$tmp/out")
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(out == (1 to 5000).map(_.toLong).toSet)
+      // a tiny target splits the output into multiple files
+      val (_, afterSmall, rowsSmall) =
+        Sources.compact(spark, s"$tmp/in", s"$tmp/out2", targetBytes = 8192)
+      assert(afterSmall > 1 && rowsSmall == 5000)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("writeBucketed: equi-join on the bucket key plans with zero Exchange") {
     import org.apache.spark.sql.functions.col
     val docs = Sources.parquetTable(spark, sf0001, "documents")
