@@ -267,6 +267,62 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: funnel and retention agree with brute-force references " +
+      "on random event streams") {
+    val s = spark
+    import s.implicits._
+    (1 to 3).foreach { _ =>
+      val types = Seq("click", "purchase", "signup", "view")
+      val events = (1 to 300).map { i =>
+        (i.toLong, types(rng.nextInt(types.size)),
+          java.sql.Timestamp.valueOf(
+            s"2024-01-0${rng.nextInt(9) + 1} 0${rng.nextInt(10)}:${rng.nextInt(6)}0:00"),
+          rng.nextInt(20).toLong)
+      }
+      val df = events.toDF("event_id", "event_type", "ts", "user_id")
+
+      // funnel vs brute force
+      val got = Events.funnel(df).collect()
+        .map(r => r.getLong(0) ->
+          (Option(r.getTimestamp(1)), Option(r.getTimestamp(2)), r.getInt(3)))
+        .toMap
+      val byUser = events.groupBy(_._4)
+      val expected = byUser.flatMap { case (u, evs) =>
+        val clicks = evs.filter(_._2 == "click").map(_._3)
+        if (clicks.isEmpty) None
+        else {
+          val t1 = clicks.minBy(_.getTime)
+          val purch = evs.filter(e => e._2 == "purchase" &&
+            !e._3.before(t1)).map(_._3)
+          val t2 = if (purch.isEmpty) None else Some(purch.minBy(_.getTime))
+          val conv = t2.exists(t => t.getTime - t1.getTime <= 3600000L)
+          Some(u -> ((Some(t1), t2, if (conv) 1 else 0)))
+        }
+      }
+      assert(got == expected)
+
+      // retention vs brute force
+      val gotRet = Events.retention(df).collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+      val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd")
+      def day(t: java.sql.Timestamp): String = fmt.format(t)
+      val expRet = byUser.toSeq.flatMap { case (u, evs) =>
+        val signups = evs.filter(_._2 == "signup").map(_._3)
+        if (signups.isEmpty) Nil
+        else {
+          val c = signups.minBy(_.getTime)
+          val cohortDay = day(c)
+          val cd = java.time.LocalDate.parse(cohortDay)
+          evs.map(e => java.time.LocalDate.parse(day(e._3)))
+            .filter(!_.isBefore(cd))
+            .map(d => (cohortDay,
+              java.time.temporal.ChronoUnit.DAYS.between(cd, d).toInt, u))
+        }
+      }.distinct.groupBy(t => (t._1, t._2)).view.mapValues(_.size.toLong).toMap
+      assert(gotRet == expRet)
+    }
+  }
+
   test("property: hyperplane signature is invariant to positive scaling only") {
     val s = spark
     import s.implicits._
