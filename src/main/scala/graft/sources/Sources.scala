@@ -76,6 +76,39 @@ object Sources {
     (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)
   }
 
+  /** JSON-lines reader — the interchange format LLM-pipeline corpora
+    * actually arrive in. The schema is REQUIRED (schema inference on
+    * JSON costs a full pre-pass AND silently unions drifting shapes —
+    * both wrong at 100 TB); unparseable lines land in
+    * `_corrupt_record` (PERMISSIVE) instead of failing the batch or
+    * silently vanishing (DROPMALFORMED), so ingest can quarantine and
+    * count them — the malformed-line rate is itself a crawl-quality
+    * signal. Spark restriction: a query referencing ONLY
+    * `_corrupt_record` over a raw scan is disallowed
+    * (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — materialize (cache/write)
+    * first, which an ingest landing pass does anyway. */
+  def jsonl(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val withCorrupt =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record",
+        org.apache.spark.sql.types.StringType, nullable = true)
+    spark.read
+      .schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** JSON-lines sink (one JSON object per line, gzip by default —
+    * text formats without codec cost 3-5× the storage of parquet;
+    * prefer parquet for anything re-read, JSONL for interchange). */
+  def writeJsonl(df: DataFrame, path: String,
+      compression: String = "gzip"): Unit =
+    df.write.mode("overwrite").option("compression", compression).json(path)
+
   /** Compact a parquet directory's small files toward `targetBytes`
     * per output file — the maintenance pass every long-lived dataset
     * needs (streaming sinks, fine-grained partitions, and incremental
