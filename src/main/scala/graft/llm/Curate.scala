@@ -116,8 +116,19 @@ object Curate {
     // cumulative upper thresholds for all but the last split; the last
     // takes the remaining hash range unconditionally (no "g" sentinel
     // needed — otherwise rounding could orphan the top bucket)
-    val thresholds = weights.map(_._2).scanLeft(0.0)(_ + _).tail.init
-      .map(c => f"${math.min(65535L, math.round(c / total * 65536)).toInt}%04x")
+    val cumBuckets = weights.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.min(65536L, math.round(c / total * 65536)))
+    // a split whose weight rounds below one 16-bit bucket would
+    // silently receive NOTHING — reject, like mixCorpus's granularity
+    // guard (weights are declared shares; an empty split is a bug)
+    cumBuckets.zip(0L +: cumBuckets.init).zip(weights).foreach {
+      case ((hi, lo), (name, w)) =>
+        require(hi > lo,
+          s"weight for $name ($w of total $total) is below the 1/65536 " +
+            "split granularity and would receive no rows")
+    }
+    val thresholds = cumBuckets.init
+      .map(c => f"${math.min(65535L, c).toInt}%04x")
     val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
     val label = thresholds.zip(weights.map(_._1)).foldRight(
       lit(weights.last._1)) { case ((thr, name), els) =>

@@ -107,6 +107,11 @@ class CurateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Curate.hashSplit(docs, weights = Seq("a" -> 0.0))
     }
+    // a weight below the 1/65536 hash granularity would silently get
+    // no rows — rejected, like mixCorpus's granularity guard
+    intercept[IllegalArgumentException] {
+      Curate.hashSplit(docs, weights = Seq("a" -> 1.0, "b" -> 1e-9))
+    }
   }
 
   test("qualityQuartiles: balanced bins per source, best docs in bin 1") {
