@@ -761,6 +761,12 @@ object SparkEntry {
     // score + id tiebreak (total order identical across engines).
     "llm_quality_quartiles" -> ((s, dir) =>
       Curate.qualityQuartiles(documents(s, dir))),
+
+    // Deterministic per-source uniform sample: hash-rank reservoir
+    // (smallest md5 bucket wins) — reproducible across engines and
+    // stable under corpus growth; WindowGroupLimit map-side cap.
+    "llm_sample_by_source" -> ((s, dir) =>
+      Curate.sampleBySource(documents(s, dir), k = 3)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1841,6 +1847,19 @@ object SparkEntry {
         |    PARTITION BY source
         |    ORDER BY quality_score DESC, doc_id) AS INT) AS quartile
         |FROM q""".stripMargin,
+
+    "llm_sample_by_source" ->
+      """SELECT doc_id, source, sample_key,
+        |  CAST(sample_rank AS INT) AS sample_rank
+        |FROM (
+        |  SELECT doc_id, source,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS sample_key,
+        |    row_number() OVER (
+        |      PARTITION BY source
+        |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id)
+        |      AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 3""".stripMargin,
 
     "events_retention" ->
       """WITH c AS (

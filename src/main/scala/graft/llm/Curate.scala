@@ -224,6 +224,38 @@ object Curate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** Deterministic per-source uniform sample: the k docs per source
+    * with the smallest md5 bucket of their id — a hash-rank reservoir.
+    * The md5 bucket is uniform and independent of the id's magnitude
+    * or insertion order, so the sample is uniform-without-replacement
+    * per source, IDENTICAL across engines/partitionings/reruns, and
+    * STABLE under corpus growth in the reservoir sense (a doc leaves
+    * the sample only when a smaller-bucket doc arrives — `limit` after
+    * `orderBy rand()` re-deals the whole sample every run instead).
+    * The inspect-k-docs-per-source query every curation review runs.
+    *
+    * Scale: one shuffle on `sourceCol`; the row_number rank filter
+    * rewrites to a map-side WindowGroupLimit (each task keeps ≤ k rows
+    * per source before the exchange — the [[sourceQuota]] shape).
+    * Ties on the 16-bit bucket break by doc id, so the rank order is
+    * total in both engines. */
+  def sampleBySource(
+      docs: DataFrame,
+      k: Int,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(sourceCol))
+      .orderBy(col("sample_key"), col(idCol))
+    docs
+      .withColumn("sample_key",
+        substring(md5(col(idCol).cast("string")), 1, 4))
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col(idCol), col(sourceCol), col("sample_key"),
+        col("sample_rank"))
+  }
+
   /** Per-source quality quartiles: each doc labeled 1–4 by `ntile(4)`
     * over its source's quality ranking — the binning step behind
     * "train on the top quartile of every source" curricula (absolute

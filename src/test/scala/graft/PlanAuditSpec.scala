@@ -71,6 +71,8 @@ class PlanAuditSpec extends SparkSpec {
       "events_pivot" -> 1,
       // ntile window partitioned by source; scoring is narrow
       "llm_quality_quartiles" -> 1,
+      // hash-rank reservoir: one window shuffle on source
+      "llm_sample_by_source" -> 1,
       // cohort window (1) + final distinct count (1): the distinct's
       // per-(group, user) phase REUSES the window's user_id
       // partitioning — hashpartitioning on a subset of the clustering

@@ -114,6 +114,25 @@ class CurateSpec extends SparkSpec {
     }
   }
 
+  test("sampleBySource: k per source, reservoir-stable under growth") {
+    val out = Curate.sampleBySource(docs, k = 3).collect()
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.length <= 3, src)
+      assert(rows.map(_.getAs[Int]("sample_rank")).sorted.toSeq ==
+        (1 to rows.length), src)
+    }
+    // reservoir property: on a SUBSET of the corpus, every sampled doc
+    // that survived the subset keeps its relative order — removing
+    // docs can only promote, never demote or re-deal
+    val subset = Curate.sampleBySource(
+      docs.filter(col("doc_id") % 3 =!= 0), k = 3).collect()
+      .map(r => r.getAs[Long]("doc_id")).toSet
+    val fullKeys = out.filter(r => r.getAs[Long]("doc_id") % 3 != 0)
+      .map(_.getAs[Long]("doc_id")).toSet
+    // all surviving members of the full sample are still sampled
+    assert(fullKeys.subsetOf(subset))
+  }
+
   test("qualityQuartiles: balanced bins per source, best docs in bin 1") {
     val out = Curate.qualityQuartiles(docs).collect()
     assert(out.nonEmpty)
