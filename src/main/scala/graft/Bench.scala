@@ -79,7 +79,17 @@ object Bench {
     val failed = results.collect { case (n, _, false, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
+    // Like-for-like subtotal over the 11 queries the round-1 BASELINE
+    // run (36.58s) actually timed — the query set has since grown 6×,
+    // so the grand total is not comparable to the baseline total; this
+    // field is the apples-to-apples number next to it.
+    val baselineSet = Set("dim_reduction_kmeans", "add_split_column",
+      "validation_curves", "probability_prediction", "dim_reduction_pca",
+      "feature_union", "predefined_split_train", "prepare_features",
+      "predefined_split_fit", "robust_scaling", "predefined_split_test")
+    val baseSub = results.collect {
+      case (n, v, true, _) if baselineSet(n) => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","baseline_subset":$baseSub,"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -155,6 +155,16 @@ object SparkEntry {
         Seq("l_quantity", "l_extendedprice", "l_discount"),
         exact = true)),
 
+    // §2.1 #7 companion: winsorize — clip to [p05, p95] instead of
+    // re-centering. Same one-job quantile plan; exact path for the
+    // quantile_cont oracle.
+    "feature_winsorize" -> ((s, dir) =>
+      RobustScaling.winsorize(
+        lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"),
+        exact = true)),
+
     // §2.1 #11 add_split_column — deterministic custom branch (Q4):
     // everything outside one label value trains.
     "add_split_column" -> ((s, dir) =>
@@ -454,6 +464,20 @@ object SparkEntry {
             .as("text")))
       Curate.decontaminate(train, bench).select("doc_id")
     }),
+    // The broadcast-Bloom-prefiltered twin — same planted fixture, same
+    // NOT IN oracle (bloom false positives are re-verified by the exact
+    // gram join, so the output is bit-identical to the exact path; the
+    // prefilter only changes WHERE non-matching grams die: inside the
+    // scan stage instead of at the join).
+    "llm_decontaminate_bloom" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.filter(col("doc_id") % 41 === 0)
+      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
+        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz planted contamination prefix "), col("text"))
+            .as("text")))
+      Curate.decontaminateBloom(train, bench).select("doc_id")
+    }),
 
     // ------------------------------------------ §7 LLM-pipeline: text ops
     "text_token_stats" -> ((s, dir) =>
@@ -721,6 +745,11 @@ object SparkEntry {
     "llm_hash_split" -> ((s, dir) =>
       Curate.hashSplit(documents(s, dir).select("doc_id", "source"))),
 
+    // Deterministic global training order — two-phase bucket index
+    // (single-partition-window-free); equals row_number over md5 order.
+    "llm_global_shuffle" -> ((s, dir) =>
+      Curate.globalShuffleOrder(documents(s, dir))),
+
     // TPC-H Q1 shape: the canonical scan → partial agg → final agg
     // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
     "lineitem_pricing_summary" -> ((s, dir) =>
@@ -783,6 +812,19 @@ object SparkEntry {
         |  (l_discount - (SELECT quantile_cont(l_discount, 0.5) FROM lineitem))
         |    / ((SELECT quantile_cont(l_discount, 0.75) FROM lineitem)
         |       - (SELECT quantile_cont(l_discount, 0.25) FROM lineitem)) AS l_discount_scaled
+        |FROM lineitem""".stripMargin,
+
+    "feature_winsorize" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+        |  LEAST(GREATEST(l_quantity,
+        |    (SELECT quantile_cont(l_quantity, 0.05) FROM lineitem)),
+        |    (SELECT quantile_cont(l_quantity, 0.95) FROM lineitem)) AS l_quantity_wins,
+        |  LEAST(GREATEST(l_extendedprice,
+        |    (SELECT quantile_cont(l_extendedprice, 0.05) FROM lineitem)),
+        |    (SELECT quantile_cont(l_extendedprice, 0.95) FROM lineitem)) AS l_extendedprice_wins,
+        |  LEAST(GREATEST(l_discount,
+        |    (SELECT quantile_cont(l_discount, 0.05) FROM lineitem)),
+        |    (SELECT quantile_cont(l_discount, 0.95) FROM lineitem)) AS l_discount_wins
         |FROM lineitem""".stripMargin,
 
     "add_split_column" ->
@@ -1170,6 +1212,51 @@ object SparkEntry {
     // flipped to NOT IN — every train doc whose doc_id is absent from
     // the contaminated set survives.
     "llm_decontaminate_kept" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000,
+        |         concat('zz planted contamination prefix ', text)
+        |  FROM bench
+        |), ttoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM train
+        |), tgrams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END)) AS g
+        |  FROM ttoks WHERE len(tokens) > 0
+        |), btoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM bench
+        |), bgrams AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END) AS g
+        |  FROM btoks WHERE len(tokens) > 0
+        |), contaminated AS (
+        |  SELECT DISTINCT t.doc_id FROM tgrams t JOIN bgrams b ON t.g = b.g
+        |)
+        |SELECT doc_id FROM train
+        |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)""".stripMargin,
+
+    // bit-identical to the exact kept-side (bloom FPs re-verified), so
+    // the oracle is the same NOT IN query
+    "llm_decontaminate_bloom" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),
         |train AS (
@@ -1748,6 +1835,12 @@ object SparkEntry {
         |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
         |         THEN 'val'
         |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin,
+
+    "llm_global_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    - 1 AS pos
         |FROM documents""".stripMargin,
 
     "lineitem_pricing_summary" ->

@@ -75,4 +75,54 @@ object RobustScaling {
     * `quantile_cont` oracle (SURVEY.md Q5). */
   def exactScaling(df: DataFrame, columns: Seq[String]): DataFrame =
     apply(df, columns, exact = true)
+
+  /** Winsorization: clip each selected column into its `[lo, hi]`
+    * quantile range, appended as `{col}_wins` — the outlier treatment a
+    * feature pipeline applies when it wants to KEEP extreme rows but
+    * bound their leverage (robust scaling's complement: scaling
+    * re-centers, winsorizing caps).
+    *
+    * Scale design mirrors [[apply]]: ONE aggregation job computes the
+    * (lo, hi) pair for every column at once (fixed-size driver result,
+    * 2 doubles per column), then the clip is a literal
+    * `least(greatest(x, lo), hi)` projection that constant-folds into
+    * whole-stage codegen — zero extra shuffles, no per-column jobs.
+    * Same exact-vs-GK-sketch dual as [[apply]]: `exact = true` is the
+    * oracle path (matches DuckDB `quantile_cont`), `exact = false` the
+    * bounded-memory at-scale default. All-null columns are skipped
+    * (no quantile exists); a degenerate lo == hi column clips to the
+    * constant, which is the definition, not a guard case. */
+  def winsorize(
+      df: DataFrame,
+      columns: Seq[String] = Nil,
+      lo: Double = 0.05,
+      hi: Double = 0.95,
+      quantileError: Double = 0.05,
+      exact: Boolean = false): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi,
+      s"need 0 <= lo < hi <= 1, got lo=$lo hi=$hi")
+    val cols = if (columns.nonEmpty) columns else numericColumns(df)
+    if (cols.isEmpty) return df
+
+    val qExprs: Seq[Column] = cols.map { c =>
+      val quantiles = array(lit(lo), lit(hi))
+      val agg =
+        if (exact) percentile(col(c).cast("double"), quantiles)
+        else percentile_approx(col(c).cast("double"), quantiles,
+          lit(math.max(1, math.ceil(1.0 / quantileError).toInt)))
+      agg.as(c)
+    }
+    val row = df.agg(qExprs.head, qExprs.tail: _*).head()
+
+    val clipped: Seq[(String, Column)] = cols.flatMap { c =>
+      val idx = row.fieldIndex(c)
+      if (row.isNullAt(idx)) None
+      else {
+        val Seq(qlo, qhi) = row.getSeq[Double](idx).toSeq
+        Some(s"${c}_wins" ->
+          least(greatest(col(c).cast("double"), lit(qlo)), lit(qhi)))
+      }
+    }
+    clipped.foldLeft(df) { case (acc, (name, expr)) => acc.withColumn(name, expr) }
+  }
 }

@@ -224,6 +224,51 @@ object Curate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** [[decontaminate]] with a broadcast Bloom prefilter on the corpus
+    * gram stream — IDENTICAL output (false positives are re-verified by
+    * the exact gram join; `fpp` tunes cost, never correctness), very
+    * different 100 TB cost. The exact path ships every corpus gram into
+    * the join; at 1 gram/token over 100 TB that is ~10^13 join probes.
+    * Here each gram first probes an executor-local Bloom built over the
+    * benchmark grams, so the (1 - fpp) fraction that can't possibly
+    * match dies inside the scan's WholeStageCodegen stage — the join
+    * (and, under AQE's fallback to a shuffled join for a pathologically
+    * large suite, the shuffle) sees only true hits + fpp noise.
+    *
+    * Build cost: the benchmark gram set is driver-visible by
+    * construction (eval suites, not corpora), so the two eager jobs
+    * here (count, then the `stat.bloomFilter` aggregate) scan only the
+    * small side; the corpus side stays fully lazy. The grams are
+    * probed via `xxhash64` on BOTH the build and probe sides — the
+    * filter stores hashes, not strings, so its size is grams × ~10
+    * bits at fpp=1%, independent of gram length. */
+  def decontaminateBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      minShared: Int = 1,
+      fpp: Double = 0.01,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bg = benchmarkGrams(benchmark, n, textCol, idCol)
+    val hashed = bg.select(xxhash64(col("g")).as("h"))
+    val expected = math.max(1L, hashed.count())
+    val filter = hashed.stat.bloomFilter("h", expected, fpp)
+    val bloomB = docs.sparkSession.sparkContext.broadcast(filter)
+
+    val candidateGrams = Dedup.strictGrams(
+        docs.select(col(idCol), col(textCol)), textCol, idCol, n)
+      .select(col(idCol), explode(array_distinct(col("grams"))).as("g"))
+      .filter(graft.functions.BloomMightContain(xxhash64(col("g")), bloomB))
+    val flagged = candidateGrams.join(bg, "g")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .select(idCol)
+    docs.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic per-source uniform sample: the k docs per source
     * with the smallest md5 bucket of their id — a hash-rank reservoir.
     * The md5 bucket is uniform and independent of the id's magnitude
@@ -282,6 +327,51 @@ object Curate {
       .withColumn("quartile", ntile(buckets).over(w))
       .select(col(idCol), col(sourceCol), col("quality_score"),
         col("quartile"))
+  }
+
+  /** Deterministic global training order: every doc gets a unique,
+    * engine-independent position `0..n-1` in md5-shuffled order — the
+    * "shuffle the corpus once, then stream it" step before sequence
+    * packing. A seeded `rand()` order is partitioning-dependent and a
+    * global `row_number() OVER (ORDER BY ...)` plans as a
+    * SINGLE-PARTITION window (every row through one task — the
+    * canonical 100 TB scale-killer), so neither is acceptable.
+    *
+    * Two-phase range-bucket index instead (the TeraSort/zipWithIndex
+    * recipe, expressed declaratively):
+    *   1. bucket = the 16-bit prefix of md5(id) → `groupBy(bucket)`
+    *      counts. The counts frame is ≤ 65536 rows REGARDLESS of corpus
+    *      size, so the cumulative-sum window over it being
+    *      single-partition is fine — it is driver-scale by construction.
+    *   2. position = (broadcast) bucket offset + rank within bucket,
+    *      where the rank window partitions by bucket — 65536-way
+    *      parallel, uniform by md5. Ties impossible: the full 32-hex
+    *      md5 with id tiebreak is a total order.
+    * Net cost: one extra pass for counts + ONE shuffle of the corpus on
+    * bucket; no stage touches more than 1/65536th of the data per task.
+    * Equals `row_number() OVER (ORDER BY md5(id), id) - 1` exactly —
+    * the oracle — while staying executable at any scale. */
+  def globalShuffleOrder(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      outputCol: String = "pos"): DataFrame = {
+    val key = md5(col(idCol).cast("string"))
+    val withKey = docs.select(col(idCol))
+      .withColumn("shuffle_key", key)
+      .withColumn("bkt", conv(substring(col("shuffle_key"), 1, 4), 16, 10)
+        .cast("long"))
+    val offsets = withKey.groupBy("bkt").count()
+      .withColumn("offset",
+        coalesce(sum("count").over(
+          Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "offset")
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("shuffle_key"), col(idCol))
+    withKey.join(broadcast(offsets), "bkt")
+      .withColumn(outputCol,
+        (col("offset") + row_number().over(w) - lit(1)).cast("long"))
+      .select(col(idCol), col("shuffle_key"), col(outputCol))
   }
 
   /** [[apply]] plus fuzzy near-dup suppression (minhash) — the full

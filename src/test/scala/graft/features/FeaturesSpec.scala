@@ -61,6 +61,46 @@ class FeaturesSpec extends SparkSpec {
     base.zip(shifted).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
   }
 
+  test("winsorize: clips exactly to the [lo, hi] quantiles, keeps interior") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+    val out = RobustScaling.winsorize(df, Seq("l_extendedprice"),
+      lo = 0.05, hi = 0.95, exact = true)
+    val Seq(qlo, qhi) = df
+      .agg(percentile(col("l_extendedprice"), array(lit(0.05), lit(0.95))))
+      .head().getSeq[Double](0).toSeq
+    val stats = out.agg(
+      min(col("l_extendedprice_wins")), max(col("l_extendedprice_wins")),
+      sum(when(col("l_extendedprice_wins") =!= col("l_extendedprice"), 1)
+        .otherwise(0)),
+      count(lit(1))).head()
+    assert(stats.getDouble(0) >= qlo && stats.getDouble(1) <= qhi)
+    // ~10% of rows are outside [p05, p95] and get clipped; interior
+    // rows pass through bit-identical
+    val clipped = stats.getLong(2).toDouble / stats.getLong(3)
+    assert(clipped > 0.02 && clipped < 0.2, s"clipped share $clipped")
+    assert(out.filter(col("l_extendedprice") > qlo &&
+      col("l_extendedprice") < qhi &&
+      col("l_extendedprice_wins") =!= col("l_extendedprice")).count() == 0)
+  }
+
+  test("winsorize: approx path tracks exact; all-null column skipped") {
+    val df = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .withColumn("allnull", lit(null).cast("double"))
+    val out = RobustScaling.winsorize(df,
+      Seq("l_quantity", "allnull"), quantileError = 0.01)
+    assert(out.columns.contains("l_quantity_wins"))
+    assert(!out.columns.contains("allnull_wins"))
+    val exact = RobustScaling.winsorize(df, Seq("l_quantity"), exact = true)
+    val (eMin, eMax) = {
+      val r = exact.agg(min("l_quantity_wins"), max("l_quantity_wins")).head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val r = out.agg(min("l_quantity_wins"), max("l_quantity_wins")).head()
+    // GK sketch bounds land within a few percent of the exact clip
+    assert(math.abs(r.getDouble(0) - eMin) <= math.abs(eMin) * 0.05 + 1.0)
+    assert(math.abs(r.getDouble(1) - eMax) <= math.abs(eMax) * 0.05 + 1.0)
+  }
+
   test("add_split_column: random split is seeded-deterministic and 0/1") {
     val a = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))
     val b = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))

@@ -210,4 +210,52 @@ class CurateSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(flagged == Set(11L))
   }
+
+  test("decontaminateBloom: bit-identical to exact decontaminate, any fpp") {
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+      .select("doc_id", "text")
+    val train = docs.filter(col("doc_id") % 41 =!= 0)
+      .select("doc_id", "text").unionByName(
+        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz planted contamination prefix "), col("text"))
+            .as("text")))
+    val exact = Curate.decontaminate(train, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tight and sloppy filters must agree with the exact path — false
+    // positives only waste join probes, never change the output
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = Curate.decontaminateBloom(train, bench, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp diverged")
+    }
+    // the fixture is non-vacuous: every planted copy was dropped and
+    // at least one real doc survives
+    assert(exact.nonEmpty && !exact.exists(_ >= 1000000L))
+  }
+
+  test("globalShuffleOrder: a permutation of 0..n-1 matching md5 order") {
+    val n = docs.count()
+    val out = Curate.globalShuffleOrder(docs)
+    assert(out.count() == n)
+    val posStats = out.agg(min("pos"), max("pos"),
+      countDistinct("pos")).head()
+    assert(posStats.getLong(0) == 0L)
+    assert(posStats.getLong(1) == n - 1)
+    assert(posStats.getLong(2) == n)
+    // equals the single-partition row_number formulation (viable at
+    // test scale; the operator exists so production never runs it)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shuffle_key"), col("doc_id"))
+    val oracle = docs
+      .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
+      .withColumn("pos", row_number().over(w).cast("long") - 1)
+      .select("doc_id", "pos")
+    assert(out.select("doc_id", "pos").exceptAll(oracle).count() == 0)
+  }
+
+  test("globalShuffleOrder: engine-stable under repartitioning") {
+    val a = Curate.globalShuffleOrder(docs)
+    val b = Curate.globalShuffleOrder(docs.repartition(13))
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
 }
