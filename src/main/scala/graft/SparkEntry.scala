@@ -579,6 +579,18 @@ object SparkEntry {
       }
     }),
 
+    // Product quantization: codes-only ANN scan (the compressed-corpus
+    // complement of IVF's pruned scan). Seeded per-subspace Lloyd fits
+    // → not SQL-expressible; adjudicated by SimilaritySpec's recall
+    // bound + determinism and shape invariants.
+    "similarity_pq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.pqProbe(
+        Similarity.pqIndex(emb),
+        emb.filter(col("vec_id") < 10), k = 10, refine = 50, corpus = emb)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ---------------------------------------- §7 LLM-pipeline: multimodal
     "multimodal_profile" -> ((s, dir) =>
       Multimodal.profile(documents(s, dir), embeddings(s, dir))),

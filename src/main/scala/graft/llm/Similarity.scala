@@ -284,6 +284,238 @@ object Similarity {
         nAssign = nAssign),
       queries, k, nProbe, embCol, idCol)
 
+  // ------------------------------------------------------------------
+  // Product quantization (IVF's memory-side complement)
+
+  /** A trained product-quantization index: the codebook broadcast
+    * (`m` subspaces × `k` centroids × `subDim` doubles, flattened —
+    * a fixed-size model artifact) and the encoded corpus
+    * `(neighbor_id, codes: array<int>[m], norm)`.
+    *
+    * Why PQ at 100 TB: IVF prunes WHICH rows a probe scans; PQ shrinks
+    * WHAT a scan reads — `m` small ints + one float per vector instead
+    * of `dim` floats (64-d float32 = 256 B → 8 codes ≈ 40 B even
+    * uncompacted; a production layout packs them to `m` bytes = 32×).
+    * The probe never touches the embedding column at all, so the
+    * Parquet scan prunes it away and the per-pair work drops from
+    * O(dim) multiplies to O(m) LUT reads ([[graft.functions.PqAdcScore]]).
+    * Approximate by construction — rank quality is a recall number
+    * (SimilaritySpec), not an oracle row.
+    *
+    * Rows whose embedding is null / ill-shaped are unindexable and
+    * dropped, exactly like the IVF path's null handling. */
+  final case class PqIndex(
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      m: Int,
+      k: Int,
+      subDim: Int,
+      codes: DataFrame)
+
+  /** Train per-subspace codebooks on a bounded driver sample (the
+    * [[ivfIndex]] fit recipe: uniform reservoir via `takeSample`, then
+    * `m` independent driver-local Lloyd fits — PQ quantizers, like IVF
+    * coarse quantizers, must NOT see every row at scale), then encode
+    * the whole corpus in ONE narrow codegen'd pass
+    * ([[graft.functions.PqEncode]]; the codebook rides a broadcast). */
+  def pqIndex(
+      corpus: DataFrame,
+      m: Int = 16,
+      k: Int = 64,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      seed: Long = 42L,
+      fitSampleFraction: Double = 0.25,
+      maxFitSample: Int = 20000,
+      maxIter: Int = 10): PqIndex = {
+    require(m >= 1 && k >= 2, s"need m >= 1 and k >= 2, got m=$m k=$k")
+    val sample = corpus
+      .select(asDouble(col(embCol)).as("e"))
+      .where(col("e").isNotNull)
+      .sample(withReplacement = false, fitSampleFraction, seed)
+      .rdd
+      .takeSample(withReplacement = false, maxFitSample, seed)
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty,
+      s"pqIndex: no non-null '$embCol' rows in the fit sample")
+    val dim = sample.head.length
+    require(dim % m == 0,
+      s"pqIndex: embedding dim $dim is not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val flat = new Array[Double](m * k * subDim)
+    var j = 0
+    while (j < m) {
+      // per-subspace fit: seed varies by j so subspaces don't share
+      // sampling accidents; points are the j-th slice of every sample
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(
+        v, j * subDim, (j + 1) * subDim))
+      val cb = lloydKMeans(pts, k, maxIter, seed + j)
+      var c = 0
+      while (c < k) {
+        System.arraycopy(cb(c), 0, flat, (j * k + c) * subDim, subDim)
+        c += 1
+      }
+      j += 1
+    }
+    val bcast = corpus.sparkSession.sparkContext.broadcast(flat)
+    val normSq = aggregate(
+      transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"),
+        graft.functions.PqEncode(asDouble(col(embCol)), bcast, m, k, subDim)
+          .as("codes"),
+        sqrt(normSq).as("norm"))
+      .where(col("codes").isNotNull)
+    PqIndex(bcast, m, k, subDim, codes)
+  }
+
+  /** Probe a [[PqIndex]]: per query, ONE O(k·dim) LUT build
+    * ([[graft.functions.PqLut]]), then every corpus row is scored with
+    * `m` array lookups and the per-query top-k window ranks the
+    * results — [[cosineTopK]]'s plan shape (broadcast queries, one
+    * corpus scan, one window shuffle keyed by query) over the
+    * compressed codes instead of raw vectors. The ADC dot is
+    * normalized by the EXACT stored norms, so the score approximates
+    * cosine and zero-norm rows pin to -1 like the exact twin.
+    *
+    * `refine > 0` adds the standard second stage (FAISS's
+    * IndexRefineFlat): the ADC pass keeps a per-query shortlist of
+    * `refine` candidates, which re-joins the RAW embeddings BY ID and
+    * re-ranks with exact cosine. The expensive exact scoring then
+    * touches `|queries| × refine` rows instead of the corpus — the
+    * refine join is candidate-bounded, so the compressed scan still
+    * does all corpus-sized work. On weakly-clustered embeddings this
+    * is what turns ADC's lossy ordering into high recall@k (the true
+    * neighbor only needs to land in the top-`refine`, not the
+    * top-k). */
+  def pqProbe(
+      index: PqIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      refine: Int = 0,
+      corpus: DataFrame = null,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(refine == 0 || refine >= k,
+      s"refine ($refine) must be 0 (off) or >= k ($k)")
+    require(refine == 0 || corpus != null,
+      "refine > 0 needs the raw corpus to re-rank against")
+    val normSq = aggregate(
+      transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        graft.functions.PqLut(asDouble(col(embCol)), index.codebook,
+          index.m, index.k, index.subDim).as("lut"),
+        asDouble(col(embCol)).as("q_emb"),
+        sqrt(normSq).as("q_norm"))
+      .where(col("lut").isNotNull))
+    val adc = graft.functions.PqAdcScore(col("lut"), col("codes"), index.k)
+    val scored = index.codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pq_score",
+        when(col("norm") > 0 && col("q_norm") > 0,
+          adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0)))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    if (refine == 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "pq_score")
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= refine)
+        .select("query_id", "neighbor_id", "q_emb")
+      val exactSide = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(embCol)).as("c_emb"))
+      // candidate-bounded equi-join: |queries| × refine rows against
+      // the corpus by id — broadcast-able whenever the shortlist is
+      val rescored = shortlist.join(exactSide, "neighbor_id")
+        .withColumn("pq_score", cosine(col("q_emb"), col("c_emb")))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "pq_score")
+    }
+  }
+
+  /** Driver-local plain-L2 Lloyd k-means for PQ subspace codebooks —
+    * the euclidean sibling of [[sphericalKMeans]] (subvectors are NOT
+    * unit vectors, so cosine assignment would be wrong here). k-means++
+    * D² init, deterministic under `seed`, empty clusters keep their
+    * previous centroid, fewer distinct points than k leaves duplicate
+    * centroids (harmless: encode argmin tie-breaks on centroid id). */
+  private def lloydKMeans(
+      points: Array[Array[Double]],
+      k: Int,
+      maxIter: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty, "pqIndex: empty fit sample")
+    val dim = points.head.length
+    val rng = new scala.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val chosen = scala.collection.mutable.ArrayBuffer(
+      points(rng.nextInt(points.length)).clone())
+    val minDist = points.map(p => d2(p, chosen.head))
+    while (chosen.length < math.min(k, points.length)) {
+      val total = minDist.sum
+      val pick =
+        if (total <= 0) rng.nextInt(points.length)
+        else {
+          var r = rng.nextDouble() * total
+          var i = 0
+          while (i < minDist.length - 1 && r > minDist(i)) {
+            r -= minDist(i); i += 1
+          }
+          i
+        }
+      chosen += points(pick).clone()
+      var i = 0
+      while (i < points.length) {
+        val d = d2(points(i), chosen.last)
+        if (d < minDist(i)) minDist(i) = d
+        i += 1
+      }
+    }
+    val centroids = chosen.toArray ++
+      Array.fill(math.max(0, k - points.length))(points(0).clone())
+    var iter = 0
+    var moved = true
+    while (iter < maxIter && moved) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          val d = d2(p, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      moved = false
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          val nc = sums(c).map(_ / counts(c))
+          var i = 0
+          while (i < dim && !moved) {
+            if (math.abs(nc(i) - centroids(c)(i)) > 1e-9) moved = true
+            i += 1
+          }
+          centroids(c) = nc
+        }
+        c += 1
+      }
+      iter += 1
+    }
+    centroids
+  }
+
   /** Persist a built [[IvfIndex]] — the build-once/probe-many
     * deployment shape across sessions:
     *

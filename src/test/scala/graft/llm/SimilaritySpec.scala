@@ -104,6 +104,52 @@ class SimilaritySpec extends SparkSpec {
     assert(exhaustive == truth)
   }
 
+  test("pqIndex/pqProbe: codes shape, determinism, and recall vs exact") {
+    val idx = Similarity.pqIndex(embeddings)
+    // every indexed row carries m codes, each in [0, k)
+    val bad = idx.codes.filter(size(col("codes")) =!= idx.m ||
+      exists(col("codes"), c => c < 0 || c >= idx.k)).count()
+    assert(bad == 0)
+    assert(idx.codes.count() == embeddings.count())
+
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
+    val approx = Similarity.pqProbe(idx, queries, k = 10)
+    assert(approx.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() == 0)
+    val recall = Similarity.recallAgainst(approx, truth)
+    // ADC-only is quantization-bounded — lossy codes reorder the tail
+    // on these weakly-clustered synthetic embeddings
+    assert(recall >= 0.4, s"pq adc-only recall=$recall")
+
+    // the refine stage (exact re-rank of the ADC top-50 shortlist) is
+    // the production shape and must recover high recall
+    val refined = Similarity.pqProbe(idx, queries, k = 10,
+      refine = 50, corpus = embeddings)
+    val refinedRecall = Similarity.recallAgainst(refined, truth)
+    assert(refinedRecall >= 0.85, s"pq refined recall=$refinedRecall")
+    assert(refinedRecall > recall)
+
+    // seeded fits ⇒ identical output across independent builds
+    val again = Similarity.pqProbe(Similarity.pqIndex(embeddings),
+      queries, k = 10)
+    assert(approx.exceptAll(again).count() == 0)
+  }
+
+  test("pqIndex: rejects a dim not divisible by m; drops null embeddings") {
+    val s = spark
+    import s.implicits._
+    intercept[IllegalArgumentException] {
+      Similarity.pqIndex(
+        Seq((0L, Seq(1.0, 2.0, 3.0))).toDF("vec_id", "embedding"), m = 2)
+    }
+    val withNull = embeddings.select("vec_id", "embedding").unionByName(
+      Seq((9999L, null.asInstanceOf[Seq[Double]]))
+        .toDF("vec_id", "embedding"))
+    val idx = Similarity.pqIndex(withNull)
+    assert(idx.codes.filter(col("neighbor_id") === 9999L).count() == 0)
+  }
+
   test("ivfAppend: appended vectors are probe-visible without a refit") {
     val s = spark
     import s.implicits._
