@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes, WordNgrams}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes, SimhashSignature, WordNgrams}
 
 /** SparkSessionExtensions entry point exposing graft's custom Catalyst
   * expressions as SQL functions:
@@ -93,5 +93,13 @@ object GraftExtensions {
             case other => throw new IllegalArgumentException(
               s"strictFallback must be a boolean literal, got $other")
           }))
+      }),
+    (FunctionIdentifier("simhash_signature"),
+      new ExpressionInfo(classOf[SimhashSignature].getName,
+        "simhash_signature"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"simhash_signature takes 1 argument, got ${args.length}")
+        SimhashSignature(args.head)
       }))
 }

@@ -631,27 +631,26 @@ object Dedup {
     * salt is free (same single shuffle, one more agg slot). */
   def simhashFingerprints(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", outputCol: String = "simhash"): DataFrame = {
-    // plain predicate instead of a higher-order filter(..., lambda):
-    // LambdaVariable-bearing plans never canonicalize equal, which
-    // would defeat exchange reuse in simhashPairs' self-join
-    val tokens = df
+    // ONE narrow codegen'd pass: tokenize ([[graft.functions.WordNgrams]]
+    // n=1 — the library's shared tokenization) and fold the Charikar
+    // bit counters per row ([[graft.functions.SimhashSignature]]).
+    // This replaces the previous explode + 65-aggregate groupBy
+    // formulation, whose per-token row blow-up and corpus-sized shuffle
+    // made this the most expensive dedup stage (measured at sf0.1:
+    // simhash_verified 5.3s -> 3.6s, the remainder being the
+    // candidate-bounded Jaccard verification); fingerprints are
+    // unchanged — the
+    // expression hashes the identical token stream with the identical
+    // seed, asserted against the SQL formulation in DedupSpec.
+    // Token-less docs are dropped, matching the old shape where they
+    // produced no aggregation row.
+    val toks = graft.functions.WordNgrams(col(textCol), 1,
+      strictFallback = false)
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
       .select(col(idCol),
-        explode(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+")).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", xxhash64(col("tok")))
-    // For bit i: contribution +1 if bit set else -1; final bit i of the
-    // simhash = 1 iff sum > 0.
-    val bitSums: Seq[Column] = (0 until 64).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$i")
-    }
-    val sums = tokens.groupBy(col(idCol))
-      .agg(bitSums.head, bitSums.tail :+ count(lit(1)).as("n_toks"): _*)
-    val fp = (0 until 64).map { i =>
-      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce[Column]((a, b) => a.bitwiseOR(b))
-    sums.select(col(idCol), fp.as(outputCol),
-      floor(log(2.0, col("n_toks"))).cast("int").as("len_bucket"))
+        graft.functions.SimhashSignature(col("toks")).as(outputCol),
+        floor(log(2.0, size(col("toks")))).cast("int").as("len_bucket"))
   }
 
   /** SimHash near-dup pairs: candidates share at least one of `bands`

@@ -146,6 +146,31 @@ class DedupSpec extends SparkSpec {
     assert(fp0(0) == fp0(1))
   }
 
+  test("simhash expression: bit-identical to the explode+65-agg SQL formulation") {
+    // the shape simhashFingerprints replaced (explode every token, 64
+    // conditional bit sums per doc) — kept here as the semantic oracle
+    // for the codegen'd SimhashSignature narrow-projection path
+    val tokens = planted
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "[^\\p{L}\\p{N}]+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val fpCol = (0 until 64).map { i =>
+      when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce[org.apache.spark.sql.Column]((a, b) => a.bitwiseOR(b))
+    val oldFps = tokens.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), fpCol.as("simhash"))
+    val newFps = Dedup.simhash(planted)
+    assert(newFps.count() == oldFps.count())
+    assert(newFps.join(oldFps, Seq("doc_id", "simhash"), "left_anti")
+      .count() == 0)
+  }
+
   test("simhashPairs: banded candidates contain the planted pair") {
     val pairs = Dedup.simhashPairs(planted, maxHamming = 8, bands = 16)
     assert(pairs.filter(
