@@ -762,6 +762,21 @@ object SparkEntry {
     "llm_global_shuffle" -> ((s, dir) =>
       Curate.globalShuffleOrder(documents(s, dir))),
 
+    // Cross-split leakage audit over hashSplit. In-flight planted
+    // copies (every 10th doc re-id'd +2000000) guarantee real overlap:
+    // a copy whose md5 bucket lands in val/test while its original (or
+    // any sibling copy) lands in train is a leak BOTH engines must
+    // count identically — no natural 8-gram overlap exists across the
+    // split at this SF (the decontaminate fixture lesson).
+    "llm_split_contamination" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val corpus = base.unionByName(
+        base.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+            col("text")))
+      Curate.splitContamination(corpus)
+    }),
+
     // TPC-H Q1 shape: the canonical scan → partial agg → final agg
     // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
     "lineitem_pricing_summary" -> ((s, dir) =>
@@ -1848,6 +1863,56 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "llm_split_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 0
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |           THEN 'train'
+        |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'f333'
+        |           THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM corpus
+        |), ttoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM s WHERE split = 'train'
+        |), tgrams AS (
+        |  SELECT DISTINCT unnest(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END) AS g
+        |  FROM ttoks WHERE len(tokens) > 0
+        |), etoks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM s WHERE split <> 'train'
+        |), egrams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(tokens) >= 8 THEN
+        |      list_transform(range(1, len(tokens) - 6),
+        |        i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2],
+        |                       tokens[i+3], tokens[i+4], tokens[i+5],
+        |                       tokens[i+6], tokens[i+7]))
+        |    ELSE [concat_ws(' ', tokens)] END)) AS g
+        |  FROM etoks WHERE len(tokens) > 0
+        |), hits AS (
+        |  SELECT DISTINCT e.doc_id FROM egrams e JOIN tgrams t ON e.g = t.g
+        |)
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM hits))
+        |    AS n_contaminated
+        |FROM s WHERE split <> 'train'
+        |GROUP BY split""".stripMargin,
 
     "llm_global_shuffle" ->
       """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,

@@ -329,6 +329,51 @@ object Curate {
         col("quartile"))
   }
 
+  /** Cross-split leakage report: for each non-train split of
+    * [[hashSplit]], how many docs share at least one word `n`-gram
+    * with ANY train-split doc — the held-out-integrity audit every
+    * eval pipeline runs after splitting (a val/test doc that overlaps
+    * train measures memorization, not generalization). Returns one row
+    * per non-train split: `(split, n_docs, n_contaminated)`.
+    *
+    * Scale shape: the train gram set is corpus-sized, so unlike
+    * [[contamination]] (benchmark side small by construction) this is
+    * an honest shuffle equi-join on the gram — but a LINEAR one: the
+    * train side is reduced to a DISTINCT gram SET first (1 row per
+    * gram), so each eval gram matches at most one row and the join
+    * output is bounded by the eval gram count; no doc-pair fan-out
+    * exists anywhere. Boilerplate grams therefore cost their one set
+    * row, not a quadratic pairing. The distinct + join are the price
+    * of an audit you run once per split release. */
+  def splitContamination(
+      docs: DataFrame,
+      weights: Seq[(String, Double)] =
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05),
+      trainSplit: String = "train",
+      n: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(weights.exists(_._1 == trainSplit),
+      s"weights must contain the train split '$trainSplit'")
+    val split = hashSplit(docs, weights, idCol)
+    val trainGrams = Dedup.strictGrams(
+        split.filter(col("split") === trainSplit)
+          .select(col(idCol), col(textCol)), textCol, idCol, n)
+      .select(explode(col("grams")).as("g"))
+      .distinct()
+    val evalDocs = split.filter(col("split") =!= trainSplit)
+    val evalGrams = Dedup.strictGrams(
+        evalDocs.select(col(idCol), col(textCol)), textCol, idCol, n)
+      .select(col(idCol), explode(array_distinct(col("grams"))).as("g"))
+    val contaminated = evalGrams.join(trainGrams, "g")
+      .select(idCol).distinct()
+      .withColumn("hit", lit(1))
+    evalDocs.join(contaminated, Seq(idCol), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("hit")).as("n_contaminated"))
+  }
+
   /** Deterministic global training order: every doc gets a unique,
     * engine-independent position `0..n-1` in md5-shuffled order — the
     * "shuffle the corpus once, then stream it" step before sequence

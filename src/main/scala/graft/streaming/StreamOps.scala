@@ -182,6 +182,44 @@ object StreamOps {
       .drop("grams")
   }
 
+  /** [[decontaminateStream]] with the broadcast-Bloom prefilter
+    * ([[graft.llm.Curate.decontaminateBloom]]'s streaming twin): docs
+    * whose grams all MISS the Bloom are provably clean (no false
+    * negatives) and bypass the nested-loop benchmark join entirely;
+    * only Bloom-positive docs pay the exact check, so per micro-batch
+    * the expensive join touches true hits + fpp noise instead of every
+    * doc. Output is bit-identical to [[decontaminateStream]] at any
+    * fpp (spec'd at 0.5). Both branches are stateless projections /
+    * stream-static joins, so their union is stateless too — watermark
+    * semantics are unchanged.
+    *
+    * The per-doc Bloom test runs inside `exists` (a higher-order
+    * function, interpreted) — fine here because it replaces a
+    * nested-loop scan of the whole benchmark gram set with one hash +
+    * probe per gram. */
+  def decontaminateStreamBloom(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      n: Int = 8,
+      fpp: Double = 0.01,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val bg = graft.llm.Curate.benchmarkGrams(benchmark, n, textCol, idCol)
+    val hashed = bg.select(xxhash64(col("g")).as("h"))
+    val expected = math.max(1L, hashed.count())
+    val bloomB = docs.sparkSession.sparkContext.broadcast(
+      hashed.stat.bloomFilter("h", expected, fpp))
+    val withGrams = docs.withColumn("grams",
+      graft.functions.WordNgrams(col(textCol), n, strictFallback = true))
+    val maybe = exists(col("grams"), g =>
+      graft.functions.BloomMightContain(xxhash64(g), bloomB))
+    val clean = withGrams.filter(!maybe)
+    val suspect = withGrams.filter(maybe)
+      .join(bg, array_contains(col("grams"), col("g")), "left_anti")
+    clean.unionByName(suspect).drop("grams")
+  }
+
   /** Stateful streaming sessionization via `flatMapGroupsWithState` —
     * the custom-state path the built-in windowed aggregates can't
     * express. Semantics match the batch `Events.sessionize` (gap rule

@@ -340,4 +340,63 @@ class PropertySpec extends SparkSpec {
       assert(rows(1L).intersect(rows(3L)).isEmpty)
     }
   }
+
+  test("property: simhash is token-order invariant and edit-locality holds") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.SimhashSignature
+    (1 to 3).foreach { _ =>
+      val vocab = Seq.fill(40)(rng.alphanumeric.take(6).mkString)
+      val toks = Seq.fill(120)(vocab(rng.nextInt(vocab.size)))
+      val shuffled = rng.shuffle(toks)
+      val edited = toks.updated(rng.nextInt(toks.size), "zzznovel")
+      val fps = Seq((1L, toks), (2L, shuffled), (3L, edited))
+        .toDF("id", "toks")
+        .select(col("id"), SimhashSignature(col("toks")).as("fp"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // the bit-counter fold sums over the multiset: order cannot matter
+      assert(fps(1L) == fps(2L))
+      // a one-token edit moves each counter by at most 2: Hamming stays
+      // far from the 32-bit expectation of independent fingerprints
+      val ham = java.lang.Long.bitCount(fps(1L) ^ fps(3L))
+      assert(ham <= 16, s"hamming=$ham")
+    }
+  }
+
+  test("property: pq ADC score equals the codebook-reconstruction dot") {
+    val s = spark
+    import s.implicits._
+    import graft.functions.{PqAdcScore, PqEncode, PqLut}
+    val m = 4; val k = 8; val subDim = 4
+    (1 to 3).foreach { _ =>
+      val flat = Array.fill(m * k * subDim)(rng.nextGaussian())
+      val bcast = spark.sparkContext.broadcast(flat)
+      val vec = Seq.fill(m * subDim)(rng.nextGaussian())
+      val query = Seq.fill(m * subDim)(rng.nextGaussian())
+      val row = Seq((vec, query)).toDF("v", "q")
+        .select(
+          PqEncode(col("v"), bcast, m, k, subDim).as("codes"),
+          PqLut(col("q"), bcast, m, k, subDim).as("lut"))
+        .withColumn("adc", PqAdcScore(col("lut"), col("codes"), k))
+        .head()
+      val codes = row.getSeq[Int](0)
+      // reference: dot(query, reconstruction-from-codebook(v))
+      val expected = (0 until m).map { j =>
+        (0 until subDim).map { t =>
+          query(j * subDim + t) * flat((j * k + codes(j)) * subDim + t)
+        }.sum
+      }.sum
+      assert(math.abs(row.getDouble(2) - expected) < 1e-9)
+      // and each code is the true argmin of subvector L2 distance
+      (0 until m).foreach { j =>
+        val dists = (0 until k).map { c =>
+          (0 until subDim).map { t =>
+            val d = vec(j * subDim + t) - flat((j * k + c) * subDim + t)
+            d * d
+          }.sum
+        }
+        assert(dists(codes(j)) == dists.min)
+      }
+    }
+  }
 }

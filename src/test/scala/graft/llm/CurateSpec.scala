@@ -233,6 +233,42 @@ class CurateSpec extends SparkSpec {
     assert(exact.nonEmpty && !exact.exists(_ >= 1000000L))
   }
 
+  test("splitContamination: counts leaked eval docs, cross-checked per doc") {
+    // planted copies (new ids) of every 10th doc: whichever split the
+    // md5 buckets assign, a copy/original pair straddling train and an
+    // eval split is a leak the report must count
+    val base = docs.select("doc_id", "text")
+    val corpus = base.unionByName(
+      base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+    val report = Curate.splitContamination(corpus)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(report.keySet == Set("val", "test"))
+    // the planted fixture must be non-vacuous
+    assert(report.values.map(_._2).sum > 0)
+    report.values.foreach { case (n, c) => assert(c >= 0 && c <= n) }
+
+    // per-doc cross-check through the independent contamination path:
+    // eval docs sharing >= 1 gram with the train corpus
+    val split = Curate.hashSplit(corpus)
+    val train = split.filter(col("split") === "train")
+      .select("doc_id", "text")
+    val eval_ = split.filter(col("split") =!= "train")
+    val leakedIds = Curate.contamination(
+        eval_.select("doc_id", "text"), train)
+      .select("doc_id")
+    val expected = eval_.join(leakedIds, Seq("doc_id"), "left_semi")
+      .groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.map { case (k, v) => k -> v._2 } ==
+      Map("val" -> 0L, "test" -> 0L) ++ expected)
+    // and totals reconcile with the split sizes
+    val sizes = eval_.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(report.map { case (k, v) => k -> v._1 } == sizes)
+  }
+
   test("globalShuffleOrder: a permutation of 0..n-1 matching md5 order") {
     val n = docs.count()
     val out = Curate.globalShuffleOrder(docs)

@@ -254,6 +254,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStreamBloom: bloom prefilter matches the exact stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val bench = Seq((1L, benchText)).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "prefix words " + benchText + " suffix words"), // contaminated
+      (11L, "a clean document with enough of its own words to " +
+        "shingle into several grams none of which echo the benchmark"),
+      (12L, benchText), // identical (short-rule path) → contaminated
+      (13L, "...!!!")   // zero grams: never bloom-positive → clean branch
+    )
+    // sloppy fpp=0.5 forces clean docs through the exact branch too —
+    // false positives must not change the output
+    for (fpp <- Seq(0.01, 0.5)) {
+      val stream = MemoryStream[(Long, String)]
+      val sdf = stream.toDF.toDF("doc_id", "text")
+      val q = StreamOps.decontaminateStreamBloom(sdf, bench, fpp = fpp)
+        .writeStream.format("memory").queryName(s"decon_bloom")
+        .outputMode("append").start()
+      try {
+        stream.addData(docs: _*)
+        q.processAllAvailable()
+        val streamed = spark.table("decon_bloom")
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(streamed == Set(11L, 13L), s"fpp=$fpp")
+      } finally q.stop()
+    }
+  }
+
   test("sessionizeStream: (user_id, session_start) unique across an eviction") {
     val s = spark
     import s.implicits._
