@@ -357,15 +357,80 @@ object Similarity {
       j += 1
     }
     val bcast = corpus.sparkSession.sparkContext.broadcast(flat)
+    PqIndex(bcast, m, k, subDim,
+      encodeCodes(corpus, bcast, m, k, subDim, embCol, idCol))
+  }
+
+  /** The one-pass encode shared by [[pqIndex]] (build) and [[pqAppend]]
+    * (grow): a narrow codegen'd projection; unquantizable rows (null /
+    * ill-shaped embeddings) drop out, like the IVF path. */
+  private def encodeCodes(
+      corpus: DataFrame,
+      bcast: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      m: Int, k: Int, subDim: Int,
+      embCol: String, idCol: String): DataFrame = {
     val normSq = aggregate(
       transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
-    val codes = corpus
+    corpus
       .select(col(idCol).as("neighbor_id"),
         graft.functions.PqEncode(asDouble(col(embCol)), bcast, m, k, subDim)
           .as("codes"),
         sqrt(normSq).as("norm"))
       .where(col("codes").isNotNull)
-    PqIndex(bcast, m, k, subDim, codes)
+  }
+
+  /** Grow a built [[PqIndex]] WITHOUT refitting the codebooks — the
+    * [[ivfAppend]] policy: quantizers stay stable as the corpus grows;
+    * a distribution drift big enough to hurt ADC quality is a rebuild
+    * decision, not an operator one. The batch pays one narrow encode
+    * pass; for the persisted deployment, append the delta codes to the
+    * codes table instead of re-encoding the corpus. */
+  def pqAppend(
+      index: PqIndex,
+      batch: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): PqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeCodes(batch, index.codebook, index.m, index.k, index.subDim,
+        embCol, idCol)))
+
+  /** Persist a built [[PqIndex]] — build-once / probe-many across
+    * sessions, the [[writeIndex]] deployment shape. The codes go to
+    * plain parquet (the probe is a full compressed SCAN, not a keyed
+    * join — bucketing buys nothing here); the codebook goes to a tiny
+    * parquet of (subspace, centroid_id, centroid) rows — m·k rows, a
+    * model artifact. [[readPqIndex]] reconstitutes shape parameters
+    * FROM the codebook rows, so codes and codebook cannot
+    * desynchronize on m/k/subDim. */
+  def writePqIndex(index: PqIndex, codesPath: String,
+      codebookPath: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(codesPath)
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    val flat = index.codebook.value
+    (for { j <- 0 until index.m; c <- 0 until index.k } yield {
+      val base = (j * index.k + c) * index.subDim
+      (j, c, flat.slice(base, base + index.subDim).toSeq)
+    }).toDF("subspace", "centroid_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(codebookPath)
+  }
+
+  /** Reload a persisted [[PqIndex]]; see [[writePqIndex]]. */
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      codesPath: String, codebookPath: String): PqIndex = {
+    val rows = spark.read.parquet(codebookPath)
+      .select("subspace", "centroid_id", "centroid").collect()
+    require(rows.nonEmpty, s"readPqIndex: no codebook at $codebookPath")
+    val m = rows.map(_.getInt(0)).max + 1
+    val k = rows.map(_.getInt(1)).max + 1
+    val subDim = rows.head.getSeq[Double](2).size
+    val flat = new Array[Double](m * k * subDim)
+    rows.foreach { r =>
+      System.arraycopy(r.getSeq[Double](2).toArray, 0, flat,
+        (r.getInt(0) * k + r.getInt(1)) * subDim, subDim)
+    }
+    PqIndex(spark.sparkContext.broadcast(flat), m, k, subDim,
+      spark.read.parquet(codesPath))
   }
 
   /** Probe a [[PqIndex]]: per query, ONE O(k·dim) LUT build

@@ -136,6 +136,47 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.exceptAll(again).count() == 0)
   }
 
+  test("pq persistence + append: reloaded probe identical, batch visible") {
+    val idx = Similarity.pqIndex(embeddings)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq")
+    try {
+      Similarity.writePqIndex(idx, s"$tmp/codes", s"$tmp/codebook")
+      val loaded = Similarity.readPqIndex(spark, s"$tmp/codes",
+        s"$tmp/codebook")
+      assert((loaded.m, loaded.k, loaded.subDim) ==
+        (idx.m, idx.k, idx.subDim))
+      assert(loaded.codebook.value.sameElements(idx.codebook.value))
+      val a = Similarity.pqProbe(idx, queries, k = 10)
+      val b = Similarity.pqProbe(loaded, queries, k = 10)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+
+      // append: a near-copy of vec 0 becomes probe-visible, codebook
+      // untouched (same broadcast), original index unchanged
+      val s = spark
+      import s.implicits._
+      val v0 = embeddings.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      val batch = Seq((777777L, v0.map(_ * 1.001).toSeq))
+        .toDF("vec_id", "embedding")
+      val grown = Similarity.pqAppend(idx, batch)
+      val hit = Similarity.pqProbe(grown,
+          embeddings.filter(col("vec_id") === 0L), k = 10,
+          refine = 50, corpus = embeddings.select("vec_id", "embedding")
+            .unionByName(batch.select(col("vec_id"), col("embedding"))))
+        .filter(col("neighbor_id") === 777777L)
+      assert(hit.count() == 1)
+      assert(hit.head().getInt(2) == 1) // near-copy ranks first
+      assert(idx.codes.filter(col("neighbor_id") === 777777L).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("pqIndex: rejects a dim not divisible by m; drops null embeddings") {
     val s = spark
     import s.implicits._
