@@ -591,6 +591,18 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // The composed two-level ANN (FAISS IVFPQ): coarse-cell pruning ×
+    // compressed-code scan × exact refine. Seeded fits; adjudicated by
+    // SimilaritySpec's recall bound.
+    "similarity_ivfpq" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.ivfPqProbe(
+        Similarity.ivfPqIndex(emb),
+        emb.filter(col("vec_id") < 10), k = 10, nProbe = 8,
+        refine = 50, corpus = emb)
+        .select("query_id", "neighbor_id", "rank")
+    }),
+
     // ---------------------------------------- §7 LLM-pipeline: multimodal
     "multimodal_profile" -> ((s, dir) =>
       Multimodal.profile(documents(s, dir), embeddings(s, dir))),

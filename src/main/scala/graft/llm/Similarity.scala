@@ -501,6 +501,115 @@ object Similarity {
     }
   }
 
+  /** The composed two-level ANN index (FAISS's IVFPQ): the IVF coarse
+    * quantizer prunes WHICH cells a probe scans, the PQ codes shrink
+    * WHAT the scan reads — at 100 TB the probe touches
+    * `nProbe/nCells` of the corpus at ~1/32nd the bytes per row, the
+    * only layout that makes interactive ANN over a corpus-scale
+    * embedding table feasible. `cellCodes` is
+    * `(cell, neighbor_id, codes, norm)`: the raw embedding appears in
+    * NO probe-side artifact. */
+  final case class IvfPqIndex(
+      centroids: Array[Array[Double]],
+      nAssign: Int,
+      codebook: org.apache.spark.broadcast.Broadcast[Array[Double]],
+      m: Int,
+      k: Int,
+      subDim: Int,
+      cellCodes: DataFrame)
+
+  /** Build [[IvfPqIndex]]: one IVF coarse fit + one PQ fit (both on
+    * bounded driver samples), then cells and codes join by id ONCE at
+    * build time — a keyed, one-off cost; a production ingest writes
+    * `(cell, codes)` together in the first place (persist `cellCodes`
+    * bucketed by `cell` via [[graft.sources.Sources.writeBucketed]] for
+    * the Exchange-free probe, exactly the [[writeIndex]] recipe). */
+  def ivfPqIndex(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      nAssign: Int = 2,
+      m: Int = 16,
+      pqK: Int = 64,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      seed: Long = 42L): IvfPqIndex = {
+    val ivf = ivfIndex(corpus, nCells, embCol, idCol, seed,
+      nAssign = nAssign)
+    val pq = pqIndex(corpus, m, pqK, embCol, idCol, seed)
+    IvfPqIndex(ivf.centroids, nAssign, pq.codebook, pq.m, pq.k, pq.subDim,
+      ivf.cells.select(col("cell"), col("neighbor_id"))
+        .join(pq.codes, "neighbor_id"))
+  }
+
+  /** Probe an [[IvfPqIndex]]: rank the centroid literals per query,
+    * explode the `nProbe` best cells, equi-join into the cell-assigned
+    * CODES (never the raw vectors), ADC-score the survivors, collapse
+    * `nAssign` replicas, rank — [[ivfProbe]]'s plan shape at
+    * [[pqProbe]]'s bytes. `refine > 0` re-ranks the ADC top-`refine`
+    * shortlist with exact cosine against the raw corpus BY ID
+    * (candidate-bounded: `|queries| × refine` rows), which recovers
+    * exact-ordering quality over the probed cells. */
+  def ivfPqProbe(
+      index: IvfPqIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      nProbe: Int = 4,
+      refine: Int = 0,
+      corpus: DataFrame = null,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(refine == 0 || refine >= k,
+      s"refine ($refine) must be 0 (off) or >= k ($k)")
+    require(refine == 0 || corpus != null,
+      "refine > 0 needs the raw corpus to re-rank against")
+    val normSq = aggregate(
+      transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
+    val ranked = sort_array(cellScores(col("q_emb"), index.centroids),
+      asc = false)
+    val probes = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        asDouble(col(embCol)).as("q_emb"),
+        graft.functions.PqLut(asDouble(col(embCol)), index.codebook,
+          index.m, index.k, index.subDim).as("lut"),
+        sqrt(normSq).as("q_norm"))
+      .where(col("lut").isNotNull)
+      .withColumn("cell",
+        explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell")))))
+    val adc = graft.functions.PqAdcScore(col("lut"), col("codes"), index.k)
+    val scored = index.cellCodes.join(probes, "cell")
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("pq_score",
+        when(col("norm") > 0 && col("q_norm") > 0,
+          adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0)))
+    // nAssign replica dedup, as in ivfProbe (identical scores per
+    // replica: max == first); q_emb rides along for the refine join,
+    // keyed by query_id so the agg stays partial-combining
+    val deduped =
+      if (index.nAssign > 1)
+        scored.groupBy(col("query_id"), col("neighbor_id"))
+          .agg(max(col("pq_score")).as("pq_score"),
+            first(col("q_emb")).as("q_emb"))
+      else scored
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("pq_score").desc, col("neighbor_id"))
+    if (refine == 0) {
+      deduped.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "pq_score")
+    } else {
+      val shortlist = deduped.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= refine)
+        .select("query_id", "neighbor_id", "q_emb")
+      val exactSide = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(embCol)).as("c_emb"))
+      val rescored = shortlist.join(exactSide, "neighbor_id")
+        .withColumn("pq_score", cosine(col("q_emb"), col("c_emb")))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "pq_score")
+    }
+  }
+
   /** Driver-local plain-L2 Lloyd k-means for PQ subspace codebooks —
     * the euclidean sibling of [[sphericalKMeans]] (subvectors are NOT
     * unit vectors, so cosine assignment would be wrong here). k-means++

@@ -115,7 +115,8 @@ class PlanAuditSpec extends SparkSpec {
       "similarity_ivf_exhaustive", // same ivfIndex fit at construction
       "similarity_ivf_persisted", "dedup_minhash_incremental",
       "dedup_embedding_incremental",
-      "similarity_pq") // seeded per-subspace Lloyd fits at construction
+      "similarity_pq", // seeded per-subspace Lloyd fits at construction
+      "similarity_ivfpq") // same: IVF + PQ fits at construction
     (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is

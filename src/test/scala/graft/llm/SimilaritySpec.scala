@@ -136,6 +136,26 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.exceptAll(again).count() == 0)
   }
 
+  test("ivfPqProbe: two-level ANN recall with refine; codes-only probe side") {
+    val idx = Similarity.ivfPqIndex(embeddings)
+    // the probe-side artifact carries codes, never raw embeddings
+    assert(idx.cellCodes.columns.toSet ==
+      Set("cell", "neighbor_id", "codes", "norm"))
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
+    val approx = Similarity.ivfPqProbe(idx, queries, k = 10, nProbe = 8,
+      refine = 50, corpus = embeddings)
+    val recall = Similarity.recallAgainst(approx, truth)
+    // bounded by BOTH stages: cell pruning (ivf recall >= 0.9 at
+    // nProbe=8) and the ADC shortlist; refine recovers exact ordering
+    // over the probed cells
+    assert(recall >= 0.75, s"ivfpq recall=$recall")
+    // determinism across independent builds (both fits seeded)
+    val again = Similarity.ivfPqProbe(Similarity.ivfPqIndex(embeddings),
+      queries, k = 10, nProbe = 8, refine = 50, corpus = embeddings)
+    assert(approx.exceptAll(again).count() == 0)
+  }
+
   test("pq persistence + append: reloaded probe identical, batch visible") {
     val idx = Similarity.pqIndex(embeddings)
     val queries = embeddings.filter(col("vec_id") < 5)
