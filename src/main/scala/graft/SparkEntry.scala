@@ -750,6 +750,13 @@ object SparkEntry {
       Relational.topRevenueOrders(lineitem(s, dir),
         Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
 
+    // TPC-H Q18 shape: large-volume buyers. The quantity HAVING runs on
+    // the pre-aggregated per-order frame BEFORE any join — the rare
+    // qualifying keys are all the joins ever see.
+    "orders_large_customers" -> ((s, dir) =>
+      Relational.largeOrderCustomers(lineitem(s, dir),
+        Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
+
     // Cardinality profile: exact countDistinct here (the oracle path);
     // the registered API's approx=true flips to HyperLogLog++ sketches
     // for the at-scale shape (EventsSpec pins its error bound).
@@ -1804,6 +1811,19 @@ object SparkEntry {
         |  AND c.c_mktsegment = 'BUILDING'
         |ORDER BY revenue DESC, o.o_orderkey
         |LIMIT 10""".stripMargin,
+
+    "orders_large_customers" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, ROUND(SUM(l_quantity), 2) AS total_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING ROUND(SUM(l_quantity), 2) > 300
+        |)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey,
+        |  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  ROUND(o.o_totalprice, 2) AS o_totalprice, b.total_qty
+        |FROM big b
+        |JOIN orders o ON b.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     "events_cardinality" ->
       """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

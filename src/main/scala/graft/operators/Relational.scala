@@ -168,4 +168,38 @@ object Relational {
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(k)
   }
+
+  /** Customers behind abnormally large orders — the large-volume-buyer
+    * query shape (TPC-H Q18): orders whose summed lineitem quantity
+    * clears `minQty`, joined out to order and customer detail.
+    *
+    * The at-scale ordering is the whole point: the quantity HAVING
+    * runs on the pre-aggregated per-order frame BEFORE any join, so
+    * the (rare — ~0.8% of orders at the default threshold) qualifying
+    * keys are what the orders/customer joins ever see; AQE broadcasts
+    * the surviving side at runtime. The aggregation is one
+    * partial-combined shuffle on `l_orderkey`; nothing else touches
+    * the full lineitem table. Quantity is rounded to 2dp BEFORE the
+    * threshold test so the qualifying set cannot flip on a
+    * cross-engine sum-order ulp. */
+  def largeOrderCustomers(
+      lineitem: DataFrame,
+      orders: DataFrame,
+      customer: DataFrame,
+      minQty: Double = 300): DataFrame = {
+    val bigOrders = lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > minQty)
+    bigOrders
+      .join(orders.select("o_orderkey", "o_custkey", "o_orderdate",
+          "o_totalprice"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer.select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"),
+        col("total_qty"))
+  }
 }

@@ -112,4 +112,32 @@ class RelationalSpec extends SparkSpec {
     // both date predicates reach their parquet scans
     assert(plan.contains("PushedFilters"), plan.take(800))
   }
+
+  test("largeOrderCustomers: equals the direct formulation; HAVING precedes joins") {
+    val out = Relational.largeOrderCustomers(
+      t("lineitem"), t("orders"), t("customer"), minQty = 250)
+    // direct formulation: join everything first, aggregate + filter last
+    val direct = t("lineitem")
+      .join(t("orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(t("customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+        round(col("o_totalprice"), 2).as("o_totalprice"))
+      .agg(round(sum(col("l_quantity")), 2).as("total_qty"))
+      .filter(col("total_qty") > 250)
+    assert(out.count() > 0)
+    assert(out.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(out).count() == 0)
+    // the threshold filter sits on the aggregate BELOW the joins (tree
+    // renders top-down, so the Filter line must appear AFTER the last
+    // Join line and directly above the Aggregate)
+    val optimized = out.queryExecution.optimizedPlan.toString
+    val filterIdx = "Filter \\([^\n]*total_qty[^\n]* > 250".r
+      .findFirstMatchIn(optimized).map(_.start).getOrElse(-1)
+    val lastJoinIdx = optimized.lastIndexOf("Join Inner")
+    assert(filterIdx >= 0 && lastJoinIdx >= 0 && lastJoinIdx < filterIdx,
+      "expected the aggregate+filter beneath the joins:\n" +
+        optimized.take(1200))
+    assert(optimized.indexOf("Aggregate", filterIdx) >= 0)
+  }
 }
