@@ -781,6 +781,11 @@ object SparkEntry {
     "llm_global_shuffle" -> ((s, dir) =>
       Curate.globalShuffleOrder(documents(s, dir))),
 
+    // Global token-budget packing over the md5-shuffled order — the
+    // two-phase bucket prefix sum (no single-partition window).
+    "llm_shuffle_pack" -> ((s, dir) =>
+      Curate.shufflePackBins(documents(s, dir), binTokens = 512)),
+
     // Cross-split leakage audit over hashSplit. In-flight planted
     // copies (every 10th doc re-id'd +2000000) guarantee real overlap:
     // a copy whose md5 bucket lands in val/test while its original (or
@@ -1895,6 +1900,21 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin,
+
+    "llm_shuffle_pack" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+        |  CAST(n_tokens AS INT) AS n_tokens,
+        |  CAST(tokens_before AS BIGINT) AS tokens_before,
+        |  CAST(tokens_before // 512 AS BIGINT) AS bin_id,
+        |  CAST(tokens_before % 512 AS BIGINT) AS bin_offset
+        |FROM (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |    COALESCE(SUM(len(regexp_extract_all(text, '\S+'))) OVER (
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tokens_before
+        |  FROM documents)""".stripMargin,
 
     "llm_split_contamination" ->
       """WITH corpus AS (

@@ -419,6 +419,55 @@ object Curate {
       .select(col(idCol), col("shuffle_key"), col(outputCol))
   }
 
+  /** [[globalShuffleOrder]] composed with
+    * [[graft.llm.TextAnalysis.packBins]]'s budgeting: pack the
+    * md5-SHUFFLED corpus into fixed token-budget training batches —
+    * the "shuffle once, then fill sequence bins in that order" step a
+    * pre-training data loader runs. Returns
+    * `(id, shuffle_key, n_tokens, tokens_before, bin_id, bin_offset)`
+    * where `tokens_before` is the exact global running token total in
+    * shuffle order.
+    *
+    * The global prefix sum reuses [[globalShuffleOrder]]'s two-phase
+    * 16-bit-bucket recipe — per-bucket token SUBTOTALS (≤ 65536 rows,
+    * driver-scale by construction) cumulate into bucket offsets, each
+    * row adds its within-bucket running sum — so the naive
+    * formulation's single-partition global-order window never appears;
+    * one corpus shuffle on the bucket, 65536-way-parallel windows.
+    * Equals `SUM(n_tokens) OVER (ORDER BY md5(id), id ROWS UNBOUNDED
+    * PRECEDING TO 1 PRECEDING)` exactly — the oracle. */
+  def shufflePackBins(
+      docs: DataFrame,
+      binTokens: Int = 2048,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(binTokens > 0, s"binTokens must be positive: $binTokens")
+    val withKey = docs.select(col(idCol), col(textCol))
+      .withColumn("shuffle_key", md5(col(idCol).cast("string")))
+      .withColumn("bkt", conv(substring(col("shuffle_key"), 1, 4), 16, 10)
+        .cast("long"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))))
+      .drop(textCol)
+    val offsets = withKey.groupBy("bkt")
+      .agg(sum("n_tokens").as("bucket_toks"))
+      .withColumn("offset",
+        coalesce(sum("bucket_toks").over(
+          Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "offset")
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withKey.join(broadcast(offsets), "bkt")
+      .withColumn("tokens_before",
+        col("offset") + coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", (col("tokens_before") / binTokens).cast("long"))
+      .withColumn("bin_offset", col("tokens_before") % binTokens)
+      .select(col(idCol), col("shuffle_key"), col("n_tokens"),
+        col("tokens_before"), col("bin_id"), col("bin_offset"))
+  }
+
   /** [[apply]] plus fuzzy near-dup suppression (minhash) — the full
     * at-scale recipe; not SQL-expressible (seeded banding), verified by
     * invariants on the component operators. */

@@ -818,9 +818,14 @@ object Dedup {
       .select(col(idCol), array_distinct(col("shingles")).as("sh"))
     val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    // |A ∪ B| = |A| + |B| − |A ∩ B| (the shingle arrays are distinct
+    // sets): one intersect per pair instead of intersect + a
+    // materialized union array — same jaccard bit-for-bit, about half
+    // the per-pair array work in the verification hot loop
     pairs.join(a, "id_a").join(b, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
         when(col("uni") === 0, 0.0)
           .otherwise(col("inter").cast("double") / col("uni")))

@@ -289,6 +289,34 @@ class CurateSpec extends SparkSpec {
     assert(out.select("doc_id", "pos").exceptAll(oracle).count() == 0)
   }
 
+  test("shufflePackBins: equals the single-partition-window reference") {
+    val out = Curate.shufflePackBins(docs, binTokens = 512)
+    // reference: the naive global-order window (viable at test scale;
+    // the two-phase operator exists so production never plans it)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("shuffle_key"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val ref = docs
+      .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", (col("tokens_before") / 512).cast("long"))
+      .withColumn("bin_offset", col("tokens_before") % 512)
+      .select("doc_id", "shuffle_key", "n_tokens", "tokens_before",
+        "bin_id", "bin_offset")
+    assert(out.exceptAll(ref).count() == 0 && ref.exceptAll(out).count() == 0)
+    // budget invariants: offsets bounded, totals reconcile
+    assert(out.filter(col("bin_offset") < 0 ||
+      col("bin_offset") >= 512).count() == 0)
+    val total = out.agg(sum("n_tokens")).head().getLong(0)
+    val lastEnd = out.agg(max(col("tokens_before") + col("n_tokens")))
+      .head().getLong(0)
+    assert(lastEnd == total)
+  }
+
   test("globalShuffleOrder: engine-stable under repartitioning") {
     val a = Curate.globalShuffleOrder(docs)
     val b = Curate.globalShuffleOrder(docs.repartition(13))
