@@ -1,10 +1,9 @@
 package graft.features
 
-import org.apache.spark.ml.Model
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
 import org.apache.spark.ml.param.ParamMap
-import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit, TrainValidationSplitModel}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions.col
 
@@ -23,7 +22,7 @@ import org.apache.spark.sql.functions.col
   */
 object PredefinedSplit {
   final case class Result(
-      model: Model[_], train: DataFrame, test: DataFrame)
+      model: TrainValidationSplitModel, train: DataFrame, test: DataFrame)
 
   def defaultGrid(lr: LogisticRegression): Array[ParamMap] =
     new ParamGridBuilder()
@@ -51,5 +50,27 @@ object PredefinedSplit {
       .setParallelism(math.max(1, parallelism))
       .setSeed(42L)
     Result(tvs.fit(train), train, test)
+  }
+
+  /** The tuning run's observable artifact: one row per grid point with
+    * its `regParam` value and the tuner's validation metric — the
+    * ValidationCurves-shaped frame for [[apply]]'s fit. The GRID is
+    * fully specified (params and row count are deterministic); the
+    * METRIC column documents Q2 honestly — at the reference's
+    * `trainRatio=1.0` the validation set is empty, so every metric is
+    * the evaluator's empty-set value (NaN), which is exactly WHY the
+    * winning grid point is arbitrary. A caller passing a real
+    * `trainRatio < 1` gets meaningful metrics in the same schema. */
+  def gridMetrics(result: Result): DataFrame = {
+    val spark = result.train.sparkSession
+    import spark.implicits._
+    val params = result.model.getEstimatorParamMaps.map { pm =>
+      pm.toSeq.collectFirst {
+        case pp if pp.param.name == "regParam" =>
+          pp.value.asInstanceOf[Double]
+      }.getOrElse(Double.NaN)
+    }
+    params.zip(result.model.validationMetrics).toSeq
+      .toDF("reg_param", "validation_metric")
   }
 }

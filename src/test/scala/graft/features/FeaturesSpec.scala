@@ -171,4 +171,18 @@ class FeaturesSpec extends SparkSpec {
     assert(preds.count() == r.test.count())
     assert(preds.columns.contains("prediction"))
   }
+
+  test("predefined_split grid metrics: one row per grid point, Q2 NaN " +
+      "at trainRatio=1.0, real metrics at trainRatio<1") {
+    val df = SplitColumn.customByLabel(prepared, "label", 0.0)
+    val q2 = PredefinedSplit.gridMetrics(PredefinedSplit(df)).collect()
+    assert(q2.map(_.getDouble(0)).sorted.toSeq == Seq(0.01, 0.1))
+    // Q2: empty validation set ⇒ evaluator's empty-set NaN, every point
+    q2.foreach(r => assert(r.getDouble(1).isNaN))
+    val real = PredefinedSplit.gridMetrics(
+      PredefinedSplit(df, trainRatio = 0.75)).collect()
+    assert(real.length == 2)
+    real.foreach(r =>
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
+  }
 }
