@@ -44,6 +44,28 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mllib warmup skipped: ${e.getMessage}")
     }
+    // Untimed ANN warmup: the first IVF/PQ index build pays takeSample +
+    // two KMeans fits + probe-join codegen that otherwise land on
+    // whichever similarity_* query the sort order times first (r8 driver
+    // log: similarity_ivfpq run 1 = 13.0s vs run 2 = 1.76s — all
+    // cold-start). A tiny seeded fit+probe per index family moves that
+    // one-time cost out of the measured window; the min-of-two protocol
+    // already absorbs residual noise.
+    try {
+      import org.apache.spark.sql.functions.col
+      val tinyEmb = spark.range(200).selectExpr(
+        "id as vec_id",
+        "transform(sequence(0, 7), i -> cast(hash(id, i) % 1000 as float) / 1000.0f) as embedding")
+      val q = tinyEmb.filter(col("vec_id") < 4)
+      graft.llm.Similarity.ivfProbe(
+        graft.llm.Similarity.ivfIndex(tinyEmb, nCells = 4),
+        q, k = 4, nProbe = 2).count()
+      graft.llm.Similarity.ivfPqProbe(
+        graft.llm.Similarity.ivfPqIndex(tinyEmb, nCells = 4, m = 4, pqK = 8),
+        q, k = 4, nProbe = 2).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann warmup skipped: ${e.getMessage}")
+    }
     // A failed query is reported as -1 and excluded from the total — it
     // must not masquerade as a fast success (a query that throws
     // instantly would otherwise look like a speedup).
