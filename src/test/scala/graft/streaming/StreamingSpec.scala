@@ -46,6 +46,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedEventCounts: watermark drops late data and finalizes " +
+      "windows in append mode") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val stream = MemoryStream[(String, String, Double)]
+    val sdf = shape(stream.toDF.toDF("ts_s", "event_type", "value"))
+    // append mode: a window row is emitted exactly once, when the
+    // watermark passes its end — THE late-data semantics complete mode
+    // can't exercise (it re-emits everything each batch)
+    val q = StreamOps.windowedEventCounts(sdf, watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("wec_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: two on-time events in the 00:00 window
+      stream.addData(("2024-01-01 00:10:00", "click", 1.0),
+        ("2024-01-01 00:20:00", "click", 2.0))
+      q.processAllAvailable()
+      // batch 2: event at 02:30 → watermark advances to 01:30 at batch
+      // end, which finalizes (and emits) the [00:00, 01:00) window
+      stream.addData(("2024-01-01 02:30:00", "view", 0.5))
+      q.processAllAvailable()
+      // batch 3: a LATE click at 00:40 — behind the 01:30 watermark,
+      // its window state is already evicted → must be dropped
+      stream.addData(("2024-01-01 00:40:00", "click", 100.0))
+      q.processAllAvailable()
+      // batch 4: advance the watermark past 03:00 to flush the 02:00
+      // window (proving batch 3's late row created no resurrected state)
+      stream.addData(("2024-01-01 04:30:00", "view", 0.25))
+      q.processAllAvailable()
+      val out = spark.table("wec_late")
+        .orderBy("window_start", "event_type")
+        .collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(2),
+          r.getLong(3), r.getDouble(4))).toSeq
+      // 00:00 window: exactly the two ON-TIME clicks (sum 3.0, not
+      // 103.0 — the late 100.0 is gone); 02:00 window: the one view.
+      // The 04:00 view is still open (watermark 03:30) → not emitted.
+      assert(out == Seq(
+        ("2024-01-01 00:00:00.0", "click", 2L, 3.0),
+        ("2024-01-01 02:00:00.0", "view", 1L, 0.5)))
+      // the late row is nowhere in the output at any count
+      assert(!out.exists(_._4 == 100.0))
+    } finally q.stop()
+  }
+
   test("cardinalityStream: streaming HLL matches batch HLL and tracks exact") {
     val s = spark
     import s.implicits._
