@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.{CosineSimilarity, HyperplaneSignature, MinhashSignature, RollingChunkHashes, SimhashSignature, WordNgrams}
+import graft.functions.{CosineSimilarity, HyperplaneSignature, ImageMeta, MinhashSignature, RollingChunkHashes, SimhashSignature, WordNgrams}
 
 /** SparkSessionExtensions entry point exposing graft's custom Catalyst
   * expressions as SQL functions:
@@ -101,5 +101,12 @@ object GraftExtensions {
         require(args.length == 1,
           s"simhash_signature takes 1 argument, got ${args.length}")
         SimhashSignature(args.head)
+      }),
+    (FunctionIdentifier("image_meta"),
+      new ExpressionInfo(classOf[ImageMeta].getName, "image_meta"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1,
+          s"image_meta takes 1 argument, got ${args.length}")
+        ImageMeta(args.head)
       }))
 }

@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: one frame joining text, embeddings, and opaque
   * binary payloads with typed metadata.
   *
-  * The image/audio decode itself is out of scope in this container (no
-  * codec libs) — [[fakeDecodeFeatures]] stands in with a deterministic
+  * Header/metadata decode is REAL: [[decodeMeta]] parses actual
+  * PNG/JPEG/WAV container bytes (magic, IHDR, SOF marker scan, RIFF
+  * chunk scan — [[graft.functions.ImageMeta]]). Only the pixel/sample
+  * decode proper is out of scope in this container (no codec libs) —
+  * [[fakeDecodeFeatures]] stands in there with a deterministic
   * hash-derived feature vector so the Spark-side plumbing (schema,
   * partitioning, codegen'd projection shape) is real and tested, and a
-  * real decoder can drop in behind the same column contract.
+  * real pixel decoder can drop in behind the same column contract.
   */
 object Multimodal {
 
@@ -64,6 +67,26 @@ object Multimodal {
     struct(mime.as("mime"), octet_length(binCol).as("bytes"))
   }
 
+  /** REAL container-format decode: parse each payload's actual header
+    * bytes — PNG IHDR (big-endian dims, bit depth, color type), JPEG
+    * SOF via marker scan, WAV `fmt ` via RIFF chunk scan — into typed
+    * metadata columns `(format, width, height, bit_depth, channels)`.
+    * Unknown/corrupt headers decode to `format = 'unknown'` with null
+    * fields, never an exception. A narrow codegen'd projection
+    * ([[graft.functions.ImageMeta]]) fused into the payload scan:
+    * header-only, so cost per row is ~dozens of byte reads regardless
+    * of payload size — at 100 TB this runs at parquet-scan speed. */
+  def decodeMeta(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol),
+      graft.functions.ImageMeta(col(binCol)).as("m"))
+      .select(col(idCol), col("m.format").as("format"),
+        col("m.width").as("width"), col("m.height").as("height"),
+        col("m.bit_depth").as("bit_depth"),
+        col("m.channels").as("channels"))
+
   /** STUB decoder (clearly marked): deterministic pseudo-features from
     * the payload bytes — `dim` doubles in [-1, 1) derived from seeded
     * xxhash64. Real decode (pixels/spectrogram) would replace ONLY the
@@ -83,9 +106,11 @@ object Multimodal {
     * `mapInPandas` batch UDF: iterator-to-iterator over each partition,
     * so a real codec initializes ONCE per partition (the per-row-setup
     * trap is what kills throughput at scale), and Spark pipelines
-    * batches without materializing the partition. The decode body is a
-    * deterministic STUB (byte-fold hash → `dim` doubles); a real
-    * implementation replaces only `decodeOne`. */
+    * batches without materializing the partition. The PIXEL decode body
+    * is a deterministic STUB (byte-fold hash → `dim` doubles — this
+    * container ships no pixel codec; header/metadata decode is real,
+    * see [[decodeMeta]]); a real implementation replaces only
+    * `decodeOne`. */
   def decodePartitions(
       df: DataFrame,
       binCol: String,
