@@ -52,6 +52,59 @@ object SparkEntry {
         .as("text")))
   }
 
+  /** documents with a synthetic media `payload` column carrying REAL
+    * container-format headers — PNG / JPEG / WAV by `doc_id % 4` (a
+    * fourth of the corpus stays raw text = the unknown-format branch) —
+    * built byte-for-byte from hex literals, with planted dimensions /
+    * channel counts derived arithmetically from (doc_id, n_chars).
+    * The decode query must recover the planted values by actually
+    * parsing the bytes (big-endian IHDR ints, a JPEG marker scan whose
+    * APP0 length VARIES with doc_id so SOF sits at a doc-dependent
+    * offset — a fixed-offset cheat cannot pass — and a little-endian
+    * RIFF chunk walk), while the DuckDB oracle recomputes the same
+    * values from the source columns: two independent paths to one
+    * answer. */
+  private def mediaFixture(docs: DataFrame): DataFrame = {
+    val id = col("doc_id")
+    val kind = pmod(id, lit(4L))
+    val w = (pmod(id, lit(797L)) + 1).cast("int")
+    val h = (pmod(col("n_chars"), lit(613L)) + 1).cast("int")
+    val textBin = col("text").cast("binary")
+    // PNG: magic, IHDR length 13, "IHDR", w, h, bit depth 8, color type
+    // from {0,2,3,4,6} by doc_id % 5, compression/filter/interlace 0,
+    // dummy CRC (the decoder reads structure, not integrity)
+    val m5 = pmod(id, lit(5L))
+    val colorTypeHex = when(m5 === 0, "00").when(m5 === 1, "02")
+      .when(m5 === 2, "03").when(m5 === 3, "04").otherwise("06")
+    val png = concat(unhex(concat(
+      lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+      lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"),
+      lit("08"), colorTypeHex, lit("000000" + "00000000"))), textBin)
+    // JPEG: SOI, APP0 whose segment length varies with the doc, SOF0
+    // (precision 8, h, w, 1 or 3 components), SOS marker, text as scan
+    val nc = when(pmod(id, lit(8L)) === 1, lit(1)).otherwise(lit(3))
+    val appLen = (pmod(id, lit(9L)) + 4).cast("int") // incl. 2 len bytes
+    val zeros = lit("0" * 24).substr(lit(1), (appLen - 2) * 2)
+    val jpeg = concat(unhex(concat(
+      lit("FFD8" + "FFE0"), lpad(hex(appLen), 4, "0"), zeros,
+      lit("FFC0"), lpad(hex(lit(8) + nc * 3), 4, "0"),
+      lit("08"), lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+      lpad(hex(nc), 2, "0"),
+      when(nc === 1, "011100").otherwise("011100021100031100"),
+      lit("FFDA"))), textBin)
+    // WAV: RIFF/WAVE, PCM fmt chunk (planted channels, 16-bit), data
+    val wch = when(pmod(id, lit(16L)) === 2, lit(1)).otherwise(lit(2))
+    val wav = concat(unhex(concat(
+      lit("52494646" + "00000000" + "57415645" + "666D7420" +
+        "10000000" + "0100"),
+      lpad(hex(wch), 2, "0"), lit("00"),
+      lit("44AC0000" + "10B10200" + "0400" + "1000" +
+        "64617461" + "00000000"))), textBin)
+    docs.select(id, col("n_chars"),
+      when(kind === 0, png).when(kind === 1, jpeg).when(kind === 2, wav)
+        .otherwise(textBin).as("payload"))
+  }
+
   /** customer with `(features, label)` — the ML-pipeline input frame
     * (label = c_mktsegment indexed, features = numeric customer cols). */
   private def customerFeatures(s: SparkSession, dir: String): DataFrame =
@@ -229,6 +282,19 @@ object SparkEntry {
       vecToScalars(r.model.transform(r.test)
         .select("label", "prediction", "features"), "features" -> 3)
     }),
+    // The fit's grid artifact (one row per grid point). The grid values
+    // are spec-determined literals and Q2 (trainRatio=1.0 ⇒ empty
+    // validation set) forces every tuner metric to NaN — surfaced as a
+    // boolean so the hash compare never touches NaN, and so the oracle
+    // states the Q2 contract explicitly: the grid SHAPE is pinned, the
+    // winner never is.
+    "predefined_split_grid" -> ((s, dir) => {
+      val withSplit = SplitColumn.customByLabel(
+        customerFeatures(s, dir), "label", 0.0)
+      PredefinedSplit.gridMetrics(PredefinedSplit(withSplit))
+        .select(col("reg_param"),
+          isnan(col("validation_metric")).as("metric_is_empty_nan"))
+    }),
 
     // --------------------------------------------- §7 LLM-pipeline: dedup
     // Registered shape is keeper-ids-only, so the groupBy fast path
@@ -285,8 +351,13 @@ object SparkEntry {
     // 3-gram Jaccard ≥ 0.2 in DuckDB — exact because the seeded
     // banding finds every qualifying pair on this fixture (verified;
     // deterministic seed ⇒ stable), so the row now also guards RECALL,
-    // not just schema. simhash fingerprint arithmetic (xxhash64 token
-    // lanes) has no DuckDB twin — invariants only.
+    // not just schema. simhash (r9) gets a FULL-FIDELITY oracle: the
+    // xxhash64 token lanes ARE re-implemented in DuckDB SQL (HUGEINT
+    // mod-2^64 XXH64 + Charikar bit-vote + banded-Hamming join — see
+    // the oracleSql entry), so the row guards the exact fingerprint
+    // arithmetic AND banding recall — necessary because the fixture's
+    // Hamming ≤ 3 set contains two coincidental collisions (Jaccard
+    // 0.0) no text-similarity proxy could reproduce.
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
     "dedup_simhash_pairs" -> ((s, dir) =>
@@ -371,10 +442,11 @@ object SparkEntry {
             .localCheckpoint(true)
       }
     }),
-    // Copied-passage detection: content-defined chunking is
-    // deterministic (no seed), so the registered row gives the driver a
-    // run/schema signal; the gear-hash arithmetic has no DuckDB twin
-    // (invariant-tested in RollingChunkHashesSpec/DedupSpec).
+    // Copied-passage candidates, hash-EXACT since r9: the gear-hash
+    // CDC arithmetic is re-implemented in DuckDB SQL (splitmix64 gear
+    // table + recursive per-byte scan — see the oracleSql entry), so
+    // the row pins the exact chunk fingerprints and the full candidate
+    // set, not just run/schema.
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
     // Edit-distance verification over the same consecutive-id pairs as
@@ -630,6 +702,14 @@ object SparkEntry {
           meta.getField("mime").as("mime"),
           meta.getField("bytes").as("bytes"))
     }),
+    // REAL header decode over mediaFixture's planted containers (see
+    // the helper's scaladoc): the parser recovers width/height/depth/
+    // channels from the actual bytes, the oracle recomputes them from
+    // (doc_id, n_chars) arithmetic — hash-EXACT only if the byte-level
+    // parse is right. Runs as a narrow codegen projection (PlanAudit:
+    // zero shuffles).
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeMeta(mediaFixture(documents(s, dir)), "payload")),
 
     // ------------------------------------------ §2.2 engine primitives
     // composed at scale: pushed-down date filter, per-order pre-agg,
@@ -649,6 +729,27 @@ object SparkEntry {
       Skew.saltedAgg(events(s, dir), Seq("event_type"),
         partial = count(lit(1)), merge = p => sum(p),
         outputCol = "n_events")),
+    // Salted skew JOIN on a planted hot key: 1/4 of lineitem is remapped
+    // to part key 1 (a power-law fact side), then joined against part
+    // through the composite (key, salt) — the hot key's rows spread
+    // over 8 salt buckets instead of one reducer. The salt is dropped
+    // and results are salt-independent, so DuckDB's oracle is the PLAIN
+    // join on the same remap — oracle-exact despite the
+    // nondeterministic salt routing. At fixture scale Catalyst
+    // correctly BROADCASTS the 8×|part| replicated dim (a broadcast
+    // join is skew-immune, so the salt is a no-op there); the
+    // non-broadcastable-dim shape this operator exists for — both
+    // sides shuffling on the composite (key, salt) — is asserted in
+    // SkewSpec with the broadcast threshold disabled.
+    "skew_salted_join" -> ((s, dir) => {
+      val hot = lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_orderkey") % 4 === 0, lit(1L))
+          .otherwise(col("l_partkey")).as("p_partkey"))
+      val dim = Sources.parquetTable(s, dir, "part")
+        .select("p_partkey", "p_brand")
+      Skew.saltedJoin(hot, dim, Seq("p_partkey"), saltBuckets = 8)
+    }),
 
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
@@ -893,6 +994,16 @@ object SparkEntry {
         |  CAST(c_mktsegment <> 'AUTOMOBILE' AS INT) AS is_train
         |FROM customer WHERE c_mktsegment = 'AUTOMOBILE'""".stripMargin,
 
+    // Literal oracle, deliberately: the grid values are spec constants
+    // (PredefinedSplit.defaultGrid) and Q2's trainRatio=1.0 makes every
+    // validation metric the empty-set NaN — the expected artifact is
+    // fully determined by the contract, so the oracle STATES it and the
+    // row fails if the tuner ever stops honoring the grid or Q2.
+    "predefined_split_grid" ->
+      """SELECT 0.1 AS reg_param, TRUE AS metric_is_empty_nan
+        |UNION ALL
+        |SELECT 0.01 AS reg_param, TRUE AS metric_is_empty_nan""".stripMargin,
+
     // StringIndexer = frequency-desc dense rank, ties broken by value asc
     // (MLlib frequencyDesc semantics); VectorAssembler = identity cast.
     "prepare_features" ->
@@ -994,6 +1105,119 @@ object SparkEntry {
         |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.2""".stripMargin,
+
+    // FULL-FIDELITY simhash oracle: re-implements Spark's pipeline in
+    // pure SQL — XXH64(token, seed 42) via HUGEINT mod-2^64 arithmetic
+    // (split 32-bit multiplies keep every product inside INT128), the
+    // Charikar bit-vote, the len_bucket +/-1 banding contract, and
+    // bit_count(xor) Hamming <= 3. An independent second implementation,
+    // not a text-similarity proxy: two of the 17 fixture pairs are
+    // COINCIDENTAL fingerprint collisions (3-gram jaccard 0.0) that no
+    // similarity threshold could reproduce. Byte access assumes the
+    // fixture's ASCII-only text (unicode(ch) == byte; validated, and
+    // the XXH64 short path covers the <32-byte fixture tokens).
+    "dedup_simhash_pairs" ->
+      """WITH RECURSIVE pow2(i, p) AS (
+        |  SELECT 0, 1::HUGEINT UNION ALL SELECT i + 1, p * 2 FROM pow2 WHERE i < 63
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(len(tokens)) / ln(2)) AS INT) AS len_bucket
+        |  FROM toks WHERE len(tokens) > 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0
+        |), x0 AS (
+        |  SELECT doc_id, t, length(t) AS l,
+        |    (42::HUGEINT + 2870177450012600261::HUGEINT + length(t)) % 18446744073709551616::HUGEINT AS a
+        |  FROM tok
+        |), s0k1 AS (
+        |  SELECT *, CASE WHEN l >= 8 THEN ((((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM x0
+        |), s0k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 8 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s0k1
+        |), s0x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 8 THEN xor(a, k3) ELSE a END AS a FROM s0k3
+        |), s0 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 8 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s0x
+        |), s1k1 AS (
+        |  SELECT *, CASE WHEN l >= 16 THEN ((((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s0
+        |), s1k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 16 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s1k1
+        |), s1x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 16 THEN xor(a, k3) ELSE a END AS a FROM s1k3
+        |), s1 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 16 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s1x
+        |), s2k1 AS (
+        |  SELECT *, CASE WHEN l >= 24 THEN ((((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s1
+        |), s2k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 24 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s2k1
+        |), s2x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 24 THEN xor(a, k3) ELSE a END AS a FROM s2k3
+        |), s2 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 24 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s2x
+        |), y4x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
+        |    THEN xor(a, ((unicode(t[(l // 8) * 8 + 1]) + unicode(t[(l // 8) * 8 + 2]) * 256 + unicode(t[(l // 8) * 8 + 3]) * 65536 + unicode(t[(l // 8) * 8 + 4]) * 16777216)::HUGEINT * 11400714785074694791::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM s2
+        |), y4 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
+        |    THEN ((((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a
+        |  FROM y4x
+        |), yq AS (
+        |  SELECT *, (l // 8) * 8 + CASE WHEN l % 8 >= 4 THEN 4 ELSE 0 END AS q
+        |  FROM y4
+        |), b0x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
+        |    THEN xor(a, (unicode(t[q + 1]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM yq
+        |), b0 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b0x
+        |), b1x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
+        |    THEN xor(a, (unicode(t[q + 2]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b0
+        |), b1 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b1x
+        |), b2x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
+        |    THEN xor(a, (unicode(t[q + 3]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b1
+        |), b2 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b2x
+        |), av1 AS (
+        |  SELECT * EXCLUDE (a), (((xor(a, a // 8589934592::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 8589934592::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM b2
+        |), av2 AS (
+        |  SELECT * EXCLUDE (a), (((xor(a, a // 536870912::HUGEINT) % 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 536870912::HUGEINT) // 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM av1
+        |), hashed AS (
+        |  SELECT doc_id, xor(a, a // 4294967296::HUGEINT) AS h FROM av2
+        |), bits AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed CROSS JOIN pow2
+        |  GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808::HUGEINT ELSE p END
+        |    ELSE 0::HUGEINT END) AS BIGINT) AS fp
+        |  FROM bits JOIN pow2 USING (i) GROUP BY doc_id
+        |), fpl AS (
+        |  SELECT f.doc_id, f.fp, l.len_bucket FROM fp f JOIN lens l USING (doc_id)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fpl a JOIN fpl b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(a.len_bucket - b.len_bucket) <= 1
+        |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
 
     // Same ground truth at the 0.5 threshold for the simhash-candidate
     // verified path (recall margin measured on the fixture: worst
@@ -1655,9 +1879,46 @@ object SparkEntry {
         |  CAST(octet_length(payload) AS INT) AS bytes
         |FROM b""".stripMargin,
 
+    // The oracle recomputes the PLANTED values from the source columns
+    // (mediaFixture's arithmetic), never touching bytes — the Spark
+    // side must recover the same numbers by parsing the headers it
+    // built, so agreement proves the byte-level decode.
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 AS INT) AS kind,
+        |    CAST(doc_id % 797 + 1 AS INT) AS w,
+        |    CAST(n_chars % 613 + 1 AS INT) AS h,
+        |    CAST(doc_id % 5 AS INT) AS m5
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN w END AS INT) AS width,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN h END AS INT) AS height,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN 8
+        |    WHEN kind = 2 THEN 16 END AS INT) AS bit_depth,
+        |  CAST(CASE
+        |    WHEN kind = 0 THEN
+        |      CASE m5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |        WHEN 3 THEN 2 ELSE 4 END
+        |    WHEN kind = 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 3 END
+        |    WHEN kind = 2 THEN CASE WHEN doc_id % 16 = 2 THEN 1 ELSE 2 END
+        |  END AS INT) AS channels
+        |FROM m""".stripMargin,
+
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,
+
+    "skew_salted_join" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 4 = 0 THEN 1 ELSE l_partkey END
+        |      AS p_partkey
+        |  FROM lineitem)
+        |SELECT f.p_partkey, f.l_orderkey, f.l_linenumber, p.p_brand
+        |FROM f JOIN part p USING (p_partkey)""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r.r_name, n.n_name,
@@ -1864,6 +2125,60 @@ object SparkEntry {
         |FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM documents) p
         |JOIN t a ON a.doc_id = p.id_a
         |JOIN t b ON b.doc_id = p.id_b""".stripMargin,
+
+    // FULL-FIDELITY CDC oracle: re-implements RollingChunkHashes in
+    // pure SQL — the splitmix64 gear table, the shift-add rolling gear
+    // hash, FNV-1a chunk fingerprints and the 16-byte minimum, via a
+    // recursive per-byte state scan (MATERIALIZED keeps the byte table
+    // from re-inlining per iteration: 107s -> 5s). Candidates = pairs
+    // sharing >= 1 distinct chunk hash, exactly passagePairs(minShared=1).
+    "dedup_passage_pairs" ->
+      """WITH RECURSIVE gear AS MATERIALIZED (
+        |  SELECT i, xor(z2, z2 // 2147483648::HUGEINT) AS g FROM (
+        |    SELECT i, (((xor(z1, z1 // 134217728::HUGEINT)) % 4294967296::HUGEINT * (10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(z1, z1 // 134217728::HUGEINT)) // 4294967296::HUGEINT * (10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS z2 FROM (
+        |      SELECT i, (((xor(x, x // 1073741824::HUGEINT)) % 4294967296::HUGEINT * (13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(x, x // 1073741824::HUGEINT)) // 4294967296::HUGEINT * (13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS z1 FROM (
+        |        SELECT i, ((i + 1) * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x
+        |        FROM range(256) r(i))))
+        |), norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), bytes AS MATERIALIZED (
+        |  SELECT doc_id, ip AS pos, unicode(t[ip]) AS b, g.g
+        |  FROM norm, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS ip)
+        |  JOIN gear g ON g.i = unicode(t[ip])
+        |), state(doc_id, pos, gr, chunk, clen, hashes) AS (
+        |  SELECT doc_id, 0, 0::HUGEINT, 14695981039346656037::HUGEINT, 0, []::HUGEINT[]
+        |  FROM norm WHERE length(t) > 0
+        |  UNION ALL
+        |  SELECT doc_id, pos, ng,
+        |    CASE WHEN bnd THEN 14695981039346656037::HUGEINT ELSE nc END,
+        |    CASE WHEN bnd THEN 0 ELSE clen + 1 END,
+        |    CASE WHEN bnd THEN list_append(hashes, nc) ELSE hashes END
+        |  FROM (
+        |    SELECT s.doc_id, b.pos, s.clen, s.hashes,
+        |      ((s.gr * 2) % 18446744073709551616::HUGEINT + b.g) % 18446744073709551616::HUGEINT AS ng,
+        |      (((xor(s.chunk, b.b)) % 4294967296::HUGEINT * (1099511628211::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(s.chunk, b.b)) // 4294967296::HUGEINT * (1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS nc,
+        |      (s.clen + 1 >= 16 AND ((s.gr * 2) % 18446744073709551616::HUGEINT + b.g) % 18446744073709551616::HUGEINT % 64 = 0) AS bnd
+        |    FROM state s
+        |    JOIN bytes b ON b.doc_id = s.doc_id AND b.pos = s.pos + 1
+        |  )
+        |), final AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.clen > 0 THEN list_append(s.hashes, s.chunk)
+        |      ELSE s.hashes END AS hashes
+        |  FROM state s
+        |  JOIN norm n ON n.doc_id = s.doc_id AND s.pos = length(n.t)
+        |), ch AS (
+        |  SELECT DISTINCT doc_id, unnest(hashes) AS h FROM final
+        |), rare AS (
+        |  SELECT h FROM ch GROUP BY h HAVING COUNT(*) <= 1000
+        |), kept AS (
+        |  SELECT ch.doc_id, ch.h FROM ch JOIN rare USING (h)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_chunks
+        |FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 1""".stripMargin,
 
     // brute-force ground truth: ALL pairs sharing >= 10 distinct word
     // 8-grams (the llm_decontaminate tokenization) — the registered

@@ -26,7 +26,11 @@ class PlanAuditSpec extends SparkSpec {
     Seq("robust_scaling", "text_token_stats", "text_normalize",
       "text_quality", "text_entropy", "text_language",
       "multimodal_binary_stats", "multimodal_frame_sample",
-      "multimodal_payload_meta", "prepare_features", "add_split_column",
+      "multimodal_payload_meta",
+      // header decode: payload synthesis + ImageMeta parse are one
+      // codegen'd projection over the documents scan
+      "multimodal_decode",
+      "prepare_features", "add_split_column",
       "predefined_split_train", "predefined_split_test", "text_tfidf",
       // chunking is posexplode over a per-row token array — pure narrow
       "text_chunk",
@@ -84,6 +88,18 @@ class PlanAuditSpec extends SparkSpec {
         assert(shuffles(p) == n,
           s"$q expected $n shuffle(s), got ${shuffles(p)}:\n${p.take(600)}")
       }
+  }
+
+  test("skew_salted_join: fixture-scale dim broadcasts (skew-immune); " +
+      "the composite-key shuffle shape is pinned in SkewSpec") {
+    // At sf0.001 the 8×|part| replicated dim is tiny, so the RIGHT plan
+    // is a broadcast hash join (broadcast is skew-immune — salting only
+    // pays off when the dim can't broadcast, asserted with broadcast
+    // disabled in SkewSpec). This row pins that Catalyst keeps making
+    // that choice over the exploded dim.
+    val p = plan("skew_salted_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+    assert(shuffles(p) == 0, s"expected no shuffle:\n${p.take(800)}")
   }
 
   test("source quota's rank filter becomes a map-side WindowGroupLimit") {
