@@ -30,6 +30,26 @@ object Sources {
   def parquetTable(spark: SparkSession, dir: String, table: String): DataFrame =
     spark.read.parquet(s"$dir/$table.parquet")
 
+  /** The reference's inline fallback dataset, verbatim (reference
+    * spark_ml_features_local.py:47-55 — the `createDataFrame`-from-
+    * tuples path taken when no CSV/sklearn source is available): two
+    * rows per Iris class with the same column names the CSV load
+    * produces, so every downstream operator runs unchanged against it.
+    * Driver-side literal data — a demo/test convenience, never a scale
+    * path. */
+  def irisFallback(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      (5.1, 3.5, 1.4, 0.2, "setosa"),
+      (4.9, 3.0, 1.4, 0.2, "setosa"),
+      (7.0, 3.2, 4.7, 1.4, "versicolor"),
+      (6.4, 3.2, 4.5, 1.5, "versicolor"),
+      (6.3, 3.3, 6.0, 2.5, "virginica"),
+      (5.8, 2.7, 5.1, 1.9, "virginica"))
+      .toDF("sepal_length", "sepal_width", "petal_length", "petal_width",
+        "species")
+  }
+
   /** Partitioned parquet sink: directory-partitioned by `partitionCols`
     * so downstream scans with partition-key predicates prune whole
     * directories (PartitionFilters in the plan — zero IO for excluded

@@ -7,6 +7,25 @@ import java.nio.file.Files
 
 class SourcesSpec extends SparkSpec {
 
+  test("irisFallback: the reference's 6-row inline dataset, ML-ready") {
+    val df = graft.sources.Sources.irisFallback(spark)
+    assert(df.count() == 6)
+    assert(df.columns.toSeq == Seq("sepal_length", "sepal_width",
+      "petal_length", "petal_width", "species"))
+    // 2 rows per class, reference order
+    val byClass = df.groupBy("species").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byClass == Map("setosa" -> 2L, "versicolor" -> 2L,
+      "virginica" -> 2L))
+    // the frame feeds the ML pipeline unchanged (same columns as CSV)
+    val prepped = graft.features.PrepareFeatures(df,
+      Seq("sepal_length", "sepal_width", "petal_length", "petal_width"),
+      "species")
+    assert(prepped.columns.contains("features") &&
+      prepped.columns.contains("label"))
+    assert(prepped.select("label").distinct().count() == 3)
+  }
+
   test("csv: header + inferSchema parity with reference load_sample_data") {
     val dir = Files.createTempDirectory("graft-csv")
     val f = dir.resolve("iris.csv")
