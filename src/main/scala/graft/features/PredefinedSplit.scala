@@ -52,6 +52,38 @@ object PredefinedSplit {
     Result(tvs.fit(train), train, test)
   }
 
+  /** Persist the fitted tuning model (MLlib's own writer format:
+    * params + best-model coefficients + validation metrics, readable
+    * across sessions/clusters). The reference never persists its fits —
+    * provided because any real user of a tuned model wants it back
+    * without re-fitting; round-trip equality is spec'd.
+    *
+    * CAVEAT, spec-pinned: at the reference-parity `trainRatio = 1.0`
+    * (Q2) the validation metrics are NaN, MLlib serializes them as the
+    * JSON string "NaN", and `TrainValidationSplitModel.load` then fails
+    * (json4s refuses JString(NaN) → double). A Q2-shaped fit is
+    * persistable only via [[writeBestModel]]; this writer round-trips
+    * whenever `trainRatio < 1` produces finite metrics. */
+  def writeModel(result: Result, path: String): Unit =
+    result.model.write.overwrite().save(path)
+
+  /** Reload a [[writeModel]] artifact (binds to the active session). */
+  def readModel(path: String): TrainValidationSplitModel =
+    TrainValidationSplitModel.load(path)
+
+  /** Persist only the winning LogisticRegression model — the artifact a
+    * serving path actually loads, and the ONLY persistable artifact of
+    * a Q2 (`trainRatio = 1.0`) fit (see [[writeModel]]'s caveat). */
+  def writeBestModel(result: Result, path: String): Unit =
+    result.model.bestModel
+      .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      .write.overwrite().save(path)
+
+  /** Reload a [[writeBestModel]] artifact. */
+  def readBestModel(
+      path: String): org.apache.spark.ml.classification.LogisticRegressionModel =
+    org.apache.spark.ml.classification.LogisticRegressionModel.load(path)
+
   /** The tuning run's observable artifact: one row per grid point with
     * its `regParam` value and the tuner's validation metric — the
     * ValidationCurves-shaped frame for [[apply]]'s fit. The GRID is

@@ -172,6 +172,40 @@ class FeaturesSpec extends SparkSpec {
     assert(preds.columns.contains("prediction"))
   }
 
+  test("predefined_split model persistence: reloaded model transforms " +
+      "identically; Q2 NaN-metrics limitation pinned") {
+    val df = SplitColumn.customByLabel(prepared, "label", 0.0)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-tvs")
+    // trainRatio < 1: finite metrics, full TVS wrapper round-trips
+    val real = PredefinedSplit(df, trainRatio = 0.75)
+    val tvsDir = tmp.resolve("tvs").toString
+    PredefinedSplit.writeModel(real, tvsDir)
+    val reloaded = PredefinedSplit.readModel(tvsDir)
+    val before = real.model.transform(real.test)
+      .select("label", "prediction").collect().map(_.toSeq).toSeq
+    val after = reloaded.transform(real.test)
+      .select("label", "prediction").collect().map(_.toSeq).toSeq
+    assert(before == after && before.nonEmpty)
+    assert(reloaded.getEstimatorParamMaps.length ==
+      real.model.getEstimatorParamMaps.length)
+    // Q2 shape (trainRatio = 1.0): MLlib writes the NaN metrics but
+    // CANNOT load them back (json4s JString(NaN) → double fails) —
+    // pinned here so an MLlib fix shows up as a failing expectation
+    val q2 = PredefinedSplit(df)
+    val q2Dir = tmp.resolve("q2").toString
+    PredefinedSplit.writeModel(q2, q2Dir)
+    intercept[Exception] { PredefinedSplit.readModel(q2Dir) }
+    // ...while the best-model artifact round-trips regardless
+    val bestDir = tmp.resolve("best").toString
+    PredefinedSplit.writeBestModel(q2, bestDir)
+    val best = PredefinedSplit.readBestModel(bestDir)
+    val b1 = q2.model.transform(q2.test)
+      .select("label", "prediction").collect().map(_.toSeq).toSeq
+    val b2 = best.transform(q2.test)
+      .select("label", "prediction").collect().map(_.toSeq).toSeq
+    assert(b1 == b2 && b1.nonEmpty)
+  }
+
   test("predefined_split grid metrics: one row per grid point, Q2 NaN " +
       "at trainRatio=1.0, real metrics at trainRatio<1") {
     val df = SplitColumn.customByLabel(prepared, "label", 0.0)
