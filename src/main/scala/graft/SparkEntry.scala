@@ -599,14 +599,25 @@ object SparkEntry {
     "text_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(piiFixture(documents(s, dir)))
         .select("doc_id", "redacted")),
-    // TF-IDF projected to fixed hash buckets (murmur3 bucket ids have
-    // no DuckDB twin — adjudicated; invariants in TextFeaturesSpec).
-    // 1024 buckets keep the vector→array projection small.
+    // TF-IDF at fixed hash buckets, oracle-EXACT since r9: the murmur3
+    // bucket ids DO have a DuckDB twin now (hashUnsafeBytes2 —
+    // 4-byte-block + folded-tail murmur3_x86_32, seed 42 — re-derived
+    // in SQL; see the oracleSql entry). Sampled buckets are the
+    // fixture-derived literals of real tokens — the r≤8 sample
+    // {0,17,256,511,777} was VACUOUS (31 distinct corpus tokens hit 31
+    // of 1024 buckets; all five samples were zero for every doc).
+    // Bucket 386 = 'dup' (df 25), the others are common tokens; nnz and
+    // the vector l2 norm summarize the whole vector so the row checks
+    // more than 5 points. 1024 buckets keep the projection small.
     "text_tfidf" -> ((s, dir) => {
       val v = TextFeatures.tfidf(documents(s, dir), numFeatures = 1024)
       val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
-      v.select(col("doc_id") +: Seq(0, 17, 256, 511, 777).map(i =>
-        round(arr.getItem(i), 6).as(s"tfidf_$i")): _*)
+      v.select(col("doc_id") +:
+        (Seq(1, 69, 386, 534, 640).map(i =>
+          round(arr.getItem(i), 6).as(s"tfidf_$i")) ++ Seq(
+          size(filter(arr, x => x =!= 0.0)).as("nnz"),
+          round(sqrt(aggregate(transform(arr, x => x * x),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))): _*)
     }),
 
     // ---------------------------------------- §7 LLM-pipeline: similarity
@@ -1906,6 +1917,93 @@ object SparkEntry {
         |    WHEN kind = 2 THEN CASE WHEN doc_id % 16 = 2 THEN 1 ELSE 2 END
         |  END AS INT) AS channels
         |FROM m""".stripMargin,
+
+    // FULL-FIDELITY HashingTF oracle: murmur3_x86_32 (Spark's
+    // hashUnsafeBytes2 variant — 4-byte LE blocks, remaining tail bytes
+    // folded into ONE word mixed without the h1 rotation, seed 42)
+    // re-derived in HUGEINT mod-2^32 SQL, then signed-mod 1024 bucketing,
+    // per-bucket tf, the smoothed idf ln((m+1)/(df+1)), and the doc-level
+    // nnz / l2 summary. Validated byte-for-byte against ml.HashingTF
+    // (the one-byte-at-a-time hashUnsafeBytes variant differs on 21 of
+    // the 31 corpus tokens and was rejected empirically).
+    "text_tfidf" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0
+        |), t0 AS (
+        |  SELECT doc_id, t, length(t) AS l, 42::HUGEINT AS h FROM tok
+        |), m0a AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 4
+        |    THEN xor(h, (((((((unicode(t[1]) + unicode(t[1+1]) * 256 + unicode(t[1+2]) * 65536 + unicode(t[1+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT * 32768::HUGEINT) % 4294967296::HUGEINT + ((((unicode(t[1]) + unicode(t[1+1]) * 256 + unicode(t[1+2]) * 65536 + unicode(t[1+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT // 131072::HUGEINT))) * 461845907::HUGEINT) % 4294967296::HUGEINT) ELSE h END AS h FROM t0
+        |), m0 AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 4
+        |    THEN ((((h * 8192::HUGEINT) % 4294967296::HUGEINT + (h // 524288::HUGEINT))) * 5 + 3864292196::HUGEINT) % 4294967296::HUGEINT ELSE h END AS h
+        |  FROM m0a
+        |), m1a AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 8
+        |    THEN xor(h, (((((((unicode(t[5]) + unicode(t[5+1]) * 256 + unicode(t[5+2]) * 65536 + unicode(t[5+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT * 32768::HUGEINT) % 4294967296::HUGEINT + ((((unicode(t[5]) + unicode(t[5+1]) * 256 + unicode(t[5+2]) * 65536 + unicode(t[5+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT // 131072::HUGEINT))) * 461845907::HUGEINT) % 4294967296::HUGEINT) ELSE h END AS h FROM m0
+        |), m1 AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 8
+        |    THEN ((((h * 8192::HUGEINT) % 4294967296::HUGEINT + (h // 524288::HUGEINT))) * 5 + 3864292196::HUGEINT) % 4294967296::HUGEINT ELSE h END AS h
+        |  FROM m1a
+        |), m2a AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 12
+        |    THEN xor(h, (((((((unicode(t[9]) + unicode(t[9+1]) * 256 + unicode(t[9+2]) * 65536 + unicode(t[9+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT * 32768::HUGEINT) % 4294967296::HUGEINT + ((((unicode(t[9]) + unicode(t[9+1]) * 256 + unicode(t[9+2]) * 65536 + unicode(t[9+3]) * 16777216)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT // 131072::HUGEINT))) * 461845907::HUGEINT) % 4294967296::HUGEINT) ELSE h END AS h FROM m1
+        |), m2 AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l >= 12
+        |    THEN ((((h * 8192::HUGEINT) % 4294967296::HUGEINT + (h // 524288::HUGEINT))) * 5 + 3864292196::HUGEINT) % 4294967296::HUGEINT ELSE h END AS h
+        |  FROM m2a
+        |), tl AS (
+        |  SELECT * EXCLUDE (h), CASE WHEN l % 4 > 0
+        |    THEN xor(h, (((((((CASE WHEN l % 4 >= 1 THEN unicode(t[(l // 4) * 4 + 1]) ELSE 0 END + CASE WHEN l % 4 >= 2 THEN unicode(t[(l // 4) * 4 + 2]) * 256 ELSE 0 END + CASE WHEN l % 4 >= 3 THEN unicode(t[(l // 4) * 4 + 3]) * 65536 ELSE 0 END)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT * 32768::HUGEINT) % 4294967296::HUGEINT + ((((CASE WHEN l % 4 >= 1 THEN unicode(t[(l // 4) * 4 + 1]) ELSE 0 END + CASE WHEN l % 4 >= 2 THEN unicode(t[(l // 4) * 4 + 2]) * 256 ELSE 0 END + CASE WHEN l % 4 >= 3 THEN unicode(t[(l // 4) * 4 + 3]) * 65536 ELSE 0 END)::HUGEINT) * 3432918353::HUGEINT) % 4294967296::HUGEINT // 131072::HUGEINT))) * 461845907::HUGEINT) % 4294967296::HUGEINT) ELSE h END AS h FROM m2
+        |), f0 AS (
+        |  SELECT doc_id, t, xor(h, l::HUGEINT) AS h FROM tl
+        |), f1 AS (
+        |  SELECT doc_id, t, (xor(h, h // 65536::HUGEINT) * 2246822507::HUGEINT) % 4294967296::HUGEINT AS h FROM f0
+        |), f2 AS (
+        |  SELECT doc_id, t, (xor(h, h // 8192::HUGEINT) * 3266489909::HUGEINT) % 4294967296::HUGEINT AS h FROM f1
+        |), hashed AS (
+        |  SELECT doc_id, t,
+        |    CAST(CASE WHEN xor(h, h // 65536::HUGEINT) >= 2147483648::HUGEINT
+        |      THEN xor(h, h // 65536::HUGEINT) - 4294967296::HUGEINT
+        |      ELSE xor(h, h // 65536::HUGEINT) END AS BIGINT) AS hs
+        |  FROM f2
+        |), bucketed AS (
+        |  SELECT doc_id, ((hs % 1024) + 1024) % 1024 AS b FROM hashed
+        |), tf AS MATERIALIZED (
+        |  SELECT doc_id, b, COUNT(*) AS tf FROM bucketed GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT b, COUNT(*) AS df FROM tf GROUP BY 1
+        |), m AS (
+        |  SELECT COUNT(*) AS m FROM documents
+        |), w AS (
+        |  SELECT tf.doc_id, tf.b, tf.tf * ln((m.m + 1.0) / (dfreq.df + 1.0)) AS w
+        |  FROM tf JOIN dfreq USING (b) CROSS JOIN m
+        |), agg AS (
+        |  SELECT doc_id,
+        |    ROUND(COALESCE(SUM(CASE WHEN b = 1 THEN w END), 0.0), 6) AS tfidf_1,
+        |    ROUND(COALESCE(SUM(CASE WHEN b = 69 THEN w END), 0.0), 6) AS tfidf_69,
+        |    ROUND(COALESCE(SUM(CASE WHEN b = 386 THEN w END), 0.0), 6) AS tfidf_386,
+        |    ROUND(COALESCE(SUM(CASE WHEN b = 534 THEN w END), 0.0), 6) AS tfidf_534,
+        |    ROUND(COALESCE(SUM(CASE WHEN b = 640 THEN w END), 0.0), 6) AS tfidf_640,
+        |    CAST(COUNT(*) AS INT) AS nnz,
+        |    ROUND(sqrt(SUM(w * w)), 6) AS l2_norm
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.tfidf_1, 0.0) AS tfidf_1,
+        |  COALESCE(a.tfidf_69, 0.0) AS tfidf_69,
+        |  COALESCE(a.tfidf_386, 0.0) AS tfidf_386,
+        |  COALESCE(a.tfidf_534, 0.0) AS tfidf_534,
+        |  COALESCE(a.tfidf_640, 0.0) AS tfidf_640,
+        |  COALESCE(a.nnz, 0) AS nnz,
+        |  COALESCE(a.l2_norm, 0.0) AS l2_norm
+        |FROM documents d
+        |LEFT JOIN agg a ON a.doc_id = d.doc_id""".stripMargin,
 
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events
