@@ -762,6 +762,57 @@ object SparkEntry {
       Skew.saltedJoin(hot, dim, Seq("p_partkey"), saltBuckets = 8)
     }),
 
+    // ------------------------------------------- §7 snapshot maintenance
+    // CDC merge (MERGE INTO semantics) on an in-flight fixture: replace
+    // every 7th doc (delete-set excluded so the updates batch honors the
+    // one-row-per-key MERGE contract), insert shifted copies, delete
+    // every 13th-residue-5 doc. Single union + keyed-window plan; the
+    // oracle states the same union + row_number formulation.
+    "llm_merge_upsert" -> ((s, dir) => {
+      val base = documents(s, dir).select(
+        col("doc_id"), col("text"), col("source"))
+      val updates = base
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 5)
+        .select(col("doc_id"),
+          concat(lit("v2: "), col("text")).as("text"),
+          col("source"), lit(false).as("del"))
+        .unionByName(base.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            concat(lit("new: "), col("text")).as("text"),
+            col("source"), lit(false).as("del")))
+        .unionByName(base.filter(col("doc_id") % 13 === 5)
+          .select(col("doc_id"), col("text"), col("source"),
+            lit(true).as("del")))
+      operators.Merge.upsert(base, updates, "doc_id", Some("del"))
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("source"))
+    }),
+
+    // ------------------------------------------------ §7 data layout
+    // Z-order (Morton) clustering: 16-bit grid over (user_id mod 2^16,
+    // linearly quantized value), bit-interleaved with the 4-step
+    // shift-mask spread, range-partitioned + sorted for write. The
+    // z-value is pure integer/IEEE arithmetic, so DuckDB recomputes it
+    // bit-for-bit with the same masks. Rows are unchanged by the
+    // layout pass — the oracle checks the z math; ZOrderSpec checks
+    // the partition-range property the layout exists for.
+    "layout_zorder" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"),
+        pmod(col("user_id"), lit(65536L)).as("x"),
+        operators.ZOrder.quantize16(col("value"), 0.0, 500.0).as("y"))
+      operators.ZOrder.layout(ev, "x", "y", numFiles = 8)
+        .select("event_id", "x", "y", "zval")
+    }),
+
+    // ------------------------------------- §7 perplexity quality signal
+    // CCNet-style bigram-LM perplexity, self-scored on the corpus: the
+    // model (add-0.5 smoothing, context counts over bigrams, corpus
+    // vocab size) and the per-doc exp(−mean log p) score are both
+    // restated by the DuckDB oracle from the same definition — two
+    // engines, one number. Docs with < 2 tokens score NULL.
+    "text_perplexity" -> ((s, dir) =>
+      LanguageModel.perplexity(documents(s, dir))),
+
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
     // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
@@ -2017,6 +2068,103 @@ object SparkEntry {
         |  FROM lineitem)
         |SELECT f.p_partkey, f.l_orderkey, f.l_linenumber, p.p_brand
         |FROM f JOIN part p USING (p_partkey)""".stripMargin,
+
+    // MERGE oracle: the same union + row_number-over-priority
+    // formulation the operator uses, restated in SQL — updates (pri 1)
+    // beat target rows (pri 0), winning deletes drop the key.
+    "llm_merge_upsert" ->
+      """WITH upd AS (
+        |  SELECT doc_id, 'v2: ' || text AS text, source, FALSE AS del
+        |  FROM documents WHERE doc_id % 7 = 0 AND doc_id % 13 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 3000000, 'new: ' || text, source, FALSE
+        |  FROM documents WHERE doc_id % 11 = 3
+        |  UNION ALL
+        |  SELECT doc_id, text, source, TRUE
+        |  FROM documents WHERE doc_id % 13 = 5
+        |), unioned AS (
+        |  SELECT doc_id, text, source, FALSE AS del, 0 AS pri
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, text, source, del, 1 FROM upd
+        |), ranked AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY doc_id ORDER BY pri DESC) AS rn
+        |  FROM unioned
+        |)
+        |SELECT doc_id, md5(text) AS text_md5, source
+        |FROM ranked WHERE rn = 1 AND NOT del""".stripMargin,
+
+    // z-order oracle: the identical 4-step shift-OR-mask spread on both
+    // 16-bit dimensions (masks 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
+    // 0x55555555 in decimal), interleaved x-even / y-odd. The linear
+    // quantizer repeats the same IEEE op sequence (sub, div, mul,
+    // floor, clamp), so the grid cell is cross-engine exact.
+    "layout_zorder" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id % 65536 AS x,
+        |    CAST(LEAST(GREATEST(
+        |      FLOOR((value - 0.0) / 500.0 * 65535.0), 0.0), 65535.0)
+        |      AS BIGINT) AS y
+        |  FROM events
+        |), s1 AS (
+        |  SELECT event_id, x, y,
+        |    ((x & 65535) | ((x & 65535) << 8)) & 16711935 AS ax,
+        |    ((y & 65535) | ((y & 65535) << 8)) & 16711935 AS ay
+        |  FROM base
+        |), s2 AS (
+        |  SELECT event_id, x, y,
+        |    ((ax | (ax << 4)) & 252645135) AS ax,
+        |    ((ay | (ay << 4)) & 252645135) AS ay
+        |  FROM s1
+        |), s3 AS (
+        |  SELECT event_id, x, y,
+        |    ((ax | (ax << 2)) & 858993459) AS ax,
+        |    ((ay | (ay << 2)) & 858993459) AS ay
+        |  FROM s2
+        |), s4 AS (
+        |  SELECT event_id, x, y,
+        |    ((ax | (ax << 1)) & 1431655765) AS ax,
+        |    ((ay | (ay << 1)) & 1431655765) AS ay
+        |  FROM s3
+        |)
+        |SELECT event_id, x, y, (ax | (ay << 1)) AS zval FROM s4""".stripMargin,
+
+    // perplexity oracle: same model definition end-to-end — [\p{L}]+
+    // tokens of lower(text), context counts over bigrams, corpus
+    // distinct-token V, p = (c12 + 0.5) / (c1 + 0.5·V), per-doc
+    // ppl = exp(−avg ln p) rounded to 6dp (short docs NULL).
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS ws
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws))) AS i
+        |        FROM toks)
+        |), ctx AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM big GROUP BY w1
+        |), pair AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY w1, w2
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM toks)
+        |), model AS (
+        |  SELECT p.w1, p.w2,
+        |    (p.c12 + 0.5) / (c.c1 + 0.5 * voc.v) AS p
+        |  FROM pair p JOIN ctx c USING (w1), voc
+        |), scored AS (
+        |  SELECT b.doc_id, ln(m.p) AS lp
+        |  FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(a.ppl, 6) AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r.r_name, n.n_name,

@@ -1,0 +1,74 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bigram-LM perplexity: hand-computed tiny-corpus values, the
+  * unseen-bigram smoothing branch, and the filter form. */
+class LanguageModelSpec extends SparkSpec {
+
+  // corpus: bigrams (a,b)x3, (b,a)x1 → c(a)=3, c(b)=1; V = {a,b,c} = 3
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+  }
+
+  private val pBA = 3.5 / 4.5 // p(b|a) = (3 + .5) / (3 + .5*3)
+  private val pAB = 1.5 / 2.5 // p(a|b) = (1 + .5) / (1 + .5*3)
+  private def r6(x: Double) =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("self-scored perplexity matches hand computation") {
+    val got = LanguageModel.perplexity(corpus).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    val ppl1 = math.exp(-(2 * math.log(pBA) + math.log(pAB)) / 3.0)
+    assert(got(1L)._1 === 3L)
+    assert(got(1L)._2.get === r6(ppl1))
+    assert(got(2L) === ((1L, Some(r6(1 / pBA)))))
+    assert(got(3L) === ((0L, None))) // < 2 tokens: no bigrams, NULL ppl
+  }
+
+  test("tokenization is lower-cased letter runs") {
+    val s = spark
+    import s.implicits._
+    val noisy = Seq((1L, "A  b!"), (2L, "a b")).toDF("doc_id", "text")
+    val got = LanguageModel.perplexity(noisy).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // both docs normalize to the same bigram → identical scores
+    assert(got(1L) === got(2L))
+  }
+
+  test("scoring a foreign corpus hits the smoothing branches") {
+    val s = spark
+    import s.implicits._
+    val model = LanguageModel.bigramModel(corpus)
+    val foreign = Seq((10L, "x y"), (11L, "a c")).toDF("doc_id", "text")
+    val got = LanguageModel
+      .perplexityAgainst(foreign, model, vocabSize = 3L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // unknown context: p = .5 / (0 + .5*3) = 1/3 → ppl 3
+    assert(got(10L) === 3.0)
+    // known context a (c1=3), unseen pair: p = .5 / (3 + 1.5) = 1/9
+    assert(got(11L) === 9.0)
+  }
+
+  test("perplexityFilter keeps low-ppl and unscorable docs") {
+    val kept = LanguageModel.perplexityFilter(corpus, maxPpl = 1.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // doc2 ppl ≈ 1.2857 ≤ 1.3; doc1 ≈ 1.367 dropped; doc3 NULL kept
+    assert(kept === Set(2L, 3L))
+  }
+
+  test("fitted model frame carries the smoothed probabilities") {
+    val m = LanguageModel.bigramModel(corpus).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(m(("a", "b")) === ((3L, 3L, pBA)))
+    assert(m(("b", "a")) === ((1L, 1L, pAB)))
+    assert(m.size === 2)
+  }
+}
