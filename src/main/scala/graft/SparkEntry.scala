@@ -813,6 +813,25 @@ object SparkEntry {
     "text_perplexity" -> ((s, dir) =>
       LanguageModel.perplexity(documents(s, dir))),
 
+    // ------------------------------------ §7 boilerplate line removal
+    // C4-style frequent-line filter on a planted multi-line fixture:
+    // every 3rd doc gets a shared subscribe-banner header, every doc a
+    // per-source copyright footer (df ≈ corpus/20 per source) and a
+    // blank separator line; the unique body and the blank line must
+    // survive, the header and footers (df ≥ 10) must not. The oracle
+    // restates the fixture and the distinct-doc-frequency semantics.
+    "text_boilerplate" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            lit("Subscribe to our newsletter today")),
+          col("text"), lit(""),
+          concat(lit("Copyright "), col("source"))).as("text"))
+      TextAnalysis.removeBoilerplate(docs, minDf = 10L)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_removed"))
+    }),
+
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
     // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
@@ -2165,6 +2184,44 @@ object SparkEntry {
         |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
         |  ROUND(a.ppl, 6) AS ppl
         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // boilerplate oracle: same planted fixture (banner on doc_id%3=0,
+    // per-source footer, blank separator), same semantics — a non-blank
+    // line in ≥ 10 distinct docs is dropped, order-preserving rebuild,
+    // all-boilerplate docs come back empty (not missing).
+    "text_boilerplate" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'Subscribe to our newsletter today' END,
+        |      text, '', 'Copyright ' || source) AS text
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, i AS line_idx, parts[i] AS line,
+        |    len(parts) AS n_lines
+        |  FROM (SELECT doc_id, split(text, chr(10)) AS parts,
+        |          unnest(range(1, len(parts) + 1)) AS i
+        |        FROM fix)
+        |), boiler AS (
+        |  SELECT line
+        |  FROM (SELECT DISTINCT doc_id, line FROM lines
+        |        WHERE trim(line) <> '')
+        |  GROUP BY line HAVING COUNT(*) >= 10
+        |), kept AS (
+        |  SELECT * FROM lines
+        |  WHERE line NOT IN (SELECT line FROM boiler)
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, md5(COALESCE(r.clean_text, '')) AS text_md5,
+        |  n.n_lines, n.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM fix f
+        |JOIN (SELECT DISTINCT doc_id, n_lines FROM lines) n USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "revenue_by_nation" ->
       """SELECT r.r_name, n.n_name,

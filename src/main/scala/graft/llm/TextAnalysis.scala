@@ -430,6 +430,60 @@ object TextAnalysis {
         round(col("q").getItem(2), 6).as("p75"),
         round(col("q").getItem(3), 6).as("p95"))
   }
+
+  /** C4-style corpus-wide boilerplate line removal: a line whose exact
+    * text appears in at least `minDf` DISTINCT documents is boilerplate
+    * (cookie banners, nav menus, share footers — the text that repeats
+    * across a crawl but carries no signal) and is dropped from every
+    * document; all other lines are kept in their original order. Blank
+    * lines (empty after trim) are structural, never counted and never
+    * removed. Output: (idCol, text with boilerplate removed, n_lines,
+    * n_removed) — one row per input document, docs whose every line was
+    * boilerplate come back with empty text, not dropped.
+    *
+    * Scale shape: explode to (doc, line) once; the line-frequency table
+    * is a distinct + partial-agg count whose result is Zipf-bounded
+    * (boilerplate is by definition few DISTINCT strings repeated many
+    * times), so after the `minDf` filter the boilerplate set is small
+    * enough to broadcast — the removal anti-join costs no shuffle on
+    * the corpus side. Reassembly is one groupBy(doc) of (index, line)
+    * structs, sorted in-array — no window, no SinglePartition. Three
+    * corpus-sized shuffle boundaries total (df-count, its distinct,
+    * reassembly), each partial-aggregated. */
+  def removeBoilerplate(
+      df: DataFrame,
+      minDf: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("line_idx", "line")))
+    val boiler = lines
+      .filter(trim(col("line")) =!= "")
+      .select(col(idCol), col("line")).distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+      .select(col("line"))
+    val kept = lines.join(broadcast(boiler), Seq("line"), "left_anti")
+    val rebuilt = kept
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        // long, not int: the cross-engine twin (DuckDB len()) is BIGINT
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }
 
 /** High-frequency function words per language (public linguistic

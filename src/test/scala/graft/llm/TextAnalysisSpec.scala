@@ -231,4 +231,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(TextAnalysis.piiRedact(one(clean)).head()
       .getAs[String]("redacted") == clean)
   }
+
+  test("removeBoilerplate: frequent lines dropped, order and blanks kept") {
+    val s = spark
+    import s.implicits._
+    // "BANNER" in docs 1..3 (df 3 ≥ minDf 2) → removed everywhere;
+    // "rare line" only in doc 1 (df 1) → kept; blank lines kept.
+    val docs = Seq(
+      (1L, "BANNER\nunique one\n\nrare line"),
+      (2L, "unique two\nBANNER"),
+      (3L, "BANNER"),
+      (4L, "unique four")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, minDf = 2L)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("unique one\n\nrare line", 4L, 1L)))
+    assert(got(2L) === (("unique two", 2L, 1L)))
+    // all lines boilerplate → empty text, doc still present
+    assert(got(3L) === (("", 1L, 1L)))
+    assert(got(4L) === (("unique four", 1L, 0L)))
+  }
+
+  test("removeBoilerplate: blank lines never count toward frequency") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a\n\nb"), (2L, "c\n\nd"), (3L, "e\n\nf"))
+      .toDF("doc_id", "text")
+    // the blank line appears in all 3 docs but must not be removed
+    val got = TextAnalysis.removeBoilerplate(docs, minDf = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "a\n\nb", 2L -> "c\n\nd", 3L -> "e\n\nf"))
+  }
+
+  test("removeBoilerplate: within-doc repeats count once toward df") {
+    val s = spark
+    import s.implicits._
+    // "x" appears 3 times in doc 1 but only 1 distinct doc → df 1 < 2
+    val docs = Seq((1L, "x\nx\nx"), (2L, "y")).toDF("doc_id", "text")
+    val got = TextAnalysis.removeBoilerplate(docs, minDf = 2L)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "x\nx\nx")
+  }
 }
