@@ -21,6 +21,19 @@ final case class SessionizedEvent(
 /** Per-user session state carried across micro-batches. */
 final case class SessionState(lastTsMs: Long, idx: Long, startMs: Long)
 
+/** A CDC change event for [[StreamOps.mergeStream]]: upsert `key` to
+  * `payload` (del = false) or delete it (del = true); `seq` is the
+  * apply order (commit LSN / change position from the CDC source). */
+final case class MergeEvent(
+    key: Long, payload: String, del: Boolean, seq: Long)
+
+/** Current snapshot row for `key` after applying a change — `deleted`
+  * rows are tombstones the sink uses to drop the key. */
+final case class MergeRow(key: Long, payload: String, deleted: Boolean)
+
+/** Per-key merge state: latest payload + the seq it came from. */
+final case class MergeState(payload: String, deleted: Boolean, seq: Long)
+
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
   * (driver verify/bench, DuckDB-oracle-checkable) and `readStream`
@@ -243,6 +256,47 @@ object StreamOps {
     * globally unique across evictions. Keeping the counter itself
     * across evictions would mean never evicting, i.e. unbounded
     * state. */
+  /** Streaming CDC merge — [[graft.operators.Merge.upsert]] as a
+    * continuously-maintained snapshot instead of a batch rebuild: each
+    * micro-batch of change events updates per-key state and emits the
+    * key's new current row (tombstone rows carry `deleted = true` so
+    * an idempotent sink can drop the key). Late/duplicate deliveries
+    * are handled by `seq` (the CDC source's commit position): within a
+    * batch events apply in seq order, and an event at or below the
+    * key's applied seq is a stale redelivery and is ignored — so the
+    * operator is exactly-once-equivalent under at-least-once delivery.
+    *
+    * State is the snapshot itself (one entry per live key), so it is
+    * bounded by key-space size, not stream length — the correct shape
+    * for snapshot maintenance, sized for the RocksDB state store in
+    * production. No timeout: a key's current value never expires.
+    * Deleted keys keep a tombstone entry (the seq guard needs it to
+    * reject a stale pre-delete redelivery); a source whose seqs are
+    * globally ordered can compact tombstones downstream. */
+  def mergeStream(updates: Dataset[MergeEvent]): Dataset[MergeRow] = {
+    import updates.sparkSession.implicits._
+    updates
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[MergeState, MergeRow](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key: Long, it: Iterator[MergeEvent],
+            state: GroupState[MergeState]) =>
+          val sorted = it.toArray.sortBy(_.seq)
+          var cur = state.getOption.getOrElse(null)
+          var changed = false
+          sorted.foreach { e =>
+            if (cur == null || e.seq > cur.seq) {
+              cur = MergeState(e.payload, e.del, e.seq)
+              changed = true
+            }
+          }
+          if (changed) {
+            state.update(cur)
+            Iterator.single(MergeRow(key, cur.payload, cur.deleted))
+          } else Iterator.empty
+      }
+  }
+
   def sessionizeStream(
       events: Dataset[SessionEvent],
       gapMinutes: Int = 30,

@@ -366,4 +366,85 @@ class StreamingSpec extends SparkSpec {
       assert(u7.map(r => (7L, r._1, r._2)).distinct.length == 2)
     } finally q.stop()
   }
+
+  test("mergeStream: keyed snapshot state matches batch Merge.upsert") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[MergeEvent]
+    val q = StreamOps.mergeStream(stream.toDS())
+      .writeStream.format("memory").queryName("merge_out")
+      .outputMode("update").start()
+    try {
+      // batch 1: the initial snapshot arrives as seq-0 upserts
+      stream.addData(
+        MergeEvent(1L, "alpha", del = false, seq = 0L),
+        MergeEvent(2L, "beta", del = false, seq = 0L),
+        MergeEvent(3L, "gamma", del = false, seq = 0L))
+      q.processAllAvailable()
+      // batch 2: replace key 2, insert key 4, delete key 3
+      stream.addData(
+        MergeEvent(2L, "BETA-v2", del = false, seq = 1L),
+        MergeEvent(4L, "delta", del = false, seq = 1L),
+        MergeEvent(3L, "gamma", del = true, seq = 1L))
+      q.processAllAvailable()
+
+      val emissions = spark.table("merge_out")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      // every state change emitted exactly once
+      assert(emissions.toSet === Set(
+        (1L, "alpha", false), (2L, "beta", false), (3L, "gamma", false),
+        (2L, "BETA-v2", false), (4L, "delta", false), (3L, "gamma", true)))
+      assert(emissions.length === 6)
+
+      // reconstructed snapshot (latest per key, tombstones dropped)
+      // equals the batch operator on the same target + updates
+      val snapshot = emissions.groupBy(_._1).map { case (k, rs) =>
+        rs.last // within a key, memory-sink rows arrive in batch order
+      }.filterNot(_._3).map(r => r._1 -> r._2).toMap
+      val target = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("key", "payload")
+      val updates = Seq((2L, "BETA-v2", false), (4L, "delta", false),
+        (3L, "gamma", true)).toDF("key", "payload", "del")
+      val batch = graft.operators.Merge
+        .upsert(target, updates, "key", Some("del"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(snapshot === batch)
+    } finally q.stop()
+  }
+
+  test("mergeStream: stale redeliveries ignored, in-batch seq order applied") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val stream = MemoryStream[MergeEvent]
+    val q = StreamOps.mergeStream(stream.toDS())
+      .writeStream.format("memory").queryName("merge_redeliver")
+      .outputMode("update").start()
+    try {
+      // out-of-order WITHIN a batch: seq 3 listed before seq 2 — the
+      // group sorts by seq, so only the seq-3 value is emitted, once
+      stream.addData(
+        MergeEvent(5L, "newer", del = false, seq = 3L),
+        MergeEvent(5L, "older", del = false, seq = 2L))
+      q.processAllAvailable()
+      assert(spark.table("merge_redeliver").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq ===
+        Seq((5L, "newer")))
+
+      // at-least-once redelivery of seq ≤ applied: no output, no change
+      stream.addData(MergeEvent(5L, "older", del = false, seq = 2L))
+      q.processAllAvailable()
+      assert(spark.table("merge_redeliver").count() === 1L)
+
+      // a genuinely newer seq still applies after the stale one
+      stream.addData(MergeEvent(5L, "newest", del = false, seq = 4L))
+      q.processAllAvailable()
+      assert(spark.table("merge_redeliver").collect()
+        .map(r => (r.getLong(0), r.getString(1))).last ===
+        ((5L, "newest")))
+    } finally q.stop()
+  }
 }
