@@ -115,6 +115,48 @@ class PlanAuditSpec extends SparkSpec {
       "expected a Partial-mode WindowGroupLimit:\n" + p.take(1200))
   }
 
+  test("llm_merge_upsert: one shuffle, map-side WindowGroupLimit") {
+    // MERGE as union + keyed window: the whole snapshot + updates
+    // stream through ONE hash exchange on the key, and the rank-1
+    // window rewrites to a WindowGroupLimit so map tasks forward at
+    // most one candidate per (key, priority) — nothing quadratic, no
+    // outer-join double shuffle (MergeSpec pins the same on a fixture)
+    val p = plan("llm_merge_upsert")
+    assert(shuffles(p) == 1, s"expected one shuffle:\n${p.take(800)}")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("layout_zorder: the cluster pass is exactly one range shuffle") {
+    // z-value computation is pure codegen arithmetic; the only data
+    // movement is the write-time repartitionByRange — one Exchange
+    // rangepartitioning, then a LOCAL sort (no second exchange)
+    val p = plan("layout_zorder")
+    assert("Exchange rangepartitioning".r.findAllIn(p).length == 1,
+      p.take(800))
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty,
+      p.take(800))
+  }
+
+  test("text_boilerplate: the removal anti-join broadcasts") {
+    // the line-frequency table after the minDf filter is the (small)
+    // boilerplate set; the corpus-sized lines stream must anti-join
+    // against it WITHOUT shuffling — a BroadcastHashJoin LeftAnti
+    val p = plan("text_boilerplate")
+    assert(p.contains("BroadcastHashJoin") &&
+      (p.contains("LeftAnti") || p.contains("left_anti")),
+      s"expected a broadcast anti-join:\n${p.take(1200)}")
+  }
+
+  test("text_perplexity: corpus-wide V travels by broadcast") {
+    // the 1-row vocabulary count joins the model via a broadcast
+    // nested-loop (the only correct shape for a keyless 1-row join) —
+    // never a CartesianProduct, never an exchange of the model table
+    // keyed on nothing
+    val p = plan("text_perplexity")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+    assert(!p.contains("CartesianProduct"), p.take(1200))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work
