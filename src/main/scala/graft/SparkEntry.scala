@@ -674,6 +674,19 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "rank")
     }),
 
+    // Scalar quantization (SQ8) — the TRAINLESS quantizer: bounds are
+    // one exact min/max aggregate, so unlike the seeded-fit indexes
+    // (IVF/PQ) the ENTIRE index — encode, reconstruction, ADC scoring,
+    // ranking — is deterministic arithmetic with a DuckDB twin:
+    // hash-EXACT, not just recall-tested. Registered without refine so
+    // the oracle adjudicates the quantized ordering itself; the
+    // refine=50 production path is recall-spec'd in SimilaritySpec.
+    "similarity_sq8" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.sqProbe(Similarity.sqIndex(emb),
+        emb.filter(col("vec_id") < 10), k = 10, roundAt = 6)
+    }),
+
     // The composed two-level ANN (FAISS IVFPQ): coarse-cell pruning ×
     // compressed-code scan × exact refine. Seeded fits; adjudicated by
     // SimilaritySpec's recall bound.
@@ -1899,6 +1912,55 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
         |  FROM scored
         |) WHERE rn <= 10""".stripMargin,
+
+    // The full SQ8 index re-derived in SQL: per-dim exact min/max
+    // bounds, half-UP quantize to 0..255 (floor(v + 0.5) — spelled
+    // identically in SqEncode.compute), reconstruction, ADC dot
+    // against the raw query, reconstructed-norm cosine, 6dp pre-rank
+    // rounding (absorbs cross-engine float-sum order, the
+    // similarity_topk contract). unnest(range)+unnest(list) expand in
+    // lockstep, giving (vec_id, i, x) exploded dims.
+    "similarity_sq8" ->
+      """WITH vals AS (
+        |  SELECT vec_id,
+        |    unnest(range(1, len(embedding) + 1)) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), bounds AS (
+        |  SELECT i, MIN(x) AS vmin, MAX(x) - MIN(x) AS vdiff
+        |  FROM vals GROUP BY i
+        |), recon AS (
+        |  SELECT vec_id, v.i,
+        |    b.vmin + (CASE WHEN b.vdiff = 0 THEN 0
+        |      ELSE LEAST(255, GREATEST(0,
+        |        CAST(floor((v.x - b.vmin) / b.vdiff * 255.0 + 0.5) AS INT))) END)
+        |      * b.vdiff / 255.0 AS xr
+        |  FROM vals v JOIN bounds b USING (i)
+        |), rn AS (
+        |  SELECT vec_id, sqrt(sum(xr * xr)) AS rnorm FROM recon GROUP BY vec_id
+        |), qn AS (
+        |  SELECT vec_id, sqrt(sum(x * x)) AS q_norm
+        |  FROM vals WHERE vec_id < 10 GROUP BY vec_id
+        |), dots AS (
+        |  SELECT q.vec_id AS query_id, r.vec_id AS neighbor_id,
+        |    SUM(q.x * r.xr) AS dot
+        |  FROM vals q JOIN recon r ON q.i = r.i AND r.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.neighbor_id,
+        |    ROUND(CASE WHEN rn.rnorm > 0 AND qn.q_norm > 0
+        |      THEN d.dot / (rn.rnorm * qn.q_norm) ELSE -1 END, 6) AS sq_score
+        |  FROM dots d
+        |  JOIN rn ON rn.vec_id = d.neighbor_id
+        |  JOIN qn ON qn.vec_id = d.query_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, sq_score
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY sq_score DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 10""".stripMargin,
 
     "embedding_label_stats" ->
       """WITH n AS (

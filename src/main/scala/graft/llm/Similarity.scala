@@ -610,6 +610,169 @@ object Similarity {
     }
   }
 
+  /** A built SQ8 (scalar-quantization) index: per-dimension [min,
+    * max] bounds plus the quantized corpus
+    * `(neighbor_id, codes: array<int>, rnorm)`. The trainless member
+    * of the quantizer family (FAISS IndexScalarQuantizer QT_8bit):
+    * no k-means fit, the "model" is 2·dim doubles from one EXACT
+    * min/max aggregate — which makes the whole index deterministic
+    * and SQL-expressible, so the DuckDB oracle hash-verifies encode,
+    * reconstruction, and scoring bit-for-bit (PQ's seeded fits can
+    * only be recall-tested). Compression is 1 byte/dim semantically
+    * (~4× vs float32, ~8× vs the double math) at far lower distortion
+    * than PQ's ~1/32 — the middle rung of the accuracy/bytes ladder.
+    */
+  final case class SqIndex(
+      vmin: Array[Double],
+      vdiff: Array[Double],
+      codes: DataFrame)
+
+  /** Build the [[SqIndex]]: ONE partial-aggregated min/max pass (2·dim
+    * doubles of aggregation state per task — associative, one shuffle
+    * of fixed-size partials regardless of corpus size), then a narrow
+    * codegen'd encode projection ([[graft.functions.SqEncode]] +
+    * [[graft.functions.SqReconNorm]]); ill-shaped/null vectors drop
+    * out, the IVF/PQ unindexable-row contract. Rows whose length
+    * disagrees with the first-seen `dim` are excluded from the bounds
+    * aggregate too, so one bad row cannot poison a dimension's range. */
+  def sqIndex(
+      corpus: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): SqIndex = {
+    val e = asDouble(col(embCol))
+    val dimRow = corpus.select(size(e).as("d")).where(col("d") > 0).head()
+    val dim = dimRow.getInt(0)
+    val wellFormed = corpus.where(size(e) === dim)
+    val aggs = (0 until dim).flatMap { i =>
+      Seq(min(element_at(e, i + 1)).as(s"mn_$i"),
+        max(element_at(e, i + 1)).as(s"mx_$i"))
+    }
+    val b = wellFormed.agg(aggs.head, aggs.tail: _*).head()
+    val vmin = Array.tabulate(dim)(i => b.getDouble(2 * i))
+    val vdiff = Array.tabulate(dim)(i => b.getDouble(2 * i + 1) - vmin(i))
+    SqIndex(vmin, vdiff, encodeSq(wellFormed, vmin, vdiff, embCol, idCol))
+  }
+
+  /** The one-pass encode shared by [[sqIndex]] (build) and [[sqAppend]]
+    * (grow). */
+  private def encodeSq(corpus: DataFrame, vmin: Array[Double],
+      vdiff: Array[Double], embCol: String, idCol: String): DataFrame = {
+    val codes = graft.functions.SqEncode(asDouble(col(embCol)), vmin, vdiff)
+    corpus
+      .select(col(idCol).as("neighbor_id"), codes.as("codes"))
+      .where(col("codes").isNotNull)
+      .withColumn("rnorm",
+        graft.functions.SqReconNorm(col("codes"), vmin, vdiff))
+  }
+
+  /** Grow a built [[SqIndex]] WITHOUT re-deriving bounds — the
+    * [[ivfAppend]]/[[pqAppend]] policy: the quantizer stays stable as
+    * the corpus grows (out-of-range values CLAMP to 0/255, so drifted
+    * appends degrade gracefully); a batch far outside the bounds is a
+    * rebuild decision, not an operator one. */
+  def sqAppend(
+      index: SqIndex,
+      batch: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): SqIndex =
+    index.copy(codes = index.codes.unionByName(
+      encodeSq(batch, index.vmin, index.vdiff, embCol, idCol)))
+
+  /** Persist a built [[SqIndex]] — build-once / probe-many across
+    * sessions. Codes go to plain parquet (the probe is a full
+    * compressed scan, not a keyed join); bounds go to a tiny parquet
+    * of (dim_idx, vmin, vdiff) rows — `dim` rows, a model artifact.
+    * [[readSqIndex]] reconstitutes `dim` FROM the bounds rows, so
+    * codes and bounds cannot desynchronize. */
+  def writeSqIndex(index: SqIndex, codesPath: String,
+      boundsPath: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(codesPath)
+    val spark = index.codes.sparkSession
+    import spark.implicits._
+    index.vmin.indices.map(i => (i, index.vmin(i), index.vdiff(i)))
+      .toDF("dim_idx", "vmin", "vdiff")
+      .coalesce(1).write.mode("overwrite").parquet(boundsPath)
+  }
+
+  /** Reload a persisted [[SqIndex]]; see [[writeSqIndex]]. */
+  def readSqIndex(spark: org.apache.spark.sql.SparkSession,
+      codesPath: String, boundsPath: String): SqIndex = {
+    val rows = spark.read.parquet(boundsPath)
+      .select("dim_idx", "vmin", "vdiff").collect()
+    require(rows.nonEmpty, s"readSqIndex: no bounds at $boundsPath")
+    val dim = rows.map(_.getInt(0)).max + 1
+    val vmin = new Array[Double](dim)
+    val vdiff = new Array[Double](dim)
+    rows.foreach { r =>
+      vmin(r.getInt(0)) = r.getDouble(1)
+      vdiff(r.getInt(0)) = r.getDouble(2)
+    }
+    SqIndex(vmin, vdiff, spark.read.parquet(codesPath))
+  }
+
+  /** Probe an [[SqIndex]]: [[cosineTopK]]'s plan shape (broadcast
+    * queries, one corpus scan, one window shuffle keyed by query) over
+    * the int8 codes instead of raw vectors — the scan never references
+    * the embedding column, so parquet prunes it ([[pqProbe]]'s IO
+    * story without the LUT indirection; scoring is O(dim) int-read +
+    * FMA per pair in [[graft.functions.SqAdcDot]]). The approximate
+    * cosine divides by the stored RECONSTRUCTED norm — both sides of
+    * the ratio live in quantized space, zero-norm rows pin to -1 like
+    * every sibling.
+    *
+    * `roundAt >= 0` rounds the score pre-rank (ties then break on
+    * neighbor_id) — with the exact-aggregate bounds this makes the
+    * FULL index hash-comparable against a DuckDB twin, the property
+    * the seeded-fit indexes (IVF/PQ) cannot offer. `refine > 0` adds
+    * the FAISS refine stage: exact cosine over the SQ top-`refine`
+    * shortlist BY ID (candidate-bounded, `|queries| × refine` rows). */
+  def sqProbe(
+      index: SqIndex,
+      queries: DataFrame,
+      k: Int = 10,
+      refine: Int = 0,
+      corpus: DataFrame = null,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      roundAt: Int = -1): DataFrame = {
+    require(refine == 0 || refine >= k,
+      s"refine ($refine) must be 0 (off) or >= k ($k)")
+    require(refine == 0 || corpus != null,
+      "refine > 0 needs the raw corpus to re-rank against")
+    val normSq = aggregate(
+      transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"),
+        asDouble(col(embCol)).as("q_emb"),
+        sqrt(normSq).as("q_norm"))
+      .where(size(col("q_emb")) === index.vmin.length))
+    val adc = graft.functions.SqAdcDot(col("q_emb"), col("codes"),
+      index.vmin, index.vdiff)
+    val raw = when(col("rnorm") > 0 && col("q_norm") > 0,
+      adc / (col("rnorm") * col("q_norm"))).otherwise(lit(-1.0))
+    val scored = index.codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("sq_score", if (roundAt >= 0) round(raw, roundAt) else raw)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sq_score").desc, col("neighbor_id"))
+    if (refine == 0) {
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_score")
+    } else {
+      val shortlist = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= refine)
+        .select("query_id", "neighbor_id", "q_emb")
+      val exactSide = corpus.select(col(idCol).as("neighbor_id"),
+        asDouble(col(embCol)).as("c_emb"))
+      val rescored = shortlist.join(exactSide, "neighbor_id")
+        .withColumn("sq_score", cosine(col("q_emb"), col("c_emb")))
+      rescored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sq_score")
+    }
+  }
+
   /** Driver-local plain-L2 Lloyd k-means for PQ subspace codebooks —
     * the euclidean sibling of [[sphericalKMeans]] (subvectors are NOT
     * unit vectors, so cosine assignment would be wrong here). k-means++

@@ -77,6 +77,9 @@ class PlanAuditSpec extends SparkSpec {
       "llm_quality_quartiles" -> 1,
       // hash-rank reservoir: one window shuffle on source
       "llm_sample_by_source" -> 1,
+      // SQ8 probe: broadcast queries × codes scan, one top-k window
+      // shuffle keyed by query_id — cosineTopK's shape over int8 codes
+      "similarity_sq8" -> 1,
       // cohort window (1) + final distinct count (1): the distinct's
       // per-(group, user) phase REUSES the window's user_id
       // partitioning — hashpartitioning on a subset of the clustering

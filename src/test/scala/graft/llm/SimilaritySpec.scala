@@ -257,6 +257,121 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("null"))
   }
 
+  test("sqIndex: codes shaped dim × [0,255]; hand-checked quantization") {
+    val s = spark
+    import s.implicits._
+    // hand fixture: per-dim bounds [0, 10] × [0, 10]
+    val df = Seq(
+      (0L, Seq(0.0, 10.0)), (1L, Seq(10.0, 0.0)), (2L, Seq(5.0, 5.0))
+    ).toDF("vec_id", "embedding")
+    val idx = Similarity.sqIndex(df)
+    assert(idx.vmin.toSeq == Seq(0.0, 0.0))
+    assert(idx.vdiff.toSeq == Seq(10.0, 10.0))
+    val codes = idx.codes.orderBy("neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2)))
+    // (5-0)/10*255 + 0.5 = 128.0 → floor 128 (half-UP, the oracle's rule)
+    assert(codes.map(_._2.toSeq).toSeq ==
+      Seq(Seq(0, 255), Seq(255, 0), Seq(128, 128)))
+    // rnorm = norm of the RECONSTRUCTED vector: 128*10/255 per dim
+    val r5 = 128.0 * 10.0 / 255.0
+    assert(math.abs(codes(2)._3 - math.sqrt(2 * r5 * r5)) < 1e-12)
+
+    // full fixture: every row encodes, all codes in range
+    val full = Similarity.sqIndex(embeddings)
+    assert(full.codes.count() == embeddings.count())
+    val bad = full.codes.filter(
+      size(col("codes")) =!= full.vmin.length ||
+        exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(bad == 0)
+  }
+
+  test("sqProbe: high recall ADC-only (trainless quantizer); refine exact") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
+    val idx = Similarity.sqIndex(embeddings)
+    val approx = Similarity.sqProbe(idx, queries, k = 10)
+    assert(approx.groupBy("query_id").count()
+      .filter(col("count") =!= 10).count() == 0)
+    val recall = Similarity.recallAgainst(approx, truth)
+    // 8-bit/dim distortion is tiny (range/255 per dim) — unlike PQ's
+    // subspace codebooks the quantized ordering tracks the exact one
+    assert(recall >= 0.9, s"sq adc-only recall=$recall")
+    val refined = Similarity.sqProbe(idx, queries, k = 10,
+      refine = 50, corpus = embeddings)
+    val refinedRecall = Similarity.recallAgainst(refined, truth)
+    assert(refinedRecall >= 0.95, s"sq refined recall=$refinedRecall")
+    // deterministic: no seeds anywhere — two independent builds agree
+    val again = Similarity.sqProbe(Similarity.sqIndex(embeddings),
+      queries, k = 10)
+    assert(approx.exceptAll(again).count() == 0)
+  }
+
+  test("sqAppend: out-of-range batch CLAMPS; near-copy probe-visible; " +
+      "ill-shaped rows cannot poison bounds") {
+    val s = spark
+    import s.implicits._
+    val base = embeddings.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val idx = Similarity.sqIndex(base)
+    // appended near-copy of vec 0 (inside bounds) ranks first on probe
+    val v0 = base.filter(col("vec_id") === 0L)
+      .head().getSeq[Double](1)
+    val batch = Seq(
+      (888888L, v0.map(_ * 1.0001).toSeq),
+      // far outside every bound: must clamp, not throw or over-range
+      (888889L, Seq.fill(v0.length)(1e9))
+    ).toDF("vec_id", "embedding")
+    val grown = Similarity.sqAppend(idx, batch)
+    val outOfRange = grown.codes.filter(
+      exists(col("codes"), c => c < 0 || c > 255)).count()
+    assert(outOfRange == 0)
+    assert(grown.codes.filter(col("neighbor_id") === 888889L).count() == 1)
+    val hit = Similarity.sqProbe(grown,
+        base.filter(col("vec_id") === 0L), k = 10, refine = 50,
+        corpus = base.unionByName(batch))
+      .filter(col("neighbor_id") === 888888L)
+    assert(hit.count() == 1 && hit.head().getInt(2) == 1)
+    // the original index is untouched
+    assert(idx.codes.filter(col("neighbor_id") === 888888L).count() == 0)
+
+    // a wrong-length row is excluded from BOTH bounds and codes: the
+    // quantizer of the clean corpus is bit-identical with it present
+    val poisoned = base.unionByName(
+      Seq((777777L, Seq(1e9, 1e9))).toDF("vec_id", "embedding"))
+    val idx2 = Similarity.sqIndex(poisoned)
+    assert(idx2.vmin.sameElements(idx.vmin) &&
+      idx2.vdiff.sameElements(idx.vdiff))
+    assert(idx2.codes.filter(col("neighbor_id") === 777777L).count() == 0)
+  }
+
+  test("sq persistence: reloaded probe identical to in-memory") {
+    val idx = Similarity.sqIndex(embeddings)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sq")
+    try {
+      Similarity.writeSqIndex(idx, s"$tmp/codes", s"$tmp/bounds")
+      val loaded = Similarity.readSqIndex(spark, s"$tmp/codes", s"$tmp/bounds")
+      assert(loaded.vmin.sameElements(idx.vmin) &&
+        loaded.vdiff.sameElements(idx.vdiff))
+      val a = Similarity.sqProbe(idx, queries, k = 10, roundAt = 6)
+      val b = Similarity.sqProbe(loaded, queries, k = 10, roundAt = 6)
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+      // the persisted probe never references the embedding column on
+      // the codes side — that scan reads (neighbor_id, codes, rnorm)
+      // only (the query side legitimately reads its raw embeddings)
+      val scans = b.queryExecution.executedPlan.toString
+        .linesIterator.filter(l =>
+          l.contains("Scan parquet") && l.contains("codes#")).toSeq
+      assert(scans.nonEmpty, "expected a codes-parquet scan")
+      assert(scans.forall(!_.contains("embedding#")), scans.mkString("\n"))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("writeIndex/readIndex: persisted probe matches the in-memory probe") {
     val queries = embeddings.filter(col("vec_id") < 20)
     val idx = Similarity.ivfIndex(embeddings, nCells = 16)
