@@ -845,6 +845,27 @@ object SparkEntry {
           col("n_lines"), col("n_removed"))
     }),
 
+    // ------------------------------------------- §7 line-level dedup
+    // CCNet-style keep-first line dedup over the SAME planted fixture
+    // as text_boilerplate — the two operators must disagree exactly
+    // where their semantics do: boilerplate removal kills the banner
+    // EVERYWHERE (df ≥ 10), line dedup keeps its single first
+    // occurrence (doc 0) and removes every later repeat (df ≥ 2 —
+    // including cross-doc repeats of document BODY lines that are far
+    // below the boilerplate threshold). Oracle restates the fixture
+    // and the first-occurrence rank semantics.
+    "dedup_lines" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"), col("source"),
+        concat_ws("\n",
+          when(col("doc_id") % 3 === 0,
+            lit("Subscribe to our newsletter today")),
+          col("text"), lit(""),
+          concat(lit("Copyright "), col("source"))).as("text"))
+      Dedup.lineDedup(docs)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_lines"), col("n_removed"))
+    }),
+
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
     // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
@@ -2273,6 +2294,41 @@ object SparkEntry {
         |), kept AS (
         |  SELECT * FROM lines
         |  WHERE line NOT IN (SELECT line FROM boiler)
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, md5(COALESCE(r.clean_text, '')) AS text_md5,
+        |  n.n_lines, n.n_lines - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM fix f
+        |JOIN (SELECT DISTINCT doc_id, n_lines FROM lines) n USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "dedup_lines" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    concat_ws(chr(10),
+        |      CASE WHEN doc_id % 3 = 0
+        |        THEN 'Subscribe to our newsletter today' END,
+        |      text, '', 'Copyright ' || source) AS text
+        |  FROM documents
+        |), lines AS (
+        |  SELECT doc_id, i AS line_idx, parts[i] AS line,
+        |    len(parts) AS n_lines
+        |  FROM (SELECT doc_id, split(text, chr(10)) AS parts,
+        |          unnest(range(1, len(parts) + 1)) AS i
+        |        FROM fix)
+        |), kept AS (
+        |  SELECT doc_id, line_idx, line FROM (
+        |    SELECT doc_id, line_idx, line,
+        |      row_number() OVER (
+        |        PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+        |    FROM lines WHERE trim(line) <> '')
+        |  WHERE rn = 1
+        |  UNION ALL
+        |  SELECT doc_id, line_idx, line FROM lines WHERE trim(line) = ''
         |), rebuilt AS (
         |  SELECT doc_id,
         |    string_agg(line, chr(10) ORDER BY line_idx) AS clean_text,

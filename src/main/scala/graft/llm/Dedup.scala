@@ -1164,4 +1164,66 @@ object Dedup {
     newVecs.join(withinLosers.union(crossLosers).distinct(),
       Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------- line dedup
+
+  /** CCNet-style corpus-wide LINE deduplication: a non-blank line that
+    * appears (byte-exact) in more than one place keeps only its FIRST
+    * occurrence — smallest `(doc_id, line_idx)` across the whole
+    * corpus — and every later occurrence is removed from its document,
+    * order-preserving. Blank lines are structural: never keyed, never
+    * removed. The finer-grained sibling of
+    * [[TextAnalysis.removeBoilerplate]]: boilerplate removal drops a
+    * frequent line EVERYWHERE (df ≥ threshold kills banners outright);
+    * line dedup keeps exactly one copy of ANY repeat (df ≥ 2), the
+    * near-exact-duplication cure when documents share quoted passages
+    * rather than templated chrome. Output mirrors removeBoilerplate:
+    * `(idCol, textCol with repeats removed, n_lines, n_removed)`, one
+    * row per input doc; a doc whose every line was a later repeat
+    * comes back with empty text, not dropped.
+    *
+    * Scale shape: explode to (doc, line_idx, line) ONCE; first
+    * occurrence is a rank-1 filter over a window keyed by the line,
+    * which Spark rewrites to a map-side WindowGroupLimit — each map
+    * task forwards at most ONE occurrence per distinct line, so a
+    * pathologically hot line (the 10^9-copy banner) reaches its
+    * reducer as ≤ one row per task, never as the full occurrence
+    * stream. Two corpus shuffles total: the line-keyed window and the
+    * groupBy(doc) reassembly (blank lines bypass the window and union
+    * in before reassembly). No join anywhere — the keeper decision and
+    * the removal are the same operator. */
+  def lineDedup(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), "\n"))
+        .as(Seq("line_idx", "line")))
+    val w = Window.partitionBy(col("line"))
+      .orderBy(col(idCol), col("line_idx"))
+    val keptNonblank = lines
+      .filter(trim(col("line")) =!= "")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("line_idx"), col("line"))
+    val keptBlank = lines.filter(trim(col("line")) === "")
+      .select(col(idCol), col("line_idx"), col("line"))
+    val rebuilt = keptNonblank.unionByName(keptBlank)
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("line_idx"), col("line")))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), "\n")).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as(textCol),
+        col("n_lines"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

@@ -433,4 +433,42 @@ class DedupSpec extends SparkSpec {
     assert(pairs.filter(
       col("id_a") === 0L && col("id_b") === 90000L).count() == 1)
   }
+
+  test("lineDedup: keep-first semantics — cross-doc, within-doc, blanks, " +
+      "all-repeat docs") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (0L, "alpha\nshared\n\nbeta"),
+      // 'shared' twice more (cross-doc) — both removed; blank survives
+      (1L, "shared\ngamma\n\nshared"),
+      // within-doc repeat where THIS doc holds the first occurrence
+      (2L, "echo\necho"),
+      // every line a later repeat → empty text, doc still present
+      (3L, "alpha\nbeta")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(fixture).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((0L, "alpha\nshared\n\nbeta", 4L, 0L)))
+    assert(out(1) == ((1L, "gamma\n", 4L, 2L)))
+    assert(out(2) == ((2L, "echo", 2L, 1L)))
+    assert(out(3) == ((3L, "", 2L, 2L)))
+  }
+
+  test("lineDedup plan: map-side WindowGroupLimit bounds hot lines; " +
+      "two corpus shuffles (line window + reassembly)") {
+    val out = Dedup.lineDedup(docs.select("doc_id", "text"))
+    val plan = out.queryExecution.executedPlan.toString
+    // the rank-1 filter must rewrite to a WindowGroupLimit with a
+    // Partial pass before the exchange — each map task forwards at
+    // most one occurrence per distinct line, so the 10^9-copy banner
+    // reaches its reducer as ≤ one row per task
+    assert(plan.contains("WindowGroupLimit"), plan.take(800))
+    assert(plan.contains("Partial"), plan.take(800))
+    // corpus-sided shuffles: line-keyed window, groupBy(doc)
+    // reassembly, and the final per-doc stats join (broadcast at this
+    // SF; ≤ 3 hash exchanges even when it can't broadcast)
+    val n = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(n <= 3, s"expected <= 3 hash exchanges, got $n:\n${plan.take(1200)}")
+  }
 }
