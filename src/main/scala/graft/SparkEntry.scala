@@ -919,6 +919,24 @@ object SparkEntry {
         .select("user_id", "click_id", "purchase_id", "click_us", "lo_us")
     }),
 
+    // Stream-stream interval join, batch-driven for the oracle: every
+    // (click, purchase) pair per user with the purchase inside
+    // [click, click + 60m]. The SAME function runs watermarked on two
+    // unbounded streams (StreamingSpec pins stream == batch and the
+    // watermark bound); here the equi-key makes it a plain hash join
+    // with a residual time filter — no bucketing, no nested loop.
+    "events_attribution" -> ((s, dir) => {
+      val ev = events(s, dir)
+      StreamOps.attributionJoin(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"),
+        horizonMinutes = 60)
+        .withColumn("click_ts",
+          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("purchase_ts",
+          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    }),
+
     // Sliding-window chunking for context packing: 32-token windows,
     // stride 24 (8-token overlap). chunk_idx = start/stride in both
     // engines; ws tokenization matches text_token_stats.
@@ -2411,6 +2429,26 @@ object SparkEntry {
         |FROM c JOIN p ON c.user_id = p.user_id
         |  AND c.click_us >= p.lo_us
         |  AND c.click_us <= p.lo_us + 21600000000""".stripMargin,
+
+    // Attribution pairs compared on epoch micros inside the join (same
+    // integer-domain discipline as events_range_join), timestamps
+    // formatted for the registered shape.
+    "events_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
+        |    epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |    epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us
+        |  AND p.p_us <= c.c_us + 3600000000""".stripMargin,
 
     "text_chunk" ->
       """WITH t AS (

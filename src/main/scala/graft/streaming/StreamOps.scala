@@ -334,4 +334,43 @@ object StreamOps {
           }
       }
   }
+
+  /** Stream-stream interval join (ad attribution): pair each click
+    * with every purchase by the SAME user at-or-after the click and
+    * within `horizonMinutes` of it. On two unbounded streams this is
+    * the canonical stream-stream inner join: both sides must carry a
+    * watermark AND the join must bound event time on both sides (the
+    * range condition below), or neither side's buffered state could
+    * ever be evicted — Spark rejects the un-bounded form in append
+    * mode outright. With both bounds the state store holds only rows
+    * inside `watermark + horizon` of the stream head, which is what
+    * makes the join runnable forever.
+    *
+    * Batch twin: identical code (watermark = None); Catalyst plans the
+    * user_id equi-join with the time range as a residual filter — one
+    * hash Exchange per side, NO nested loop and NO bucketing needed,
+    * unlike the keyless [[graft.operators.RangeJoin]] case where the
+    * range predicate is all there is. Registered as
+    * `events_attribution` with a plain inequality-join DuckDB oracle.
+    */
+  def attributionJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      horizonMinutes: Int = 60,
+      watermark: Option[String] = None): DataFrame = {
+    val c0 = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+    val p0 = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("purchase_user"), col("ts").as("purchase_ts"))
+    val (c, p) = watermark.fold((c0, p0))(w =>
+      (c0.withWatermark("click_ts", w),
+        p0.withWatermark("purchase_ts", w)))
+    c.join(p,
+      col("user_id") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <=
+          col("click_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"))
+      .select(col("click_id"), col("purchase_id"), col("user_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
 }

@@ -160,6 +160,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p.take(1200))
   }
 
+  test("events_attribution: the time range rides the user_id equi-join " +
+      "as a residual filter, never a nested loop") {
+    val p = plan("events_attribution")
+    // an equi-key exists, so the planner must pick a hash-keyed join
+    // (broadcast at fixture scale, shuffled beyond) with the interval
+    // bounds as the join's residual condition — the keyless fallback
+    // shapes mean the equi-key was lost
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+      p.take(800))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work

@@ -447,4 +447,78 @@ class StreamingSpec extends SparkSpec {
         ((5L, "newest")))
     } finally q.stop()
   }
+
+  private def evDf(df: DataFrame): DataFrame =
+    df.toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+
+  test("attributionJoin: stream-stream interval join matches batch, " +
+      "out-of-order arrivals included") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clickRows = Seq(
+      (1L, 7L, "2024-01-01 00:00:00"),
+      (2L, 7L, "2024-01-01 01:30:00"),
+      (3L, 9L, "2024-01-01 00:10:00"))
+    val purchaseRows = Seq(
+      (10L, 7L, "2024-01-01 00:30:00"), // click 1 (+30m)
+      (11L, 7L, "2024-01-01 01:45:00"), // click 2 (+15m); click 1 is +105m
+      (12L, 9L, "2024-01-01 02:00:00")) // click 3 is +110m → no match
+
+    val batch = StreamOps.attributionJoin(
+      evDf(clickRows.toDF()), evDf(purchaseRows.toDF()))
+      .orderBy("click_id", "purchase_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(batch == Seq((1L, 10L, 7L), (2L, 11L, 7L)))
+
+    val cs = MemoryStream[(Long, Long, String)]
+    val ps = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.attributionJoin(
+      evDf(cs.toDF), evDf(ps.toDF), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      // purchases arrive BEFORE their clicks (batch 1 vs batch 2) —
+      // the join must buffer the unmatched side in state
+      ps.addData(purchaseRows: _*)
+      q.processAllAvailable()
+      cs.addData(clickRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("attr")
+        .orderBy("click_id", "purchase_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("attributionJoin: a purchase behind the watermark is dropped, " +
+      "not matched from evicted state") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val cs = MemoryStream[(Long, Long, String)]
+    val ps = MemoryStream[(Long, Long, String)]
+    val q = StreamOps.attributionJoin(
+      evDf(cs.toDF), evDf(ps.toDF), watermark = Some("1 hour"))
+      .writeStream.format("memory").queryName("attr_late")
+      .outputMode("append").start()
+    try {
+      // batch 1: a click at 00:00 on both timelines, plus head rows at
+      // 06:00 that advance the watermark to 05:00 on both sides
+      cs.addData((1L, 7L, "2024-01-01 00:00:00"),
+        (2L, 8L, "2024-01-01 06:00:00"))
+      ps.addData((20L, 8L, "2024-01-01 06:10:00"))
+      q.processAllAvailable()
+      // batch 2: a purchase at 00:20 that WOULD match click 1, but is
+      // 4h40m behind the watermark — the join's state for that region
+      // is evicted and the row must be dropped
+      ps.addData((21L, 7L, "2024-01-01 00:20:00"))
+      q.processAllAvailable()
+      val out = spark.table("attr_late")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+      assert(out == Seq((2L, 20L)))
+      assert(!out.exists(_._2 == 21L))
+    } finally q.stop()
+  }
 }
