@@ -866,6 +866,26 @@ object SparkEntry {
           col("n_lines"), col("n_removed"))
     }),
 
+    // ------------------------------------- §7 exact-substring dedup
+    // Lee-et-al span removal over a planted lifted passage: docs with
+    // doc_id % 7 == 0 get a 13-token passage appended, so doc 0 keeps
+    // it and every other multiple of 7 has exactly those tokens cut —
+    // plus whatever 8-gram repeats occur naturally in the corpus, which
+    // the oracle recomputes identically. hashKeys = false so the gram
+    // keys are the strings themselves, byte-reproducible in DuckDB
+    // (DedupSpec pins hashed == string-keyed on a fixture).
+    "dedup_substring" -> ((s, dir) => {
+      val docs = documents(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            lit(" Quarterly results were strong across all segments" +
+              " according to the annual report summary"))
+            .otherwise(lit(""))).as("text"))
+      Dedup.substringDedup(docs, k = 8, hashKeys = false)
+        .select(col("doc_id"), md5(col("text")).as("text_md5"),
+          col("n_tokens"), col("n_removed"))
+    }),
+
     // --------------------------------------------------- event/stream ops
     // Timestamps are projected to formatted strings in the registered
     // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
@@ -2357,6 +2377,54 @@ object SparkEntry {
         |  n.n_lines, n.n_lines - COALESCE(r.n_kept, 0) AS n_removed
         |FROM fix f
         |JOIN (SELECT DISTINCT doc_id, n_lines FROM lines) n USING (doc_id)
+        |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
+
+    "dedup_substring" ->
+      """WITH fix AS (
+        |  SELECT doc_id,
+        |    text || CASE WHEN doc_id % 7 = 0
+        |      THEN ' Quarterly results were strong across all segments according to the annual report summary'
+        |      ELSE '' END AS text
+        |  FROM documents
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(text, '\s+'),
+        |                t -> length(t) > 0) AS ws
+        |  FROM fix
+        |), wins AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(ws[i : i + 7], ' ') AS g
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        |        FROM toks WHERE len(ws) >= 8)
+        |), losers AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+        |    FROM wins)
+        |  WHERE rn > 1
+        |), covered AS (
+        |  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS tokpos
+        |  FROM losers
+        |), tokpos AS (
+        |  SELECT doc_id, i - 1 AS tokpos, ws[i] AS tok, len(ws) AS n_tokens
+        |  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS i
+        |        FROM toks)
+        |), kept AS (
+        |  SELECT t.doc_id, t.tokpos, t.tok
+        |  FROM tokpos t ANTI JOIN covered c
+        |    ON t.doc_id = c.doc_id AND t.tokpos = c.tokpos
+        |), rebuilt AS (
+        |  SELECT doc_id,
+        |    string_agg(tok, ' ' ORDER BY tokpos) AS clean_text,
+        |    COUNT(*) AS n_kept
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT f.doc_id, md5(COALESCE(r.clean_text, '')) AS text_md5,
+        |  COALESCE(n.n_tokens, 0) AS n_tokens,
+        |  COALESCE(n.n_tokens, 0) - COALESCE(r.n_kept, 0) AS n_removed
+        |FROM fix f
+        |LEFT JOIN (SELECT DISTINCT doc_id, n_tokens FROM tokpos) n
+        |  USING (doc_id)
         |LEFT JOIN rebuilt r USING (doc_id)""".stripMargin,
 
     "revenue_by_nation" ->

@@ -1226,4 +1226,83 @@ object Dedup {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"))
   }
+
+  // ------------------------------------------------- substring dedup
+
+  /** Exact-substring deduplication (the ExactSubstr pass of Lee et
+    * al., "Deduplicating Training Data Makes Language Models Better",
+    * 2022): any whitespace-token span of length ≥ `k` that occurs
+    * byte-identically elsewhere in the corpus is removed from every
+    * occurrence EXCEPT the globally first one (smallest
+    * `(doc_id, pos)`). Finer than doc/line dedup: it excises lifted
+    * passages from otherwise-distinct documents. The distributed
+    * formulation replaces their single-node suffix array with k-token
+    * sliding windows: a duplicated span of length L ≥ k is tiled by
+    * its L−k+1 windows, each of which also occurs in the span's first
+    * occurrence, so marking the tokens covered by every non-first
+    * duplicated window removes exactly the whole span from later
+    * copies. Self-overlap semantics are inherited from the paper's
+    * approach: in `a⁹` with k = 8 the second window is a repeat of the
+    * first, so its tokens are cut even though they overlap the kept
+    * window — deterministic, and mirrored by the oracle.
+    *
+    * Output mirrors [[lineDedup]]: `(idCol, textCol with covered
+    * tokens removed and the rest space-joined, n_tokens, n_removed)`,
+    * one row per input doc.
+    *
+    * Scale shape: windows explode once (corpus × k keys); the first
+    * occurrence per gram is `min(struct(doc_id, pos))` — a PARTIAL
+    * aggregate, so the 10^9-copy boilerplate gram reaches its reducer
+    * as one candidate per map task, not as the occurrence stream (the
+    * window-function formulation would concentrate it); losers come
+    * from re-joining windows to firsts on the gram key (AQE splits any
+    * residual hot gram at join time), and removal is a left-anti join
+    * on (doc, token position) — existence-only, so overlapping covered
+    * ranges need no dedup pass. With `hashKeys` (the at-scale default)
+    * the shuffled key is `xxhash64(gram)` — 8 bytes instead of k
+    * re-shipped tokens, at a 2^-64 per-pair collision risk; the
+    * registered query pins `hashKeys = false` so the DuckDB oracle
+    * reproduces the gram keys byte-exactly, and DedupSpec asserts both
+    * paths agree on the fixture. */
+  def substringDedup(
+      df: DataFrame,
+      k: Int = 8,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      hashKeys: Boolean = true): DataFrame = {
+    require(k >= 2, s"window must span at least 2 tokens: $k")
+    val ws = filter(split(col(textCol), "\\s+"), t => t =!= "")
+    val toks = df.select(col(idCol), ws.as("ws"))
+    val wins = toks.filter(size(col("ws")) >= k)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(0, size(ws) - $k), " +
+          s"i -> struct(i AS pos, array_join(slice(ws, i + 1, $k), ' ') AS gram))"))
+        .as("w"))
+      .select(col(idCol), col("w.pos").as("pos"),
+        (if (hashKeys) xxhash64(col("w.gram")) else col("w.gram")).as("g"))
+    val firsts = wins.groupBy(col("g"))
+      .agg(min(struct(col(idCol), col("pos"))).as("f"))
+    val covered = wins.join(firsts, "g")
+      .filter(col(idCol) =!= col(s"f.$idCol") || col("pos") =!= col("f.pos"))
+      .select(col(idCol),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("tokpos"))
+    val rebuilt = toks
+      .select(col(idCol), posexplode(col("ws")).as(Seq("tokpos", "tok")))
+      .join(covered, Seq(idCol, "tokpos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("tokpos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("clean_text"), lit("")).as(textCol),
+        col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"))
+  }
 }

@@ -455,6 +455,42 @@ class DedupSpec extends SparkSpec {
     assert(out(3) == ((3L, "", 2L, 2L)))
   }
 
+  test("substringDedup: cross-doc span removal, within-doc self-repeat, " +
+      "short docs untouched") {
+    val s = spark
+    import s.implicits._
+    val base = "the quick brown fox jumps over the lazy dog today" // 10 toks
+    val fixture = Seq(
+      (0L, base),
+      // lifts doc 0's full 10-token span after a 3-token intro — the
+      // span's 3 interior windows repeat doc 0's, tiling pos 3..12
+      (1L, s"intro words then $base"),
+      // byte-identical to doc 0 → every window a loser → empty text
+      (2L, base),
+      // within-doc repeat: the 8-gram at pos 9 repeats pos 0
+      (3L, "a b c d e f g h x a b c d e f g h"),
+      // < k tokens → no windows, passes through
+      (4L, "too short to window")
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(fixture, k = 8).orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((0L, base, 10L, 0L)))
+    assert(out(1) == ((1L, "intro words then", 13L, 10L)))
+    assert(out(2) == ((2L, "", 10L, 10L)))
+    assert(out(3) == ((3L, "a b c d e f g h x", 17L, 8L)))
+    assert(out(4) == ((4L, "too short to window", 4L, 0L)))
+  }
+
+  test("substringDedup: xxhash64 gram keys reproduce the string-keyed " +
+      "output on the corpus fixture") {
+    val in = docs.select("doc_id", "text")
+    def rows(hashKeys: Boolean) =
+      Dedup.substringDedup(in, k = 8, hashKeys = hashKeys)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rows(hashKeys = true) == rows(hashKeys = false))
+  }
+
   test("lineDedup plan: map-side WindowGroupLimit bounds hot lines; " +
       "two corpus shuffles (line window + reassembly)") {
     val out = Dedup.lineDedup(docs.select("doc_id", "text"))
