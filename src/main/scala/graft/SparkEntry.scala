@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features._
 import graft.llm._
-import graft.operators.{Events, RangeJoin, Relational, Skew}
+import graft.operators.{Events, Profile, RangeJoin, Relational, Skew}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -1101,6 +1101,42 @@ object SparkEntry {
     // stable under corpus growth; WindowGroupLimit map-side cap.
     "llm_sample_by_source" -> ((s, dir) =>
       Curate.sampleBySource(documents(s, dir), k = 3)),
+
+    // SUMMARIZE-style column profiler, exact path (oracle parity).
+    // o_status_sparse plants nulls in-flight (TPC-H has none) so the
+    // n_nulls column is non-vacuous; the CASE is mirrored literally in
+    // the oracle. profileApprox is the documented at-scale twin
+    // (ProfileSpec pins its rsd bound + Expand-free plan).
+    "profile_table" -> ((s, dir) =>
+      Profile.profile(
+        Sources.parquetTable(s, dir, "orders").withColumn(
+          "o_status_sparse",
+          when(col("o_orderkey") % 7 === 0, lit(null: String))
+            .otherwise(col("o_orderstatus"))),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate", "o_status_sparse"))),
+
+    // Corpus-level heavy hitters: exact top-50 word bigrams.
+    // TakeOrderedAndProject after one partial+final count — never a
+    // global sort. Count-desc/gram-asc total order makes the rank-50
+    // cut deterministic in both engines.
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
+
+    // Referential-integrity orphan scan. TPC-H guarantees every
+    // l_orderkey resolves, so orphans are planted in-flight (every
+    // 97th order key re-keyed +900M — the decontaminate planting
+    // recipe) and BOTH engines must flag exactly those rows.
+    "quality_orphans" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+      val withPlanted = li.unionByName(
+        li.filter(col("l_orderkey") % 97 === 0)
+          .select((col("l_orderkey") + lit(900000000L)).as("l_orderkey"),
+            col("l_linenumber"), col("l_quantity")))
+      Relational.orphans(withPlanted,
+        Sources.parquetTable(s, dir, "orders"), "l_orderkey", "o_orderkey")
+    }),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2939,5 +2975,83 @@ object SparkEntry {
         |WHERE c.cohort_ts IS NOT NULL
         |  AND CAST(e.ts AS DATE) >= CAST(c.cohort_ts AS DATE)
         |GROUP BY 1, 2""".stripMargin,
+
+    // One SELECT per profiled column; the CASE mirrors the in-flight
+    // planted-null column. min/max casts render identically: BIGINTs
+    // have one decimal form, timestamps are midnight-only (no
+    // fractional seconds) and both sessions run UTC.
+    "profile_table" ->
+      """WITH o AS (
+        |  SELECT *,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |         ELSE o_orderstatus END AS o_status_sparse
+        |  FROM orders
+        |)
+        |SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_val
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR),
+        |  CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*),
+        |  count(*) - count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR),
+        |  CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_orderdate', count(*), count(*) - count(o_orderdate),
+        |  count(DISTINCT o_orderdate),
+        |  CAST(min(o_orderdate) AS VARCHAR),
+        |  CAST(max(o_orderdate) AS VARCHAR)
+        |FROM o
+        |UNION ALL
+        |SELECT 'o_status_sparse', count(*),
+        |  count(*) - count(o_status_sparse),
+        |  count(DISTINCT o_status_sparse),
+        |  CAST(min(o_status_sparse) AS VARCHAR),
+        |  CAST(max(o_status_sparse) AS VARCHAR)
+        |FROM o""".stripMargin,
+
+    // Same tokenization as word_ngrams (lowercase, [\p{L}\p{N}]+ runs);
+    // bigrams via 1-indexed sliding windows. Docs under 2 tokens
+    // contribute nothing on either side.
+    "text_top_ngrams" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // Planted-orphan referential check (literal twin of the in-flight
+    // +900M re-keying).
+    "quality_orphans" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey + 900000000, l_linenumber, l_quantity
+        |  FROM lineitem WHERE l_orderkey % 97 = 0
+        |)
+        |SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM li
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)""".stripMargin,
   )
 }

@@ -484,6 +484,44 @@ object TextAnalysis {
         (col("n_lines") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"))
   }
+
+  /** Corpus-level heavy hitters: the `k` most frequent word `n`-grams
+    * across the whole corpus with their exact counts — the
+    * vocabulary-inspection / stopword-discovery / template-detection
+    * query every curation run starts with ([[repetitionStats]] is the
+    * per-DOC view; this is the per-CORPUS one).
+    *
+    * Grams come from the same codegen [[graft.functions.WordNgrams]]
+    * tokenization as the dedup family (`[^\p{L}\p{N}]+` split,
+    * lowercased), so "top grams" and "dedup shingles" agree on what a
+    * gram is. Short docs (< n tokens) contribute nothing: the
+    * single-token fallback grams are dropped by the exact
+    * `size(split) = n` guard — tokens can never contain a space, so a
+    * true n-gram has exactly n-1 of them.
+    *
+    * Scale shape — the one CORRECT exact-top-k plan at 100 TB:
+    * explode pipelines inside the scan stage into a map-side partial
+    * count (the gram stream never shuffles raw — only one partial row
+    * per distinct gram per task crosses the wire), one final aggregate
+    * keyed by gram, then `TakeOrderedAndProject` (per-partition top-k,
+    * driver merges k × partitions rows — never a global sort). Ties
+    * break count-desc then gram-asc, so the cut at rank k is total and
+    * deterministic across engines. */
+  def topNgrams(
+      df: DataFrame,
+      n: Int = 2,
+      k: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1 && k >= 1, s"n and k must be >= 1, got n=$n k=$k")
+    df.select(explode(
+        graft.functions.WordNgrams(col(textCol), n, strictFallback = false))
+        .as("gram"))
+      .filter(size(split(col("gram"), " ")) === n)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
 }
 
 /** High-frequency function words per language (public linguistic

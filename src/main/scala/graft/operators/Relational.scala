@@ -202,4 +202,26 @@ object Relational {
         round(col("o_totalprice"), 2).as("o_totalprice"),
         col("total_qty"))
   }
+
+  /** Referential-integrity check: child rows whose `childKey` has no
+    * matching `parentKey` — the orphan-detection pass a 100 TB ingest
+    * runs before trusting a join (a fact row pointing at a missing
+    * dimension silently vanishes from every inner join downstream;
+    * this surfaces them instead).
+    *
+    * Plan: LEFT ANTI join on the key. The parent side is pruned to its
+    * key column before the join, so at scale this is one key-partitioned
+    * shuffle of (child keys + payload) against (parent keys only) —
+    * AQE picks broadcast-anti when the parent's key projection fits,
+    * sort-merge-anti when both sides are big; either way no payload
+    * columns from the parent ever move. Anti join needs no distinct on
+    * the parent: duplicates cost nothing extra in the join's build
+    * side. */
+  def orphans(
+      child: DataFrame,
+      parent: DataFrame,
+      childKey: String,
+      parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey)),
+      col(childKey) === col(parentKey), "left_anti")
 }

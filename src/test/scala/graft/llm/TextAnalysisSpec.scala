@@ -274,4 +274,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) === "x\nx\nx")
   }
+
+  test("topNgrams: counts match brute force, short docs drop, top-k plan") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "the cat sat on the cat mat"),
+      (2L, "the cat sat"),
+      (3L, "cat"), // 1 token: no bigram, fallback unigram must be dropped
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.topNgrams(docs, n = 2, k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // brute force over the same tokenization
+    assert(got.toSeq == Seq(("the cat", 3L), ("cat sat", 2L), ("cat mat", 1L)))
+    // doc 3's single token never appears as a gram
+    val all = TextAnalysis.topNgrams(docs, n = 2, k = 100).collect()
+    assert(all.forall(_.getString(0).contains(" ")))
+    // exact top-k plans as TakeOrdered, not a global Sort
+    val plan = TextAnalysis.topNgrams(docs, n = 2, k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(600))
+  }
+
+  test("topNgrams: corpus run is deterministic and rank cut is total") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val a = TextAnalysis.topNgrams(docs, n = 2, k = 50).collect()
+    val b = TextAnalysis.topNgrams(docs.repartition(7), n = 2, k = 50)
+      .collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    assert(a.length == 50)
+    // counts non-increasing; ties ordered lexicographically
+    val pairs = a.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall { case Array((c1, g1), (c2, g2)) =>
+      c1 > c2 || (c1 == c2 && g1 < g2) })
+  }
 }

@@ -140,4 +140,23 @@ class RelationalSpec extends SparkSpec {
         optimized.take(1200))
     assert(optimized.indexOf("Aggregate", filterIdx) >= 0)
   }
+
+  test("orphans: flags exactly the planted dangling keys, prunes the parent") {
+    val li = t("lineitem").select("l_orderkey", "l_linenumber")
+    val planted = li.filter(col("l_orderkey") % 97 === 0)
+      .select((col("l_orderkey") + lit(900000000L)).as("l_orderkey"),
+        col("l_linenumber"))
+    val out = Relational.orphans(li.unionByName(planted), t("orders"),
+      "l_orderkey", "o_orderkey")
+    // natural TPC-H lineitem has no orphans; only the planted rows come back
+    assert(Relational.orphans(li, t("orders"), "l_orderkey", "o_orderkey")
+      .count() == 0)
+    assert(out.count() == planted.count() && planted.count() > 0)
+    assert(out.collect().forall(_.getAs[Long]("l_orderkey") >= 900000000L))
+    // anti join: parent scan reads its key column only
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(800))
+    assert("ReadSchema:[^\n]*o_orderkey".r.findFirstIn(plan).exists(s =>
+      !s.contains("o_custkey") && !s.contains("o_totalprice")), plan.take(1500))
+  }
 }
