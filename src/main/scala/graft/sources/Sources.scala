@@ -183,11 +183,24 @@ object Sources {
     (dataFiles.size, written, spark.read.parquet(outPath).count())
   }
 
-  /** `events.parquet` ships TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as raw longs
-    * (legacy conf) and convert to microsecond timestamps — the data is
-    * micro-aligned (ns % 1000 == 0 across all rows), so no precision is
-    * lost and values agree with DuckDB's native ns→us read.
+  /** `events.parquet` has shipped with three timestamp encodings across
+    * driver testdata generations, all normalized here to one contract:
+    * `ts` is tz-aware `TimestampType` (micros) on the way out.
+    *
+    *  - TIMESTAMP(NANOS): Spark's parquet reader rejects it
+    *    ([PARQUET_TYPE_ILLEGAL]); read nanos as raw longs (legacy conf)
+    *    and convert to microsecond timestamps — the data is
+    *    micro-aligned (ns % 1000 == 0 across all rows), so no precision
+    *    is lost and values agree with DuckDB's native ns→us read.
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *    `TIMESTAMP_NTZ`, on which integer arithmetic (`unix_micros`,
+    *    `cast as bigint`) is an analysis error. The driver pins the
+    *    session timezone to UTC, so casting NTZ→TIMESTAMP preserves the
+    *    wall-clock instant exactly (same epoch micros DuckDB computes).
+    *  - tz-aware TIMESTAMP(MICROS): passes through unchanged.
+    *
+    * Downstream operators (sessionize/funnel/range join/windows) may
+    * therefore assume tz-aware micros without per-call-site guards.
     *
     * The nanosAsLong conf is deliberately left set for the session
     * (the scan consults it at execution time, so restoring it after
@@ -205,6 +218,9 @@ object Sources {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

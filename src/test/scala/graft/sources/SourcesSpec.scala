@@ -56,6 +56,100 @@ class SourcesSpec extends SparkSpec {
     assert(Sources.parquetTable(spark, sf0001, "region").count() == 5)
   }
 
+  test("eventsTable: driver testdata normalizes to tz-aware micros and " +
+      "every timestamp-arithmetic operator analyzes") {
+    // Pins the fixture type to the DRIVER testdata, not an in-memory
+    // frame: round 9 shipped with green EventsSpec fixtures (tz-aware)
+    // while the real parquet had drifted to TIMESTAMP_NTZ and three
+    // operators failed analysis. This test fails the moment the driver
+    // flips timestamp encoding again and eventsTable doesn't cover it.
+    val ev = Sources.eventsTable(spark, sf0001)
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"eventsTable must emit tz-aware TimestampType, got ${ev.schema("ts").dataType}")
+    // the three round-9 casualties: integer timestamp arithmetic
+    assert(graft.operators.Events.sessionize(ev).count() > 0)
+    assert(graft.operators.Events.funnel(ev).count() > 0)
+    assert(ev.select(
+      org.apache.spark.sql.functions.unix_micros(col("ts"))).head() != null)
+  }
+
+  test("eventsTable: an NTZ-encoded parquet reads to the same instants " +
+      "as tz-aware (UTC session)") {
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ntz").toString
+    try {
+      // write the same wall-clock values twice: once tz-aware, once NTZ
+      val base = Seq(
+        (1L, "2024-03-01 10:00:00.123456"),
+        (2L, "2024-03-01 10:45:00.000001"))
+        .toDF("event_id", "ts_s")
+      base.select(col("event_id"),
+        org.apache.spark.sql.functions.to_timestamp(col("ts_s")).as("ts"))
+        .write.parquet(s"$tmp/events_tz/events.parquet")
+      base.select(col("event_id"),
+        col("ts_s").cast(org.apache.spark.sql.types.TimestampNTZType).as("ts"))
+        .write.parquet(s"$tmp/events_ntz/events.parquet")
+      // sanity: the NTZ file really reads as NTZ without normalization
+      assert(spark.read.parquet(s"$tmp/events_ntz/events.parquet")
+        .schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      val viaTz = Sources.eventsTable(spark, s"$tmp/events_tz")
+      val viaNtz = Sources.eventsTable(spark, s"$tmp/events_ntz")
+      assert(viaNtz.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+      val micros = (df: org.apache.spark.sql.DataFrame) =>
+        df.select(col("event_id"),
+          org.apache.spark.sql.functions.unix_micros(col("ts")))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(micros(viaNtz) == micros(viaTz))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("driver testdata schema contract: type drift surfaces here, " +
+      "not as scattered query crashes") {
+    // One assertion per table the registered queries read. If the
+    // driver regenerates testdata with different physical types, this
+    // single test names the drifted column instead of three analysis
+    // exceptions deep inside operators (the round-9 failure mode).
+    import org.apache.spark.sql.types._
+    def dtypes(table: String): Map[String, DataType] =
+      Sources.parquetTable(spark, sf0001, table).schema
+        .fields.map(f => f.name -> f.dataType).toMap
+    val docs = dtypes("documents")
+    assert(docs("doc_id") == LongType && docs("text") == StringType &&
+      docs("lang") == StringType && docs("source") == StringType,
+      s"documents drifted: $docs")
+    val emb = dtypes("embeddings")
+    assert(emb("vec_id") == LongType &&
+      emb("embedding") == ArrayType(FloatType, containsNull = true),
+      s"embeddings drifted: $emb")
+    // lineitem/orders date columns arrive as some timestamp flavor
+    // (currently NTZ micros); registered queries only date-truncate
+    // them, which is legal on every flavor. Assert the family, so an
+    // int64/string flip still trips the wire.
+    def timestampish(t: DataType) =
+      t == TimestampType || t == TimestampNTZType || t == DateType
+    val li = dtypes("lineitem")
+    assert(timestampish(li("l_shipdate")) && li("l_quantity") == DoubleType,
+      s"lineitem drifted: $li")
+    val ord = dtypes("orders")
+    assert(timestampish(ord("o_orderdate")) &&
+      ord("o_totalprice") == DoubleType, s"orders drifted: $ord")
+    // events goes through eventsTable, asserted in its own test above;
+    // here just pin the raw companion columns
+    val ev = dtypes("events")
+    assert(ev("event_id") == LongType && ev("user_id") == LongType &&
+      ev("event_type") == StringType && ev("value") == DoubleType &&
+      ev("props") == StringType, s"events drifted: $ev")
+  }
+
   test("writePartitioned: partition-key predicates prune directories") {
     val dir = Files.createTempDirectory("graft-part").resolve("events")
     val events = Sources.eventsTable(spark, sf0001)
