@@ -32,6 +32,8 @@ object Bench {
       import org.apache.spark.ml.clustering.KMeans
       import org.apache.spark.ml.feature.{IDF, PCA}
       import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.ml.tuning.{ParamGridBuilder, TrainValidationSplit}
+      import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
       import org.apache.spark.sql.functions.col
       val tiny = spark.range(100)
         .selectExpr("cast(id % 2 as double) as label",
@@ -41,6 +43,18 @@ object Bench {
       new KMeans().setK(2).setSeed(42L).setMaxIter(3).fit(tiny)
       new PCA().setK(2).setInputCol("features").setOutputCol("pca").fit(tiny)
       new IDF().setInputCol("features").setOutputCol("idf").fit(tiny)
+      // tuning-harness classloading (TrainValidationSplit + evaluator):
+      // r9 showed predefined_split_grid run 1 = 7.1s vs run 2 = 4.5s —
+      // the gap is one-time ml.tuning init, not plan cost
+      val tvsLr = new LogisticRegression().setMaxIter(3)
+      new TrainValidationSplit()
+        .setEstimator(tvsLr)
+        .setEvaluator(new MulticlassClassificationEvaluator()
+          .setMetricName("accuracy"))
+        .setEstimatorParamMaps(new ParamGridBuilder()
+          .addGrid(tvsLr.regParam, Array(0.0, 0.1)).build())
+        .setTrainRatio(0.75).setSeed(42L)
+        .fit(tiny)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] mllib warmup skipped: ${e.getMessage}")
     }
@@ -94,10 +108,17 @@ object Bench {
       val ok = runs.forall(_._2)
       (name, runs.map(_._1).min, ok, runs.map(_._1))
     }
+    // 4-decimal (0.1 ms) precision: full doubles ballooned the JSON
+    // line past the driver's tail-capture window (BENCH_r09 landed
+    // front-truncated, losing the headline fields) — sub-ms digits are
+    // noise on a shared box anyway
+    def r4(v: Double): String = BigDecimal(v)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
     val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) v else -1) }.mkString("{", ",", "}")
+      "\"" + k + "\":" + (if (ok) r4(v) else "-1") }.mkString("{", ",", "}")
     val runsJson = results.map { case (k, _, _, rs) =>
-      "\"" + k + "\":" + rs.mkString("[", ",", "]") }.mkString("{", ",", "}")
+      "\"" + k + "\":" + rs.map(r4).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (n, _, false, _) => "\"" + n + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _) => v }.sum
@@ -111,7 +132,11 @@ object Bench {
       "predefined_split_fit", "robust_scaling", "predefined_split_test")
     val baseSub = results.collect {
       case (n, v, true, _) if baselineSet(n) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","baseline_subset":$baseSub,"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir"}""")
+    // headline fields appear BOTH first and last: the driver's capture
+    // window has truncated the line from the front (r9), so the tail
+    // repeats value/baseline_subset to keep the gate numbers evidenced
+    // either way
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)}}""")
     spark.stop()
   }
 }

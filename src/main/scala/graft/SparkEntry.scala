@@ -663,15 +663,21 @@ object SparkEntry {
     }),
 
     // Product quantization: codes-only ANN scan (the compressed-corpus
-    // complement of IVF's pruned scan). Seeded per-subspace Lloyd fits
-    // → not SQL-expressible; adjudicated by SimilaritySpec's recall
-    // bound + determinism and shape invariants.
+    // complement of IVF's pruned scan). Registered with the HASH-INIT
+    // codebook (pqIndexHashInit: centroids = subvector slices of the
+    // 64 corpus rows drawn by the engine-portable idHash rule) so the
+    // ENTIRE pipeline — codebook derivation, encode argmin, LUT, ADC
+    // scan, ranking — is deterministic arithmetic with a DuckDB twin:
+    // hash-EXACT like similarity_sq8, not just recall-tested.
+    // Registered without refine so the oracle adjudicates the
+    // quantized ordering itself. The production Lloyd-fit codebook
+    // (pqIndex) and the refine=50 stage run the SAME encode/ADC/rank
+    // machinery and keep their recall bounds in SimilaritySpec.
     "similarity_pq" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.pqProbe(
-        Similarity.pqIndex(emb),
-        emb.filter(col("vec_id") < 10), k = 10, refine = 50, corpus = emb)
-        .select("query_id", "neighbor_id", "rank")
+        Similarity.pqIndexHashInit(emb),
+        emb.filter(col("vec_id") < 10), k = 10, roundAt = 6)
     }),
 
     // Scalar quantization (SQ8) — the TRAINLESS quantizer: bounds are
@@ -688,15 +694,18 @@ object SparkEntry {
     }),
 
     // The composed two-level ANN (FAISS IVFPQ): coarse-cell pruning ×
-    // compressed-code scan × exact refine. Seeded fits; adjudicated by
-    // SimilaritySpec's recall bound.
+    // compressed-code scan. Registered with BOTH quantizers hash-init
+    // (ivfPqIndexHashInit: unit-normalized coarse centroids and PQ
+    // codebooks drawn by two decorrelated idHash rules, nAssign=1) so
+    // cell assignment, probe-cell ranking, encode, ADC and top-k are
+    // all restated in the DuckDB oracle — the two-level composition
+    // itself is hash-verified. Production recall shape (Lloyd fits,
+    // nAssign=2, refine) stays ivfPqIndex/ivfPqProbe, recall-spec'd.
     "similarity_ivfpq" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.ivfPqProbe(
-        Similarity.ivfPqIndex(emb),
-        emb.filter(col("vec_id") < 10), k = 10, nProbe = 8,
-        refine = 50, corpus = emb)
-        .select("query_id", "neighbor_id", "rank")
+        Similarity.ivfPqIndexHashInit(emb),
+        emb.filter(col("vec_id") < 10), k = 10, nProbe = 8, roundAt = 6)
     }),
 
     // ---------------------------------------- §7 LLM-pipeline: multimodal
@@ -2054,6 +2063,165 @@ object SparkEntry {
         |FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY sq_score DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 10""".stripMargin,
+
+    // The full hash-init PQ pipeline re-derived in SQL: the codebook
+    // rows are the 64 corpus rows ranked by the Knuth multiplicative
+    // hash ((id % 1048573) * 2654435761 % 1048573 — reduced BEFORE the
+    // multiply, so BIGINT arithmetic matches the JVM bit-for-bit with
+    // no overflow), centroid c of subspace j = dims [j*4, j*4+4) of the
+    // c-th selected row; encode = per-(row, subspace) argmin of squared
+    // distance with smallest-centroid tie-break (PqEncode's strict `<`);
+    // ADC dot = sum over subspaces of the query-subvector·centroid dot
+    // for the assigned code; cosine-normalized by the EXACT raw norms;
+    // 6dp pre-rank rounding (the similarity_topk contract).
+    "similarity_pq" ->
+      """WITH wf AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), cb_rows AS (
+        |  SELECT e, row_number() OVER (
+        |    ORDER BY (vec_id % 1048573) * 2654435761 % 1048573, vec_id
+        |  ) - 1 AS c
+        |  FROM wf QUALIFY c < 64
+        |), vals AS MATERIALIZED (
+        |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+        |  FROM wf
+        |), cbv AS MATERIALIZED (
+        |  SELECT c, unnest(range(0, len(e))) AS i, unnest(e) AS v
+        |  FROM cb_rows
+        |), dists AS (
+        |  SELECT v.vec_id, cb.c, v.i // 4 AS j,
+        |    SUM((v.x - cb.v) * (v.x - cb.v)) AS d2
+        |  FROM vals v JOIN cbv cb USING (i)
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM dists
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d2, c) = 1
+        |), qdots AS (
+        |  SELECT q.vec_id AS query_id, cb.c, q.i // 4 AS j,
+        |    SUM(q.x * cb.v) AS dot
+        |  FROM vals q JOIN cbv cb USING (i)
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2, 3
+        |), norms AS (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
+        |), adc AS (
+        |  SELECT qd.query_id, cd.vec_id AS neighbor_id, SUM(qd.dot) AS adc_dot
+        |  FROM codes cd JOIN qdots qd ON qd.j = cd.j AND qd.c = cd.c
+        |  WHERE cd.vec_id <> qd.query_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    ROUND(CASE WHEN nn.nrm > 0 AND qn.nrm > 0
+        |      THEN a.adc_dot / (nn.nrm * qn.nrm) ELSE -1 END, 6) AS pq_score
+        |  FROM adc a
+        |  JOIN norms nn ON nn.vec_id = a.neighbor_id
+        |  JOIN norms qn ON qn.vec_id = a.query_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, pq_score
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 10""".stripMargin,
+
+    // The two-level hash-init IVFPQ re-derived in SQL: coarse
+    // centroids = the 16 rows drawn by the SECOND hash multiplier
+    // (2246822519), L2-normalized; cell assignment = cosine argmax
+    // with LARGEST-cell tie-break (array_max on struct(cos, cell));
+    // probe = top-8 cells per query by the same ordering; then the
+    // similarity_pq ADC machinery restricted to probed cells. Both
+    // cosine legs divide by the recomputed centroid norm (≈1 after
+    // normalization) exactly as CosineSimilarity does.
+    "similarity_ivfpq" ->
+      """WITH wf AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), vals AS MATERIALIZED (
+        |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+        |  FROM wf
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
+        |), cb_rows AS (
+        |  SELECT e, row_number() OVER (
+        |    ORDER BY (vec_id % 1048573) * 2654435761 % 1048573, vec_id
+        |  ) - 1 AS c
+        |  FROM wf QUALIFY c < 64
+        |), cbv AS MATERIALIZED (
+        |  SELECT c, unnest(range(0, len(e))) AS i, unnest(e) AS v
+        |  FROM cb_rows
+        |), ivf_rows AS (
+        |  SELECT vec_id, e, row_number() OVER (
+        |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
+        |  ) - 1 AS cell
+        |  FROM wf QUALIFY cell < 16
+        |), centv AS (
+        |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
+        |  FROM ivf_rows
+        |), cent AS MATERIALIZED (
+        |  SELECT cell, i,
+        |    v / sqrt(SUM(v * v) OVER (PARTITION BY cell)) AS cv
+        |  FROM centv
+        |), centnorm AS (
+        |  SELECT cell, sqrt(SUM(cv * cv)) AS cnrm FROM cent GROUP BY 1
+        |), rowdot AS (
+        |  SELECT v.vec_id, c.cell, SUM(v.x * c.cv) AS dot
+        |  FROM vals v JOIN cent c USING (i)
+        |  GROUP BY 1, 2
+        |), rowcos AS (
+        |  SELECT d.vec_id, d.cell,
+        |    CASE WHEN n.nrm > 0 THEN d.dot / (n.nrm * cn.cnrm)
+        |      ELSE -1 END AS cos
+        |  FROM rowdot d
+        |  JOIN norms n ON n.vec_id = d.vec_id
+        |  JOIN centnorm cn USING (cell)
+        |), assign AS (
+        |  SELECT vec_id, cell FROM rowcos
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1
+        |), probecells AS (
+        |  SELECT vec_id AS query_id, cell FROM rowcos
+        |  WHERE vec_id < 10
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) <= 8
+        |), dists AS (
+        |  SELECT v.vec_id, cb.c, v.i // 4 AS j,
+        |    SUM((v.x - cb.v) * (v.x - cb.v)) AS d2
+        |  FROM vals v JOIN cbv cb USING (i)
+        |  GROUP BY 1, 2, 3
+        |), codes AS (
+        |  SELECT vec_id, j, c FROM dists
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id, j ORDER BY d2, c) = 1
+        |), qdots AS (
+        |  SELECT q.vec_id AS query_id, cb.c, q.i // 4 AS j,
+        |    SUM(q.x * cb.v) AS dot
+        |  FROM vals q JOIN cbv cb USING (i)
+        |  WHERE q.vec_id < 10
+        |  GROUP BY 1, 2, 3
+        |), adc AS (
+        |  SELECT qd.query_id, cd.vec_id AS neighbor_id, SUM(qd.dot) AS adc_dot
+        |  FROM codes cd
+        |  JOIN qdots qd ON qd.j = cd.j AND qd.c = cd.c
+        |  JOIN assign a ON a.vec_id = cd.vec_id
+        |  JOIN probecells p ON p.query_id = qd.query_id AND p.cell = a.cell
+        |  WHERE cd.vec_id <> qd.query_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a.query_id, a.neighbor_id,
+        |    ROUND(CASE WHEN nn.nrm > 0 AND qn.nrm > 0
+        |      THEN a.adc_dot / (nn.nrm * qn.nrm) ELSE -1 END, 6) AS pq_score
+        |  FROM adc a
+        |  JOIN norms nn ON nn.vec_id = a.neighbor_id
+        |  JOIN norms qn ON qn.vec_id = a.query_id
+        |)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, pq_score
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
         |  FROM scored
         |) WHERE rnk <= 10""".stripMargin,
 

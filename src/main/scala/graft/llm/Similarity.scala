@@ -361,6 +361,132 @@ object Similarity {
       encodeCodes(corpus, bcast, m, k, subDim, embCol, idCol))
   }
 
+  /** Knuth multiplicative hash of a nonnegative id, reduced mod a
+    * prime BEFORE the multiply so the product stays far inside signed
+    * 64-bit range — the same expression is therefore computable
+    * verbatim in any engine with plain BIGINT arithmetic (DuckDB
+    * errors on 64-bit overflow where the JVM wraps, so the reduction
+    * order is load-bearing, not style). Used to draw deterministic
+    * pseudo-uniform row samples that an external SQL oracle can
+    * reproduce exactly. */
+  private def idHash(id: Column, multiplier: Long): Column =
+    pmod(pmod(id.cast("long"), lit(1048573L)) * lit(multiplier),
+      lit(1048573L))
+
+  /** The `n` corpus rows ranked first by [[idHash]] (ties on id) —
+    * a deterministic, engine-reproducible stand-in for a seeded
+    * random sample. Returns (id, embedding) in selection order; rows
+    * with null / ill-shaped embeddings are never selected (they are
+    * unindexable, and a quantizer centroid must be a real vector).
+    * Driver-bounded: `n` rows via TakeOrderedAndProject — the same
+    * fixed-size collect a KMeans model fit performs. */
+  private def hashSelectRows(
+      corpus: DataFrame,
+      n: Int,
+      dim: Int,
+      multiplier: Long,
+      embCol: String,
+      idCol: String): Array[Array[Double]] = {
+    val e = asDouble(col(embCol))
+    val rows = corpus
+      .where(e.isNotNull && size(e) === dim && !exists(e, x => x.isNull))
+      .select(e.as("emb"), col(idCol).cast("long").as("id"))
+      .orderBy(idHash(col("id"), multiplier), col("id"))
+      .limit(n)
+      .collect()
+    require(rows.length == n,
+      s"hash-init fit: corpus has only ${rows.length} well-formed rows, " +
+        s"need $n")
+    rows.map(_.getSeq[Double](0).toArray)
+  }
+
+  /** [[pqIndex]]'s DETERMINISTIC sibling: the per-subspace codebooks
+    * are the subvector slices of the `k` corpus rows drawn by the
+    * [[idHash]] rule instead of seeded Lloyd fits. This is k-means
+    * with zero refinement steps (sampled-codebook PQ — the standard
+    * Lloyd INIT, shipped as the final codebook): centroid geometry is
+    * worse than a fitted codebook, so production code should prefer
+    * [[pqIndex]] (recall-adjudicated in SimilaritySpec) — but every
+    * downstream stage (encode, LUT, ADC scan, ranking) is IDENTICAL,
+    * and because the codebook derivation is pure integer + float
+    * arithmetic it is restatable in SQL, making the whole probe
+    * hash-verifiable against a DuckDB twin (the [[sqIndex]] property,
+    * extended to the product-quantizer family). Same scale shape as
+    * [[pqIndex]]: one bounded driver collect for the codebook, one
+    * narrow codegen'd encode pass, broadcast codebook. */
+  def pqIndexHashInit(
+      corpus: DataFrame,
+      m: Int = 16,
+      k: Int = 64,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): PqIndex = {
+    require(m >= 1 && k >= 2, s"need m >= 1 and k >= 2, got m=$m k=$k")
+    val e = asDouble(col(embCol))
+    val dim = corpus.select(size(e).as("d")).where(col("d") > 0).head()
+      .getInt(0)
+    require(dim % m == 0,
+      s"pqIndexHashInit: embedding dim $dim is not divisible by m=$m")
+    val subDim = dim / m
+    val picked = hashSelectRows(corpus, k, dim, PqHashMultiplier,
+      embCol, idCol)
+    val flat = new Array[Double](m * k * subDim)
+    var c = 0
+    while (c < k) {
+      var j = 0
+      while (j < m) {
+        System.arraycopy(picked(c), j * subDim, flat,
+          (j * k + c) * subDim, subDim)
+        j += 1
+      }
+      c += 1
+    }
+    val bcast = corpus.sparkSession.sparkContext.broadcast(flat)
+    PqIndex(bcast, m, k, subDim,
+      encodeCodes(corpus, bcast, m, k, subDim, embCol, idCol))
+  }
+
+  /** [[idHash]] multipliers for the two hash-init quantizers — two
+    * different odd constants (Knuth's 2654435761 and xxHash's prime2)
+    * so the PQ codebook rows and the IVF coarse-centroid rows are
+    * decorrelated samples. Public: the DuckDB oracle restates the
+    * same constants. */
+  val PqHashMultiplier = 2654435761L
+  val IvfHashMultiplier = 2246822519L
+
+  /** [[ivfPqIndex]]'s DETERMINISTIC sibling: coarse centroids are the
+    * L2-normalized embeddings of `nCells` hash-drawn corpus rows
+    * (assignment and probing reuse the spherical machinery — unit
+    * centroids, cosine argmax), and the PQ codebook comes from
+    * [[pqIndexHashInit]] under a different hash multiplier. nAssign is
+    * fixed at 1: replica-dedup's `max`/`first` aggregation is
+    * order-insensitive here anyway, but 1 keeps the SQL twin a plain
+    * argmax. Production recall shape remains [[ivfPqIndex]]. Rows
+    * whose embedding has zero norm score -1 against every centroid
+    * and land in the LARGEST cell id (the [[ivfIndex]] contract). */
+  def ivfPqIndexHashInit(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      m: Int = 16,
+      pqK: Int = 64,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): IvfPqIndex = {
+    val pq = pqIndexHashInit(corpus, m, pqK, embCol, idCol)
+    val dim = pq.m * pq.subDim
+    val centroids = hashSelectRows(corpus, nCells, dim, IvfHashMultiplier,
+      embCol, idCol).map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      require(n > 0, "ivfPqIndexHashInit: zero-norm centroid row drawn " +
+        "— corpus has degenerate vectors in the hash sample")
+      v.map(_ / n)
+    }
+    val cells = assignCells(corpus, centroids, nAssign = 1, embCol, idCol)
+    IvfPqIndex(centroids, 1, pq.codebook, pq.m, pq.k, pq.subDim,
+      cells.select(col("cell"), col("neighbor_id")).join(pq.codes,
+        "neighbor_id"))
+  }
+
   /** The one-pass encode shared by [[pqIndex]] (build) and [[pqAppend]]
     * (grow): a narrow codegen'd projection; unquantizable rows (null /
     * ill-shaped embeddings) drop out, like the IVF path. */
@@ -459,7 +585,8 @@ object Similarity {
       refine: Int = 0,
       corpus: DataFrame = null,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      roundAt: Int = -1): DataFrame = {
     require(refine == 0 || refine >= k,
       s"refine ($refine) must be 0 (off) or >= k ($k)")
     require(refine == 0 || corpus != null,
@@ -474,11 +601,12 @@ object Similarity {
         sqrt(normSq).as("q_norm"))
       .where(col("lut").isNotNull))
     val adc = graft.functions.PqAdcScore(col("lut"), col("codes"), index.k)
+    val rawScore = when(col("norm") > 0 && col("q_norm") > 0,
+      adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0))
     val scored = index.codes.crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("pq_score",
-        when(col("norm") > 0 && col("q_norm") > 0,
-          adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0)))
+        if (roundAt >= 0) round(rawScore, roundAt) else rawScore)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("pq_score").desc, col("neighbor_id"))
     if (refine == 0) {
@@ -557,7 +685,8 @@ object Similarity {
       refine: Int = 0,
       corpus: DataFrame = null,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      roundAt: Int = -1): DataFrame = {
     require(refine == 0 || refine >= k,
       s"refine ($refine) must be 0 (off) or >= k ($k)")
     require(refine == 0 || corpus != null,
@@ -576,11 +705,12 @@ object Similarity {
       .withColumn("cell",
         explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell")))))
     val adc = graft.functions.PqAdcScore(col("lut"), col("codes"), index.k)
+    val rawScore = when(col("norm") > 0 && col("q_norm") > 0,
+      adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0))
     val scored = index.cellCodes.join(probes, "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("pq_score",
-        when(col("norm") > 0 && col("q_norm") > 0,
-          adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0)))
+        if (roundAt >= 0) round(rawScore, roundAt) else rawScore)
     // nAssign replica dedup, as in ivfProbe (identical scores per
     // replica: max == first); q_emb rides along for the refine join,
     // keyed by query_id so the agg stays partial-combining

@@ -156,6 +156,64 @@ class SimilaritySpec extends SparkSpec {
     assert(approx.exceptAll(again).count() == 0)
   }
 
+  test("pqIndexHashInit: codebook rows are exactly the idHash-ranked " +
+      "corpus rows; probe deterministic and exhaustively rankable") {
+    val idx = Similarity.pqIndexHashInit(embeddings)
+    assert(idx.m == 16 && idx.k == 64 && idx.subDim == 4)
+    // re-derive the selection rule independently (the same arithmetic
+    // the DuckDB oracle uses) and check the codebook content: centroid
+    // c of subspace j must equal dims [j*4, j*4+4) of the c-th row in
+    // ((id % p) * 2654435761 % p, id) order
+    val expected = embeddings.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("e"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy { case (id, _) =>
+        (((id % 1048573L) * Similarity.PqHashMultiplier) % 1048573L, id) }
+      .take(64)
+    val flat = idx.codebook.value
+    for (c <- 0 until 64; j <- 0 until 16; t <- 0 until 4) {
+      assert(flat((j * 64 + c) * 4 + t) == expected(c)._2(j * 4 + t),
+        s"codebook mismatch at c=$c j=$j t=$t")
+    }
+    // trainless + hash-drawn ⇒ bitwise identical across builds
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val p1 = Similarity.pqProbe(idx, queries, k = 10, roundAt = 6)
+    val p2 = Similarity.pqProbe(Similarity.pqIndexHashInit(embeddings),
+      queries, k = 10, roundAt = 6)
+    assert(p1.exceptAll(p2).count() == 0)
+    // sampled codebooks still rank: the refine stage recovers recall
+    // like the Lloyd-fit path
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10)
+    val refined = Similarity.pqProbe(idx, queries, k = 10,
+      refine = 50, corpus = embeddings)
+    val recall = Similarity.recallAgainst(refined, truth)
+    assert(recall >= 0.8, s"hash-init refined recall=$recall")
+  }
+
+  test("ivfPqIndexHashInit: exhaustive probe (nProbe = nCells) equals " +
+      "the flat hash-init PQ probe bitwise") {
+    // with every cell probed the candidate set is the whole corpus, so
+    // the two-level composition must reduce to the flat ADC scan over
+    // the SAME codebook — pinning that cell assignment loses no rows
+    // and ADC scoring is cell-independent
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val ivfpq = Similarity.ivfPqProbe(
+      Similarity.ivfPqIndexHashInit(embeddings, nCells = 16),
+      queries, k = 10, nProbe = 16, roundAt = 6)
+    val flat = Similarity.pqProbe(Similarity.pqIndexHashInit(embeddings),
+      queries, k = 10, roundAt = 6)
+    assert(ivfpq.exceptAll(flat).count() == 0 &&
+      flat.exceptAll(ivfpq).count() == 0)
+    // and at the registered nProbe=8 the pruned probe stays close to
+    // the flat ADC ordering (cell pruning is the only loss)
+    val pruned = Similarity.ivfPqProbe(
+      Similarity.ivfPqIndexHashInit(embeddings, nCells = 16),
+      queries, k = 10, nProbe = 8, roundAt = 6)
+    val recallVsFlat = Similarity.recallAgainst(pruned, flat)
+    assert(recallVsFlat >= 0.6, s"pruned-vs-flat recall=$recallVsFlat")
+  }
+
   test("pq persistence + append: reloaded probe identical, batch visible") {
     val idx = Similarity.pqIndex(embeddings)
     val queries = embeddings.filter(col("vec_id") < 5)
