@@ -835,6 +835,18 @@ object SparkEntry {
     "text_perplexity" -> ((s, dir) =>
       LanguageModel.perplexity(documents(s, dir))),
 
+    // Cross-corpus form: model trained ONLY on the English slice,
+    // scoring the WHOLE corpus — the CCNet deployment shape. Non-en
+    // docs flow through the unseen-bigram smoothing branches
+    // (known-context k/(c1+kV) and unknown-context k/(kV)), so this
+    // registration puts the fallback arithmetic itself under the
+    // oracle (self-scored text_perplexity can never reach it).
+    "text_perplexity_cross" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      LanguageModel.crossPerplexity(
+        docs.filter(col("lang") === "en"), docs)
+    }),
+
     // ------------------------------------ §7 boilerplate line removal
     // C4-style frequent-line filter on a planted multi-line fixture:
     // every 3rd doc gets a shared subscribe-banner header, every doc a
@@ -2501,6 +2513,49 @@ object SparkEntry {
         |), scored AS (
         |  SELECT b.doc_id, ln(m.p) AS lp
         |  FROM big b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(a.ppl, 6) AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+
+    // cross-perplexity oracle: model CTEs restricted to the en slice,
+    // scoring over every doc with BOTH smoothing fallbacks restated —
+    // COALESCE(model p, 0.5 / (COALESCE(c1, 0) + 0.5·V)) covers the
+    // known-context-unseen-pair AND the unknown-context branches in
+    // one expression, exactly perplexityAgainst's coalesce chain.
+    "text_perplexity_cross" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS ws
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+        |        FROM toks)
+        |), tbig AS (
+        |  SELECT w1, w2 FROM big WHERE lang = 'en'
+        |), ctx AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM tbig GROUP BY w1
+        |), pair AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+        |), model AS (
+        |  SELECT p.w1, p.w2,
+        |    (p.c12 + 0.5) / (c.c1 + 0.5 * voc.v) AS p
+        |  FROM pair p JOIN ctx c USING (w1), voc
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    ln(COALESCE(m.p,
+        |      0.5 / (COALESCE(c.c1, 0) + 0.5 * voc.v))) AS lp
+        |  FROM big b
+        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN ctx c ON b.w1 = c.w1, voc
         |), agg AS (
         |  SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
         |  FROM scored GROUP BY doc_id

@@ -107,6 +107,27 @@ object LanguageModel {
         round(col("ppl"), 6).as("ppl"))
   }
 
+  /** Train-on-A score-B: fit the bigram model (and its vocab size) on
+    * `trainDocs`, score `scoreDocs` — the CCNet deployment shape (a
+    * model trained on a trusted reference slice, e.g. one language or
+    * one curated source, scores the incoming corpus; in-domain text
+    * scores low, out-of-domain/noise scores high). Bigrams absent from
+    * the model exercise [[perplexityAgainst]]'s smoothing fallbacks —
+    * known-context k/(c1 + k·V), unknown-context k/(k·V) — which is
+    * precisely what makes a cross-corpus score finite. The vocab count
+    * is one driver-scale aggregate over the TRAIN slice only. */
+  def crossPerplexity(
+      trainDocs: DataFrame,
+      scoreDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      k: Double = 0.5): DataFrame = {
+    val model = bigramModel(trainDocs, textCol, idCol, k)
+    val v = trainDocs.select(explode(tokens(textCol)).as("w"))
+      .agg(countDistinct(col("w"))).head().getLong(0)
+    perplexityAgainst(scoreDocs, model, v, textCol, idCol, k)
+  }
+
   /** Self-scored perplexity: train on `docs`, score `docs` — the
     * one-corpus form used for intra-corpus quality bucketing. Every
     * doc bigram is in the model by construction, so the unseen branch

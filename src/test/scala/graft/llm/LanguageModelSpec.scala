@@ -56,6 +56,30 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(11L) === 9.0)
   }
 
+  test("crossPerplexity == bigramModel + perplexityAgainst with the " +
+      "train-slice vocab; disjoint train slice exercises smoothing") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "x y"), (11L, "a c"), (12L, "a b"))
+      .toDF("doc_id", "text")
+    val composed = LanguageModel.perplexityAgainst(score,
+      LanguageModel.bigramModel(train), vocabSize = 3L)
+    val cross = LanguageModel.crossPerplexity(train, score)
+    assert(cross.exceptAll(composed).count() == 0 &&
+      composed.exceptAll(cross).count() == 0)
+    val got = cross.collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    // V = |{a,b,c}| = 3; unknown context x: p = .5/(.5*3) = 1/3 → ppl 3
+    assert(got(10L) === 3.0)
+    // train bigrams: (a,b)x3, (b,a), (b,c) → c(a) = 3, c12(a,b) = 3.
+    // known context a, unseen pair (a,c): p = .5/(3 + 1.5) = 1/9 → ppl 9
+    assert(got(11L) === 9.0)
+    // fully in-model bigram (a,b): p = (3 + .5)/(3 + 1.5) = 7/9;
+    // ppl column is 6dp-rounded, so compare at that precision
+    assert(got(12L) === math.rint(9.0 / 7.0 * 1e6) / 1e6)
+  }
+
   test("perplexityFilter keeps low-ppl and unscorable docs") {
     val kept = LanguageModel.perplexityFilter(corpus, maxPpl = 1.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
