@@ -992,6 +992,21 @@ object SparkEntry {
     "text_tfidf_exact" -> ((s, dir) =>
       TextFeatures.tfidfExact(documents(s, dir), topK = 3)),
 
+    // BM25 more-like-this retrieval: the first 5 documents act as
+    // queries over the whole corpus (self-matches excluded pre-rank).
+    // Inverted-index join shape — query terms broadcast with their
+    // idf, postings touched only for query terms — never a doc×query
+    // cross; every constant (k1=1.2, b=0.75, Lucene idf) restated in
+    // the oracle.
+    "text_bm25" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      TextFeatures.bm25(docs,
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            col("text").as("query_text")),
+        topK = 10, excludeSelf = true)
+    }),
+
     // Exhaustive-probe IVF: nProbe = nCells visits every cell, so the
     // candidate set is the entire corpus and the probe MUST return
     // exactly the brute-force top-k — the whole index machinery
@@ -2810,6 +2825,52 @@ object SparkEntry {
         |      ORDER BY tfc.tf DESC, dfx.df_docs ASC, tfc.term ASC) AS rank
         |  FROM tfc JOIN dfx USING (term) CROSS JOIN n)
         |WHERE rank <= 3""".stripMargin,
+
+    // BM25 oracle: same tokenization as text_tfidf_exact, Lucene idf
+    // ln(1 + (N − df + .5)/(df + .5)), k1 = 1.2, b = 0.75, per-doc
+    // length normalization against the corpus avgdl, DISTINCT query
+    // terms, self-matches excluded, 6dp round before the rank window.
+    "text_bm25" ->
+      """WITH toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS ws
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, len(ws) AS dl FROM toks
+        |), stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        |), tfc AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+        |  GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY 1
+        |), qt AS (
+        |  SELECT DISTINCT doc_id AS query_id, term
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks
+        |        WHERE doc_id < 5)
+        |), contrib AS (
+        |  SELECT q.query_id, f.doc_id,
+        |    ln(1.0 + (s.n - d.df_docs + 0.5) / (d.df_docs + 0.5)) *
+        |      (f.tf * (1.2 + 1.0)) /
+        |      (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS c
+        |  FROM qt q
+        |  JOIN tfc f USING (term)
+        |  JOIN dfx d USING (term)
+        |  JOIN dl l ON l.doc_id = f.doc_id
+        |  CROSS JOIN stats s
+        |  WHERE f.doc_id <> q.query_id
+        |), scored AS (
+        |  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25
+        |  FROM contrib GROUP BY 1, 2
+        |)
+        |SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, bm25
+        |FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 10""".stripMargin,
 
     // identical to similarity_topk's brute-force oracle: an exhaustive
     // probe must reproduce it bit-for-bit

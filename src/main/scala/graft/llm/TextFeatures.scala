@@ -83,4 +83,83 @@ object TextFeatures {
       .select(col(idCol), col("term"), col("tf"), col("df_docs"),
         col("tfidf"), col("rank"))
   }
+
+  /** BM25 top-k retrieval (Robertson/Spärck Jones Okapi BM25, the
+    * textbook constants k1=1.2, b=0.75; idf in Lucene's always-positive
+    * form `ln(1 + (N − df + 0.5)/(df + 0.5))`): score every corpus
+    * document against each query and keep the top `topK` per query.
+    * Query terms are the DISTINCT tokens of the query text (set
+    * semantics — the common simplification when queries are short or,
+    * as in more-like-this retrieval, whole documents). Tokenization
+    * matches [[tfidfExact]] (lowercase, split on non-alphanumeric), so
+    * postings built for one are valid for the other.
+    *
+    * `excludeSelf` drops doc rows whose id equals the query id BEFORE
+    * ranking — the more-like-this form where queries are drawn from
+    * the corpus itself.
+    *
+    * Scale shape — the inverted-index join, not a doc×query cross:
+    *  1. postings `tf(doc, term)` — one explode + partial-aggregated
+    *     shuffle on (doc, term); `df(term)` folds off postings at
+    *     vocabulary scale. Build once, reuse across query batches
+    *     (persist bucketed by term for the Exchange-free repeat case).
+    *  2. query terms join `df` and carry their idf — a few rows per
+    *     query, BROADCAST (the hint below pins it); the one term-keyed
+    *     join against postings touches only the query terms' postings
+    *     lists, so corpus-wide work is bounded by Σ df(query terms),
+    *     never N×Q.
+    *  3. per-(query, doc) sum is partial-aggregated; the top-k window
+    *     keys on query and plans WindowGroupLimit (per-partition
+    *     cap before the single bounded shuffle).
+    * The only corpus-scalar state is (N, avgdl) — one fixed-size
+    * driver aggregate, the RobustScaling quantile-triple pattern. */
+  def bm25(
+      docs: DataFrame,
+      queries: DataFrame,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    val qToks = filter(split(lower(col(queryTextCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    val docToks = docs.select(col(idCol), toks.as("ws"))
+    val docLen = docToks.select(col(idCol), size(col("ws")).as("dl"))
+    val tf = docToks
+      .select(col(idCol), explode(col("ws")).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    val idf = log(lit(1.0) +
+      (lit(nDocs.toDouble) - col("df_docs") + lit(0.5)) /
+        (col("df_docs") + lit(0.5)))
+    val qTerms = broadcast(queries
+      .select(col(queryIdCol).as("query_id"), explode(qToks).as("term"))
+      .distinct()
+      .join(dft, "term")
+      .withColumn("idf", idf))
+    val pairs = qTerms.join(tf, "term").join(docLen, idCol)
+    val filtered =
+      if (excludeSelf) pairs.filter(col(idCol) =!= col("query_id"))
+      else pairs
+    val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    val scored = filtered
+      .groupBy(col("query_id"), col(idCol))
+      .agg(round(sum(contrib), 6).as("bm25"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("bm25").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col(idCol), col("rank"), col("bm25"))
+  }
 }

@@ -70,4 +70,50 @@ class TextFeaturesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("WindowGroupLimit"), p.take(1200))
   }
+
+  test("bm25: hand-computed scores on a crafted corpus; self exclusion; " +
+      "query-term set semantics") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "apple banana"),          // dl 2
+      (1L, "apple apple cherry"),    // dl 3
+      (2L, "banana banana banana"),  // dl 3
+      (3L, "durian")).toDF("doc_id", "text") // dl 1; N=4, avgdl=2.25
+    val queries = Seq((100L, "apple apple banana"))
+      .toDF("query_id", "query_text")
+    val out = TextFeatures.bm25(docs, queries, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getInt(2), r.getDouble(3))).toMap
+    def idf(df: Int) = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+    def w(tf: Long, dl: Long) =
+      (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 2.25))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    // repeated "apple" in the query counts ONCE (distinct-term set)
+    assert(out((100L, 0L))._2 ===
+      r6(idf(2) * w(1, 2) + idf(2) * w(1, 2)))
+    assert(out((100L, 1L))._2 === r6(idf(2) * w(2, 3)))
+    assert(out((100L, 2L))._2 === r6(idf(2) * w(3, 3)))
+    // durian shares no query term → absent, not zero-scored
+    assert(!out.contains((100L, 3L)))
+    // more-like-this: doc 0 as its own query must not match itself
+    val mlt = TextFeatures.bm25(docs,
+      docs.filter($"doc_id" === 0L)
+        .select($"doc_id".as("query_id"), $"text".as("query_text")),
+      topK = 10, excludeSelf = true)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(!mlt.contains(0L) && mlt.nonEmpty)
+  }
+
+  test("bm25: inverted-index shape — query terms broadcast, top-k " +
+      "plans WindowGroupLimit") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val q = docs.limit(3).select(
+      org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+      org.apache.spark.sql.functions.col("text").as("query_text"))
+    val plan = TextFeatures.bm25(docs, q, topK = 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1200))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
 }
