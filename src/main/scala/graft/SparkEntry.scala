@@ -628,11 +628,17 @@ object SparkEntry {
     }),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(embeddings(s, dir))),
-    // IVF-Flat ANN — approximate by design; recall-tested in ScalaTest.
+    // IVF-Flat ANN, registered with the HASH-INIT coarse quantizer
+    // (round 10): centroids = unit-normalized hash-drawn rows, so cell
+    // assignment (cosine argmax, largest-cell ties), top-4 probe-cell
+    // ranking and the in-cell exact-cosine top-k are all restated in
+    // the DuckDB oracle — hash-EXACT. The production Lloyd fit
+    // (ivfIndex, nAssign=2) keeps its recall specs; the exhaustive
+    // Lloyd probe stays oracle-pinned as similarity_ivf_exhaustive.
     "similarity_ivf" -> ((s, dir) => {
       val emb = embeddings(s, dir)
-      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 10)
-        .select("query_id", "neighbor_id", "rank")
+      Similarity.ivfProbe(Similarity.ivfIndexHashInit(emb),
+        emb.filter(col("vec_id") < 10), k = 10, nProbe = 4, roundAt = 6)
     }),
     // Build → persist (bucketed cells + centroid artifact) → reload →
     // probe: the cross-session deployment shape. Deterministic (seeded
@@ -644,17 +650,21 @@ object SparkEntry {
     // eagerly localCheckpoint'ed — the real bucketed-scan plan executes
     // at that point — so the returned frame no longer references the
     // table and repeated runs leave no orphan dirs or catalog entries.
+    // Round 10: the persisted round-trip now carries the hash-init
+    // index, so "write → reload → probe == in-memory probe" graduates
+    // from a spec-only equality to a hash-EXACT oracle row (same
+    // DuckDB twin as similarity_ivf — persistence must be identity).
     "similarity_ivf_persisted" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
       val table = "graft_ivf_cells_" +
         tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
       try {
-        Similarity.writeIndex(Similarity.ivfIndex(emb),
+        Similarity.writeIndex(Similarity.ivfIndexHashInit(emb),
           table, s"$tmp/centroids")
         val loaded = Similarity.readIndex(s, table, s"$tmp/centroids")
-        Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10), k = 10)
-          .select("query_id", "neighbor_id", "rank")
+        Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10),
+          k = 10, nProbe = 4, roundAt = 6)
           .localCheckpoint(true)
       } finally {
         s.sql(s"DROP TABLE IF EXISTS `$table`")
@@ -1177,6 +1187,77 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared by similarity_ivf and similarity_ivf_persisted — the
+    * persisted round-trip must be the identity, so one twin holds for
+    * both (and persistence itself becomes an oracled behavior). */
+  private val ivfHashInitOracle: String =
+    """WITH wf AS MATERIALIZED (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings WHERE len(embedding) = 64
+      |), vals AS MATERIALIZED (
+      |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+      |  FROM wf
+      |), norms AS MATERIALIZED (
+      |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
+      |), ivf_rows AS (
+      |  SELECT vec_id, e, row_number() OVER (
+      |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
+      |  ) - 1 AS cell
+      |  FROM wf QUALIFY cell < 16
+      |), centv AS (
+      |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
+      |  FROM ivf_rows
+      |), cent AS MATERIALIZED (
+      |  SELECT cell, i,
+      |    v / sqrt(SUM(v * v) OVER (PARTITION BY cell)) AS cv
+      |  FROM centv
+      |), centnorm AS (
+      |  SELECT cell, sqrt(SUM(cv * cv)) AS cnrm FROM cent GROUP BY 1
+      |), rowdot AS (
+      |  SELECT v.vec_id, c.cell, SUM(v.x * c.cv) AS dot
+      |  FROM vals v JOIN cent c USING (i)
+      |  GROUP BY 1, 2
+      |), rowcos AS (
+      |  SELECT d.vec_id, d.cell,
+      |    CASE WHEN n.nrm > 0 THEN d.dot / (n.nrm * cn.cnrm)
+      |      ELSE -1 END AS cos
+      |  FROM rowdot d
+      |  JOIN norms n ON n.vec_id = d.vec_id
+      |  JOIN centnorm cn USING (cell)
+      |), assign AS (
+      |  SELECT vec_id, cell FROM rowcos
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1
+      |), probecells AS (
+      |  SELECT vec_id AS query_id, cell FROM rowcos
+      |  WHERE vec_id < 10
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) <= 4
+      |), cand AS (
+      |  SELECT p.query_id, a.vec_id AS neighbor_id
+      |  FROM probecells p JOIN assign a USING (cell)
+      |  WHERE a.vec_id <> p.query_id
+      |), pairdot AS (
+      |  SELECT c.query_id, c.neighbor_id, SUM(q.x * v.x) AS dot
+      |  FROM cand c
+      |  JOIN vals q ON q.vec_id = c.query_id
+      |  JOIN vals v ON v.vec_id = c.neighbor_id AND v.i = q.i
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT d.query_id, d.neighbor_id,
+      |    ROUND(CASE WHEN nn.nrm > 0 AND qn.nrm > 0
+      |      THEN d.dot / (nn.nrm * qn.nrm) ELSE -1 END, 6) AS cosine
+      |  FROM pairdot d
+      |  JOIN norms nn ON nn.vec_id = d.neighbor_id
+      |  JOIN norms qn ON qn.vec_id = d.query_id
+      |)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |) WHERE rnk <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2251,6 +2332,16 @@ object SparkEntry {
         |    PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
         |  FROM scored
         |) WHERE rnk <= 10""".stripMargin,
+
+    // Hash-init IVF-Flat re-derived in SQL: unit-normalized hash-drawn
+    // centroids, cosine argmax assignment (largest-cell ties), top-4
+    // probe cells per query (cos DESC, cell DESC — the sort_array
+    // struct order), exact cosine over in-cell candidates, 6dp
+    // pre-rank round. similarity_ivf_persisted shares the twin
+    // verbatim: the write → reload → probe round-trip must be the
+    // identity, so persistence itself is under the oracle.
+    "similarity_ivf" -> ivfHashInitOracle,
+    "similarity_ivf_persisted" -> ivfHashInitOracle,
 
     "embedding_label_stats" ->
       """WITH n AS (

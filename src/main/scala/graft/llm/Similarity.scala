@@ -453,6 +453,49 @@ object Similarity {
   val PqHashMultiplier = 2654435761L
   val IvfHashMultiplier = 2246822519L
 
+  /** L2-normalized coarse centroids from `nCells` hash-drawn corpus
+    * rows — the deterministic stand-in for [[sphericalKMeans]] shared
+    * by [[ivfIndexHashInit]] and [[ivfPqIndexHashInit]]. */
+  private def hashInitCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      dim: Int,
+      embCol: String,
+      idCol: String): Array[Array[Double]] =
+    hashSelectRows(corpus, nCells, dim, IvfHashMultiplier,
+      embCol, idCol).map { v =>
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      require(n > 0, "hash-init coarse fit: zero-norm centroid row " +
+        "drawn — corpus has degenerate vectors in the hash sample")
+      v.map(_ / n)
+    }
+
+  /** [[ivfIndex]]'s DETERMINISTIC sibling: coarse centroids are the
+    * L2-normalized embeddings of `nCells` hash-drawn corpus rows —
+    * spherical k-means with zero Lloyd steps. Assignment, probing,
+    * append, persistence all reuse the [[IvfIndex]] machinery
+    * unchanged; because the centroid derivation is engine-portable
+    * arithmetic, an exact-cosine probe over the index is restatable in
+    * SQL end to end (cell argmax, top-nProbe cells, in-cell cosine
+    * ranking), making IVF-Flat hash-verifiable the way
+    * [[pqIndexHashInit]] makes PQ. nAssign fixed at 1 keeps the SQL
+    * twin a plain argmax; production recall shape remains [[ivfIndex]]
+    * (Lloyd fit, nAssign=2). */
+  def ivfIndexHashInit(
+      corpus: DataFrame,
+      nCells: Int = 16,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): IvfIndex = {
+    val e = asDouble(col(embCol))
+    val dim = corpus.select(size(e).as("d")).where(col("d") > 0).head()
+      .getInt(0)
+    val centroids = hashInitCentroids(corpus, nCells, dim, embCol, idCol)
+    IvfIndex(centroids,
+      assignCells(corpus, centroids, nAssign = 1, embCol, idCol), 1)
+  }
+
   /** [[ivfPqIndex]]'s DETERMINISTIC sibling: coarse centroids are the
     * L2-normalized embeddings of `nCells` hash-drawn corpus rows
     * (assignment and probing reuse the spherical machinery — unit
@@ -472,15 +515,7 @@ object Similarity {
       idCol: String = "vec_id"): IvfPqIndex = {
     val pq = pqIndexHashInit(corpus, m, pqK, embCol, idCol)
     val dim = pq.m * pq.subDim
-    val centroids = hashSelectRows(corpus, nCells, dim, IvfHashMultiplier,
-      embCol, idCol).map { v =>
-      var s = 0.0; var i = 0
-      while (i < v.length) { s += v(i) * v(i); i += 1 }
-      val n = math.sqrt(s)
-      require(n > 0, "ivfPqIndexHashInit: zero-norm centroid row drawn " +
-        "— corpus has degenerate vectors in the hash sample")
-      v.map(_ / n)
-    }
+    val centroids = hashInitCentroids(corpus, nCells, dim, embCol, idCol)
     val cells = assignCells(corpus, centroids, nAssign = 1, embCol, idCol)
     IvfPqIndex(centroids, 1, pq.codebook, pq.m, pq.k, pq.subDim,
       cells.select(col("cell"), col("neighbor_id")).join(pq.codes,

@@ -214,6 +214,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recallVsFlat >= 0.6, s"pruned-vs-flat recall=$recallVsFlat")
   }
 
+  test("ivfIndexHashInit: exhaustive probe equals brute-force top-k; " +
+      "pruned probe loses only via cell pruning") {
+    val queries = embeddings.filter(col("vec_id") < 20)
+    val idx = Similarity.ivfIndexHashInit(embeddings, nCells = 16)
+    // nProbe = nCells visits every cell → candidate set = whole corpus
+    // → must equal the brute-force twin bitwise (the ivf_exhaustive
+    // contract, now with the trainless coarse quantizer)
+    val exhaustive = Similarity.ivfProbe(idx, queries, k = 10,
+      nProbe = 16, roundAt = 6)
+    val truth = Similarity.cosineTopK(embeddings, queries, k = 10,
+      roundAt = 6)
+    assert(exhaustive.exceptAll(truth).count() == 0 &&
+      truth.exceptAll(exhaustive).count() == 0)
+    // hash-drawn centroids still partition usefully: the registered
+    // nProbe=4 probe keeps a sane recall floor vs exact
+    val pruned = Similarity.ivfProbe(idx, queries, k = 10,
+      nProbe = 4, roundAt = 6)
+    val recall = Similarity.recallAgainst(pruned, truth)
+    assert(recall >= 0.4, s"hash-init ivf nProbe=4 recall=$recall")
+    // persisted round-trip is the identity (the registered
+    // similarity_ivf_persisted contract)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivf_hi")
+    val table = "graft_ivf_hi_cells"
+    try {
+      Similarity.writeIndex(idx, table, s"$tmp/centroids")
+      val loaded = Similarity.readIndex(spark, table, s"$tmp/centroids")
+      val reprobed = Similarity.ivfProbe(loaded, queries, k = 10,
+        nProbe = 4, roundAt = 6)
+      assert(reprobed.exceptAll(pruned).count() == 0 &&
+        pruned.exceptAll(reprobed).count() == 0)
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS `$table`")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("pq persistence + append: reloaded probe identical, batch visible") {
     val idx = Similarity.pqIndex(embeddings)
     val queries = embeddings.filter(col("vec_id") < 5)
