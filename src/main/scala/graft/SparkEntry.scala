@@ -360,6 +360,17 @@ object SparkEntry {
     // 0.0) no text-similarity proxy could reproduce.
     "dedup_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(documents(s, dir), minJaccard = 0.2)),
+    // The deployment composition end-to-end: banded candidates →
+    // exact-Jaccard verify → connected components → keep the smallest
+    // id per near-dup CLUSTER (transitively: A~B~C drops B and C even
+    // when A≁C directly). The oracle rebuilds the same answer from
+    // brute-force all-pairs Jaccard + a recursive-CTE closure, so
+    // banding recall, the component algebra and the anti-join are all
+    // hash-verified as one unit (dedup_components pins the CC operator
+    // on a planted chain; this row pins the COMPOSITION on the corpus).
+    "dedup_minhash_clusters" -> ((s, dir) =>
+      Dedup.minhashConnected(documents(s, dir), minJaccard = 0.2)
+        .select("doc_id", "lang", "source", "n_chars")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
     // simhash as candidate generator + exact-Jaccard verification —
@@ -1411,6 +1422,45 @@ object SparkEntry {
         |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |) WHERE jaccard >= 0.2""".stripMargin,
+
+    // cluster-dedup oracle: the dedup_minhash_pairs edge set → UNION-
+    // symmetrized recursive closure (min reachable id = component rep)
+    // → drop every member that is not its component's min → the kept
+    // document rows.
+    "dedup_minhash_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+        |        AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.2
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM edges
+        |), reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM sym
+        |  UNION
+        |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+        |), losers AS (
+        |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp)
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
     // FULL-FIDELITY simhash oracle: re-implements Spark's pipeline in
     // pure SQL — XXH64(token, seed 42) via HUGEINT mod-2^64 arithmetic
