@@ -510,6 +510,21 @@ object SparkEntry {
       Curate.mixCorpus(documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .select("doc_id", "source")),
+    // Temperature-scaled mixing at α = 0.7: keep fractions DERIVED
+    // from per-source counts ((n_min/n)^0.3, 16-bit-quantized), so the
+    // oracle recomputes counts → pow → round → hex threshold → md5
+    // filter — the whole derivation chain is hash-verified, not just
+    // the filter. The driver corpus has perfectly uniform sources
+    // (every fraction would be 1.0 — vacuous), so the registered query
+    // mixes by a DERIVED skewed domain (~5/8, 2/8, 1/8 of docs) that
+    // both engines restate; abundant domains are genuinely subsampled.
+    "llm_temperature_mix" -> ((s, dir) => {
+      val skewed = documents(s, dir).withColumn("domain",
+        when(col("doc_id") % 8 < 5, "web")
+          .when(col("doc_id") % 8 < 7, "books").otherwise("code"))
+      Curate.temperatureMix(skewed, alpha = 0.7, sourceCol = "domain")
+        .select("doc_id", "domain", "lang", "n_chars")
+    }),
 
     // Per-source quality quota: top-5 docs per source by 6dp-rounded
     // quality score, id tiebreak — the rounded rank key keeps the
@@ -943,6 +958,15 @@ object SparkEntry {
       Events.sessionize(events(s, dir))
         .withColumn("ts",
           date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+    // Session summary — the aggregate sessionizeStream maintains live,
+    // batch-driven for the oracle; rides sessionize's single window
+    // shuffle (no second Exchange, PlanAuditSpec-checkable clustering).
+    "events_sessions" -> ((s, dir) =>
+      Events.sessions(events(s, dir))
+        .withColumn("session_start",
+          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("session_end",
+          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
     "events_props_agg" -> ((s, dir) =>
       Events.propsAgg(events(s, dir))),
     // As-of join: each purchase picks the user's latest click at or
@@ -1757,6 +1781,33 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
         |  END""".stripMargin,
+
+    // temperature-mix oracle: derived skewed domain → per-domain
+    // counts → (n_min/n)^(1−α) → round(f · 65536) hex threshold (the
+    // mixCorpus quantization, 'g' for f ≥ 1 since 'g' sorts above
+    // every hex char) → md5 filter. Same arithmetic order as Scala.
+    "llm_temperature_mix" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    CASE WHEN doc_id % 8 < 5 THEN 'web'
+        |         WHEN doc_id % 8 < 7 THEN 'books'
+        |         ELSE 'code' END AS domain
+        |  FROM documents
+        |), counts AS (
+        |  SELECT domain, COUNT(*) AS n FROM docs2 GROUP BY 1
+        |), mn AS (
+        |  SELECT MIN(n) AS nmin FROM counts
+        |), thr AS (
+        |  SELECT domain,
+        |    CASE WHEN pow(CAST(mn.nmin AS DOUBLE) / n, 0.3) >= 1.0 THEN 'g'
+        |      ELSE printf('%04x', LEAST(65535,
+        |        CAST(round(pow(CAST(mn.nmin AS DOUBLE) / n, 0.3) * 65536)
+        |          AS BIGINT))) END AS t
+        |  FROM counts, mn
+        |)
+        |SELECT d.doc_id, d.domain, d.lang, d.n_chars
+        |FROM docs2 d JOIN thr USING (domain)
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < thr.t""".stripMargin,
 
     // quota oracle: the proven text_quality score arithmetic + a
     // row_number over (source, 6dp-rounded score desc, id) — rounding
@@ -2879,6 +2930,31 @@ object SparkEntry {
         |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
         |         THEN 1 ELSE 0 END AS is_new
         |  FROM events)""".stripMargin,
+
+    // session-summary oracle: the proven sessionize CTE grouped per
+    // (user, session); duration = second-truncated epoch diff, the
+    // same integer arithmetic the gap rule uses.
+    "events_sessions" ->
+      """WITH sess AS (
+        |  SELECT event_id, user_id, ts,
+        |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |           THEN 1 ELSE 0 END AS is_new
+        |    FROM events)
+        |)
+        |SELECT user_id, session_idx,
+        |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+        |  strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT)
+        |    - CAST(floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+        |FROM sess GROUP BY 1, 2""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the ground truth for the composed
     // union+window operator; right-side (user_id, ts) ties collapse to

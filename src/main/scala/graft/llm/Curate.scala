@@ -86,6 +86,40 @@ object Curate {
         element_at(thrMap, col(sourceCol)))
   }
 
+  /** Temperature-scaled source mixing (the multilingual-corpus recipe
+    * popularized by multilingual LM training: sample sources with
+    * probability ∝ nᵅ, α < 1 flattening the natural distribution so
+    * rare sources aren't drowned out). Realized WITHOUT replication as
+    * deterministic subsampling of abundant sources: keep fraction
+    * fᵢ = (n_min / nᵢ)^(1−α) — 1.0 for the rarest source, smallest
+    * for the biggest; α = 1 keeps everything (natural), α = 0 equalizes
+    * source sizes. The per-source counts are one fixed-size driver
+    * aggregate (source cardinality ≪ corpus — the quantile-triple
+    * pattern); the kept set is then the [[mixCorpus]] md5-bucket
+    * filter, inheriting its engine-stable 16-bit-quantized thresholds,
+    * reproducibility across partitionings/cluster sizes, and its
+    * grow-only property (new docs never reassign old ones).
+    *
+    * Scale: one vocabulary-scale aggregation + a pure narrow filter
+    * with plan-literal thresholds — no shuffle on the corpus. */
+  def temperatureMix(
+      docs: DataFrame,
+      alpha: Double = 0.7,
+      sourceCol: String = "source",
+      idCol: String = "doc_id"): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0,1], got $alpha")
+    val counts = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    require(counts.nonEmpty, "temperatureMix: empty corpus")
+    val nMin = counts.map(_._2).min
+    val fractions = counts.map { case (s, n) =>
+      s -> math.pow(nMin.toDouble / n, 1.0 - alpha)
+    }.toMap
+    mixCorpus(docs, fractions, sourceCol, idCol)
+  }
+
   /** Deterministic train/val/test (or any n-way) split by hashed id —
     * the held-out-set assignment step of a corpus pipeline. The 16-bit
     * md5 bucket of the id (the [[mixCorpus]] recipe: first four hex

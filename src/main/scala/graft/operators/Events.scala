@@ -215,6 +215,25 @@ object Events {
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —
     * exactly SQL-window-expressible, so oracle-checkable. */
+  /** Per-session summary over [[sessionize]]: one row per (user,
+    * session) with bounds, second-truncated duration and event count —
+    * the aggregate the streaming twin
+    * ([[graft.streaming.StreamOps.sessionizeStream]]) maintains live.
+    * Costs NOTHING beyond sessionize's one user-keyed window shuffle:
+    * the (user_id, session_idx) groupBy's clustering requirement is
+    * already satisfied by the window's hash partitioning on user_id
+    * (user_id is a subset of the grouping key), so Catalyst plans the
+    * aggregation WITHOUT a second Exchange. */
+  def sessions(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    sessionize(events, gapMinutes)
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+      .withColumn("duration_sec",
+        col("session_end").cast("long") - col("session_start").cast("long"))
+
   def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))

@@ -78,6 +78,40 @@ class CurateSpec extends SparkSpec {
     Curate.mixCorpus(base, Map("s0" -> 1.0 / 65536)).count()
   }
 
+  test("temperatureMix: rarest source kept whole; keep fractions track " +
+      "(n_min/n)^(1-alpha); alpha=1 keeps everything") {
+    val s = spark
+    import s.implicits._
+    // strictly skewed sources: s0 ~5/8, s1 ~2/8, s2 ~1/8 of docs
+    val base = docs.select("doc_id", "text")
+      .withColumn("source",
+        when(col("doc_id") % 8 < 5, "s0")
+          .when(col("doc_id") % 8 < 7, "s1").otherwise("s2"))
+    val counts = base.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nMin = counts.values.min
+    val out = Curate.temperatureMix(base, alpha = 0.5)
+    val keptBySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the rarest source survives in full (keep fraction 1.0)
+    val rarest = counts.minBy(_._2)._1
+    assert(keptBySrc(rarest) == counts(rarest))
+    // abundant sources are subsampled toward (n_min/n)^(1-alpha),
+    // within md5-bucket sampling noise
+    for ((src, n) <- counts if src != rarest) {
+      val expect = math.pow(nMin.toDouble / n, 0.5)
+      val got = keptBySrc.getOrElse(src, 0L).toDouble / n
+      assert(math.abs(got - expect) < 0.15,
+        s"$src keep=$got expected≈$expect")
+      assert(keptBySrc(src) < n, s"$src should be subsampled")
+    }
+    // alpha = 1 is the natural distribution: everything kept
+    assert(Curate.temperatureMix(base, alpha = 1.0).count() == base.count())
+    // deterministic: same call, same kept set
+    val again = Curate.temperatureMix(base, alpha = 0.5)
+    assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
+  }
+
   test("hashSplit: deterministic, partition-stable, shares track weights") {
     val out = Curate.hashSplit(docs.select("doc_id"))
     val counts = out.groupBy("split").count()

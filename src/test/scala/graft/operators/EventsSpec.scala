@@ -21,6 +21,34 @@ class EventsSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L, 5L -> 1L))
   }
 
+  test("sessions: per-session bounds/count/duration on the crafted " +
+      "timeline; no second Exchange above the sessionize window") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 7L),
+      (2L, "2024-01-01 00:10:00", 7L),
+      (3L, "2024-01-01 00:50:00", 7L),
+      (4L, "2024-01-01 01:10:00", 7L),
+      (5L, "2024-01-01 00:05:00", 9L)
+    ).toDF("event_id", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.sessions(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getTimestamp(2).toString, r.getTimestamp(3).toString,
+          r.getLong(4), r.getLong(5))).toMap
+    assert(out((7L, 1L)) ==
+      (("2024-01-01 00:00:00.0", "2024-01-01 00:10:00.0", 2L, 600L)))
+    assert(out((7L, 2L)) ==
+      (("2024-01-01 00:50:00.0", "2024-01-01 01:10:00.0", 2L, 1200L)))
+    assert(out((9L, 1L)) ==
+      (("2024-01-01 00:05:00.0", "2024-01-01 00:05:00.0", 1L, 0L)))
+    // the (user, session) groupBy is satisfied by the window's
+    // user_id hash partitioning: exactly ONE Exchange in the plan
+    val plan = Events.sessions(df).queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1500))
+  }
+
   test("funnel: crafted timeline — converted, late, never, pre-click purchase") {
     val s = spark
     import s.implicits._
