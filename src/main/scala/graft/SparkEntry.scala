@@ -562,6 +562,22 @@ object SparkEntry {
             .as("text")))
       Curate.decontaminate(train, bench).select("doc_id")
     }),
+    // NEAR-duplicate decontamination: banded-minhash candidates between
+    // corpus and benchmark (bench side broadcast), exact shingle-Jaccard
+    // verify at 0.5, anti-join — catches the paraphrase-level leakage
+    // exact 8-grams miss. The fixture plants PREFIX-MANGLED bench
+    // copies (jaccard ≈ 0.9 against their source, NOT exact copies)
+    // into the train side; the oracle is brute-force cross-corpus
+    // Jaccard, so banding recall is under the hash too.
+    "llm_decontaminate_near" -> ((s, dir) => {
+      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val bench = base.filter(col("doc_id") % 41 === 0)
+      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
+        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz planted near copy "), col("text")).as("text")))
+      Curate.decontaminateNear(train, bench).select("doc_id")
+    }),
+
     // The broadcast-Bloom-prefiltered twin — same planted fixture, same
     // NOT IN oracle (bloom false positives are re-verified by the exact
     // gram join, so the output is bit-identical to the exact path; the
@@ -1893,6 +1909,51 @@ object SparkEntry {
     // keep-side oracle: the llm_decontaminate CTE with the final select
     // flipped to NOT IN — every train doc whose doc_id is absent from
     // the contaminated set survives.
+    // near-decontamination oracle: brute-force cross-corpus shingle
+    // Jaccard (same 3-gram/fallback shingling as dedup_minhash_pairs)
+    // at 0.5 over the prefix-mangled planted fixture, NOT IN keep side.
+    "llm_decontaminate_near" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),
+        |train AS (
+        |  SELECT doc_id, text FROM base WHERE doc_id % 41 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    'zz planted near copy ' || text AS text FROM bench
+        |), tt AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM train
+        |), bt AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM bench
+        |), sht AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM tt WHERE len(tokens) > 0
+        |), shb AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM bt WHERE len(tokens) > 0
+        |), hits AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM sht t, shb b
+        |  WHERE CAST(len(list_intersect(t.sh, b.sh)) AS DOUBLE)
+        |    / GREATEST(len(t.sh) + len(b.sh)
+        |        - len(list_intersect(t.sh, b.sh)), 1) >= 0.5
+        |)
+        |SELECT doc_id FROM train
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)""".stripMargin,
+
     "llm_decontaminate_kept" ->
       """WITH base AS (SELECT doc_id, text FROM documents),
         |bench AS (SELECT doc_id, text FROM base WHERE doc_id % 41 = 0),

@@ -258,6 +258,74 @@ object Curate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** NEAR-duplicate contamination: training docs whose 3-gram shingle
+    * Jaccard against ANY benchmark item reaches `minJaccard` — the
+    * fuzzy complement of [[contamination]]'s exact-8-gram test, which
+    * a lightly paraphrased or reformatted eval item slips past while
+    * its shingle set barely moves. Returns (idCol, bench_id, jaccard)
+    * per contaminated pair.
+    *
+    * Scale shape: both sides run the SAME banded-minhash pipeline
+    * ([[Dedup.minhashBandKeys]], shared seed/knobs, so band keys are
+    * comparable across frames); the benchmark side is an eval suite —
+    * small by construction — so its banded keys BROADCAST and the
+    * candidate join never shuffles the corpus. Verification
+    * ([[Dedup.ngramJaccard]]) is candidate-bounded. Benchmark ids are
+    * internally remapped to the negative range so they can never
+    * collide with corpus ids inside the shared verify frame; outputs
+    * carry the original ids. */
+  def nearContamination(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      seed: Long = 42L): DataFrame = {
+    val t = docs.select(col(idCol), col(textCol))
+    val bNeg = benchmark.select((-col(idCol) - 1).as(idCol), col(textCol))
+    val tBands = Dedup.minhashBandKeys(t, textCol, idCol,
+      numHashes, bands, seed)
+    val bBands = Dedup.minhashBandKeys(bNeg, textCol, idCol,
+      numHashes, bands, seed)
+    val cands = tBands
+      .join(broadcast(bBands.withColumnRenamed(idCol, "id_b")), "bk")
+      .select(col(idCol).as("id_a"), col("id_b"))
+      .distinct()
+    Dedup.ngramJaccard(t.unionByName(bNeg), cands,
+      textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol),
+        (-col("id_b") - 1).as("bench_id"), col("jaccard"))
+  }
+
+  /** The rows of `docs` that survive near-duplicate decontamination —
+    * [[nearContamination]]'s anti-join twin, same contract as
+    * [[decontaminate]].
+    *
+    * Band knobs: the default (64 hashes, 32 bands ⇒ 2 rows/band) is
+    * deliberately LOOSER than the dedup family's 16×4 — at the 0.5
+    * decision boundary a 4-row band misses a true pair ~36% of the
+    * time, while 2-row bands hold miss ≈ 1e-4; the extra candidates
+    * are bounded by the (small) benchmark side and absorbed by the
+    * exact verify. A production corpus with a heavy background-
+    * similarity floor can raise rows-per-band and pay the recall
+    * margin consciously. */
+  def decontaminateNear(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      minJaccard: Double = 0.5,
+      numHashes: Int = 64,
+      bands: Int = 32,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    docs.join(
+      nearContamination(docs, benchmark, minJaccard, numHashes, bands,
+        textCol = textCol, idCol = idCol)
+        .select(idCol).distinct(),
+      Seq(idCol), "left_anti")
+
   /** [[decontaminate]] with a broadcast Bloom prefilter on the corpus
     * gram stream — IDENTICAL output (false positives are re-verified by
     * the exact gram join; `fpp` tunes cost, never correctness), very

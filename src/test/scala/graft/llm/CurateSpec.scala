@@ -78,6 +78,44 @@ class CurateSpec extends SparkSpec {
     Curate.mixCorpus(base, Map("s0" -> 1.0 / 65536)).count()
   }
 
+  test("decontaminateNear: mangled benchmark copy dropped with its pair " +
+      "reported; unrelated doc kept; exact-gram twin would have missed it") {
+    val s = spark
+    import s.implicits._
+    val bench = docs.filter(col("doc_id") % 41 === 0)
+      .select("doc_id", "text")
+    val srcRow = bench.orderBy("doc_id").head()
+    val (srcId, srcText) = (srcRow.getLong(0), srcRow.getString(1))
+    // paraphrase-level mangle: swap every 8th word for a novel token —
+    // every 8-gram window contains a swapped position (gap = 8), so
+    // the exact-gram path is blind to it; a swap kills the 3 shingles
+    // covering it, leaving ~5/8 of shingles shared → Jaccard ≈ 0.45,
+    // above the 0.4 threshold used here but far below exact-copy
+    val words = srcText.split(" ")
+    val mangled = words.zipWithIndex.map { case (w, i) =>
+      if (i % 8 == 7) s"swapped$i" else w }.mkString(" ")
+    val train = docs.filter(col("doc_id") % 41 =!= 0)
+      .select("doc_id", "text")
+      .unionByName(Seq(
+        (500000L, mangled),
+        (600000L, "entirely unrelated zebra quantum pickle astronomy " +
+          "furnace melody " * 5)).toDF("doc_id", "text"))
+    // the exact 8-gram path cannot see the mangled copy
+    assert(Curate.contamination(train, bench)
+      .filter(col("doc_id") === 500000L).count() == 0)
+    // the near path catches it and names the right benchmark source
+    val hits = Curate.nearContamination(train, bench, minJaccard = 0.4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(hits.contains((500000L, srcId)),
+      s"expected (500000, $srcId) in ${hits.keys.take(8)}")
+    assert(hits((500000L, srcId)) >= 0.4 && hits((500000L, srcId)) < 0.9)
+    val kept = Curate.decontaminateNear(train, bench, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!kept.contains(500000L))
+    assert(kept.contains(600000L))
+  }
+
   test("temperatureMix: rarest source kept whole; keep fractions track " +
       "(n_min/n)^(1-alpha); alpha=1 keeps everything") {
     val s = spark
