@@ -1067,6 +1067,44 @@ object SparkEntry {
             col("text").as("query_text")),
         topK = 10, excludeSelf = true)
     }),
+    // Build → persist postings → reload → probe: the retrieval
+    // deployment shape (tokenize the corpus once per ingest, not once
+    // per query batch). Shares text_bm25's oracle — the round-trip
+    // must be the identity, so persistence is hash-verified.
+    "text_bm25_persisted" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25")
+      try {
+        TextFeatures.writeBm25Index(TextFeatures.bm25Index(docs),
+          tmp.toString)
+        val loaded = TextFeatures.readBm25Index(s, tmp.toString)
+        TextFeatures.bm25Probe(loaded,
+          docs.filter(col("doc_id") < 5)
+            .select(col("doc_id").as("query_id"),
+              col("text").as("query_text")),
+          topK = 10, excludeSelf = true)
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+    // Hybrid retrieval: reciprocal-rank fusion of the PROVEN bm25 and
+    // cosine top-10 rankings over the same query ids (documents and
+    // embeddings share ids in the testdata). Rank-only arithmetic, so
+    // the fused list is exactly derivable from the parent oracles.
+    "retrieval_hybrid" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val emb = embeddings(s, dir)
+      val bm = TextFeatures.bm25(docs,
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            col("text").as("query_text")),
+        topK = 10, excludeSelf = true)
+      val cos = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") < 5), k = 10, roundAt = 6)
+        .withColumnRenamed("neighbor_id", "doc_id")
+      TextFeatures.rrfFuse(Seq(
+        bm.select("query_id", "doc_id", "rank"),
+        cos.select("query_id", "doc_id", "rank")))
+    }),
 
     // Exhaustive-probe IVF: nProbe = nCells visits every cell, so the
     // candidate set is the entire corpus and the probe MUST return
@@ -1306,6 +1344,57 @@ object SparkEntry {
       |FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |) WHERE rnk <= 10""".stripMargin
+
+  /** BM25 CTE chain up to `scored` (query_id, doc_id, bm25) — shared
+    * by the bm25 oracle (which ranks it) and the hybrid-retrieval
+    * oracle (which fuses it with the cosine ranking). */
+  private val bm25CtesSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      |                t -> length(t) > 0) AS ws
+      |  FROM documents
+      |), dl AS (
+      |  SELECT doc_id, len(ws) AS dl FROM toks
+      |), stats AS (
+      |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+      |), tfc AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
+      |  GROUP BY 1, 2
+      |), dfx AS (
+      |  SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY 1
+      |), qt AS (
+      |  SELECT DISTINCT doc_id AS query_id, term
+      |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks
+      |        WHERE doc_id < 5)
+      |), contrib AS (
+      |  SELECT q.query_id, f.doc_id,
+      |    ln(1.0 + (s.n - d.df_docs + 0.5) / (d.df_docs + 0.5)) *
+      |      (f.tf * (1.2 + 1.0)) /
+      |      (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS c
+      |  FROM qt q
+      |  JOIN tfc f USING (term)
+      |  JOIN dfx d USING (term)
+      |  JOIN dl l ON l.doc_id = f.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE f.doc_id <> q.query_id
+      |), scored AS (
+      |  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25
+      |  FROM contrib GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** Shared by text_bm25 and text_bm25_persisted (round-trip must be
+    * the identity). */
+  private val bm25Oracle: String =
+    bm25CtesSql +
+      """
+      |SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, bm25
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
       |  FROM scored
       |) WHERE rnk <= 10""".stripMargin
 
@@ -3108,47 +3197,54 @@ object SparkEntry {
     // ln(1 + (N − df + .5)/(df + .5)), k1 = 1.2, b = 0.75, per-doc
     // length normalization against the corpus avgdl, DISTINCT query
     // terms, self-matches excluded, 6dp round before the rank window.
-    "text_bm25" ->
-      """WITH toks AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-        |                t -> length(t) > 0) AS ws
-        |  FROM documents
-        |), dl AS (
-        |  SELECT doc_id, len(ws) AS dl FROM toks
-        |), stats AS (
-        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
-        |), tfc AS (
-        |  SELECT doc_id, term, COUNT(*) AS tf
-        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)
-        |  GROUP BY 1, 2
-        |), dfx AS (
-        |  SELECT term, COUNT(*) AS df_docs FROM tfc GROUP BY 1
-        |), qt AS (
-        |  SELECT DISTINCT doc_id AS query_id, term
-        |  FROM (SELECT doc_id, unnest(ws) AS term FROM toks
-        |        WHERE doc_id < 5)
-        |), contrib AS (
-        |  SELECT q.query_id, f.doc_id,
-        |    ln(1.0 + (s.n - d.df_docs + 0.5) / (d.df_docs + 0.5)) *
-        |      (f.tf * (1.2 + 1.0)) /
-        |      (f.tf + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / s.avgdl)) AS c
-        |  FROM qt q
-        |  JOIN tfc f USING (term)
-        |  JOIN dfx d USING (term)
-        |  JOIN dl l ON l.doc_id = f.doc_id
-        |  CROSS JOIN stats s
-        |  WHERE f.doc_id <> q.query_id
-        |), scored AS (
-        |  SELECT query_id, doc_id, ROUND(SUM(c), 6) AS bm25
-        |  FROM contrib GROUP BY 1, 2
+    // Shared verbatim by text_bm25_persisted: the postings write →
+    // reload → probe round-trip must be the identity, so persistence
+    // itself is under the oracle (the similarity_ivf_persisted
+    // pattern).
+    "text_bm25" -> bm25Oracle,
+    "text_bm25_persisted" -> bm25Oracle,
+
+    // Reciprocal-rank fusion of the two PROVEN rankings (text_bm25 +
+    // the similarity_topk cosine ranks restricted to the same query
+    // ids): score = Σ 1/(60 + rank), 6dp round, doc-id ties. Rank
+    // arithmetic only — the fused list is exactly derivable from the
+    // two parent oracles, restated here end to end.
+    "retrieval_hybrid" ->
+      (bm25CtesSql +
+        """, cos_scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |    ROUND(list_cosine_similarity(
+        |      CAST(q.embedding AS DOUBLE[]),
+        |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM embeddings q CROSS JOIN embeddings c
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id
+        |), cos_ranked AS (
+        |  SELECT query_id, doc_id, rn AS rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rn
+        |    FROM cos_scored
+        |  ) WHERE rn <= 10
+        |), bm25_ranked AS (
+        |  SELECT query_id, doc_id, rnk AS rank FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+        |    FROM scored
+        |  ) WHERE rnk <= 10
+        |), unioned AS (
+        |  SELECT query_id, doc_id, rank FROM bm25_ranked
+        |  UNION ALL
+        |  SELECT query_id, doc_id, rank FROM cos_ranked
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf
+        |  FROM unioned GROUP BY 1, 2
         |)
-        |SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, bm25
+        |SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, rrf
         |FROM (
         |  SELECT *, row_number() OVER (
-        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
-        |  FROM scored
-        |) WHERE rnk <= 10""".stripMargin,
+        |    PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS rnk
+        |  FROM fused
+        |) WHERE rnk <= 10""").stripMargin,
 
     // identical to similarity_topk's brute-force oracle: an exhaustive
     // probe must reproduce it bit-for-bit

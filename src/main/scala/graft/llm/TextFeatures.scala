@@ -123,11 +123,32 @@ object TextFeatures {
       textCol: String = "text",
       idCol: String = "doc_id",
       queryIdCol: String = "query_id",
-      queryTextCol: String = "query_text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      queryTextCol: String = "query_text"): DataFrame =
+    bm25Probe(bm25Index(docs, textCol, idCol), queries, topK, k1, b,
+      excludeSelf, idCol, queryIdCol, queryTextCol)
+
+  /** A built BM25 index: postings `tf(doc, term)`, per-doc lengths,
+    * per-term document frequencies, and the two corpus scalars. Build
+    * once with [[bm25Index]] (the only pass that touches `textCol`),
+    * probe any number of query batches with [[bm25Probe]]; persist
+    * with [[writeBm25Index]]/[[readBm25Index]] — at 100 TB the corpus
+    * is tokenized exactly once per ingest, not once per query batch,
+    * and the persisted postings serve every later retrieval run. */
+  final case class Bm25Index(
+      tf: DataFrame,
+      docLen: DataFrame,
+      df: DataFrame,
+      nDocs: Long,
+      avgdl: Double)
+
+  /** Build the [[Bm25Index]]: one explode + partial-aggregated shuffle
+    * for postings; df folds off postings at vocabulary scale; (N,
+    * avgdl) is one fixed-size driver aggregate. */
+  def bm25Index(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Bm25Index = {
     val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
-      w => length(w) > 0)
-    val qToks = filter(split(lower(col(queryTextCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
     val docToks = docs.select(col(idCol), toks.as("ws"))
     val docLen = docToks.select(col(idCol), size(col("ws")).as("dl"))
@@ -137,22 +158,39 @@ object TextFeatures {
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
-    val (nDocs, avgdl) = (statsRow.getLong(0), statsRow.getDouble(1))
+    Bm25Index(tf, docLen, dft, statsRow.getLong(0), statsRow.getDouble(1))
+  }
+
+  /** Probe a [[Bm25Index]] — the scoring stages of [[bm25]], never
+    * touching document text. */
+  def bm25Probe(
+      index: Bm25Index,
+      queries: DataFrame,
+      topK: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      excludeSelf: Boolean = false,
+      idCol: String = "doc_id",
+      queryIdCol: String = "query_id",
+      queryTextCol: String = "query_text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qToks = filter(split(lower(col(queryTextCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
     val idf = log(lit(1.0) +
-      (lit(nDocs.toDouble) - col("df_docs") + lit(0.5)) /
+      (lit(index.nDocs.toDouble) - col("df_docs") + lit(0.5)) /
         (col("df_docs") + lit(0.5)))
     val qTerms = broadcast(queries
       .select(col(queryIdCol).as("query_id"), explode(qToks).as("term"))
       .distinct()
-      .join(dft, "term")
+      .join(index.df, "term")
       .withColumn("idf", idf))
-    val pairs = qTerms.join(tf, "term").join(docLen, idCol)
+    val pairs = qTerms.join(index.tf, "term").join(index.docLen, idCol)
     val filtered =
       if (excludeSelf) pairs.filter(col(idCol) =!= col("query_id"))
       else pairs
     val contrib = col("idf") * (col("tf") * lit(k1 + 1.0)) /
       (col("tf") + lit(k1) *
-        (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+        (lit(1.0 - b) + lit(b) * col("dl") / lit(index.avgdl)))
     val scored = filtered
       .groupBy(col("query_id"), col(idCol))
       .agg(round(sum(contrib), 6).as("bm25"))
@@ -161,5 +199,64 @@ object TextFeatures {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
       .select(col("query_id"), col(idCol), col("rank"), col("bm25"))
+  }
+
+  /** Persist a built [[Bm25Index]] — build-once / probe-many across
+    * sessions. Postings and lengths go to plain parquet (the probe
+    * touches postings via a broadcast-side term join — no keyed
+    * shuffle to pre-pay; bucket by term only if probing with
+    * corpus-scale query batches); the scalars go to a one-row parquet,
+    * so index pieces cannot desynchronize on (N, avgdl). */
+  def writeBm25Index(index: Bm25Index, basePath: String): Unit = {
+    index.tf.write.mode("overwrite").parquet(s"$basePath/tf")
+    index.docLen.write.mode("overwrite").parquet(s"$basePath/doclen")
+    index.df.write.mode("overwrite").parquet(s"$basePath/df")
+    val spark = index.tf.sparkSession
+    import spark.implicits._
+    Seq((index.nDocs, index.avgdl)).toDF("n_docs", "avgdl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$basePath/stats")
+  }
+
+  /** Reload a persisted [[Bm25Index]]; see [[writeBm25Index]]. */
+  def readBm25Index(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): Bm25Index = {
+    val stats = spark.read.parquet(s"$basePath/stats").head()
+    Bm25Index(
+      spark.read.parquet(s"$basePath/tf"),
+      spark.read.parquet(s"$basePath/doclen"),
+      spark.read.parquet(s"$basePath/df"),
+      stats.getLong(0), stats.getDouble(1))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): fuse any
+    * number of per-query rankings — BM25, dense ANN, whatever — into
+    * one list by `score = Σ 1/(rrfK + rank)`, the standard hybrid-
+    * retrieval combiner (rank-based, so the input scores' wildly
+    * different scales never matter). A doc absent from one ranking
+    * simply contributes nothing from it. Pure integer-rank arithmetic
+    * → deterministic and SQL-restatable; 6dp-rounded pre-rank, doc-id
+    * ties. One union + one partial-aggregated (query, doc) groupBy +
+    * the top-k window — no join between the rankings at all. */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      rrfK: Int = 60,
+      topK: Int = 10,
+      queryCol: String = "query_id",
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    import org.apache.spark.sql.expressions.Window
+    val tagged = rankings
+      .map(_.select(col(queryCol), col(idCol), col(rankCol)))
+      .reduce(_ unionByName _)
+    val scored = tagged
+      .groupBy(col(queryCol), col(idCol))
+      .agg(round(sum(lit(1.0) / (lit(rrfK.toDouble) + col(rankCol))), 6)
+        .as("rrf"))
+    val w = Window.partitionBy(col(queryCol))
+      .orderBy(col("rrf").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col(queryCol), col(idCol), col("rank"), col("rrf"))
   }
 }

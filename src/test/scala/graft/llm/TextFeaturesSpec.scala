@@ -105,6 +105,48 @@ class TextFeaturesSpec extends SparkSpec {
     assert(!mlt.contains(0L) && mlt.nonEmpty)
   }
 
+  test("bm25 persistence: reloaded postings probe identical to in-memory") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val q = docs.filter(org.apache.spark.sql.functions.col("doc_id") < 3)
+      .select(
+        org.apache.spark.sql.functions.col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.col("text").as("query_text"))
+    val idx = TextFeatures.bm25Index(docs)
+    val direct = TextFeatures.bm25Probe(idx, q, topK = 10,
+      excludeSelf = true)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    try {
+      TextFeatures.writeBm25Index(idx, tmp)
+      val loaded = TextFeatures.readBm25Index(spark, tmp)
+      assert(loaded.nDocs == idx.nDocs && loaded.avgdl == idx.avgdl)
+      val reprobed = TextFeatures.bm25Probe(loaded, q, topK = 10,
+        excludeSelf = true)
+      assert(reprobed.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(reprobed).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion; absent side contributes nothing") {
+    val s = spark
+    import s.implicits._
+    // query 1: doc 10 is rank 1 in BOTH lists; doc 20 only in list A
+    // (rank 2); doc 30 only in list B (rank 2)
+    val a = Seq((1L, 10L, 1), (1L, 20L, 2)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 10L, 1), (1L, 30L, 2)).toDF("query_id", "doc_id", "rank")
+    val out = TextFeatures.rrfFuse(Seq(a, b), rrfK = 60, topK = 10)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getDouble(3))).toMap
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(10L) == ((1, r6(2.0 / 61))))
+    // docs 20 and 30 tie on score 1/62 → doc-id tie-break
+    assert(out(20L) == ((2, r6(1.0 / 62))))
+    assert(out(30L) == ((3, r6(1.0 / 62))))
+  }
+
   test("bm25: inverted-index shape — query terms broadcast, top-k " +
       "plans WindowGroupLimit") {
     val docs = spark.read.parquet(s"$sf0001/documents.parquet")
