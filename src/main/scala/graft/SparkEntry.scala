@@ -670,6 +670,12 @@ object SparkEntry {
     }),
     "embedding_label_stats" -> ((s, dir) =>
       Similarity.labelStats(embeddings(s, dir))),
+    // Label-centroid outlier screen: distance from each vector to its
+    // label's mean vector, flagged past the per-label exact P95 of the
+    // 6dp-ROUNDED distances (threshold inputs bit-identical across
+    // engines, so the flag can't flip on a summation-order ulp).
+    "embedding_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(embeddings(s, dir))),
     // IVF-Flat ANN, registered with the HASH-INIT coarse quantizer
     // (round 10): centroids = unit-normalized hash-drawn rows, so cell
     // assignment (cosine argmax, largest-cell ties), top-4 probe-cell
@@ -2593,6 +2599,31 @@ object SparkEntry {
     // identity, so persistence itself is under the oracle.
     "similarity_ivf" -> ivfHashInitOracle,
     "similarity_ivf_persisted" -> ivfHashInitOracle,
+
+    // label-outlier oracle: per-(label, dim) AVG centroid, euclidean
+    // distance rounded 6dp, per-label quantile_cont(0.95) over the
+    // ROUNDED distances (== Spark's exact percentile on bit-identical
+    // inputs), strict > flag.
+    "embedding_label_outliers" ->
+      """WITH vals AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(0, len(embedding))) AS i,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS x
+        |  FROM embeddings
+        |), cent AS (
+        |  SELECT label, i, AVG(x) AS c FROM vals GROUP BY 1, 2
+        |), dist AS (
+        |  SELECT v.vec_id, v.label,
+        |    ROUND(sqrt(SUM((v.x - c.c) * (v.x - c.c))), 6) AS dist
+        |  FROM vals v JOIN cent c ON c.label = v.label AND c.i = v.i
+        |  GROUP BY 1, 2
+        |), thr AS (
+        |  SELECT label, quantile_cont(dist, 0.95) AS thr
+        |  FROM dist GROUP BY 1
+        |)
+        |SELECT d.vec_id, d.label, d.dist,
+        |  CAST(d.dist > t.thr AS INT) AS is_outlier
+        |FROM dist d JOIN thr t USING (label)""".stripMargin,
 
     "embedding_label_stats" ->
       """WITH n AS (

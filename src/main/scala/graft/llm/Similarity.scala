@@ -453,6 +453,50 @@ object Similarity {
   val PqHashMultiplier = 2654435761L
   val IvfHashMultiplier = 2246822519L
 
+  /** Embedding quality control: distance of every vector from its
+    * LABEL's centroid, with the per-label `pct` exact percentile as
+    * the outlier cut — the "is this example even in the right
+    * cluster?" screen a training-data pipeline runs over labeled
+    * embeddings (mislabeled rows, degenerate encoder outputs and
+    * near-zero vectors all surface as tail distances). Returns
+    * (idCol, labelCol, dist, is_outlier).
+    *
+    * Determinism contract: `dist` is rounded to 6dp BEFORE the
+    * percentile, so the threshold is computed from bit-identical
+    * inputs in any engine (Spark's exact `percentile` matches
+    * `quantile_cont` bit-for-bit on equal inputs) and the
+    * `dist > thr` flag cannot flip on summation-order ulps.
+    *
+    * Scale shape: one (label, dim) partial-aggregated shuffle for
+    * centroids (output = labels × dim rows — model-artifact-sized,
+    * broadcast by AQE into the distance join), one (id)-keyed
+    * re-aggregation for distances, and a labels-sized threshold
+    * aggregate. The exact percentile is per-LABEL over scalar
+    * distances — at extreme scale swap in `approx_percentile` exactly
+    * like RobustScaling's GK path. */
+  def labelOutliers(
+      emb: DataFrame,
+      pct: Double = 0.95,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      labelCol: String = "label"): DataFrame = {
+    require(pct > 0.0 && pct < 1.0, s"pct must be in (0,1), got $pct")
+    val e = asDouble(col(embCol))
+    val dims = emb
+      .select(col(idCol), col(labelCol), posexplode(e).as(Seq("i", "x")))
+    val cent = dims.groupBy(col(labelCol), col("i"))
+      .agg(avg(col("x")).as("c"))
+    val dist = dims.join(cent, Seq(labelCol, "i"))
+      .groupBy(col(idCol), col(labelCol))
+      .agg(round(sqrt(sum(
+        (col("x") - col("c")) * (col("x") - col("c")))), 6).as("dist"))
+    val thr = dist.groupBy(col(labelCol))
+      .agg(expr(s"percentile(dist, $pct)").as("thr"))
+    dist.join(thr, labelCol)
+      .withColumn("is_outlier", (col("dist") > col("thr")).cast("int"))
+      .select(col(idCol), col(labelCol), col("dist"), col("is_outlier"))
+  }
+
   /** L2-normalized coarse centroids from `nCells` hash-drawn corpus
     * rows — the deterministic stand-in for [[sphericalKMeans]] shared
     * by [[ivfIndexHashInit]] and [[ivfPqIndexHashInit]]. */

@@ -214,6 +214,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recallVsFlat >= 0.6, s"pruned-vs-flat recall=$recallVsFlat")
   }
 
+  test("labelOutliers: planted far vector flagged; rate tracks pct; " +
+      "flag deterministic") {
+    val s = spark
+    import s.implicits._
+    // plant one vector far outside label 0's cluster
+    val planted = Seq((900000L,
+      Array.fill(64)(100.0f).toSeq, 0))
+      .toDF("vec_id", "embedding", "label")
+    val withPlant = embeddings.select("vec_id", "embedding", "label")
+      .unionByName(planted)
+    val out = Similarity.labelOutliers(withPlant)
+    val rows = out.collect()
+      .map(r => r.getLong(0) -> (r.getDouble(2), r.getInt(3))).toMap
+    assert(rows(900000L)._2 == 1, s"planted outlier not flagged: ${rows(900000L)}")
+    // planted distance dwarfs every natural one in its label
+    val naturalMax = out.filter(col("label") === 0 &&
+      col("vec_id") =!= 900000L)
+      .agg(max(col("dist"))).head().getDouble(0)
+    assert(rows(900000L)._1 > naturalMax * 2)
+    // P95 cut ⇒ roughly 5% flagged overall
+    val n = out.count().toDouble
+    val flagged = out.filter(col("is_outlier") === 1).count().toDouble
+    assert(flagged / n > 0.01 && flagged / n < 0.10,
+      s"outlier rate ${flagged / n}")
+    // deterministic across runs
+    val again = Similarity.labelOutliers(withPlant)
+    assert(out.exceptAll(again).count() == 0)
+  }
+
   test("ivfIndexHashInit: exhaustive probe equals brute-force top-k; " +
       "pruned probe loses only via cell pruning") {
     val queries = embeddings.filter(col("vec_id") < 20)
