@@ -510,6 +510,13 @@ object SparkEntry {
       Curate.mixCorpus(documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .select("doc_id", "source")),
+    // Quality-weighted deterministic sample: Efraimidis-Spirakis keys
+    // from the md5-derived uniform, weight = n_chars, global top-100
+    // via TakeOrdered (zero shuffles at any corpus size).
+    "llm_weighted_sample" -> ((s, dir) =>
+      Curate.weightedSample(documents(s, dir), k = 100)
+        .select("doc_id", "source", "n_chars", "sample_key")),
+
     // Temperature-scaled mixing at α = 0.7: keep fractions DERIVED
     // from per-source counts ((n_min/n)^0.3, 16-bit-quantized), so the
     // oracle recomputes counts → pow → round → hex threshold → md5
@@ -1211,6 +1218,18 @@ object SparkEntry {
           date_format(col("first_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .withColumn("first_to",
           date_format(col("first_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+    // K-step ordered funnel (view → click → purchase, 1-day horizon):
+    // each step's earliest qualifying time chains off the previous
+    // step's — the oracle restates the chain as K-1 LEFT JOIN + MIN
+    // stages.
+    "events_funnel_steps" -> ((s, dir) => {
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      Events.sequenceFunnel(events(s, dir),
+        Seq("view", "click", "purchase"), horizonSec = 86400L)
+        .withColumn("t1", date_format(col("t1"), fmt))
+        .withColumn("t2", date_format(col("t2"), fmt))
+        .withColumn("t3", date_format(col("t3"), fmt))
+    }),
 
     // ROLLUP over the star join: nation rows + region subtotals +
     // grand total in one Expand-fed aggregate; grouping_id = DuckDB's
@@ -3572,6 +3591,60 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS INT) AS converted
         |FROM f LEFT JOIN c ON f.user_id = c.user_id
         |WHERE f.first_from IS NOT NULL""".stripMargin,
+
+    // K-step funnel oracle: the chained earliest-qualifying-time
+    // recurrence as explicit LEFT JOIN + MIN stages; NULL t2 nulls the
+    // t3 comparison (e.ts >= NULL is never true) exactly like the
+    // Spark side's null-propagating `when`.
+    "events_funnel_steps" ->
+      """WITH u1 AS (
+        |  SELECT user_id, MIN(ts) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), u2 AS (
+        |  SELECT u1.user_id, u1.t1, MIN(e.ts) AS t2
+        |  FROM u1 LEFT JOIN events e
+        |    ON e.user_id = u1.user_id AND e.event_type = 'click'
+        |    AND e.ts >= u1.t1
+        |  GROUP BY 1, 2
+        |), u3 AS (
+        |  SELECT u2.user_id, u2.t1, u2.t2, MIN(e.ts) AS t3
+        |  FROM u2 LEFT JOIN events e
+        |    ON e.user_id = u2.user_id AND e.event_type = 'purchase'
+        |    AND e.ts >= u2.t2
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT user_id,
+        |  strftime(t1, '%Y-%m-%d %H:%M:%S.%f') AS t1,
+        |  strftime(t2, '%Y-%m-%d %H:%M:%S.%f') AS t2,
+        |  strftime(t3, '%Y-%m-%d %H:%M:%S.%f') AS t3,
+        |  CAST(CAST(t1 IS NOT NULL AS INT) + CAST(t2 IS NOT NULL AS INT)
+        |    + CAST(t3 IS NOT NULL AS INT) AS INT) AS depth,
+        |  CAST(CASE WHEN t3 IS NOT NULL
+        |    AND epoch_us(t3) - epoch_us(t1) <= 86400000000
+        |    THEN 1 ELSE 0 END AS INT) AS converted
+        |FROM u3""".stripMargin,
+
+    // weighted-sample oracle: the md5 16-bit bucket folded to an
+    // integer by hex-digit positions, centered uniform, key = u^(1/w)
+    // rounded 6dp, global top-100 by (key desc, id).
+    "llm_weighted_sample" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+        |  FROM documents
+        |), keyed AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROUND(pow(
+        |      ((strpos('0123456789abcdef', hx[1]) - 1) * 4096.0
+        |       + (strpos('0123456789abcdef', hx[2]) - 1) * 256.0
+        |       + (strpos('0123456789abcdef', hx[3]) - 1) * 16.0
+        |       + (strpos('0123456789abcdef', hx[4]) - 1) + 0.5) / 65536.0,
+        |      1.0 / GREATEST(CAST(n_chars AS DOUBLE), 1e-9)), 6)
+        |      AS sample_key
+        |  FROM h
+        |)
+        |SELECT doc_id, source, n_chars, sample_key FROM keyed
+        |ORDER BY sample_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "revenue_rollup" ->
       """WITH per_order AS (

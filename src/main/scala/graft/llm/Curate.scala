@@ -86,6 +86,41 @@ object Curate {
         element_at(thrMap, col(sourceCol)))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006, "Weighted random sampling with a reservoir"): each
+    * row gets key = u^(1/w) for a uniform u and weight w, and the k
+    * LARGEST keys are the sample — inclusion probability proportional
+    * to weight, the quality-weighted corpus selection step ("sample
+    * 100k docs, favoring high-quality ones") of a curation pipeline.
+    *
+    * No RNG: u is derived from the row id's md5 (the 16-bit bucket of
+    * the [[mixCorpus]] recipe, centered: (bucket + 0.5)/65536), so the
+    * sample is reproducible across engines, re-runs and partition
+    * layouts, and — like every hash-keyed sampler here — growing the
+    * corpus never flips the key of an existing row. Keys are rounded
+    * to 6dp pre-rank (id ties) so a `pow` ulp can't flip the cut.
+    *
+    * Scale shape: a pure narrow projection followed by a global top-k
+    * (TakeOrdered — per-partition heaps of k, driver merge of
+    * k·partitions rows). ZERO shuffles for any corpus size; k is the
+    * only driver-side state. Weights must be positive; they are
+    * floored at 1e-9 rather than crashing mid-scan at scale. */
+  def weightedSample(
+      docs: DataFrame,
+      k: Int,
+      weightCol: String = "n_chars",
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bucket = conv(substring(md5(col(idCol).cast("string")), 1, 4),
+      16, 10).cast("double")
+    val u = (bucket + lit(0.5)) / lit(65536.0)
+    val w = greatest(col(weightCol).cast("double"), lit(1e-9))
+    docs
+      .withColumn("sample_key", round(pow(u, lit(1.0) / w), 6))
+      .orderBy(col("sample_key").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Temperature-scaled source mixing (the multilingual-corpus recipe
     * popularized by multilingual LM training: sample sources with
     * probability ∝ nᵅ, α < 1 flattening the natural distribution so

@@ -215,6 +215,50 @@ object Events {
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —
     * exactly SQL-window-expressible, so oracle-checkable. */
+  /** Multi-step ordered funnel: per user, the earliest time of step 1,
+    * then the earliest step-2 event AT OR AFTER it, then the earliest
+    * step-3 event at or after THAT, and so on — the K-step
+    * generalization of [[funnel]] (which this reproduces at K=2 up to
+    * output shape). `depth` counts completed steps; `converted` = 1
+    * when the final step lands within `horizonSec` of step 1.
+    *
+    * Scale shape: step 1 is one user-keyed aggregation; each later
+    * step joins the (already user-collapsed, one-row-per-user) funnel
+    * frame back to that step's events on user_id and re-aggregates —
+    * K−1 keyed joins whose left side never exceeds one row per user,
+    * so cost stays K × (events shuffle), never combinatorial in event
+    * counts (the naive per-user sequence scan is quadratic under
+    * repeated steps). All K aggregations partial-combine map-side. */
+  def sequenceFunnel(
+      events: DataFrame,
+      steps: Seq[String],
+      horizonSec: Long = 86400L): DataFrame = {
+    require(steps.size >= 2, s"need >= 2 steps, got ${steps.size}")
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val full = steps.zipWithIndex.drop(1).foldLeft(first) {
+      case (acc, (step, i)) =>
+        val prev = s"t$i"
+        val cur = s"t${i + 1}"
+        val carried = col("user_id") +: (1 to i).map(j => col(s"t$j"))
+        acc
+          .join(events.filter(col("event_type") === step)
+            .select(col("user_id"), col("ts").as("_ts")),
+            Seq("user_id"), "left")
+          .groupBy(carried: _*)
+          .agg(min(when(col("_ts") >= col(prev), col("_ts"))).as(cur))
+    }
+    val ts = (1 to steps.size).map(i => col(s"t$i"))
+    val depth = ts.map(t => when(t.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    full
+      .withColumn("depth", depth)
+      .withColumn("converted",
+        (ts.last.isNotNull &&
+          unix_micros(ts.last) - unix_micros(ts.head)
+            <= horizonSec * 1000000L).cast("int"))
+  }
+
   /** Per-session summary over [[sessionize]]: one row per (user,
     * session) with bounds, second-truncated duration and event count —
     * the aggregate the streaming twin

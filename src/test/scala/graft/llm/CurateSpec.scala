@@ -150,6 +150,39 @@ class CurateSpec extends SparkSpec {
     assert(out.select("doc_id").exceptAll(again.select("doc_id")).count() == 0)
   }
 
+  test("weightedSample: higher-weight rows oversampled vs uniform; " +
+      "deterministic; zero Exchange in the plan") {
+    val s = spark
+    import s.implicits._
+    // two weight classes: heavy (w=1000) vs light (w=10) — heavy rows
+    // should dominate a k = n/5 sample
+    val base = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) 1000 else 10)).toDF("doc_id", "w")
+    val out = Curate.weightedSample(base, k = 200, weightCol = "w")
+    assert(out.count() == 200)
+    val heavy = out.filter(col("w") === 1000).count()
+    assert(heavy > 150, s"heavy rows in sample: $heavy of 200")
+    // deterministic across runs
+    val again = Curate.weightedSample(base, k = 200, weightCol = "w")
+    assert(out.exceptAll(again).count() == 0)
+    // growing the corpus cannot flip an existing row's key (hash-keyed)
+    val grown = base.unionByName(
+      (2000L until 2100L).map(i => (i, 500)).toDF("doc_id", "w"))
+    val keysBefore = out.select("doc_id", "sample_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val keysAfter = Curate.weightedSample(grown, k = 1100,
+      weightCol = "w")
+      .select("doc_id", "sample_key").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    keysBefore.foreach { case (id, key) =>
+      assert(keysAfter(id) == key, s"key of $id changed on growth") }
+    // global top-k plans as TakeOrdered — no Exchange anywhere
+    val plan = Curate.weightedSample(base, k = 200, weightCol = "w")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("hashSplit: deterministic, partition-stable, shares track weights") {
     val out = Curate.hashSplit(docs.select("doc_id"))
     val counts = out.groupBy("split").count()

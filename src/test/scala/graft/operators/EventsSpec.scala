@@ -49,6 +49,38 @@ class EventsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1500))
   }
 
+  test("sequenceFunnel: 3-step chain on a crafted timeline — ordering " +
+      "enforced, partial depths, horizon cut") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      // user 1: view 09:00 → click 10:00 → purchase 10:30: depth 3, converted
+      (1L, "view", "2024-01-01 09:00:00", 1L),
+      (2L, "click", "2024-01-01 10:00:00", 1L),
+      (3L, "purchase", "2024-01-01 10:30:00", 1L),
+      // user 2: click BEFORE the first view must not count; no click
+      // after the view → depth 1 (purchase after view can't chain
+      // without a qualifying click)
+      (4L, "click", "2024-01-01 08:00:00", 2L),
+      (5L, "view", "2024-01-01 09:00:00", 2L),
+      (6L, "purchase", "2024-01-01 10:00:00", 2L),
+      // user 3: full chain but purchase 2 days later → depth 3, NOT converted
+      (7L, "view", "2024-01-01 09:00:00", 3L),
+      (8L, "click", "2024-01-01 09:30:00", 3L),
+      (9L, "purchase", "2024-01-03 10:00:00", 3L),
+      // user 4: never viewed → absent from the funnel entirely
+      (10L, "click", "2024-01-01 09:00:00", 4L)
+    ).toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.sequenceFunnel(df, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(4), r.getInt(5))).toMap
+    assert(out(1L) == ((3, 1)))
+    assert(out(2L) == ((1, 0)))
+    assert(out(3L) == ((3, 0)))
+    assert(!out.contains(4L))
+  }
+
   test("funnel: crafted timeline — converted, late, never, pre-click purchase") {
     val s = spark
     import s.implicits._
