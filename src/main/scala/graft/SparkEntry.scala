@@ -1218,6 +1218,16 @@ object SparkEntry {
           date_format(col("first_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .withColumn("first_to",
           date_format(col("first_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+    // First-order Markov transition counts over per-user time-ordered
+    // streams; __end__ closes each user's chain. One window shuffle +
+    // one partial-aggregated count.
+    "events_transitions" -> ((s, dir) =>
+      Events.transitions(events(s, dir))),
+    // Daily ingest-volume anomaly screen: per-type day counts scored
+    // by the type's across-days z (6dp-rounded pre-threshold).
+    "events_volume_anomaly" -> ((s, dir) =>
+      Events.volumeAnomaly(events(s, dir))),
+
     // K-step ordered funnel (view → click → purchase, 1-day horizon):
     // each step's earliest qualifying time chains off the previous
     // step's — the oracle restates the chain as K-1 LEFT JOIN + MIN
@@ -3591,6 +3601,36 @@ object SparkEntry {
         |    THEN 1 ELSE 0 END AS INT) AS converted
         |FROM f LEFT JOIN c ON f.user_id = c.user_id
         |WHERE f.first_from IS NOT NULL""".stripMargin,
+
+    // transition oracle: lead over the same (ts, event_id) order.
+    "events_transitions" ->
+      """SELECT event_type, next_type, COUNT(*) AS n FROM (
+        |  SELECT event_type,
+        |    COALESCE(lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id), '__end__')
+        |      AS next_type
+        |  FROM events
+        |) GROUP BY 1, 2""".stripMargin,
+
+    // volume-anomaly oracle: same two-level aggregate; stddev_samp ==
+    // DuckDB stddev_samp, z rounded 6dp before the |z| > 3 compare.
+    "events_volume_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, AVG(n_events) AS mu,
+        |    stddev_samp(n_events) AS sigma
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT d.event_type, d.day, d.n_events,
+        |  CASE WHEN m.sigma > 0
+        |    THEN ROUND((d.n_events - m.mu) / m.sigma, 6) END AS z,
+        |  CAST(CASE WHEN m.sigma > 0
+        |      AND abs(ROUND((d.n_events - m.mu) / m.sigma, 6)) > 3.0
+        |    THEN 1 ELSE 0 END AS INT) AS is_anomaly
+        |FROM daily d JOIN m USING (event_type)""".stripMargin,
 
     // K-step funnel oracle: the chained earliest-qualifying-time
     // recurrence as explicit LEFT JOIN + MIN stages; NULL t2 nulls the

@@ -215,6 +215,55 @@ object Events {
     * user's previous event exceeds `gapMinutes`. Emits a per-user
     * 1-based `session_idx` via a running sum over session starts —
     * exactly SQL-window-expressible, so oracle-checkable. */
+  /** Next-event transition counts (the first-order Markov view of user
+    * journeys): for each user's time-ordered event stream, count
+    * (event_type → next event_type) pairs, plus an `__end__` row per
+    * user for the final event. The "what do users do after X"
+    * analytics every event pipeline ships.
+    *
+    * One user-keyed window shuffle (lead over (ts, event_id) — the
+    * same deterministic ordering sessionize uses) and one
+    * partial-aggregated count. */
+  def transitions(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("next_type",
+        coalesce(lead(col("event_type"), 1).over(w), lit("__end__")))
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Daily volume anomaly screen: per (event_type, day) counts scored
+    * against that type's across-days mean/sample-stddev; |z| past
+    * `zThresh` flags the day — the ingest-monitoring query that
+    * catches a collapsed producer or a duplication storm. z is rounded
+    * to 6dp BEFORE the threshold compare so the flag is engine-stable;
+    * types with a single day (stddev undefined) emit z = null,
+    * flagged 0.
+    *
+    * Two aggregations, both tiny: (type, day) counts — calendar-sized,
+    * partial-combined — then per-type moments over days. */
+  def volumeAnomaly(
+      events: DataFrame,
+      zThresh: Double = 3.0): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = daily.groupBy(col("event_type"))
+      .agg(avg(col("n_events")).as("mu"),
+        stddev_samp(col("n_events")).as("sigma"))
+    daily.join(moments, "event_type")
+      .withColumn("z",
+        when(col("sigma") > 0,
+          round((col("n_events") - col("mu")) / col("sigma"), 6)))
+      .withColumn("is_anomaly",
+        (col("z").isNotNull && abs(col("z")) > zThresh).cast("int"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("z"), col("is_anomaly"))
+  }
+
   /** Multi-step ordered funnel: per user, the earliest time of step 1,
     * then the earliest step-2 event AT OR AFTER it, then the earliest
     * step-3 event at or after THAT, and so on — the K-step

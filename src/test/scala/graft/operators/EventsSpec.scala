@@ -49,6 +49,51 @@ class EventsSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(1500))
   }
 
+  test("transitions: crafted chains counted with __end__ terminators") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "view", "2024-01-01 09:00:00", 1L),
+      (2L, "click", "2024-01-01 09:05:00", 1L),
+      (3L, "view", "2024-01-01 09:10:00", 1L),
+      (4L, "view", "2024-01-01 09:00:00", 2L),
+      (5L, "click", "2024-01-01 09:01:00", 2L)
+    ).toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.transitions(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("view", "click") -> 2L, ("click", "view") -> 1L,
+      ("view", "__end__") -> 1L, ("click", "__end__") -> 1L))
+  }
+
+  test("volumeAnomaly: planted spike flagged; single-day type unflagged " +
+      "with null z") {
+    val s = spark
+    import s.implicits._
+    // type A: 29 quiet days of 10 events + one 500-event spike (a
+    // single outlier among n days caps at z = (n-1)/sqrt(n), so n must
+    // be large enough for the spike to clear 3 — here z ≈ 5.3);
+    // type B: a single day (sigma undefined)
+    val rows =
+      (for (d <- 1 to 29; i <- 1 to 10) yield
+        (s"a$d$i", "A", f"2024-01-$d%02d 10:00:00")) ++
+      (1 to 500).map(i => (s"sp$i", "A", "2024-01-30 10:00:00")) ++
+      Seq(("b1", "B", "2024-01-01 10:00:00"))
+    val df = rows.zipWithIndex
+      .map { case ((_, t, ts), i) => (i.toLong, t, ts, i.toLong % 7) }
+      .toDF("event_id", "event_type", "ts_s", "user_id")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.volumeAnomaly(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Double]),
+          r.getInt(4))).toMap
+    assert(out(("A", "2024-01-30"))._3 == 1) // spike flagged
+    assert(out(("A", "2024-01-01"))._3 == 0) // quiet day not
+    val b = out(("B", "2024-01-01"))
+    assert(b._2.isEmpty && b._3 == 0) // single day: null z, unflagged
+  }
+
   test("sequenceFunnel: 3-step chain on a crafted timeline — ordering " +
       "enforced, partial depths, horizon cut") {
     val s = spark
