@@ -371,6 +371,14 @@ object SparkEntry {
     "dedup_minhash_clusters" -> ((s, dir) =>
       Dedup.minhashConnected(documents(s, dir), minJaccard = 0.2)
         .select("doc_id", "lang", "source", "n_chars")),
+    // Same clusters, production keep rule: the LONGEST member survives
+    // (ties to the smaller id) instead of the smallest id — the
+    // "keep the best copy" policy real dedup ships. The oracle swaps
+    // only the keep rule (argmax over the closure's components).
+    "dedup_minhash_clusters_best" -> ((s, dir) =>
+      Dedup.minhashConnectedBest(documents(s, dir), scoreCol = "n_chars",
+        minJaccard = 0.2)
+        .select("doc_id", "lang", "source", "n_chars")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
     // simhash as candidate generator + exact-Jaccard verification —
@@ -1277,6 +1285,13 @@ object SparkEntry {
     // n_nulls column is non-vacuous; the CASE is mirrored literally in
     // the oracle. profileApprox is the documented at-scale twin
     // (ProfileSpec pins its rsd bound + Expand-free plan).
+    // Fixed-width 20-bin histogram of l_extendedprice: exact-MIN/MAX
+    // bounds, floor((x−min)/width) assignment (single IEEE ops — no
+    // summation, so bin membership is engine-identical), empty bins
+    // present, max value closed into the last bin.
+    "profile_histogram" -> ((s, dir) =>
+      Profile.histogram(lineitem(s, dir), "l_extendedprice", nBins = 20)),
+
     "profile_table" -> ((s, dir) =>
       Profile.profile(
         Sources.parquetTable(s, dir, "orders").withColumn(
@@ -1622,6 +1637,51 @@ object SparkEntry {
         |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
         |), losers AS (
         |  SELECT id FROM reach GROUP BY id HAVING id <> MIN(comp)
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
+
+    // keep-best variant: identical edges + closure; losers = cluster
+    // members that are NOT the (n_chars DESC, id ASC) winner of their
+    // component.
+    "dedup_minhash_clusters_best" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+        |        AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.2
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM edges
+        |), reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM sym
+        |  UNION
+        |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+        |), comps AS (
+        |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |), losers AS (
+        |  SELECT id FROM (
+        |    SELECT c.id, row_number() OVER (
+        |      PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id) AS rk
+        |    FROM comps c JOIN documents d ON d.doc_id = c.id
+        |  ) WHERE rk <> 1
         |)
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
@@ -3782,6 +3842,28 @@ object SparkEntry {
     // planted-null column. min/max casts render identically: BIGINTs
     // have one decimal form, timestamps are midnight-only (no
     // fractional seconds) and both sessions run UTC.
+    // histogram oracle: same bounds, same single-op bucket assignment,
+    // same half-away-from-zero 6dp edge rounding, spine from range().
+    "profile_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), binned AS (
+        |  SELECT LEAST(19, CAST(floor(
+        |    (l_extendedprice - b.mn) / ((b.mx - b.mn) / 20)) AS INT))
+        |    AS bin_id
+        |  FROM lineitem, b WHERE l_extendedprice IS NOT NULL
+        |), cnt AS (
+        |  SELECT bin_id, COUNT(*) AS n FROM binned GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(0, 20)) AS bin_id
+        |)
+        |SELECT CAST(s.bin_id AS INT) AS bin_id,
+        |  ROUND(b.mn + s.bin_id * ((b.mx - b.mn) / 20), 6) AS lo,
+        |  ROUND(b.mn + (s.bin_id + 1) * ((b.mx - b.mn) / 20), 6) AS hi,
+        |  COALESCE(c.n, 0) AS n
+        |FROM spine s CROSS JOIN b LEFT JOIN cnt c USING (bin_id)""".stripMargin,
+
     "profile_table" ->
       """WITH o AS (
         |  SELECT *,

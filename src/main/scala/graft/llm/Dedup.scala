@@ -613,6 +613,35 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** [[minhashConnected]] keeping the BEST-scoring member of each
+    * cluster instead of the smallest id — what a production dedup
+    * actually ships (among near-copies, keep the highest-quality /
+    * longest / most-recent one; `scoreCol`, ties to the smaller id).
+    * Cluster membership is identical to [[minhashConnected]]; only the
+    * keep rule changes: one candidate-bounded window over the cluster
+    * members picks the winner (WindowGroupLimit shape — the member
+    * set is pairs-bounded, never corpus-bounded). */
+  def minhashConnectedBest(
+      df: DataFrame,
+      scoreCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comps = connectedComponents(
+      minhashPairs(df, textCol, idCol, minJaccard = minJaccard))
+    val members = comps
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("_score")),
+        "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("_score").desc, col("id"))
+    val losers = members
+      .withColumn("_rk", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_rk") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash per document, computed without UDFs: explode

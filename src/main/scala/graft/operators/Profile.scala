@@ -43,6 +43,58 @@ object Profile {
       rsd: Double = 0.05): DataFrame =
     assemble(df, cols, exact = false, rsd)
 
+  /** Fixed-width histogram of a numeric column: `nBins` equal-width
+    * buckets over the column's exact [min, max], emitting
+    * (bin_id, lo, hi, n) with empty bins PRESENT (count 0) — the
+    * distribution-shape profiling step next to [[profile]]'s scalar
+    * stats. The max value lands in the LAST bin (half-open buckets,
+    * closed at the top).
+    *
+    * Determinism: bounds come from exact MIN/MAX aggregates; the
+    * bucket index is floor((x−min)/width) — single IEEE ops on
+    * engine-identical operands, so the assignment is reproducible
+    * anywhere (no summation anywhere in the path). `lo`/`hi` are
+    * rounded to 6dp for the report only; assignment uses the raw
+    * arithmetic.
+    *
+    * Scale: one min/max aggregate (fixed-size state), then one
+    * partial-combined count keyed by bin — output is `nBins` rows
+    * regardless of input size; the bin spine is a driver-side range
+    * so empty bins cost nothing. Nulls are excluded (they are
+    * [[profile]]'s `n_nulls` business, not a bucket). */
+  def histogram(
+      df: DataFrame,
+      column: String,
+      nBins: Int = 20): DataFrame = {
+    require(nBins >= 1, s"nBins must be >= 1, got $nBins")
+    val x = col(column).cast("double")
+    val b = df.where(x.isNotNull)
+      .agg(min(x).as("mn"), max(x).as("mx")).head()
+    require(!b.isNullAt(0), s"histogram: column '$column' is all null")
+    val (mn, mx) = (b.getDouble(0), b.getDouble(1))
+    val width = (mx - mn) / nBins
+    val spark = df.sparkSession
+    import spark.implicits._
+    // half-away-from-zero at 6dp — the ROUND convention DuckDB and
+    // Spark's `round` share (rint's half-even would diverge on exact
+    // .5e-6 boundaries)
+    def r6(v: Double): Double =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val spine = (0 until nBins).map(i => (i,
+      r6(mn + i * width), r6(mn + (i + 1) * width)))
+      .toDF("bin_id", "lo", "hi")
+    val binned =
+      if (width == 0) df.where(x.isNotNull).select(lit(0).as("bin_id"))
+      else df.where(x.isNotNull).select(
+        least(lit(nBins - 1),
+          floor((x - lit(mn)) / lit(width)).cast("int")).as("bin_id"))
+    spine.join(
+      binned.groupBy("bin_id").agg(count(lit(1)).as("n")),
+      Seq("bin_id"), "left")
+      .select(col("bin_id"), col("lo"), col("hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   private def assemble(df: DataFrame, cols: Seq[String], exact: Boolean,
       rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

@@ -100,6 +100,29 @@ class DedupSpec extends SparkSpec {
     assert(kept.filter(col("doc_id").isin(200001L, 200002L)).count() == 0)
   }
 
+  test("minhashConnectedBest: the highest-scoring cluster member " +
+      "survives instead of the smallest id") {
+    val s = spark
+    import s.implicits._
+    val t0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val words = t0.split(" ")
+    val b = (words.take(words.length - 1) :+ "zzz1").mkString(" ")
+    val chain = docs.select("doc_id", "text").unionByName(
+      Seq((200001L, b + " extra trailing words here")).toDF("doc_id", "text"))
+      .withColumn("score", length(col("text")))
+    // doc 200001 is LONGER than doc 0 → keep-best keeps the big id,
+    // exactly where keep-min would keep doc 0
+    val best = Dedup.minhashConnectedBest(chain, scoreCol = "score",
+      minJaccard = 0.5)
+    assert(best.filter(col("doc_id") === 200001L).count() == 1)
+    assert(best.filter(col("doc_id") === 0L).count() == 0)
+    val byMin = Dedup.minhashConnected(chain, minJaccard = 0.5)
+    assert(byMin.filter(col("doc_id") === 0L).count() == 1)
+    assert(byMin.filter(col("doc_id") === 200001L).count() == 0)
+    // same survivor COUNT under either rule (one per cluster)
+    assert(best.count() == byMin.count())
+  }
+
   test("exactGroups: duplicate group has size 2 and keeps min id") {
     val g = Dedup.exactGroups(planted).filter(col("group_size") > 1)
     assert(g.count() == 1)

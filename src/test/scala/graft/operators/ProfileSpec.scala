@@ -13,6 +13,30 @@ class ProfileSpec extends SparkSpec {
   private val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
     "o_orderdate", "o_status_sparse")
 
+  test("histogram: hand-checked bins, empty bins present, max in last " +
+      "bin, nulls excluded, counts sum to non-null rows") {
+    val s = spark
+    import s.implicits._
+    // values 0..9 and 100 → 10 bins of width 10: bin 0 holds 0..9,
+    // bins 1..8 empty, bin 9 holds the max (closed top)
+    val df = ((0 to 9).map(_.toDouble) :+ 100.0).map(Tuple1(_))
+      .toDF("v").unionByName(Seq(Tuple1(null.asInstanceOf[java.lang.Double]))
+        .toDF("v"))
+    val h = Profile.histogram(df, "v", nBins = 10).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    assert(h.size == 10)
+    assert(h(0) == ((0.0, 10.0, 10L)))
+    (1 to 8).foreach(i => assert(h(i)._3 == 0L, s"bin $i should be empty"))
+    assert(h(9) == ((90.0, 100.0, 1L)))
+    assert(h.values.map(_._3).sum == 11L) // null excluded
+    // constant column: everything lands in bin 0
+    val flat = Profile.histogram(
+      Seq(5.0, 5.0, 5.0).map(Tuple1(_)).toDF("v"), "v", nBins = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(flat(0) == 3L && flat.values.sum == 3L)
+  }
+
   test("profile: exact stats match per-column brute force, planted nulls counted") {
     val out = Profile.profile(orders, cols).collect()
       .map(r => r.getAs[String]("column_name") -> r).toMap
