@@ -919,6 +919,26 @@ object SparkEntry {
       LanguageModel.crossPerplexity(
         docs.filter(col("lang") === "en"), docs)
     }),
+    // Train → persist the model artifact → reload → score: the
+    // nightly-scoring deployment. Shares text_perplexity_cross's
+    // oracle verbatim (the round-trip must be the identity), so model
+    // persistence is hash-verified like the IVF/BM25 index round-trips.
+    "text_perplexity_persisted" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val train = docs.filter(col("lang") === "en")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lm")
+      try {
+        val model = LanguageModel.bigramModel(train)
+        val v = train
+          .select(explode(regexp_extract_all(lower(col("text")),
+            lit("[\\p{L}]+"), lit(0))).as("w"))
+          .agg(countDistinct(col("w"))).head().getLong(0)
+        LanguageModel.writeModel(model, v, tmp.toString)
+        val (loaded, lv) = LanguageModel.readModel(s, tmp.toString)
+        LanguageModel.perplexityAgainst(docs, loaded, lv)
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
 
     // ------------------------------------ §7 boilerplate line removal
     // C4-style frequent-line filter on a planted multi-line fixture:
@@ -1396,6 +1416,46 @@ object SparkEntry {
       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
       |  FROM scored
       |) WHERE rnk <= 10""".stripMargin
+
+  /** Shared by text_perplexity_cross and text_perplexity_persisted (the
+    * model write → reload → score round-trip must be the identity). */
+  private val crossPerplexityOracle: String =
+    """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS ws
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
+        |        FROM toks)
+        |), tbig AS (
+        |  SELECT w1, w2 FROM big WHERE lang = 'en'
+        |), ctx AS (
+        |  SELECT w1, COUNT(*) AS c1 FROM tbig GROUP BY w1
+        |), pair AS (
+        |  SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2
+        |), voc AS (
+        |  SELECT COUNT(DISTINCT w) AS v
+        |  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
+        |), model AS (
+        |  SELECT p.w1, p.w2,
+        |    (p.c12 + 0.5) / (c.c1 + 0.5 * voc.v) AS p
+        |  FROM pair p JOIN ctx c USING (w1), voc
+        |), scored AS (
+        |  SELECT b.doc_id,
+        |    ln(COALESCE(m.p,
+        |      0.5 / (COALESCE(c.c1, 0) + 0.5 * voc.v))) AS lp
+        |  FROM big b
+        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+        |  LEFT JOIN ctx c ON b.w1 = c.w1, voc
+        |), agg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
+        |  FROM scored GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
+        |  ROUND(a.ppl, 6) AS ppl
+        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** BM25 CTE chain up to `scored` (query_id, doc_id, bm25) — shared
     * by the bm25 oracle (which ranks it) and the hybrid-retrieval
@@ -3004,43 +3064,8 @@ object SparkEntry {
     // COALESCE(model p, 0.5 / (COALESCE(c1, 0) + 0.5·V)) covers the
     // known-context-unseen-pair AND the unknown-context branches in
     // one expression, exactly perplexityAgainst's coalesce chain.
-    "text_perplexity_cross" ->
-      """WITH toks AS (
-        |  SELECT doc_id, lang,
-        |    regexp_extract_all(lower(text), '[\p{L}]+') AS ws
-        |  FROM documents
-        |), big AS (
-        |  SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
-        |  FROM (SELECT doc_id, lang, ws, unnest(range(1, len(ws))) AS i
-        |        FROM toks)
-        |), tbig AS (
-        |  SELECT w1, w2 FROM big WHERE lang = 'en'
-        |), ctx AS (
-        |  SELECT w1, COUNT(*) AS c1 FROM tbig GROUP BY w1
-        |), pair AS (
-        |  SELECT w1, w2, COUNT(*) AS c12 FROM tbig GROUP BY w1, w2
-        |), voc AS (
-        |  SELECT COUNT(DISTINCT w) AS v
-        |  FROM (SELECT unnest(ws) AS w FROM toks WHERE lang = 'en')
-        |), model AS (
-        |  SELECT p.w1, p.w2,
-        |    (p.c12 + 0.5) / (c.c1 + 0.5 * voc.v) AS p
-        |  FROM pair p JOIN ctx c USING (w1), voc
-        |), scored AS (
-        |  SELECT b.doc_id,
-        |    ln(COALESCE(m.p,
-        |      0.5 / (COALESCE(c.c1, 0) + 0.5 * voc.v))) AS lp
-        |  FROM big b
-        |  LEFT JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
-        |  LEFT JOIN ctx c ON b.w1 = c.w1, voc
-        |), agg AS (
-        |  SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
-        |  FROM scored GROUP BY doc_id
-        |)
-        |SELECT d.doc_id,
-        |  COALESCE(a.n_bigrams, 0) AS n_bigrams,
-        |  ROUND(a.ppl, 6) AS ppl
-        |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "text_perplexity_persisted" -> crossPerplexityOracle,
+    "text_perplexity_cross" -> crossPerplexityOracle,
 
     // boilerplate oracle: same planted fixture (banner on doc_id%3=0,
     // per-source footer, blank separator), same semantics — a non-blank

@@ -128,6 +128,29 @@ object LanguageModel {
     perplexityAgainst(scoreDocs, model, v, textCol, idCol, k)
   }
 
+  /** Persist a fitted model ([[bigramModel]] output) plus its vocab
+    * size — the train-once / score-many deployment the header
+    * describes: nightly scoring runs reload the artifact instead of
+    * re-aggregating the reference corpus. The model rows go to plain
+    * parquet (bucket by (w1, w2) via
+    * [[graft.sources.Sources.writeBucketed]] for Exchange-free scoring
+    * joins at scale); `v` goes to a one-row parquet so model and vocab
+    * size cannot desynchronize. */
+  def writeModel(model: DataFrame, vocabSize: Long,
+      basePath: String): Unit = {
+    model.write.mode("overwrite").parquet(s"$basePath/model")
+    val spark = model.sparkSession
+    import spark.implicits._
+    Seq(vocabSize).toDF("v")
+      .coalesce(1).write.mode("overwrite").parquet(s"$basePath/meta")
+  }
+
+  /** Reload a persisted model; see [[writeModel]]. */
+  def readModel(spark: org.apache.spark.sql.SparkSession,
+      basePath: String): (DataFrame, Long) =
+    (spark.read.parquet(s"$basePath/model"),
+      spark.read.parquet(s"$basePath/meta").head().getLong(0))
+
   /** Self-scored perplexity: train on `docs`, score `docs` — the
     * one-corpus form used for intra-corpus quality bucketing. Every
     * doc bigram is in the model by construction, so the unseen branch

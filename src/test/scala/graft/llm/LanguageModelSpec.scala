@@ -80,6 +80,31 @@ class LanguageModelSpec extends SparkSpec {
     assert(got(12L) === math.rint(9.0 / 7.0 * 1e6) / 1e6)
   }
 
+  test("model persistence: reloaded model scores identically; vocab " +
+      "size rides the artifact") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val score = Seq((10L, "a b x"), (11L, "c a")).toDF("doc_id", "text")
+    val model = LanguageModel.bigramModel(train)
+    val direct = LanguageModel.perplexityAgainst(score, model,
+      vocabSize = 3L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lm").toString
+    try {
+      LanguageModel.writeModel(model, 3L, tmp)
+      val (loaded, v) = LanguageModel.readModel(spark, tmp)
+      assert(v == 3L)
+      val rescored = LanguageModel.perplexityAgainst(score, loaded, v)
+      assert(rescored.exceptAll(direct).count() == 0 &&
+        direct.exceptAll(rescored).count() == 0)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(new java.io.File(tmp))
+    }
+  }
+
   test("perplexityFilter keeps low-ppl and unscorable docs") {
     val kept = LanguageModel.perplexityFilter(corpus, maxPpl = 1.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
