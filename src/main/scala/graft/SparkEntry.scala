@@ -1362,7 +1362,8 @@ object SparkEntry {
       |  SELECT vec_id, e, row_number() OVER (
       |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
       |  ) - 1 AS cell
-      |  FROM wf QUALIFY cell < 16
+      |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
+      |  QUALIFY cell < 16
       |), centv AS (
       |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
       |  FROM ivf_rows
@@ -2045,7 +2046,11 @@ object SparkEntry {
     // temperature-mix oracle: derived skewed domain → per-domain
     // counts → (n_min/n)^(1−α) → round(f · 65536) hex threshold (the
     // mixCorpus quantization, 'g' for f ≥ 1 since 'g' sorts above
-    // every hex char) → md5 filter. Same arithmetic order as Scala.
+    // every hex char) → md5 filter. Same arithmetic order as Scala —
+    // including the exponent: Scala computes pow(x, 1.0 - 0.7) and
+    // 1.0 - 0.7 = 0.30000000000000004 in IEEE double, NOT the literal
+    // 0.3, so the SQL spells the exponent as (1.0 - 0.7) to hand both
+    // engines the bit-identical second argument (round-11 ADVICE).
     "llm_temperature_mix" ->
       """WITH docs2 AS (
         |  SELECT doc_id, lang, n_chars,
@@ -2059,10 +2064,11 @@ object SparkEntry {
         |  SELECT MIN(n) AS nmin FROM counts
         |), thr AS (
         |  SELECT domain,
-        |    CASE WHEN pow(CAST(mn.nmin AS DOUBLE) / n, 0.3) >= 1.0 THEN 'g'
+        |    CASE WHEN pow(CAST(mn.nmin AS DOUBLE) / n, 1.0 - 0.7) >= 1.0
+        |      THEN 'g'
         |      ELSE printf('%04x', LEAST(65535,
-        |        CAST(round(pow(CAST(mn.nmin AS DOUBLE) / n, 0.3) * 65536)
-        |          AS BIGINT))) END AS t
+        |        CAST(round(pow(CAST(mn.nmin AS DOUBLE) / n, 1.0 - 0.7)
+        |          * 65536) AS BIGINT))) END AS t
         |  FROM counts, mn
         |)
         |SELECT d.doc_id, d.domain, d.lang, d.n_chars
@@ -2598,7 +2604,8 @@ object SparkEntry {
         |  SELECT e, row_number() OVER (
         |    ORDER BY (vec_id % 1048573) * 2654435761 % 1048573, vec_id
         |  ) - 1 AS c
-        |  FROM wf QUALIFY c < 64
+        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
+        |  QUALIFY c < 64
         |), vals AS MATERIALIZED (
         |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
         |  FROM wf
@@ -2663,7 +2670,8 @@ object SparkEntry {
         |  SELECT e, row_number() OVER (
         |    ORDER BY (vec_id % 1048573) * 2654435761 % 1048573, vec_id
         |  ) - 1 AS c
-        |  FROM wf QUALIFY c < 64
+        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
+        |  QUALIFY c < 64
         |), cbv AS MATERIALIZED (
         |  SELECT c, unnest(range(0, len(e))) AS i, unnest(e) AS v
         |  FROM cb_rows
@@ -2671,7 +2679,8 @@ object SparkEntry {
         |  SELECT vec_id, e, row_number() OVER (
         |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
         |  ) - 1 AS cell
-        |  FROM wf QUALIFY cell < 16
+        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
+        |  QUALIFY cell < 16
         |), centv AS (
         |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
         |  FROM ivf_rows

@@ -308,7 +308,12 @@ object Curate {
     * ([[Dedup.ngramJaccard]]) is candidate-bounded. Benchmark ids are
     * internally remapped to the negative range so they can never
     * collide with corpus ids inside the shared verify frame; outputs
-    * carry the original ids. */
+    * carry the original ids. PRECONDITION: ids in BOTH frames must be
+    * nonnegative — the (-id - 1) remap is only collision-free then (a
+    * benchmark id of -1 would remap to 0 and silently merge with a
+    * corpus doc). Enforced by filtering both inputs to idCol >= 0, so
+    * a violating row is excluded rather than corrupting the pair
+    * report and [[decontaminateNear]]'s anti-join (round-11 ADVICE). */
   def nearContamination(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -318,8 +323,9 @@ object Curate {
       textCol: String = "text",
       idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
-    val t = docs.select(col(idCol), col(textCol))
-    val bNeg = benchmark.select((-col(idCol) - 1).as(idCol), col(textCol))
+    val t = docs.where(col(idCol) >= 0).select(col(idCol), col(textCol))
+    val bNeg = benchmark.where(col(idCol) >= 0)
+      .select((-col(idCol) - 1).as(idCol), col(textCol))
     val tBands = Dedup.minhashBandKeys(t, textCol, idCol,
       numHashes, bands, seed)
     val bBands = Dedup.minhashBandKeys(bNeg, textCol, idCol,

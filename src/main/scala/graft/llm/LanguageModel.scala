@@ -131,11 +131,14 @@ object LanguageModel {
   /** Persist a fitted model ([[bigramModel]] output) plus its vocab
     * size — the train-once / score-many deployment the header
     * describes: nightly scoring runs reload the artifact instead of
-    * re-aggregating the reference corpus. The model rows go to plain
-    * parquet (bucket by (w1, w2) via
-    * [[graft.sources.Sources.writeBucketed]] for Exchange-free scoring
-    * joins at scale); `v` goes to a one-row parquet so model and vocab
-    * size cannot desynchronize. */
+    * re-aggregating the reference corpus. The model rows go to PLAIN
+    * parquet: the model is vocab²-bounded (typically MBs, broadcast
+    * into the scoring join), so bucketing buys nothing here. A caller
+    * whose model outgrows broadcast range can bucket it on (w1, w2)
+    * via [[graft.sources.Sources.writeBucketed]] before scoring —
+    * an optional optimization applied at the call site, not by this
+    * writer. `v` goes to a one-row parquet so model and vocab size
+    * cannot desynchronize. */
   def writeModel(model: DataFrame, vocabSize: Long,
       basePath: String): Unit = {
     model.write.mode("overwrite").parquet(s"$basePath/model")

@@ -210,6 +210,13 @@ object Sources {
     * method does. */
   def eventsTable(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→Timestamp cast below interprets the stored wall-clock in
+    // the SESSION timezone; event instants are UTC by contract, so pin
+    // the session to UTC here (same precedent as the nanosAsLong conf
+    // above: the scan consults it at execution time). Without this a
+    // caller in a non-UTC default timezone silently shifts every
+    // instant (round-11 ADVICE).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = spark.read.parquet(s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

@@ -130,6 +130,18 @@ class SourcesSpec extends SparkSpec {
     assert(emb("vec_id") == LongType &&
       emb("embedding") == ArrayType(FloatType, containsNull = true),
       s"embeddings drifted: $emb")
+    // Data contract beyond the schema: the physical type ALLOWS null
+    // elements, but the hash-init quantizer draws (hashSelectRows)
+    // exclude null-element rows while their DuckDB twins draw on
+    // len(embedding) + the same list_filter null screen — both engines
+    // agree for any data, but pin the testdata to the clean case so a
+    // generator change that starts planting null ELEMENTS is named
+    // here, not as an oracle hash drift (round-11 ADVICE).
+    val nullElems = Sources.parquetTable(spark, sf0001, "embeddings")
+      .where(org.apache.spark.sql.functions.expr(
+        "exists(embedding, x -> x IS NULL)")).count()
+    assert(nullElems == 0L,
+      s"embeddings testdata grew $nullElems null-element rows")
     // lineitem/orders date columns arrive as some timestamp flavor
     // (currently NTZ micros); registered queries only date-truncate
     // them, which is legal on every flavor. Assert the family, so an
