@@ -2,7 +2,8 @@ package graft.features
 
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.PCA
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
 /** Dimensionality reduction: KMeans cluster-id or PCA projection
   * (reference: spark_ml_features.py:186-209).
@@ -42,4 +43,100 @@ object DimReduction {
       throw new IllegalArgumentException(
         s"Unknown method: $other. Use 'kmeans' or 'pca'")
   }
+
+  /** [[apply]]'s "kmeans" branch with the hash-init trick
+    * ([[graft.llm.Similarity]]'s quantizer recipe, round 11): centroids
+    * are the `k` rows ranked first by the public idHash rule — k-means
+    * with ZERO Lloyd refinement steps (the standard init, shipped as the
+    * final model). Cluster geometry is worse than a Lloyd fit, so
+    * production code keeps [[apply]]; the point of this variant is that
+    * centroid derivation + assignment are pure engine-portable
+    * arithmetic, so the whole operator is restatable in SQL and
+    * hash-verifiable against a DuckDB twin — the one thing an iterative
+    * MLlib fit can never be.
+    *
+    * Assignment: squared-euclidean argmin over the `k` collected
+    * centroids baked into the plan as literals (per-dim terms summed in
+    * column order, left-associated — the oracle states the same order),
+    * ties broken toward the SMALLEST cluster id. Appends `prediction`
+    * (cluster id, int) and `dist2` (squared distance to the winning
+    * centroid, rounded `roundAt` dp).
+    *
+    * Scale shape: one bounded TakeOrdered collect of k rows (the same
+    * fixed-size artifact a KMeans fit materializes), then a single
+    * zero-shuffle whole-stage-codegen projection over the corpus — no
+    * join, no driver loop. Rows with a null feature are unassignable
+    * and dropped (a distance against null is undefined; MLlib would
+    * have thrown at assembly time). */
+  def kmeansHashInit(
+      df: DataFrame,
+      k: Int,
+      featureCols: Seq[String],
+      idCol: String,
+      roundAt: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val feats = featureCols.map(c => col(c).cast("double"))
+    val clean = df.where(feats.map(_.isNotNull).reduce(_ && _))
+    val drawn = clean
+      .select((col(idCol).cast("long").as("__id") +: feats): _*)
+      .orderBy(idHash(col("__id")), col("__id"))
+      .limit(k)
+      .collect()
+    require(drawn.length == k,
+      s"hash-init kmeans: only ${drawn.length} well-formed rows, need $k")
+    val centroids = drawn.map(r =>
+      featureCols.indices.map(i => r.getDouble(i + 1)).toArray)
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val d2 = feats.zipWithIndex.map { case (x, i) =>
+        (x - lit(c(i))) * (x - lit(c(i)))
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(j).as("cluster"))
+    }
+    val best = array_sort(array(scored: _*)).getItem(0)
+    clean
+      .withColumn("prediction", best.getField("cluster"))
+      .withColumn("dist2", round(best.getField("d2"), roundAt))
+  }
+
+  /** The deterministic PCA SCORING half (round 11): project each row
+    * onto a FIXED loading matrix — `loadings(j)` is component `j`'s
+    * length-d loading vector — appending `pca_0..pca_{k-1}` (rounded
+    * `roundAt` dp). This is exactly what `PCAModel.transform` computes
+    * (`pc.transpose * x`; MLlib PCA does NOT mean-center at transform
+    * time), with the iterative SVD *fit* factored out: FeaturesSpec
+    * ties this projection applied to a real fitted `model.pc` to
+    * `model.transform`'s output, and the registered query runs it with
+    * frozen literal loadings so the arithmetic is hash-verifiable in
+    * DuckDB. Per-dim products are summed in column order,
+    * left-associated — the oracle states the same order.
+    *
+    * Scale shape: zero-shuffle codegen projection; the loading matrix
+    * is a k×d literal (model-artifact-sized). */
+  def pcaProject(
+      df: DataFrame,
+      loadings: Seq[Seq[Double]],
+      featureCols: Seq[String],
+      roundAt: Int = 6): DataFrame = {
+    require(loadings.nonEmpty, "need at least one component")
+    require(loadings.forall(_.length == featureCols.length),
+      s"each loading row must have ${featureCols.length} entries")
+    val feats = featureCols.map(c => col(c).cast("double"))
+    val projected = loadings.zipWithIndex.map { case (w, j) =>
+      round(feats.zipWithIndex.map { case (x, i) => x * lit(w(i)) }
+        .reduce(_ + _), roundAt).as(s"pca_$j")
+    }
+    df.select(df.columns.map(col).toSeq ++ projected: _*)
+  }
+
+  /** The public hash-draw rank (the [[graft.llm.Similarity]] idHash
+    * contract under this operator's own multiplier, so the KMeans draw
+    * is decorrelated from the IVF/PQ quantizer draws): rank rows by
+    * `((id mod 1048573) * KmeansHashMultiplier) mod 1048573`, ties on
+    * id. The DuckDB oracle restates the same constants. */
+  val KmeansHashMultiplier = 3266489917L
+
+  private def idHash(id: Column): Column =
+    pmod(pmod(id, lit(1048573L)) * lit(KmeansHashMultiplier),
+      lit(1048573L))
 }

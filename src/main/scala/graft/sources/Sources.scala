@@ -231,4 +231,37 @@ object Sources {
       case _ => raw
     }
   }
+
+  /** [[eventsTable]]'s STREAMING twin (round 11): the same events data
+    * as an unbounded `readStream` file source, under the same ts
+    * normalization contract (UTC pin, NANOS-as-long → micros, NTZ →
+    * tz-aware cast) so batch and stream operators see identical
+    * instants. The file source needs an explicit schema — it is probed
+    * from a one-off batch read of the same path (a footer read, not a
+    * data scan). At deployment scale the path would be a landing
+    * directory the source incrementally lists; here it is the fixture
+    * file itself, which arrives as one micro-batch under
+    * `Trigger.AvailableNow`. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = s"$dir/events.parquet"
+    val schema = spark.read.parquet(path).schema
+    // the file-stream source requires a DIRECTORY basePath (the landing
+    // dir it incrementally lists); the fixture is a single file inside
+    // the sf dir, so list the dir with a glob pinned to that file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
+  }
 }

@@ -37,11 +37,32 @@ class PlanAuditSpec extends SparkSpec {
       // mixture sampling is a literal-threshold filter fused into the scan
       "llm_mix_corpus",
       // hash split is a literal-threshold CASE fused into the scan
-      "llm_hash_split")
+      "llm_hash_split",
+      // round 11: the frozen-artifact scoring halves are literal-matrix
+      // codegen projections — zero shuffles is their whole scale story
+      // (kmeans_hashinit additionally pays one bounded TakeOrdered draw
+      // job at plan-build time, not an Exchange in the scoring plan)
+      "dim_reduction_kmeans_hashinit", "dim_reduction_pca_scoring",
+      "probability_scoring")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
       }
+  }
+
+  test("round 11: cached ANN probes scan materialized index blocks, " +
+      "not a rebuilt corpus assignment") {
+    // the steady-state similarity_ivf/_ivfpq plans must read the
+    // localCheckpoint'ed cells (an ExistingRDD scan) rather than
+    // re-deriving assignment from the parquet corpus — the amortization
+    // VERDICT item 5 asked for; a regression re-inlines the build into
+    // every probe
+    Seq("similarity_ivf", "similarity_ivfpq").foreach { q =>
+      SparkEntry.queries(q)(spark, sf0001).count() // ensure cache is warm
+      val p = plan(q)
+      assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+        s"$q probe does not scan the checkpointed index:\n${p.take(800)}")
+    }
   }
 
   test("single-shuffle aggregations and windows stay single-shuffle") {

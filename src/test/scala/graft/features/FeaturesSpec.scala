@@ -219,4 +219,110 @@ class FeaturesSpec extends SparkSpec {
     real.foreach(r =>
       assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0))
   }
+
+  // ---- round 11: the deterministic scoring halves, tied to the real
+  // MLlib fits (the registered queries run them with FROZEN literals so
+  // the arithmetic is oracle-provable; these specs prove that the SAME
+  // arithmetic applied to genuinely FITTED artifacts reproduces the
+  // MLlib transforms — together they close the fit→scoring loop).
+
+  test("kmeansHashInit: drawn centroids self-assign, predictions cover " +
+      "[0,k), matches brute-force argmin") {
+    val df = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+    val k = 4
+    val feats = Seq("c_acctbal", "c_nationkey", "c_custkey")
+    val out = DimReduction.kmeansHashInit(df, k, feats, "c_custkey")
+    val rows = out.collect()
+    assert(rows.length == df.count())
+    val preds = rows.map(_.getAs[Int]("prediction")).toSet
+    assert(preds.subsetOf((0 until k).toSet))
+    // brute force: recompute the hash draw + argmin in plain Scala
+    val all = df.collect().map(r => (r.getLong(0),
+      Array(r.getDouble(1), r.getInt(2).toDouble, r.getLong(0).toDouble)))
+    val drawn = all.sortBy { case (id, _) =>
+      ((id % 1048573L) * DimReduction.KmeansHashMultiplier % 1048573L, id)
+    }.take(k).map(_._2)
+    val expect = all.map { case (id, x) =>
+      val d2s = drawn.map(c =>
+        c.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum)
+      id -> d2s.indexOf(d2s.min)
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getAs[Int]("prediction") == expect(r.getLong(0)),
+        s"row ${r.getLong(0)}")
+    }
+    // each drawn centroid row sits at distance 0 from its own centroid
+    val zero = rows.filter(_.getAs[Double]("dist2") == 0.0)
+    assert(zero.length >= k)
+  }
+
+  test("pcaProject: projection with FITTED loadings == PCAModel.transform") {
+    import org.apache.spark.ml.feature.PCA
+    val model = new PCA().setK(2).setInputCol("features")
+      .setOutputCol("pca_features").fit(prepared)
+    // model.pc is d x k column-major; component j = column j
+    val d = model.pc.numRows
+    val loadings = (0 until model.pc.numCols).map(j =>
+      (0 until d).map(i => model.pc(i, j)))
+    val featsDf = prepared.select(
+      (0 until d).map(i =>
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .getItem(i).as(s"x_$i")): _*)
+    val mine = DimReduction.pcaProject(featsDf, loadings,
+      (0 until d).map(i => s"x_$i"), roundAt = 12).collect()
+    val mllib = model.transform(prepared)
+      .select(org.apache.spark.ml.functions.vector_to_array(col("pca_features")))
+      .collect().map(_.getSeq[Double](0))
+    // same row order (narrow projections preserve it); BLAS gemv may
+    // sum in a different order → tolerance, not equality
+    mine.zip(mllib).foreach { case (m, v) =>
+      assert(math.abs(m.getAs[Double]("pca_0") - v(0)) < 1e-6)
+      assert(math.abs(m.getAs[Double]("pca_1") - v(1)) < 1e-6)
+    }
+  }
+
+  test("ProbabilityPrediction.score with FITTED coefficients == " +
+      "LogisticRegressionModel.transform") {
+    import org.apache.spark.ml.classification.LogisticRegression
+    // regularized: unregularized LR on a tiny separable frame diverges
+    // to huge margins, which the no-max-subtraction softmax (the SQL-
+    // restatable form) would push into exp overflow
+    val model = new LogisticRegression().setMaxIter(50).setRegParam(0.1)
+      .fit(prepared)
+    val cm = model.coefficientMatrix // k x d
+    val coef = (0 until cm.numRows).map(j =>
+      (0 until cm.numCols).map(i => cm(j, i)))
+    val icpt = model.interceptVector.toArray.toSeq
+    val d = cm.numCols
+    val featsDf = prepared.select(
+      (0 until d).map(i =>
+        org.apache.spark.ml.functions.vector_to_array(col("features"))
+          .getItem(i).as(s"x_$i")): _*)
+    val mine = ProbabilityPrediction.score(featsDf, coef, icpt,
+      (0 until d).map(i => s"x_$i"), roundAt = 12).collect()
+    val mllib = model.transform(prepared)
+      .select(org.apache.spark.ml.functions.vector_to_array(col("probability"))
+        .as("p"), col("prediction")).collect()
+    mine.zip(mllib).foreach { case (m, v) =>
+      val probs = v.getSeq[Double](0)
+      probs.indices.foreach { j =>
+        assert(math.abs(m.getAs[Double](s"prob_$j") - probs(j)) < 1e-6)
+      }
+      assert(m.getAs[Double]("prediction") == v.getDouble(1))
+    }
+  }
+
+  test("evaluator accuracy == exact correct/total fraction") {
+    import org.apache.spark.ml.evaluation.MulticlassClassificationEvaluator
+    val preds = prepared.withColumn("prediction",
+      (monotonically_increasing_id() % 3).cast("double"))
+    val acc = new MulticlassClassificationEvaluator()
+      .setMetricName("accuracy").setLabelCol("label")
+      .setPredictionCol("prediction").evaluate(preds)
+    val rows = preds.select("label", "prediction").collect()
+    val manual = rows.count(r => r.getDouble(0) == r.getDouble(1))
+      .toDouble / rows.length
+    assert(acc == manual) // exact-integer arithmetic: bitwise equality
+  }
 }

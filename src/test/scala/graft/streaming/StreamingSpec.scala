@@ -521,4 +521,33 @@ class StreamingSpec extends SparkSpec {
       assert(!out.exists(_._2 == 21L))
     } finally q.stop()
   }
+
+  test("eventsStream file source + complete-mode foreachBatch equals the " +
+      "batch twin (the stream_window_counts registered shape)") {
+    val dir = sf0001
+    val batch = StreamOps
+      .windowedEventCounts(graft.sources.Sources.eventsTable(spark, dir))
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sw_spec")
+    val sink = s"$tmp/out"
+    val writeBatch = (b: DataFrame, _: Long) =>
+      b.coalesce(1).write.mode("overwrite").parquet(sink)
+    val q = StreamOps
+      .windowedEventCounts(graft.sources.Sources.eventsStream(spark, dir),
+        watermark = Some("1 hour"))
+      .writeStream
+      .outputMode("complete")
+      .option("checkpointLocation", s"$tmp/chk")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch(writeBatch)
+      .start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(sink)
+      .orderBy("window_start", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
 }
