@@ -634,6 +634,28 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"))
     }),
+    // SemDeDup semantic dedup (round 11): hash-init cell assignment +
+    // in-cell pairwise cosine + keep-smallest-id, all engine-portable
+    // arithmetic — the WHOLE pipeline (centroid draw, argmax
+    // assignment, 6dp pair cosines, dup flag) shares one DuckDB twin.
+    // The fixture corpus has no natural near pairs (max pairwise
+    // cosine 0.51), so the same in-flight near-copy of vec 0 is
+    // planted as in dedup_embedding_pairs: the planted row lands in
+    // vec 0's cell at cosine ~1.0 and is the ONE flagged dup at the
+    // realistic τ = 0.8, while vec 0 itself (the smaller id) is kept
+    // — the paper's keep-lowest-index rule, non-vacuously exercised.
+    "dedup_semantic" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val planted = base.filter(col("vec_id") === 0L)
+        .select(lit(900000L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+            .as("embedding"))
+      Dedup.semantic(base.unionByName(planted), nCells = 16,
+        minCosine = 0.8)
+        .withColumn("cell", col("cell").cast("int"))
+    }),
 
     // llm counterpart of demo_all_features: quality → lang filter →
     // exact dedup composed in one plan, oracle-checked END-TO-END.
@@ -1040,6 +1062,22 @@ object SparkEntry {
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("source"))
     }),
+    // SCD2 version history (round 11): the events stream read as a
+    // per-user change log of event_type — each run of equal types is
+    // one version with a [valid_from, valid_to) interval, open for the
+    // latest. event_id breaks seq ties so interval bounds are total-
+    // order deterministic; timestamps formatted for the driver diff
+    // like events_sessionize.
+    "merge_scd2" -> ((s, dir) =>
+      operators.Merge.scd2(
+        events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type")),
+        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"),
+        tieBreak = Seq("event_id"))
+        .withColumn("valid_from",
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("valid_to",
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
 
     // ------------------------------------------------ §7 data layout
     // Z-order (Morton) clustering: 16-bit grid over (user_id mod 2^16,
@@ -1204,6 +1242,39 @@ object SparkEntry {
           .withColumn("window_end",
             date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))
           .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+    // Second streaming oracle row (round 11): APPEND-mode stateful
+    // dedup through a real readStream file source —
+    // dropDuplicatesWithinWatermark keyed on (user_id, event_type),
+    // first arrival per key emitted, later arrivals filtered by state.
+    // Only the KEY columns are selected, so the sink equals the
+    // distinct key set regardless of which arrival won — the
+    // arrival-order-free projection that makes append-mode streaming
+    // dedup DuckDB-oracle-able. The 30-day watermark covers the whole
+    // fixture span (no eviction inside the run — and the fixture
+    // arrives as ONE AvailableNow micro-batch anyway); production
+    // tightens it to bound state, the [[StreamOps.dedupStream]]
+    // contract.
+    "stream_dedup_keys" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sdk")
+      try {
+        val sink = s"$tmp/out"
+        val writeBatch = (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(sink)
+        val q = StreamOps
+          .dedupStream(Sources.eventsStream(s, dir),
+            keyCols = Seq("user_id", "event_type"),
+            tsCol = "ts", watermark = "30 days")
+          .select("user_id", "event_type")
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(writeBatch)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink).localCheckpoint(true)
       } finally deleteRecursively(tmp.toFile)
     }),
     "events_sessionize" -> ((s, dir) =>
@@ -2456,6 +2527,72 @@ object SparkEntry {
         |WHERE vec_id NOT IN (SELECT vec_id FROM cross_losers)
         |  AND vec_id NOT IN (SELECT vec_id FROM within_losers)""".stripMargin,
 
+    // SemDeDup oracle: the hash-init assignment chain (same draw rule
+    // and multiplier as similarity_ivf's twin, over the corpus PLUS
+    // the planted near-copy) followed by in-cell pair cosines at 6dp
+    // and the keep-smallest-id flag — the whole semantic-dedup
+    // pipeline re-derived in SQL.
+    "dedup_semantic" ->
+      """WITH wf AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE len(embedding) = 64
+        |  UNION ALL
+        |  SELECT CAST(900000 AS BIGINT), list_prepend(e[1] + 1e-4, e[2:])
+        |  FROM (SELECT CAST(embedding AS DOUBLE[]) AS e
+        |        FROM embeddings WHERE vec_id = 0)
+        |), vals AS MATERIALIZED (
+        |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+        |  FROM wf
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
+        |), ivf_rows AS (
+        |  SELECT vec_id, e, row_number() OVER (
+        |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
+        |  ) - 1 AS cell
+        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
+        |  QUALIFY cell < 16
+        |), centv AS (
+        |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
+        |  FROM ivf_rows
+        |), cent AS MATERIALIZED (
+        |  SELECT cell, i,
+        |    v / sqrt(SUM(v * v) OVER (PARTITION BY cell)) AS cv
+        |  FROM centv
+        |), centnorm AS (
+        |  SELECT cell, sqrt(SUM(cv * cv)) AS cnrm FROM cent GROUP BY 1
+        |), rowdot AS (
+        |  SELECT v.vec_id, c.cell, SUM(v.x * c.cv) AS dot
+        |  FROM vals v JOIN cent c USING (i)
+        |  GROUP BY 1, 2
+        |), rowcos AS (
+        |  SELECT d.vec_id, d.cell,
+        |    CASE WHEN n.nrm > 0 THEN d.dot / (n.nrm * cn.cnrm)
+        |      ELSE -1 END AS cos
+        |  FROM rowdot d
+        |  JOIN norms n ON n.vec_id = d.vec_id
+        |  JOIN centnorm cn USING (cell)
+        |), assign AS (
+        |  SELECT vec_id, cell FROM rowcos
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1
+        |), paircos AS (
+        |  SELECT a.vec_id, ROUND(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+        |      THEN SUM(va.x * vb.x) / (na.nrm * nb.nrm)
+        |      ELSE -1 END, 6) AS cos
+        |  FROM assign a
+        |  JOIN assign b ON a.cell = b.cell AND b.vec_id < a.vec_id
+        |  JOIN vals va ON va.vec_id = a.vec_id
+        |  JOIN vals vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm, a.cell
+        |), best AS (
+        |  SELECT vec_id, MAX(cos) AS max_cos FROM paircos GROUP BY 1
+        |)
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, b.max_cos,
+        |  CASE WHEN b.max_cos >= 0.8 THEN 1 ELSE 0 END AS is_dup
+        |FROM assign a LEFT JOIN best b USING (vec_id)""".stripMargin,
+
     // mixture-sampling oracle: the md5-bucket thresholds are the same
     // plan literals the Scala side computes (0.5→'8000', 0.25→'4000',
     // 0.1→'199a'; 1.0→'g' which sorts above every hex char); md5 hex
@@ -3427,6 +3564,32 @@ object SparkEntry {
         |SELECT doc_id, md5(text) AS text_md5, source
         |FROM ranked WHERE rn = 1 AND NOT del""".stripMargin,
 
+    // SCD2 oracle: the same two-window formulation — null-safe lag
+    // comparison (IS DISTINCT FROM ≡ Spark's !(a <=> b)) suppresses
+    // no-op changes, lead over the survivors closes intervals; both
+    // windows order by (ts, event_id), the same total order as the
+    // Scala side's tieBreak.
+    "merge_scd2" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE event_type IS DISTINCT FROM prev
+        |), hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM runs
+        |)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM hist""".stripMargin,
+
     // z-order oracle: the identical 4-step shift-OR-mask spread on both
     // 16-bit dimensions (masks 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
     // 0x55555555 in decimal), interleaved x-even / y-odd. The linear
@@ -3645,6 +3808,10 @@ object SparkEntry {
     // state the full aggregate, so stream == batch is itself under the
     // hash compare.
     "stream_window_counts" -> eventsWindowOracle,
+    // append-mode streaming dedup projected to its key columns — the
+    // sink is exactly the distinct key set, whichever arrival won.
+    "stream_dedup_keys" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
 
     "events_props_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,

@@ -1334,4 +1334,79 @@ object Dedup {
         (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
           .as("n_removed"))
   }
+
+  /** SemDeDup-style SEMANTIC dedup over an embedding column (Abbas et
+    * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication", arXiv:2303.09540): cluster the corpus
+    * into `nCells` cells, compute pairwise cosine ONLY within each
+    * cell, and flag every row that has a SMALLER-id row in the same
+    * cell with cosine ≥ `minCosine` — the paper's keep-one-per-
+    * semantic-duplicate rule (it keeps the lowest-index member of each
+    * duplicate relation; we flag rather than drop so callers can
+    * anti-join or inspect). Complements [[embeddingPairs]]: sign-LSH
+    * targets NEAR-IDENTICAL vectors (cos ≥ ~0.95) with per-pair
+    * recall; SemDeDup prunes SEMANTICALLY redundant regions at lower
+    * thresholds where LSH banding has no selectivity left.
+    *
+    * Clustering is [[Similarity.ivfIndexHashInit]]'s deterministic
+    * hash-init assignment (centroids = unit-normalized hash-drawn
+    * corpus rows, cosine argmax, largest-cell ties) — engine-portable
+    * arithmetic, so the ENTIRE pipeline (draw, assignment, in-cell
+    * pair cosines at 6dp, dup flag) is restatable in SQL and
+    * hash-verifiable. The paper clusters with fitted k-means; the
+    * production-fit variant is one argument away
+    * ([[Similarity.ivfIndex]] shares the cells schema) and changes
+    * nothing downstream.
+    *
+    * Returns one row per well-formed corpus row: (idCol, cell,
+    * max_cos, is_dup) — `max_cos` is the row's highest 6dp-rounded
+    * cosine against any SMALLER-id row in its cell (null when it is
+    * the cell's smallest id), the per-row evidence an operator
+    * inspects when tuning the threshold; `is_dup` is `max_cos ≥
+    * minCosine`. Rows with null / ill-shaped embeddings are not
+    * indexed (no cell → excluded, the [[Similarity.IvfIndex]]
+    * contract).
+    *
+    * Scale shape (the SemDeDup economics): cell assignment is a
+    * narrow codegen'd argmax over broadcast centroid literals — no
+    * shuffle; the pair stage is an equi-join on `cell` (ONE hash
+    * shuffle, and the self-join's two sides reuse the same exchange)
+    * with the cosine as a join-residual predicate, so work is
+    * Σ|cell|²/2, bounded by scaling nCells ∝ N to hold cells at a
+    * constant target size (the paper runs 50k clusters on LAION-440M;
+    * a mega-cell from a degenerate centroid draw surfaces in
+    * [[Similarity.ivfIndexHashInit]]'s build profile before a probe
+    * path is enabled, and re-drawing with a different multiplier or
+    * salting the hot cell bounds it). */
+  def semantic(
+      df: DataFrame,
+      nCells: Int = 16,
+      minCosine: Double = 0.8,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    // null embeddings are excluded BEFORE assignment: the nAssign=1
+    // argmax would otherwise park them in the largest cell (struct
+    // ordering sorts a null cos first), and a row with no vector can
+    // be neither duplicate nor keeper. Mixed-dim corpora must be
+    // filtered to one dim by the caller (the quantizer-draw contract).
+    val cells = Similarity.ivfIndexHashInit(
+        df.where(col(embCol).isNotNull), nCells, embCol, idCol)
+      .cells
+      .select(col("neighbor_id").as(idCol), col("c_emb").as("e"),
+        col("cell"))
+    val best = cells.alias("a")
+      .join(cells.alias("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+      .select(col(s"a.$idCol").as(idCol),
+        round(CosineSimilarity(col("a.e"), col("b.e")), 6).as("cos"))
+      .groupBy(col(idCol))
+      .agg(max(col("cos")).as("max_cos"))
+    cells
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("max_cos"),
+        coalesce((col("max_cos") >= minCosine).cast("int"), lit(0))
+          .as("is_dup"))
+  }
 }

@@ -150,6 +150,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"), p.take(800))
   }
 
+  test("merge_scd2: ONE shuffle feeds both window passes (round 11)") {
+    // SCD2 = lag-suppress + lead-close over the SAME (key, seq, tie)
+    // window spec; the filter between them preserves distribution and
+    // order, so the whole history derivation is one hash exchange on
+    // user_id and two pipelined Window operators — the change log is
+    // shuffled once, at any scale
+    val p = plan("merge_scd2")
+    assert(shuffles(p) == 1, s"expected one shuffle:\n${p.take(800)}")
+    assert("Window".r.findAllIn(p).length >= 2, p.take(800))
+  }
+
+  test("dedup_semantic: pair stage is a cell equi-join — no cartesian, " +
+      "in-cell work only (round 11)") {
+    // SemDeDup's economics: assignment is a narrow argmax over
+    // broadcast centroid literals; ALL pairwise work is confined to an
+    // equi-join on cell (within-cell Σ|cell|²/2, bounded by scaling
+    // nCells with the corpus) — a cartesian/BNLJ here would be the
+    // all-pairs blowup the operator exists to avoid
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("layout_zorder: the cluster pass is exactly one range shuffle") {
     // z-value computation is pure codegen arithmetic; the only data
     // movement is the write-time repartitionByRange — one Exchange

@@ -530,4 +530,42 @@ class DedupSpec extends SparkSpec {
     val n = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(n <= 3, s"expected <= 3 hash exchanges, got $n:\n${plan.take(1200)}")
   }
+
+  test("semantic: planted near-identical vectors flagged, keeper and " +
+      "dissimilar rows kept, null embeddings unindexed") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (0L, Some(Seq(1.0, 0.0, 0.0, 0.0))),
+      (1L, Some(Seq(0.0, 1.0, 0.0, 0.0))),
+      (2L, Some(Seq(0.0, 0.0, 1.0, 0.0))),
+      (3L, Some(Seq(0.6, 0.8, 0.0, 0.0))), // cos ≤ 0.8 vs any base row
+      (10L, Some(Seq(1.0, 1e-5, 0.0, 0.0))), // near-copy of id 0
+      (99L, Option.empty[Seq[Double]])) // null → unindexed
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semantic(base, nCells = 2, minCosine = 0.95)
+      .collect()
+      .map(r => r.getLong(0) -> (Option(r.get(2)), r.getInt(3)))
+      .toMap
+    assert(out.size === 5, "null-embedding row must not be indexed")
+    assert(out(10L)._2 === 1, "planted near-copy must be flagged")
+    assert(out(10L)._1.exists(_.asInstanceOf[Double] > 0.99))
+    // the SMALLER id of the duplicate relation is the keeper
+    assert(out(0L)._2 === 0)
+    assert(Seq(1L, 2L, 3L).forall(out(_)._2 === 0),
+      "dissimilar rows must not be flagged at τ = 0.95")
+  }
+
+  test("semantic plan: pair stage is an equi-join on cell — no " +
+      "cartesian, bounded exchanges") {
+    val s = spark
+    import s.implicits._
+    val base = (0L until 32L)
+      .map(i => (i, Seq.tabulate(4)(d => math.sin(i * 4.0 + d))))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.semantic(base, nCells = 4, minCosine = 0.9)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
 }

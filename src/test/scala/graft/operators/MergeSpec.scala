@@ -64,4 +64,71 @@ class MergeSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"expected map-side WindowGroupLimit in:\n$plan")
   }
+
+  // ------------------------------------------------------------- SCD2
+
+  private def changeLog = {
+    val s = spark
+    import s.implicits._
+    // key 1: a → a (no-op) → b → a ; key 2: single version
+    Seq(
+      (1L, 1, 101L, "a"), (1L, 2, 102L, "a"),
+      (1L, 3, 103L, "b"), (1L, 5, 104L, "a"),
+      (2L, 10, 105L, "x"))
+      .toDF("id", "seq", "chg_id", "v")
+  }
+
+  test("scd2: no-op changes suppressed, intervals chain, latest open") {
+    val out = Merge.scd2(changeLog, "id", "seq", Seq("v"),
+        tieBreak = Seq("chg_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)), r.getInt(4)))
+      .toSet
+    assert(out === Set(
+      (1L, "a", 1, Some(3), 0),
+      (1L, "b", 3, Some(5), 0),
+      (1L, "a", 5, None, 1),
+      (2L, "x", 10, None, 1)))
+  }
+
+  test("scd2: null attributes compare null-safe") {
+    val s = spark
+    import s.implicits._
+    val log = Seq(
+      (1L, 1, Option.empty[String]), (1L, 2, Option.empty[String]),
+      (1L, 3, Some("a")))
+      .toDF("id", "seq", "v")
+    val out = Merge.scd2(log, "id", "seq", Seq("v"))
+      .collect()
+      .map(r => (Option(r.get(1)), r.getInt(2), Option(r.get(3))))
+      .toSet
+    // null → null is a NO-OP (suppressed); null → "a" opens a version
+    assert(out === Set(
+      (None, 1, Some(3)), (Some("a"), 3, None)))
+  }
+
+  test("scd2: equal-seq changes are ordered by the tie-break") {
+    val s = spark
+    import s.implicits._
+    val log = Seq((1L, 1, 2L, "b"), (1L, 1, 1L, "a"))
+      .toDF("id", "seq", "chg_id", "v")
+    val out = Merge.scd2(log, "id", "seq", Seq("v"),
+        tieBreak = Seq("chg_id"))
+      .collect()
+      .map(r => (r.getString(1), r.getInt(2), Option(r.get(3))))
+      .toSet
+    // chg_id 1 ("a") precedes chg_id 2 ("b") at the same seq
+    assert(out === Set(("a", 1, Some(1)), ("b", 1, None)))
+  }
+
+  test("scd2 plan: ONE Exchange feeds both window passes") {
+    val plan = Merge.scd2(changeLog, "id", "seq", Seq("v"),
+        tieBreak = Seq("chg_id"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size === 1,
+      s"expected exactly one shuffle (shared window spec) in:\n$plan")
+    assert("\\bWindow\\b".r.findAllIn(plan).size >= 2,
+      s"expected the lag and lead Window operators in:\n$plan")
+  }
 }
