@@ -340,6 +340,18 @@ object SparkEntry {
         customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
         k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
         idCol = "c_custkey")),
+    // round 11, one step further: the actual Lloyd ITERATION under the
+    // oracle — one unrolled assign + 6dp-rounded re-center + re-assign
+    // (kmeansLloyd steps=1). With this row the full k-means recipe —
+    // init draw (…_hashinit), iteration arithmetic (here), evaluator
+    // (evaluator_accuracy) — is hash-proven; only open-ended
+    // convergence looping remains invariant-adjudicated
+    // (dim_reduction_kmeans).
+    "dim_reduction_kmeans_lloyd" -> ((s, dir) =>
+      DimReduction.kmeansLloyd(
+        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
+        k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
+        idCol = "c_custkey", steps = 1)),
 
     // §2.1 #9, round 11 (VERDICT item 4): the PCA SCORING half under
     // the oracle — projection onto a FROZEN 2×3 loading matrix (the
@@ -509,6 +521,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")),
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+    // Star-reduced simhash linking (round 11, the sf1 rehearsal fix):
+    // on a 10×-replicated sf0.1 corpus the pair self-join is quadratic
+    // in the duplication rate (simhash_verified 3.3 s → 438 s); the
+    // star path replaces it with ONE sorted window pass over banded
+    // rows (prefix-min + predecessor links) — linear at any dup rate —
+    // and drops the same keep-min set as the pair path on the
+    // replicated fixture (DedupSpec). Oracle restates the exact
+    // banding + linking + Hamming mechanics.
+    "dedup_simhash_star" -> ((s, dir) =>
+      Dedup.simhashStar(documents(s, dir), maxHamming = 3)),
     // simhash as candidate generator + exact-Jaccard verification —
     // ground-truth output, so it DOES get the brute-force oracle
     // (all-pairs Jaccard ≥ 0.5). Exact on this fixture: every
@@ -668,6 +690,15 @@ object SparkEntry {
       Curate.mixCorpus(documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .select("doc_id", "source")),
+    // Repeat-factor up-sampling (round 11): the multi-epoch treatment
+    // of rare sources in a pretraining mix — integer replication with
+    // a dense copy_idx, factor 0 dropping a source, unlisted sources
+    // at the default 1. Pure narrow explode; the oracle restates the
+    // CASE → range → unnest chain.
+    "llm_upsample" -> ((s, dir) =>
+      Curate.repeatUpsample(documents(s, dir),
+        Map("src1" -> 2, "src2" -> 3, "src3" -> 0))
+        .select("doc_id", "source", "copy_idx")),
     // Quality-weighted deterministic sample: Efraimidis-Spirakis keys
     // from the md5-derived uniform, weight = n_chars, global top-100
     // via TakeOrdered (zero shuffles at any corpus size).
@@ -1078,6 +1109,28 @@ object SparkEntry {
           date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         .withColumn("valid_to",
           date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
+    // Incremental SCD2 maintenance (round 11): history built from the
+    // first ~20 days, the remaining days folded in as the nightly
+    // batch — and the result must equal the FULL-log rebuild, so the
+    // oracle is merge_scd2's twin VERBATIM (the incremental-equals-
+    // batch contract, proven under the gate like the dedup/ANN
+    // incrementals). (user_id, ts) is unique in the fixture at every
+    // SF, so ts alone is a total order and the compacted history
+    // needs no tie column (the scd2Incremental precondition).
+    "merge_scd2_incremental" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_type"))
+      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
+      val hist = operators.Merge.scd2(ev.filter(col("ts") < cut),
+        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"))
+      operators.Merge.scd2Incremental(hist,
+        ev.filter(col("ts") >= cut),
+        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"))
+        .withColumn("valid_from",
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .withColumn("valid_to",
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+    }),
 
     // ------------------------------------------------ §7 data layout
     // Z-order (Morton) clustering: 16-bit grid over (user_id mod 2^16,
@@ -1275,6 +1328,50 @@ object SparkEntry {
           .start()
         q.awaitTermination()
         s.read.parquet(sink).localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+    // Third streaming oracle row (round 11): the CDC merge snapshot,
+    // continuously maintained by mergeStream's keyed
+    // flatMapGroupsWithState — events read as a change stream
+    // (key = user_id, seq = event-time micros, 'purchase' = tombstone
+    // so the delete path runs under the oracle too). Each batch emits
+    // a changed key's NEW current row (update mode); the sink tags
+    // rows with their micro-batch id and the final snapshot is each
+    // key's row from its LAST emitting batch — correct under ANY
+    // micro-batch split, and equal to the batch rule "latest event
+    // per key by seq" the DuckDB twin states. (user_id, ts) is unique
+    // at every SF, so seq order is total.
+    "stream_merge_snapshot" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sms")
+      try {
+        val sink = s"$tmp/out"
+        val writeBatch = (batch: DataFrame, bid: Long) =>
+          batch.withColumn("batch_id", lit(bid))
+            .coalesce(1).write.mode("append").parquet(sink)
+        val changes = Sources.eventsStream(s, dir)
+          .select(col("user_id").as("key"),
+            col("event_type").as("payload"),
+            (col("event_type") === "purchase").as("del"),
+            unix_micros(col("ts")).as("seq"))
+          .as[graft.streaming.MergeEvent]
+        val q = graft.streaming.StreamOps.mergeStream(changes)
+          .toDF()
+          .writeStream
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(writeBatch)
+          .start()
+        q.awaitTermination()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("key")).orderBy(col("batch_id").desc)
+        s.read.parquet(sink)
+          .withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1)
+          .select(col("key"), col("payload"),
+            col("deleted").cast("int").as("deleted"))
+          .localCheckpoint(true)
       } finally deleteRecursively(tmp.toFile)
     }),
     "events_sessionize" -> ((s, dir) =>
@@ -1983,6 +2080,199 @@ object SparkEntry {
        |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY d2, j) = 1""".stripMargin
   }
 
+  /** One UNROLLED Lloyd step on top of the hash-init draw
+    * (round 11): assignment a0 against the drawn centroids, per-cluster
+    * ROUND(AVG, 6) re-centering (COALESCE keeps an emptied cluster's
+    * previous centroid — kmeansLloyd's contract), then the final
+    * assignment against the updated centroids. The 6dp round is what
+    * makes the ITERATION itself engine-portable: both engines assign
+    * against bit-identical updated-centroid literals. */
+  private val kmeansLloydOracle: String = {
+    def terms(c: String) = customerXs.indices
+      .map(i => s"(f.x$i - $c.k$i) * (f.x$i - $c.k$i)").mkString(" + ")
+    s"""WITH feat AS MATERIALIZED (
+       |  SELECT c_custkey, c_acctbal, c_nationkey,
+       |    CAST(c_acctbal AS DOUBLE) AS x0,
+       |    CAST(c_nationkey AS DOUBLE) AS x1,
+       |    CAST(c_custkey AS DOUBLE) AS x2
+       |  FROM customer
+       |), cent0 AS (
+       |  SELECT x0 AS k0, x1 AS k1, x2 AS k2, row_number() OVER (
+       |    ORDER BY (c_custkey % 1048573) * ${DimReduction.KmeansHashMultiplier} % 1048573, c_custkey
+       |  ) - 1 AS j
+       |  FROM feat QUALIFY j < 8
+       |), a0 AS (
+       |  SELECT f.c_custkey, c.j
+       |  FROM feat f CROSS JOIN cent0 c
+       |  QUALIFY row_number() OVER (PARTITION BY f.c_custkey
+       |    ORDER BY ${terms("c")}, c.j) = 1
+       |), upd AS (
+       |  SELECT a0.j, ROUND(AVG(f.x0), 6) AS k0,
+       |    ROUND(AVG(f.x1), 6) AS k1, ROUND(AVG(f.x2), 6) AS k2
+       |  FROM a0 JOIN feat f USING (c_custkey) GROUP BY a0.j
+       |), cent1 AS (
+       |  SELECT c0.j, COALESCE(u.k0, c0.k0) AS k0,
+       |    COALESCE(u.k1, c0.k1) AS k1, COALESCE(u.k2, c0.k2) AS k2
+       |  FROM cent0 c0 LEFT JOIN upd u USING (j)
+       |), d1 AS (
+       |  SELECT f.c_custkey, f.c_acctbal, f.c_nationkey, c.j,
+       |    ${terms("c")} AS d2
+       |  FROM feat f CROSS JOIN cent1 c
+       |)
+       |SELECT c_custkey, c_acctbal, c_nationkey, CAST(j AS INT) AS prediction,
+       |  ROUND(d2, 6) AS dist2
+       |FROM d1
+       |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY d2, j) = 1""".stripMargin
+  }
+
+  /** Brute-force simhash ground truth shared by the pair oracle and
+    * the round-11 star-reduction oracle: the full xxHash64 + Charikar
+    * fingerprint re-derivation (CTEs up to `fpl`), then all pairs at
+    * Hamming <= 3 within the +-1 length-bucket salt horizon. */
+  private val simhashPairsOracle: String =
+    """WITH RECURSIVE pow2(i, p) AS (
+        |  SELECT 0, 1::HUGEINT UNION ALL SELECT i + 1, p * 2 FROM pow2 WHERE i < 63
+        |), toks AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), lens AS (
+        |  SELECT doc_id,
+        |    CAST(floor(ln(len(tokens)) / ln(2)) AS INT) AS len_bucket
+        |  FROM toks WHERE len(tokens) > 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0
+        |), x0 AS (
+        |  SELECT doc_id, t, length(t) AS l,
+        |    (42::HUGEINT + 2870177450012600261::HUGEINT + length(t)) % 18446744073709551616::HUGEINT AS a
+        |  FROM tok
+        |), s0k1 AS (
+        |  SELECT *, CASE WHEN l >= 8 THEN ((((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM x0
+        |), s0k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 8 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s0k1
+        |), s0x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 8 THEN xor(a, k3) ELSE a END AS a FROM s0k3
+        |), s0 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 8 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s0x
+        |), s1k1 AS (
+        |  SELECT *, CASE WHEN l >= 16 THEN ((((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s0
+        |), s1k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 16 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s1k1
+        |), s1x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 16 THEN xor(a, k3) ELSE a END AS a FROM s1k3
+        |), s1 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 16 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s1x
+        |), s2k1 AS (
+        |  SELECT *, CASE WHEN l >= 24 THEN ((((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s1
+        |), s2k3 AS (
+        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 24 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s2k1
+        |), s2x AS (
+        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 24 THEN xor(a, k3) ELSE a END AS a FROM s2k3
+        |), s2 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l >= 24 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s2x
+        |), y4x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
+        |    THEN xor(a, ((unicode(t[(l // 8) * 8 + 1]) + unicode(t[(l // 8) * 8 + 2]) * 256 + unicode(t[(l // 8) * 8 + 3]) * 65536 + unicode(t[(l // 8) * 8 + 4]) * 16777216)::HUGEINT * 11400714785074694791::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM s2
+        |), y4 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
+        |    THEN ((((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a
+        |  FROM y4x
+        |), yq AS (
+        |  SELECT *, (l // 8) * 8 + CASE WHEN l % 8 >= 4 THEN 4 ELSE 0 END AS q
+        |  FROM y4
+        |), b0x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
+        |    THEN xor(a, (unicode(t[q + 1]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM yq
+        |), b0 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b0x
+        |), b1x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
+        |    THEN xor(a, (unicode(t[q + 2]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b0
+        |), b1 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b1x
+        |), b2x AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
+        |    THEN xor(a, (unicode(t[q + 3]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b1
+        |), b2 AS (
+        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
+        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
+        |  FROM b2x
+        |), av1 AS (
+        |  SELECT * EXCLUDE (a), (((xor(a, a // 8589934592::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 8589934592::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM b2
+        |), av2 AS (
+        |  SELECT * EXCLUDE (a), (((xor(a, a // 536870912::HUGEINT) % 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 536870912::HUGEINT) // 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM av1
+        |), hashed AS (
+        |  SELECT doc_id, xor(a, a // 4294967296::HUGEINT) AS h FROM av2
+        |), bits AS (
+        |  SELECT doc_id, i,
+        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM hashed CROSS JOIN pow2
+        |  GROUP BY doc_id, i
+        |), fp AS (
+        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775808::HUGEINT ELSE p END
+        |    ELSE 0::HUGEINT END) AS BIGINT) AS fp
+        |  FROM bits JOIN pow2 USING (i) GROUP BY doc_id
+        |), fpl AS (
+        |  SELECT f.doc_id, f.fp, l.len_bucket FROM fp f JOIN lens l USING (doc_id)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM fpl a JOIN fpl b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(a.len_bucket - b.len_bucket) <= 1
+        |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin
+
+  /** [[simhashPairsOracle]]'s CTE prefix (everything up to and
+    * including `fpl`), for oracles that band the same fingerprints
+    * differently. */
+  private val simhashFpCtesSql: String =
+    simhashPairsOracle.substring(0,
+      simhashPairsOracle.lastIndexOf("SELECT a.doc_id AS id_a"))
+
+  /** Star-reduction oracle (round 11): the EXACT banding + linking
+    * mechanics — 4×16-bit blocks of the re-derived fingerprint, ±1
+    * length-bucket salt replication, then per bucket (ordered by
+    * doc_id) each row links to the bucket's PREFIX MINIMUM and its
+    * PREDECESSOR, Hamming-filtered at ≤ 3. Block extraction is
+    * (fp >> 16b) & 0xFFFF in both engines (arithmetic-shift sign bits
+    * are masked off identically). */
+  private val simhashStarOracle: String =
+    simhashFpCtesSql +
+      """, banded AS (
+        |  SELECT f.doc_id, f.fp, f.len_bucket + off.o AS salt, b.band,
+        |    (f.fp >> (b.band * 16)) & 65535 AS key
+        |  FROM fpl f
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+        |  CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+        |), linked AS (
+        |  SELECT doc_id, fp,
+        |    MIN(doc_id) OVER (PARTITION BY band, key, salt
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn_id,
+        |    lag(doc_id) OVER (PARTITION BY band, key, salt
+        |      ORDER BY doc_id) AS pv_id
+        |  FROM banded
+        |), links AS (
+        |  SELECT doc_id, fp, mn_id AS lnk FROM linked WHERE mn_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT doc_id, fp, pv_id FROM linked WHERE pv_id IS NOT NULL
+        |)
+        |SELECT DISTINCT l.lnk AS id_a, l.doc_id AS id_b,
+        |  CAST(bit_count(xor(l.fp, f2.fp)) AS INT) AS hamming
+        |FROM links l
+        |JOIN fpl f2 ON f2.doc_id = l.lnk
+        |WHERE bit_count(xor(l.fp, f2.fp)) <= 3""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2057,6 +2347,7 @@ object SparkEntry {
     // evaluator's accuracy arithmetic over a deterministic predictions
     // frame (label restated via the prepare_features mapping).
     "dim_reduction_kmeans_hashinit" -> kmeansHashInitOracle,
+    "dim_reduction_kmeans_lloyd" -> kmeansLloydOracle,
     "dim_reduction_pca_scoring" -> pcaScoringOracle,
     "probability_scoring" -> probabilityScoringOracle,
     "evaluator_accuracy" ->
@@ -2252,108 +2543,8 @@ object SparkEntry {
     // similarity threshold could reproduce. Byte access assumes the
     // fixture's ASCII-only text (unicode(ch) == byte; validated, and
     // the XXH64 short path covers the <32-byte fixture tokens).
-    "dedup_simhash_pairs" ->
-      """WITH RECURSIVE pow2(i, p) AS (
-        |  SELECT 0, 1::HUGEINT UNION ALL SELECT i + 1, p * 2 FROM pow2 WHERE i < 63
-        |), toks AS MATERIALIZED (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
-        |                t -> length(t) > 0) AS tokens
-        |  FROM documents
-        |), lens AS (
-        |  SELECT doc_id,
-        |    CAST(floor(ln(len(tokens)) / ln(2)) AS INT) AS len_bucket
-        |  FROM toks WHERE len(tokens) > 0
-        |), tok AS (
-        |  SELECT doc_id, unnest(tokens) AS t FROM toks WHERE len(tokens) > 0
-        |), x0 AS (
-        |  SELECT doc_id, t, length(t) AS l,
-        |    (42::HUGEINT + 2870177450012600261::HUGEINT + length(t)) % 18446744073709551616::HUGEINT AS a
-        |  FROM tok
-        |), s0k1 AS (
-        |  SELECT *, CASE WHEN l >= 8 THEN ((((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[1]) + unicode(t[2]) * 256::HUGEINT + unicode(t[3]) * 65536::HUGEINT + unicode(t[4]) * 16777216::HUGEINT + unicode(t[5]) * 4294967296::HUGEINT + unicode(t[6]) * 1099511627776::HUGEINT + unicode(t[7]) * 281474976710656::HUGEINT + unicode(t[8]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM x0
-        |), s0k3 AS (
-        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 8 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s0k1
-        |), s0x AS (
-        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 8 THEN xor(a, k3) ELSE a END AS a FROM s0k3
-        |), s0 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l >= 8 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s0x
-        |), s1k1 AS (
-        |  SELECT *, CASE WHEN l >= 16 THEN ((((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[9]) + unicode(t[10]) * 256::HUGEINT + unicode(t[11]) * 65536::HUGEINT + unicode(t[12]) * 16777216::HUGEINT + unicode(t[13]) * 4294967296::HUGEINT + unicode(t[14]) * 1099511627776::HUGEINT + unicode(t[15]) * 281474976710656::HUGEINT + unicode(t[16]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s0
-        |), s1k3 AS (
-        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 16 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s1k1
-        |), s1x AS (
-        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 16 THEN xor(a, k3) ELSE a END AS a FROM s1k3
-        |), s1 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l >= 16 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s1x
-        |), s2k1 AS (
-        |  SELECT *, CASE WHEN l >= 24 THEN ((((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + (((unicode(t[17]) + unicode(t[18]) * 256::HUGEINT + unicode(t[19]) * 65536::HUGEINT + unicode(t[20]) * 16777216::HUGEINT + unicode(t[21]) * 4294967296::HUGEINT + unicode(t[22]) * 1099511627776::HUGEINT + unicode(t[23]) * 281474976710656::HUGEINT + unicode(t[24]) * 72057594037927936::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k1 FROM s1
-        |), s2k3 AS (
-        |  SELECT * EXCLUDE (k1), CASE WHEN l >= 24 THEN (((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((k1 * 2147483648::HUGEINT) % 18446744073709551616::HUGEINT + (k1 // 8589934592::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE 0::HUGEINT END AS k3 FROM s2k1
-        |), s2x AS (
-        |  SELECT * EXCLUDE (a, k3), CASE WHEN l >= 24 THEN xor(a, k3) ELSE a END AS a FROM s2k3
-        |), s2 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l >= 24 THEN ((((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 134217728::HUGEINT) % 18446744073709551616::HUGEINT + (a // 137438953472::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 9650029242287828579::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a FROM s2x
-        |), y4x AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
-        |    THEN xor(a, ((unicode(t[(l // 8) * 8 + 1]) + unicode(t[(l // 8) * 8 + 2]) * 256 + unicode(t[(l // 8) * 8 + 3]) * 65536 + unicode(t[(l // 8) * 8 + 4]) * 16777216)::HUGEINT * 11400714785074694791::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM s2
-        |), y4 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l % 8 >= 4
-        |    THEN ((((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 8388608::HUGEINT) % 18446744073709551616::HUGEINT + (a // 2199023255552::HUGEINT)) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) + 1609587929392839161::HUGEINT) % 18446744073709551616::HUGEINT ELSE a END AS a
-        |  FROM y4x
-        |), yq AS (
-        |  SELECT *, (l // 8) * 8 + CASE WHEN l % 8 >= 4 THEN 4 ELSE 0 END AS q
-        |  FROM y4
-        |), b0x AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
-        |    THEN xor(a, (unicode(t[q + 1]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM yq
-        |), b0 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 1
-        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM b0x
-        |), b1x AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
-        |    THEN xor(a, (unicode(t[q + 2]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM b0
-        |), b1 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 2
-        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM b1x
-        |), b2x AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
-        |    THEN xor(a, (unicode(t[q + 3]) * 2870177450012600261::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM b1
-        |), b2 AS (
-        |  SELECT * EXCLUDE (a), CASE WHEN l - q >= 3
-        |    THEN (((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) % 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 18446744073709551616::HUGEINT + ((((a * 2048::HUGEINT) % 18446744073709551616::HUGEINT + (a // 9007199254740992::HUGEINT)) // 4294967296::HUGEINT) * 11400714785074694791::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) ELSE a END AS a
-        |  FROM b2x
-        |), av1 AS (
-        |  SELECT * EXCLUDE (a), (((xor(a, a // 8589934592::HUGEINT) % 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 8589934592::HUGEINT) // 4294967296::HUGEINT) * 14029467366897019727::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM b2
-        |), av2 AS (
-        |  SELECT * EXCLUDE (a), (((xor(a, a // 536870912::HUGEINT) % 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 18446744073709551616::HUGEINT + ((xor(a, a // 536870912::HUGEINT) // 4294967296::HUGEINT) * 1609587929392839161::HUGEINT % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS a FROM av1
-        |), hashed AS (
-        |  SELECT doc_id, xor(a, a // 4294967296::HUGEINT) AS h FROM av2
-        |), bits AS (
-        |  SELECT doc_id, i,
-        |    SUM(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM hashed CROSS JOIN pow2
-        |  GROUP BY doc_id, i
-        |), fp AS (
-        |  SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN
-        |      CASE WHEN i = 63 THEN -9223372036854775808::HUGEINT ELSE p END
-        |    ELSE 0::HUGEINT END) AS BIGINT) AS fp
-        |  FROM bits JOIN pow2 USING (i) GROUP BY doc_id
-        |), fpl AS (
-        |  SELECT f.doc_id, f.fp, l.len_bucket FROM fp f JOIN lens l USING (doc_id)
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-        |FROM fpl a JOIN fpl b
-        |  ON a.doc_id < b.doc_id
-        |  AND abs(a.len_bucket - b.len_bucket) <= 1
-        |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin,
+    "dedup_simhash_pairs" -> simhashPairsOracle,
+    "dedup_simhash_star" -> simhashStarOracle,
 
     // Same ground truth at the 0.5 threshold for the simhash-candidate
     // verified path (recall margin measured on the fixture: worst
@@ -2603,6 +2794,16 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
         |  END""".stripMargin,
+
+    // up-sampling oracle: the same per-source factor CASE, expanded by
+    // range/unnest — a factor-0 source yields an empty range and drops.
+    "llm_upsample" ->
+      """SELECT doc_id, source,
+        |  CAST(unnest(range(0,
+        |    CASE source WHEN 'src1' THEN 2 WHEN 'src2' THEN 3
+        |                WHEN 'src3' THEN 0 ELSE 1 END)) AS INT)
+        |    AS copy_idx
+        |FROM documents""".stripMargin,
 
     // temperature-mix oracle: derived skewed domain → per-domain
     // counts → (n_min/n)^(1−α) → round(f · 65536) hex threshold (the
@@ -3590,6 +3791,31 @@ object SparkEntry {
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM hist""".stripMargin,
 
+    // incremental SCD2 oracle: the FULL-log rebuild, stated without the
+    // event_id tie (the incremental path orders by ts alone; (user_id,
+    // ts) is unique at every SF, pinned by the row itself matching) —
+    // history-fold + batch must reproduce it row-for-row.
+    "merge_scd2_incremental" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, event_type,
+        |    lag(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events
+        |), runs AS (
+        |  SELECT user_id, ts, event_type FROM ordered
+        |  WHERE event_type IS DISTINCT FROM prev
+        |), hist AS (
+        |  SELECT user_id, event_type, ts AS valid_from,
+        |    lead(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts) AS valid_to
+        |  FROM runs
+        |)
+        |SELECT user_id, event_type,
+        |  strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(valid_to, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+        |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM hist""".stripMargin,
+
     // z-order oracle: the identical 4-step shift-OR-mask spread on both
     // 16-bit dimensions (masks 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
     // 0x55555555 in decimal), interleaved x-even / y-odd. The linear
@@ -3812,6 +4038,14 @@ object SparkEntry {
     // sink is exactly the distinct key set, whichever arrival won.
     "stream_dedup_keys" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // streaming CDC merge snapshot: the final state must equal the
+    // batch rule "latest event per key by seq" (tombstones flagged).
+    "stream_merge_snapshot" ->
+      """SELECT user_id AS key, event_type AS payload,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS deleted
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY ts DESC) = 1""".stripMargin,
 
     "events_props_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,

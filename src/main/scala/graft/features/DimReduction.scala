@@ -87,13 +87,7 @@ object DimReduction {
       s"hash-init kmeans: only ${drawn.length} well-formed rows, need $k")
     val centroids = drawn.map(r =>
       featureCols.indices.map(i => r.getDouble(i + 1)).toArray)
-    val scored = centroids.zipWithIndex.map { case (c, j) =>
-      val d2 = feats.zipWithIndex.map { case (x, i) =>
-        (x - lit(c(i))) * (x - lit(c(i)))
-      }.reduce(_ + _)
-      struct(d2.as("d2"), lit(j).as("cluster"))
-    }
-    val best = array_sort(array(scored: _*)).getItem(0)
+    val best = nearestCluster(feats, centroids)
     clean
       .withColumn("prediction", best.getField("cluster"))
       .withColumn("dist2", round(best.getField("d2"), roundAt))
@@ -127,6 +121,88 @@ object DimReduction {
         .reduce(_ + _), roundAt).as(s"pca_$j")
     }
     df.select(df.columns.map(col).toSeq ++ projected: _*)
+  }
+
+  /** Lloyd's algorithm UNROLLED for a fixed step budget, on top of the
+    * [[kmeansHashInit]] draw (round 11): each step assigns every row to
+    * its squared-euclidean argmin centroid and re-centers each cluster
+    * at the per-dimension MEAN of its members, ROUNDED to `roundAt`
+    * decimal places before the next assignment. The rounding is the
+    * determinism contract: every assignment pass then runs against
+    * bit-identical centroid literals in any engine (summation-order
+    * ulps in the mean cannot propagate past the round), so the actual
+    * ITERATION — not just the init — is restatable in SQL and
+    * hash-verifiable. A cluster that empties keeps its previous
+    * centroid unchanged (MLlib's behavior, and the oracle's COALESCE).
+    *
+    * This is exactly the distributed-KMeans execution shape MLlib uses:
+    * per-step, one map-side-combined aggregation over the corpus
+    * (k×d partial sums per task) and a k×d driver update — the collect
+    * is model-artifact-sized, never corpus-sized. `steps` is a fixed
+    * unroll, so the whole pipeline is `steps + 1` codegen'd assignment
+    * passes; production convergence-loop fitting stays [[apply]].
+    * Appends `prediction` and `dist2` like [[kmeansHashInit]]. */
+  def kmeansLloyd(
+      df: DataFrame,
+      k: Int,
+      featureCols: Seq[String],
+      idCol: String,
+      steps: Int = 1,
+      roundAt: Int = 6): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    require(steps >= 0, s"need steps >= 0, got $steps")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val feats = featureCols.map(c => col(c).cast("double"))
+    val clean = df.where(feats.map(_.isNotNull).reduce(_ && _))
+    val drawn = clean
+      .select((col(idCol).cast("long").as("__id") +: feats): _*)
+      .orderBy(idHash(col("__id")), col("__id"))
+      .limit(k)
+      .collect()
+    require(drawn.length == k,
+      s"hash-init kmeans: only ${drawn.length} well-formed rows, need $k")
+    var centroids: Array[Array[Double]] = drawn.map(r =>
+      featureCols.indices.map(i => r.getDouble(i + 1)).toArray)
+    for (_ <- 1 to steps) {
+      val assigned = clean.withColumn("__cl",
+        nearestCluster(feats, centroids).getField("cluster"))
+      val avgs = feats.zipWithIndex.map { case (x, i) =>
+        avg(x).as(s"__m$i") }
+      val means = assigned.groupBy(col("__cl"))
+        .agg(avgs.head, avgs.tail: _*)
+        .collect()
+        .map(r => r.getInt(0) ->
+          featureCols.indices.map(i => r.getDouble(i + 1)).toArray)
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (prev, j) =>
+        means.get(j) match {
+          case Some(m) => m.map(v =>
+            BigDecimal(v).setScale(roundAt,
+              BigDecimal.RoundingMode.HALF_UP).toDouble)
+          case None => prev // emptied cluster keeps its centroid
+        }
+      }
+    }
+    val best = nearestCluster(feats, centroids)
+    clean
+      .withColumn("prediction", best.getField("cluster"))
+      .withColumn("dist2", round(best.getField("d2"), roundAt))
+  }
+
+  /** The shared squared-euclidean argmin: per-dim terms summed in
+    * column order, left-associated (the oracle states the same order),
+    * ties broken toward the SMALLEST cluster id. Returns the winning
+    * struct(d2, cluster). */
+  private def nearestCluster(
+      feats: Seq[Column],
+      centroids: Array[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, j) =>
+      val d2 = feats.zipWithIndex.map { case (x, i) =>
+        (x - lit(c(i))) * (x - lit(c(i)))
+      }.reduce(_ + _)
+      struct(d2.as("d2"), lit(j).as("cluster"))
+    }
+    array_sort(array(scored: _*)).getItem(0)
   }
 
   /** The public hash-draw rank (the [[graft.llm.Similarity]] idHash

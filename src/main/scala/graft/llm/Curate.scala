@@ -86,6 +86,41 @@ object Curate {
         element_at(thrMap, col(sourceCol)))
   }
 
+  /** Repeat-factor UP-sampling — the other half of corpus mixing:
+    * [[mixCorpus]] down-samples over-represented sources by fraction;
+    * this replicates under-represented ones by an integer factor (the
+    * multi-epoch treatment rare high-value domains get in pretraining
+    * mixes — e.g. Wikipedia/books repeated 2-5× while web crawl runs
+    * sub-1-epoch; cf. the published GPT-3 / The Pile / DoReMi mixture
+    * tables). Each kept row is emitted `factor` times with a dense
+    * `copy_idx` (0-based) so downstream packing/shuffling can keep or
+    * distinguish epochs; factor 0 drops the source outright and
+    * unlisted sources take `default`.
+    *
+    * Scale: a pure narrow explode fused into the scan — zero shuffles,
+    * zero state; the factor map is a plan literal. Compose with
+    * [[globalShuffle]] to interleave the copies before packing (the
+    * replicas are adjacent in scan order otherwise). */
+  def repeatUpsample(
+      docs: DataFrame,
+      factors: Map[String, Int],
+      sourceCol: String = "source",
+      default: Int = 1): DataFrame = {
+    require(factors.nonEmpty, "factors must name at least one source")
+    factors.foreach { case (s, f) =>
+      require(f >= 0, s"factor for $s must be >= 0, got $f") }
+    require(default >= 0, s"default factor must be >= 0, got $default")
+    val factor = factors.foldLeft(lit(default)) { case (acc, (s, f)) =>
+      when(col(sourceCol) === s, lit(f)).otherwise(acc)
+    }
+    // factor 0 must emit an EMPTY array (explode then drops the row);
+    // a bare sequence(0, factor-1) would instead infer step -1 and
+    // yield [0, -1] — two copies — so the zero branch is explicit
+    docs.withColumn("copy_idx",
+      explode(when(factor > lit(0), sequence(lit(0), factor - lit(1)))
+        .otherwise(array().cast("array<int>"))))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis &
     * Spirakis 2006, "Weighted random sampling with a reservoir"): each
     * row gets key = u^(1/w) for a uniform u and weight w, and the k

@@ -769,10 +769,90 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
   }
 
+  /** STAR-reduced simhash linking for high-duplication corpora — the
+    * round-11 sf1 rehearsal finding made operator: on a corpus where
+    * documents have many near-identical copies (the REAL crawl shape —
+    * raw CommonCrawl runs ~80% duplicates), every replica group of
+    * size m lands in the same band buckets and the
+    * [[simhashPairs]]/[[simhashVerified]] self-join emits all C(m,2)
+    * pairs — quadratic in the duplication rate (measured: 10×
+    * replicated sf0.1 sent simhash_verified from 3.3 s to 438 s,
+    * because 5 000 replica groups of 10 produce 225 000 true pairs to
+    * verify). For KEEP-MIN dedup those pairs are redundant: linking
+    * each doc to its bucket's prefix MINIMUM and its bucket
+    * PREDECESSOR marks the same non-keeper set on duplicate mass —
+    * near-identical fingerprints share ALL buckets, so a replica
+    * group sits contiguously (by id) in each, and ~2(m−1) star/chain
+    * edges replace C(m,2). This drops the self-join entirely: ONE
+    * sorted window over the banded rows (a single hash shuffle on the
+    * bucket key), exact-Hamming filter against the linked
+    * fingerprints, distinct. Work is LINEAR in banded rows at any
+    * duplication rate.
+    *
+    * Contract vs [[simhashPairs]]: returns (id_a < id_b, hamming)
+    * LINKS, a SUBSET of the pair relation sufficient for keep-min
+    * dedup — never a false link (every emitted link passes the exact
+    * Hamming test), but a doc whose bucket min AND bucket predecessor
+    * are both coincidental far-Hamming collisions in EVERY one of its
+    * buckets can escape (the pigeonhole bound weakens from "some
+    * shared block" to "some shared block whose min or predecessor is
+    * near"). Measured on the 5×-replicated spec fixture: min-only
+    * linking missed 4/104 of the pair-based keep-min drop set, the
+    * predecessor link recovers 3, and exactly 1 unlucky replica
+    * (every group member beyond maxHamming, its one near link
+    * shadowed in every bucket) escapes — DedupSpec pins zero false
+    * links and ≥ 96% coverage; [[simhashPairs]] stays the exhaustive path for
+    * low-duplication corpora, and this path is the bounded-cost bulk
+    * collapse whose survivors a pair-based pass re-sweeps cheaply
+    * (the corpus is replica-free after the collapse). For cluster
+    * structure, feed the links to [[connectedComponents]] —
+    * predecessor chains span each bucket. */
+  def simhashStar(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4, salted: Boolean = true): DataFrame = {
+    require(maxHamming < bands,
+      s"pigeonhole recall guarantee needs maxHamming < bands " +
+        s"(got $maxHamming >= $bands)")
+    val fps = simhashFingerprints(df, textCol, idCol)
+    val banded = bandedRows(fps, idCol, bands,
+      if (salted) Some("len_bucket") else None)
+    // Two links per banded row, both from ONE sorted window pass:
+    // the bucket's prefix MINIMUM (== the bucket min for every
+    // non-first row) and the bucket PREDECESSOR. The predecessor link
+    // is what keeps replica CHAINS connected when an unrelated
+    // smaller id coincidentally lands in the bucket and becomes its
+    // min at large Hamming — a member is missed only when BOTH its
+    // bucket min and its immediate predecessor are far, in EVERY one
+    // of its buckets (measured on the replicated spec fixture: the
+    // min-only variant missed 4 of 104 replicas, min+predecessor
+    // drops the full pair-based keep-min set).
+    val w = Window.partitionBy(col("bk")).orderBy(col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    banded
+      .withColumn("mn", min(struct(col(idCol), col("simhash"))).over(wPrev))
+      .withColumn("pv", lag(struct(col(idCol), col("simhash")), 1).over(w))
+      .select(col(idCol), col("simhash"),
+        explode(array(col("mn"), col("pv"))).as("lnk"))
+      .filter(col("lnk").isNotNull &&
+        col(s"lnk.$idCol") =!= col(idCol))
+      .select(col(s"lnk.$idCol").as("id_a"), col(idCol).as("id_b"),
+        bit_count(col("simhash").bitwiseXOR(col("lnk.simhash")))
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Banded candidate pairs with exact Hamming distance, BEFORE the
     * `maxHamming` filter — package-visible so specs can measure bucket
     * fan-out (the quantity the salt exists to bound) directly. */
-  private[graft] def simhashCandidates(fps: DataFrame, idCol: String,
+  /** The exploded (id, simhash, bk) band rows shared by the pair join
+    * ([[simhashCandidates]]) and the linear star reduction
+    * ([[simhashStar]]). With a salt: replicate each doc's band rows at
+    * salt and salt+1 so same-or-adjacent buckets still collide (one
+    * extra struct slot and 2× banded rows — the exchange ships compact
+    * (id, band, key, salt) rows either way, nothing corpus-shaped
+    * grows). */
+  private def bandedRows(fps: DataFrame, idCol: String,
       bands: Int, saltCol: Option[String]): DataFrame = {
     require(64 % bands == 0, s"bands must divide 64, got $bands")
     val bandBits = 64 / bands
@@ -780,10 +860,6 @@ object Dedup {
     val blocks = (0 until bands).map { b =>
       (b, shiftright(col("simhash"), b * bandBits).bitwiseAND(mask))
     }
-    // with a salt: replicate each doc's band rows at salt and salt+1 so
-    // same-or-adjacent buckets still collide (one extra struct slot and
-    // 2× banded rows — the exchange ships compact (id, band, key, salt)
-    // rows either way, nothing corpus-shaped grows)
     val bandStructs = saltCol match {
       case Some(sc) =>
         for { (b, key) <- blocks; off <- 0 to 1 } yield
@@ -794,8 +870,13 @@ object Dedup {
           struct(lit(b).as("band"), key.as("key"))
         }
     }
-    val banded = fps.select(col(idCol), col("simhash"),
+    fps.select(col(idCol), col("simhash"),
       explode(array(bandStructs: _*)).as("bk"))
+  }
+
+  private[graft] def simhashCandidates(fps: DataFrame, idCol: String,
+      bands: Int, saltCol: Option[String]): DataFrame = {
+    val banded = bandedRows(fps, idCol, bands, saltCol)
     // Self-join via dataset aliases, renaming only AFTER the join: the
     // two join inputs are then canonically identical subtrees, so the
     // banded-fingerprint aggregation+shuffle is computed ONCE and the

@@ -119,4 +119,40 @@ object Merge {
         col(seqCol).as("valid_from") :+ col("valid_to") :+
         col("valid_to").isNull.cast("int").as("is_current"): _*)
   }
+
+  /** Incremental [[scd2]] maintenance — the nightly shape: fold a new
+    * batch of changes into an EXISTING history without replaying the
+    * full change log. The history's own rows are re-read as
+    * pseudo-changes at their `valid_from` (each history row IS the
+    * surviving change that opened it — the no-ops [[scd2]] suppressed
+    * are exactly the rows that cannot affect any later interval), the
+    * new batch is unioned in, and [[scd2]] re-derives intervals; the
+    * result is row-identical to `scd2(full log)`.
+    *
+    * PRECONDITION (documented, not paid for with a corpus-wide check —
+    * the [[upsert]] duplicate-contract precedent): every new change's
+    * seq must be LATER than all history seqs for its key (an
+    * append-only CDC cursor — the normal case). A change arriving
+    * retroactively BEFORE a suppressed no-op would need that no-op
+    * back (it stops being a no-op once something interleaves), and
+    * compaction has dropped it — replay the full log for backfills.
+    * Seqs must also be distinct per key (the history no longer carries
+    * tie-break columns).
+    *
+    * Scale shape: identical to [[scd2]] — ONE hash shuffle on the key
+    * over |history| + |batch| rows; history is the COMPACTED log
+    * (no-ops gone), so nightly cost tracks the version count, not the
+    * raw change volume. */
+  def scd2Incremental(
+      history: DataFrame,
+      changes: DataFrame,
+      key: String,
+      seqCol: String,
+      attrCols: Seq[String]): DataFrame = {
+    val histLog = history.select(
+      col(key) +: attrCols.map(col) :+ col("valid_from").as(seqCol): _*)
+    val newLog = changes.select(
+      col(key) +: attrCols.map(col) :+ col(seqCol): _*)
+    scd2(histLog.unionByName(newLog), key, seqCol, attrCols)
+  }
 }

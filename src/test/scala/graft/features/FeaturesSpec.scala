@@ -257,6 +257,49 @@ class FeaturesSpec extends SparkSpec {
     assert(zero.length >= k)
   }
 
+  test("kmeansLloyd: steps=0 equals the hash-init assignment; one step " +
+      "matches a hand-rolled Lloyd iteration") {
+    val df = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+    val k = 4
+    val feats = Seq("c_acctbal", "c_nationkey", "c_custkey")
+    def preds(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => r.getLong(0) -> r.getAs[Int]("prediction")).toMap
+    val zeroStep = preds(DimReduction.kmeansLloyd(df, k, feats,
+      "c_custkey", steps = 0).collect())
+    val init = preds(DimReduction.kmeansHashInit(df, k, feats,
+      "c_custkey").collect())
+    assert(zeroStep == init, "steps=0 must be the pure hash-init model")
+
+    // hand-rolled single Lloyd step in plain Scala
+    val all = df.collect().map(r => (r.getLong(0),
+      Array(r.getDouble(1), r.getInt(2).toDouble, r.getLong(0).toDouble)))
+    val drawn = all.sortBy { case (id, _) =>
+      ((id % 1048573L) * DimReduction.KmeansHashMultiplier % 1048573L, id)
+    }.take(k).map(_._2)
+    def argmin(x: Array[Double], cs: Array[Array[Double]]) = {
+      val d2s = cs.map(c =>
+        c.indices.map(i => (x(i) - c(i)) * (x(i) - c(i))).sum)
+      d2s.indexOf(d2s.min)
+    }
+    val a0 = all.map { case (id, x) => (id, x, argmin(x, drawn)) }
+    val stepped = drawn.indices.map { j =>
+      val members = a0.collect { case (_, x, cl) if cl == j => x }
+      if (members.isEmpty) drawn(j)
+      else Array.tabulate(3) { i =>
+        BigDecimal(members.map(_(i)).sum / members.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toArray
+    val expect = all.map { case (id, x) => id -> argmin(x, stepped) }.toMap
+    val oneStep = preds(DimReduction.kmeansLloyd(df, k, feats,
+      "c_custkey", steps = 1).collect())
+    assert(oneStep == expect)
+    // the iteration must actually move something on real data
+    assert(oneStep != zeroStep,
+      "a Lloyd step on sf0.001 customers should reassign at least one row")
+  }
+
   test("pcaProject: projection with FITTED loadings == PCAModel.transform") {
     import org.apache.spark.ml.feature.PCA
     val model = new PCA().setK(2).setInputCol("features")

@@ -47,6 +47,29 @@ class CurateSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 900100L).count() == 0)
   }
 
+  test("repeatUpsample: factors replicate with dense copy_idx, " +
+      "factor 0 drops, unlisted sources take the default") {
+    val s = spark
+    import s.implicits._
+    val in = Seq(
+      (1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "source")
+    val out = Curate.repeatUpsample(in,
+        Map("a" -> 2, "c" -> 0), default = 1)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)))
+      .sorted
+    assert(out.toSeq === Seq((1L, 0), (1L, 1), (2L, 0), (2L, 1), (3L, 0)))
+    // zero shuffles: a narrow explode fused into the scan
+    val plan = Curate.repeatUpsample(in, Map("a" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+    // negative factors rejected outright
+    intercept[IllegalArgumentException] {
+      Curate.repeatUpsample(in, Map("a" -> -1))
+    }
+  }
+
   test("mixCorpus: deterministic, nested thresholds, exhaustive spec") {
     val s = spark
     import s.implicits._

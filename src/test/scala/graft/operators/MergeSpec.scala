@@ -122,6 +122,35 @@ class MergeSpec extends SparkSpec {
     assert(out === Set(("a", 1, Some(1)), ("b", 1, None)))
   }
 
+  test("scd2Incremental: history fold + batch == full-log rebuild") {
+    val s = spark
+    import s.implicits._
+    val old = Seq(
+      (1L, 1, "a"), (1L, 2, "a"), (1L, 3, "b"), // a run + change
+      (2L, 1, "x"))
+      .toDF("id", "seq", "v")
+    val batch = Seq(
+      (1L, 5, "b"), // no-op vs the OPEN version — must stay suppressed
+      (1L, 6, "c"), // closes b, opens c
+      (2L, 7, "y"), // closes x
+      (3L, 8, "z")) // brand-new key
+      .toDF("id", "seq", "v")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2),
+        Option(r.get(3)), r.getInt(4))).toSet
+    val hist = Merge.scd2(old, "id", "seq", Seq("v"))
+    val incremental = rows(
+      Merge.scd2Incremental(hist, batch, "id", "seq", Seq("v")))
+    val full = rows(
+      Merge.scd2(old.unionByName(batch), "id", "seq", Seq("v")))
+    assert(incremental === full)
+    // and the fold actually exercised every interaction class
+    assert(incremental.contains((1L, "c", 6, None, 1)))
+    assert(incremental.contains((1L, "b", 3, Some(6), 0)),
+      "the open b version must close at the c change, not the no-op")
+    assert(incremental.contains((3L, "z", 8, None, 1)))
+  }
+
   test("scd2 plan: ONE Exchange feeds both window passes") {
     val plan = Merge.scd2(changeLog, "id", "seq", Seq("v"),
         tieBreak = Seq("chg_id"))
