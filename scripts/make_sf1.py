@@ -1,0 +1,69 @@
+#!/usr/bin/env python3
+"""Regenerate the /tmp/sf1 scale-rehearsal fixture (PLANS.md round-11).
+
+sf0.1 replicated 10x with remapped ids — every document gains 9
+near-copies (replica k appends one token " rk"), embeddings perturb
+the first component per replica, events/lineitem remap keys so join
+cardinalities scale linearly. Small dimension tables copy as-is.
+
+Usage: python3 scripts/make_sf1.py [outDir]   (default /tmp/sf1)
+Driver-side tooling only (duckdb) — never imported by library code.
+"""
+import sys
+
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+
+con = duckdb.connect()
+con.execute(f"CREATE VIEW k AS SELECT unnest(range(0, 10)) AS k")
+
+
+def rep(table, sql):
+    con.execute(
+        f"COPY ({sql}) TO '{OUT}/{table}.parquet' (FORMAT PARQUET)")
+    n, = con.execute(
+        f"SELECT count(*) FROM read_parquet('{OUT}/{table}.parquet')"
+    ).fetchone()
+    print(f"{table}: {n} rows")
+
+
+import os
+os.makedirs(OUT, exist_ok=True)
+
+rep("documents", f"""
+  SELECT doc_id + k * 10000000 AS doc_id,
+         CASE WHEN k = 0 THEN text ELSE text || ' r' || k END AS text,
+         lang, source,
+         n_chars + CASE WHEN k = 0 THEN 0 ELSE 3 END AS n_chars
+  FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN k""")
+
+rep("embeddings", f"""
+  SELECT vec_id + k * 10000000 AS vec_id,
+         list_prepend(CAST(embedding[1] + k * 0.001 AS FLOAT),
+                      embedding[2:]) AS embedding,
+         label
+  FROM read_parquet('{SRC}/embeddings.parquet') CROSS JOIN k""")
+
+rep("events", f"""
+  SELECT event_id + k * 1000000000 AS event_id, ts,
+         user_id + k * 1000000 AS user_id, event_type, value, props
+  FROM read_parquet('{SRC}/events.parquet') CROSS JOIN k""")
+
+rep("lineitem", f"""
+  SELECT l_orderkey + k * 1000000000 AS l_orderkey, l_partkey,
+         l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+         l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+  FROM read_parquet('{SRC}/lineitem.parquet') CROSS JOIN k""")
+
+rep("orders", f"""
+  SELECT o_orderkey + k * 1000000000 AS o_orderkey, o_custkey,
+         * EXCLUDE (o_orderkey, o_custkey)
+  FROM read_parquet('{SRC}/orders.parquet') CROSS JOIN k""")
+
+for t in ["region", "nation", "customer", "supplier", "part"]:
+    con.execute(f"""COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))
+                    TO '{OUT}/{t}.parquet' (FORMAT PARQUET)""")
+    print(f"{t}: copied")
+print("done ->", OUT)

@@ -1374,6 +1374,43 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally deleteRecursively(tmp.toFile)
     }),
+    // Fourth streaming oracle row: the flatMapGroupsWithState
+    // sessionizer itself under the DuckDB gate — events through a real
+    // readStream file source, per-user session state carried in the
+    // state store, output = the batch sessionize shape, so the oracle
+    // IS the proven events_sessionize SQL. The fixture arrives as one
+    // AvailableNow micro-batch ((user_id, ts) unique => the in-group
+    // ts sort is total), and the 30-day watermark spans the fixture so
+    // no state eviction truncates a session mid-run; production
+    // tightens it to bound state, the sessionizeStream contract.
+    "stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ssz")
+      try {
+        val sink = s"$tmp/out"
+        val writeBatch = (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(sink)
+        val ev = Sources.eventsStream(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"))
+          .as[graft.streaming.SessionEvent]
+        val q = StreamOps.sessionizeStream(ev, gapMinutes = 30,
+            watermark = "30 days")
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(writeBatch)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .select(col("event_id"), col("user_id"),
+            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+            col("session_idx"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(events(s, dir))
         .withColumn("ts",
@@ -1705,12 +1742,51 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
           "o_orderdate", "o_status_sparse"))),
 
+    // Equi-DEPTH histogram: 8 buckets cut at exact octile quantiles of
+    // l_extendedprice in integer CENTS — the integer domain makes every
+    // interpolated cut an exact multiple of 1/8 in IEEE double, so the
+    // (x > cut) bin rule is bit-identical across engines with NO
+    // rounding anywhere in the assignment (Profile.equidepth scaladoc;
+    // the GK approxQuantile scale path sits behind exact=false, the
+    // robust_scaling Q5 convention).
+    "profile_equidepth" -> ((s, dir) =>
+      Profile.equidepth(
+        lineitem(s, dir).select(
+          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
+        "cents", nBins = 8)),
+
     // Corpus-level heavy hitters: exact top-50 word bigrams.
     // TakeOrderedAndProject after one partial+final count — never a
     // global sort. Count-desc/gram-asc total order makes the rank-50
     // cut deterministic in both engines.
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
+
+    // Bounded-state sibling of text_top_ngrams: Misra-Gries sketch at
+    // capacity 1024 >= the bigram vocabulary, so the sketch stays in
+    // its EXACT regime (max_error = 0 is an output column the oracle
+    // pins to 0) and the top-50 equals the exact GROUP BY twin —
+    // while the plan carries ONE 1024-entry sketch per map task
+    // through the Exchange instead of the keyed vocabulary
+    // (ObjectHashAggregate partial merge; the 100 TB path for
+    // billion-key n-gram vocabularies, where the exact twin's
+    // vocabulary shuffle is the bottleneck). Approximation-regime
+    // guarantees (retention above N/(cap+1), counter undershoot
+    // <= maxError) are spec'd in FrequentItemsSpec.
+    "text_heavy_hitters_sketch" -> ((s, dir) => {
+      val mg = udaf(new graft.functions.MisraGries(1024),
+        org.apache.spark.sql.Encoders.STRING)
+      documents(s, dir)
+        .select(explode(
+          graft.functions.WordNgrams(col("text"), 2,
+            strictFallback = false)).as("gram"))
+        .filter(size(split(col("gram"), " ")) === 2)
+        .agg(mg(col("gram")).as("sk"))
+        .select(explode(col("sk.counts")).as(Seq("gram", "cnt")),
+          col("sk.maxError").as("max_error"))
+        .orderBy(col("cnt").desc, col("gram"))
+        .limit(50)
+    }),
 
     // Referential-integrity orphan scan. TPC-H guarantees every
     // l_orderkey resolves, so orphans are planted in-flight (every
@@ -4054,6 +4130,22 @@ object SparkEntry {
 
     // floor(epoch) mirrors Spark's cast(timestamp as long) second
     // truncation — events carry microsecond precision.
+    // the streaming sessionizer's oracle IS the batch sessionize SQL:
+    // same gap rule, same (ts, event_id) order, same session_idx
+    // numbering — the state-store path must land on the identical
+    // frame.
+    "stream_sessionize" ->
+      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events)""".stripMargin,
+
     "events_sessionize" ->
       """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
         |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -4729,6 +4821,35 @@ object SparkEntry {
         |  COALESCE(c.n, 0) AS n
         |FROM spine s CROSS JOIN b LEFT JOIN cnt c USING (bin_id)""".stripMargin,
 
+    // equi-depth twin: octile cuts via quantile_cont over integer
+    // cents (every interpolated cut is an exact multiple of 1/8 in
+    // double — see Profile.equidepth scaladoc), then the same
+    // 1 + SUM(x > cut) bin rule. No rounding anywhere.
+    "profile_equidepth" ->
+      """WITH c AS (
+        |  SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS cents
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), q AS (
+        |  SELECT quantile_cont(cents, 0.125) AS q1,
+        |         quantile_cont(cents, 0.250) AS q2,
+        |         quantile_cont(cents, 0.375) AS q3,
+        |         quantile_cont(cents, 0.500) AS q4,
+        |         quantile_cont(cents, 0.625) AS q5,
+        |         quantile_cont(cents, 0.750) AS q6,
+        |         quantile_cont(cents, 0.875) AS q7
+        |  FROM c
+        |), binned AS (
+        |  SELECT CAST(1
+        |    + CAST(cents > q.q1 AS INT) + CAST(cents > q.q2 AS INT)
+        |    + CAST(cents > q.q3 AS INT) + CAST(cents > q.q4 AS INT)
+        |    + CAST(cents > q.q5 AS INT) + CAST(cents > q.q6 AS INT)
+        |    + CAST(cents > q.q7 AS INT) AS INT) AS bin_id,
+        |    CAST(cents AS DOUBLE) AS x
+        |  FROM c CROSS JOIN q
+        |)
+        |SELECT bin_id, COUNT(*) AS n, MIN(x) AS min_val, MAX(x) AS max_val
+        |FROM binned GROUP BY 1""".stripMargin,
+
     "profile_table" ->
       """WITH o AS (
         |  SELECT *,
@@ -4787,6 +4908,23 @@ object SparkEntry {
         |  FROM toks WHERE len(w) >= 2
         |)
         |SELECT gram, count(*) AS cnt FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
+    // Misra-Gries in its exact regime equals the exact GROUP BY twin;
+    // max_error = 0 is pinned as an output column — any sketch
+    // overflow would both perturb cnt (lower bound < true) and raise
+    // max_error, failing the hash twice over.
+    "text_heavy_hitters_sketch" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT gram, count(*) AS cnt, CAST(0 AS BIGINT) AS max_error
+        |FROM g GROUP BY gram
         |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
 
     // Planted-orphan referential check (literal twin of the in-flight

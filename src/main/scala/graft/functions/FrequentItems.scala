@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Misra–Gries sketch state: `counts` maps each tracked item to its
+  * LOWER-BOUND counter; `maxError` is the cumulative decrement applied
+  * so far, i.e. the sketch-wide error bound — for every item (tracked
+  * or not), `count(item) <= true_count(item) <= count(item) +
+  * maxError` (untracked ⇒ count 0). `maxError == 0` certifies the
+  * sketch never overflowed and every counter is EXACT. */
+final case class MgState(counts: Map[String, Long], maxError: Long)
+
+/** Misra–Gries frequent-items ("heavy hitters") sketch as a typed
+  * [[Aggregator]] — the bounded-state sibling of the EXACT
+  * [[graft.llm.TextAnalysis.topNgrams]] (which shuffles the whole
+  * keyed vocabulary): at most `capacity` counters per aggregation
+  * buffer, ever, regardless of input cardinality.
+  *
+  * Why it matters at 100 TB: exact top-k token/n-gram counting keys a
+  * shuffle by the full vocabulary — web-scale n-gram vocabularies run
+  * to billions of keys, so even with partial aggregation the Exchange
+  * carries (distinct-per-task × tasks) rows and the final aggregate
+  * holds the whole tail. The MG plan is a per-task sketch of fixed
+  * size merged pairwise: the Exchange carries ONE `capacity`-entry
+  * row per map task, the final state is one sketch, and the tail
+  * never crosses the wire. The classical guarantees survive merging
+  * (Agarwal et al., "Mergeable Summaries", PODS'12):
+  * every item with true count > N/(capacity+1) is retained, and each
+  * counter undershoots its true count by at most `maxError` ≤
+  * N/(capacity+1).
+  *
+  * Sketch algebra:
+  *  - reduce: tracked item → +1; untracked with spare room → insert
+  *    at 1; untracked and full → decrement ALL counters by 1 (drop
+  *    zeros), `maxError` +1 — the classical MG step, O(capacity) but
+  *    amortized O(1): each decrement pass cancels capacity+1
+  *    previously-paid increments.
+  *  - merge: sum counters; if over capacity, subtract the
+  *    (capacity+1)-th largest counter value from every counter and
+  *    drop the non-positive — the mergeable-summaries offset trick;
+  *    `maxError` adds across inputs plus the subtracted offset.
+  *
+  * Determinism: when `capacity` ≥ the distinct-item count the sketch
+  * NEVER decrements — every counter is the exact count, `maxError` is
+  * 0, and the result is independent of partitioning and merge order
+  * (plain map-sum). That exact regime is what the DuckDB oracle row
+  * pins (`text_heavy_hitters_sketch`, bit-equal to the exact GROUP BY
+  * twin including `max_error = 0`); the approximation regime's
+  * retention + bound guarantees are spec'd on a planted skewed stream
+  * under forced multi-partition merges (FrequentItemsSpec). In the
+  * approximate regime the SET of survivors near the N/(capacity+1)
+  * frequency floor may vary with merge order — inherent to MG, why
+  * the oracle pins the exact regime only.
+  *
+  * Registered via `functions.udaf(...)` → Catalyst plans a
+  * ScalaAggregator inside ObjectHashAggregate with map-side partial
+  * merge: one Exchange of sketch rows, never a vocabulary-keyed
+  * shuffle. The immutable-map buffer trades ~2× constant factor for
+  * encoder transparency; a production tuning pass would swap in a
+  * TypedImperativeAggregate over an open-addressing map, same
+  * algebra. */
+final class MisraGries(capacity: Int)
+    extends Aggregator[String, MgState, MgState] {
+
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def zero: MgState = MgState(Map.empty, 0L)
+
+  override def reduce(b: MgState, item: String): MgState = {
+    val c = b.counts
+    c.get(item) match {
+      case Some(n) => MgState(c.updated(item, n + 1L), b.maxError)
+      case None if c.size < capacity =>
+        MgState(c.updated(item, 1L), b.maxError)
+      case None =>
+        val dec = c.iterator.collect {
+          case (k, v) if v > 1L => k -> (v - 1L)
+        }.toMap
+        MgState(dec, b.maxError + 1L)
+    }
+  }
+
+  override def merge(a: MgState, b: MgState): MgState = {
+    val summed = b.counts.foldLeft(a.counts) { case (m, (k, v)) =>
+      m.updated(k, m.getOrElse(k, 0L) + v)
+    }
+    val err = a.maxError + b.maxError
+    if (summed.size <= capacity) MgState(summed, err)
+    else {
+      // offset = (capacity+1)-th largest counter; keep v > offset —
+      // at most `capacity` survivors by construction
+      val offset = summed.valuesIterator.toArray
+        .sorted(Ordering[Long].reverse).apply(capacity)
+      val kept = summed.iterator.collect {
+        case (k, v) if v > offset => k -> (v - offset)
+      }.toMap
+      MgState(kept, err + offset)
+    }
+  }
+
+  override def finish(r: MgState): MgState = r
+  override def bufferEncoder: Encoder[MgState] = Encoders.product[MgState]
+  override def outputEncoder: Encoder[MgState] = Encoders.product[MgState]
+}

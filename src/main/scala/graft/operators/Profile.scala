@@ -95,6 +95,119 @@ object Profile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Equi-DEPTH histogram of a numeric column: `nBins` buckets cut at
+    * the exact `i/nBins` quantiles, emitting per bucket
+    * `(bin_id, n, min_val, max_val)` — the distribution profile that
+    * stays informative under heavy skew, where [[histogram]]'s
+    * equal-width buckets collapse into one hot bin and n−1 empties.
+    *
+    * Bin rule: `bin = 1 + Σᵢ (x > qᵢ)` over the nBins−1 interior cut
+    * points — half-open `(qᵢ₋₁, qᵢ]` buckets, ties at a cut all land
+    * in the lower bucket (so bins are only approximately equal-sized
+    * under ties; that is the standard equi-depth contract).
+    *
+    * Determinism across engines: the cuts come from the exact
+    * `percentile` aggregate (linear interpolation at
+    * pos = f·(n−1)). Fed an INTEGER-VALUED column (counts, cents,
+    * epoch seconds — the profiling domains), every interpolated cut
+    * is an integer multiple of 1/nBins and therefore EXACT in IEEE
+    * double on any engine and any summation order, for any
+    * power-of-two `nBins` — the comparison `x > qᵢ` can never flip on
+    * an ulp. (Fractional inputs profile fine too; only cross-engine
+    * bit-parity needs the integer domain.)
+    *
+    * Two paths, one shape (the [[graft.features.RobustScaling]] Q5
+    * convention): `exact = true` runs the sort-based exact percentile
+    * — the oracle-parity validation path; `exact = false` swaps in
+    * Greenwald–Khanna `approxQuantile` (bounded sketch state, no
+    * sort) — the 100 TB default. Either way the cuts are a BOUNDED
+    * driver artifact (nBins−1 doubles) baked into the second pass as
+    * plan literals, so the binning pass is a pure narrow projection
+    * feeding an nBins-row aggregate: one scan, fixed-size state, no
+    * row-multiplication, no global sort of the data. */
+  def equidepth(
+      df: DataFrame,
+      column: String,
+      nBins: Int = 8,
+      exact: Boolean = true,
+      relErr: Double = 1e-4): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val x = col(column).cast("double")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val nn = df.where(x.isNotNull)
+    val cuts: Seq[Double] =
+      if (exact) exactPercentiles(df, column, probs)
+      else nn.stat.approxQuantile(column, probs.toArray, relErr).toSeq
+    val bin = cuts.foldLeft(lit(1)) { (acc, c) =>
+      acc + when(x > lit(c), 1).otherwise(0)
+    }
+    nn.select(bin.as("bin_id"), x.as("x"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n"), min(col("x")).as("min_val"),
+        max(col("x")).as("max_val"))
+  }
+
+  /** Exact percentiles via a distributed CDF instead of the built-in
+    * `percentile` aggregate, BIT-IDENTICAL results (same
+    * `a + (b−a)·frac` interpolation at pos = f·(n−1) over the sorted
+    * multiset — asserted against `percentile` in ProfileSpec and by
+    * the profile_equidepth DuckDB oracle end-to-end).
+    *
+    * Why not the built-in: Catalyst's `Percentile` carries a
+    * value→count OpenHashMap of EVERY distinct value as one opaque
+    * aggregation buffer — partials serialize whole maps to the single
+    * final reducer, which merges then sorts them on one thread (and
+    * ~2× slower than this plan already at sf0.1's 583 k distinct
+    * cents). Here the heavy lifting is a plain codegen'd
+    * `groupBy(value).count()` — distributed, partial-aggregated,
+    * spillable — after which only the DISTINCT frame (narrow
+    * (value, cnt) rows, not a map blob) flows into a streaming
+    * running-sum window; the interpolation neighbors are filtered out
+    * by literal rank predicates (≤ 2·|probs| rows collected) and the
+    * arithmetic finishes on the driver. Both formulations are
+    * distinct-bounded at the final step — the honest 100 TB default
+    * for high-cardinality columns stays Greenwald–Khanna
+    * (`exact = false` above); this is the oracle-parity path made
+    * ~2× cheaper and spill-safe. */
+  private[operators] def exactPercentiles(
+      df: DataFrame,
+      column: String,
+      probs: Seq[Double]): Seq[Double] = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0.0 && p <= 1.0),
+      s"probs must be in [0,1], got $probs")
+    val x = col(column)
+    val nn = df.where(x.isNotNull)
+    val n = nn.count()
+    require(n > 0, s"exactPercentiles: column '$column' is all null")
+    // 0-indexed ranks of each cut's interpolation neighbors
+    val ranks = probs.flatMap { f =>
+      val lo = math.floor(f * (n - 1)).toLong
+      Seq(lo, math.min(lo + 1, n - 1))
+    }.distinct
+    val counts = nn.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    // rank r lives in the row with cum − cnt <= r < cum
+    val hit = ranks.map(r =>
+      col("cum") - col("cnt") <= lit(r) && col("cum") > lit(r))
+      .reduce(_ || _)
+    val rows = cum.where(hit)
+      .select(col("v").cast("double"), col("cum"), col("cnt")).collect()
+    val atRank = ranks.map(r => r -> rows.find(row =>
+      row.getLong(1) - row.getLong(2) <= r && r < row.getLong(1))
+      .getOrElse(sys.error(s"rank $r not covered — CDF logic broken"))
+      .getDouble(0)).toMap
+    probs.map { f =>
+      val pos = f * (n - 1)
+      val lo = math.floor(pos).toLong
+      val a = atRank(lo)
+      val b = atRank(math.min(lo + 1, n - 1))
+      a + (b - a) * (pos - lo)
+    }
+  }
+
   private def assemble(df: DataFrame, cols: Seq[String], exact: Boolean,
       rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")

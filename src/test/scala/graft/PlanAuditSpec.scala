@@ -139,6 +139,28 @@ class PlanAuditSpec extends SparkSpec {
       "expected a Partial-mode WindowGroupLimit:\n" + p.take(1200))
   }
 
+  test("text_heavy_hitters_sketch: vocabulary never keys a shuffle — " +
+      "one ObjectHashAggregate sketch pair, zero hash Exchanges, " +
+      "TakeOrdered top-k (round 11)") {
+    val p = plan("text_heavy_hitters_sketch")
+    assert(p.contains("ObjectHashAggregate"), p.take(800))
+    // partial sketches meet at a SinglePartition exchange (one row per
+    // task); a hashpartitioning Exchange would mean the gram vocabulary
+    // itself is being shuffled — the exact twin's shape, not the sketch's
+    assert(shuffles(p) == 0, s"vocabulary-keyed shuffle crept in:\n${p.take(800)}")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("profile_equidepth: literal-cut binning pass — one nBins-keyed " +
+      "aggregate, no range shuffle / global sort of the data (round 11)") {
+    // the exact-percentile CUT job runs at plan-construction time (a
+    // bounded 7-double artifact); the registered plan is the binning
+    // pass only and must stay a narrow projection + tiny aggregate
+    val p = plan("profile_equidepth")
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+    assert(shuffles(p) == 1, s"expected only the bin_id aggregate:\n${p.take(800)}")
+  }
+
   test("llm_merge_upsert: one shuffle, map-side WindowGroupLimit") {
     // MERGE as union + keyed window: the whole snapshot + updates
     // stream through ONE hash exchange on the key, and the rank-1

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries sketch: exact-regime equality with the GROUP BY truth
+  * (what the text_heavy_hitters_sketch oracle row pins end-to-end),
+  * approximation-regime retention + error-bound guarantees under
+  * forced multi-partition merges, and the pure sketch algebra. */
+class FrequentItemsSpec extends SparkSpec {
+
+  private def counts(pairs: (String, Long)*): Map[String, Long] = pairs.toMap
+
+  test("exact regime: capacity >= distinct ⇒ counts equal GROUP BY, " +
+      "maxError 0, independent of partitioning") {
+    val s = spark
+    import s.implicits._
+    val items = Seq.fill(40)("a") ++ Seq.fill(25)("b") ++
+      Seq.fill(9)("c") ++ Seq("d", "e", "f")
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = udaf(new MisraGries(8), Encoders.STRING)
+    Seq(1, 3, 7).foreach { nPart =>
+      val st = items.toDF("t").repartition(nPart)
+        .agg(mg(col("t")).as("sk")).select("sk.*").as[MgState].head()
+      assert(st.maxError == 0L, s"nPart=$nPart")
+      assert(st.counts == truth, s"nPart=$nPart")
+    }
+  }
+
+  test("approximate regime: every item above N/(capacity+1) retained; " +
+      "counters are lower bounds within maxError; maxError bounded") {
+    val s = spark
+    import s.implicits._
+    val rares = (1 to 50).flatMap(i => Seq.fill(2)(f"rare$i%02d"))
+    val items = Seq.fill(600)("hot") ++ Seq.fill(200)("warm") ++ rares
+    val n = items.size // 900
+    val capacity = 8
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = udaf(new MisraGries(capacity), Encoders.STRING)
+    Seq(1, 6).foreach { nPart =>
+      val st = items.toDF("t").repartition(nPart)
+        .agg(mg(col("t")).as("sk")).select("sk.*").as[MgState].head()
+      assert(st.counts.size <= capacity)
+      assert(st.maxError <= n / (capacity + 1L),
+        s"maxError ${st.maxError} exceeds N/(cap+1)")
+      // classical retention: true count > N/(capacity+1) = 100 ⇒ kept
+      Seq("hot", "warm").foreach(k =>
+        assert(st.counts.contains(k), s"$k dropped at nPart=$nPart"))
+      // every counter is a lower bound, within maxError of the truth
+      st.counts.foreach { case (k, v) =>
+        assert(v <= truth(k), s"$k counter $v overshoots ${truth(k)}")
+        assert(truth(k) <= v + st.maxError,
+          s"$k counter $v + err ${st.maxError} under ${truth(k)}")
+      }
+    }
+  }
+
+  test("sketch algebra: reduce decrement-all on overflow; merge " +
+      "offset-truncates to capacity and accumulates the error") {
+    val mg = new MisraGries(2)
+    // fill to capacity, then an untracked item decrements all
+    val s1 = mg.reduce(mg.reduce(mg.reduce(mg.zero, "a"), "a"), "b")
+    assert(s1 == MgState(counts("a" -> 2L, "b" -> 1L), 0L))
+    val s2 = mg.reduce(s1, "c") // full: a→1, b drops, error 1
+    assert(s2 == MgState(counts("a" -> 1L), 1L))
+    // merge over capacity: offset = 3rd-largest (2); survivors shed it
+    val m = mg.merge(
+      MgState(counts("a" -> 5L, "b" -> 3L), 1L),
+      MgState(counts("c" -> 2L, "b" -> 1L), 2L))
+    assert(m == MgState(counts("a" -> 3L, "b" -> 2L), 5L))
+  }
+}

@@ -86,4 +86,73 @@ class ProfileSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(exactPlan.contains("Expand"), exactPlan.take(800))
   }
+
+  test("equidepth: uniform integer grid cuts into exactly equal bins " +
+      "with contiguous [min,max] ranges") {
+    val s = spark
+    import s.implicits._
+    // 1..1000, 8 bins: interior cuts at 1 + 999·i/8 (125.875, 250.75,
+    // …) ⇒ bin i holds exactly 125 consecutive values
+    val e = Profile.equidepth((1 to 1000).map(Tuple1(_)).toDF("v"), "v",
+      nBins = 8).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(e.keySet == (1 to 8).toSet)
+    (1 to 8).foreach { i =>
+      assert(e(i)._1 == 125L, s"bin $i depth ${e(i)._1}")
+      assert(e(i)._2 == (i - 1) * 125 + 1.0 && e(i)._3 == i * 125.0,
+        s"bin $i range ${e(i)._2}..${e(i)._3}")
+    }
+  }
+
+  test("equidepth: heavy ties collapse into the lower bin (half-open " +
+      "top-closed buckets), totals preserved — where equal-width dies") {
+    val s = spark
+    import s.implicits._
+    // 90% constant: every interior cut but the last equals 1, so ties
+    // at the cut all land in bin 1 and the tail spreads above it
+    val df = (Seq.fill(900)(1) ++ (2 to 101)).map(Tuple1(_)).toDF("v")
+    val e = Profile.equidepth(df, "v", nBins = 8).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(e(1)._1 == 900L && e(1)._2 == 1.0 && e(1)._3 == 1.0)
+    assert(e.values.map(_._1).sum == 1000L)
+    assert(!e.contains(2) && !e.contains(7), // interior cuts collapsed
+      s"tied cuts must skip intermediate bins: ${e.keySet}")
+  }
+
+  test("exactPercentiles: CDF formulation bit-equals the built-in " +
+      "percentile aggregate on ties, floats and planted nulls") {
+    val s = spark
+    import s.implicits._
+    // heavy ties + fractional values + nulls: the cases where a CDF
+    // rank bug or off-by-one neighbor pick would surface
+    val vals: Seq[java.lang.Double] =
+      Seq.fill(37)(1.5: java.lang.Double) ++
+        (1 to 113).map(i => (i * 0.25): java.lang.Double) ++
+        Seq.fill(11)(7.75: java.lang.Double) ++
+        Seq(null: java.lang.Double, null: java.lang.Double)
+    val df = vals.map(Tuple1(_)).toDF("v").repartition(5)
+    val probs = Seq(0.01, 0.125, 0.25, 0.5, 0.701, 0.875, 0.99)
+    val cdf = Profile.exactPercentiles(df, "v", probs)
+    val ref = df.where(col("v").isNotNull)
+      .agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+      .head().getSeq[Double](0)
+    assert(cdf == ref, s"cdf $cdf != percentile $ref")
+  }
+
+  test("equidepth: GK approx path matches exact depths within one " +
+      "element per cut at tight relErr") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 1000).map(Tuple1(_)).toDF("v")
+    // approxQuantile returns actual elements (no interpolation), so a
+    // cut can sit one element off the interpolated exact cut — depths
+    // shift by at most 1 at each of the two bin edges
+    val a = Profile.equidepth(df, "v", nBins = 8, exact = false,
+      relErr = 1e-5).collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == 1000L)
+    (1 to 8).foreach(i => assert(math.abs(a(i) - 125L) <= 2,
+      s"approx bin $i depth ${a(i)} drifted from 125"))
+  }
 }
