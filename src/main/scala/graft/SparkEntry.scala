@@ -1480,6 +1480,44 @@ object SparkEntry {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
     }),
 
+    // Fifth streaming oracle row: the STREAM-STREAM interval join
+    // itself under the DuckDB gate — both sides real readStream file
+    // sources with watermarks (mandatory: without them Spark rejects
+    // the unbounded-state append-mode join outright), inner matches
+    // emitted as both sides buffer in the join state store. Same
+    // attributionJoin code as the batch twin, so the oracle IS
+    // events_attribution's inequality-join SQL. The 30-day watermark
+    // spans the fixture so no state eviction drops a late match here;
+    // StreamingSpec pins the eviction semantics (a purchase behind
+    // the watermark is dropped, not matched from evicted state).
+    "stream_attribution" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sat")
+      try {
+        val sink = s"$tmp/out"
+        val writeBatch = (batch: DataFrame, _: Long) =>
+          batch.coalesce(1).write.mode("append").parquet(sink)
+        val clicks = Sources.eventsStream(s, dir)
+          .filter(col("event_type") === "click")
+        val purchases = Sources.eventsStream(s, dir)
+          .filter(col("event_type") === "purchase")
+        val q = StreamOps.attributionJoin(clicks, purchases,
+            horizonMinutes = 60, watermark = Some("30 days"))
+          .writeStream
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/chk")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch(writeBatch)
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .withColumn("click_ts",
+            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .withColumn("purchase_ts",
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
     // Sliding-window chunking for context packing: 32-token windows,
     // stride 24 (8-token overlap). chunk_idx = start/stride in both
     // engines; ws tokenization matches text_token_stats.
@@ -1763,18 +1801,22 @@ object SparkEntry {
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
 
     // Bounded-state sibling of text_top_ngrams: Misra-Gries sketch at
-    // capacity 1024 >= the bigram vocabulary, so the sketch stays in
-    // its EXACT regime (max_error = 0 is an output column the oracle
-    // pins to 0) and the top-50 equals the exact GROUP BY twin —
-    // while the plan carries ONE 1024-entry sketch per map task
-    // through the Exchange instead of the keyed vocabulary
-    // (ObjectHashAggregate partial merge; the 100 TB path for
-    // billion-key n-gram vocabularies, where the exact twin's
-    // vocabulary shuffle is the bottleneck). Approximation-regime
-    // guarantees (retention above N/(cap+1), counter undershoot
-    // <= maxError) are spec'd in FrequentItemsSpec.
+    // capacity 4096 >= the bigram vocabulary (916 at sf0.01, 1210 on
+    // the sf1 rehearsal fixture, whose replica suffixes mint new
+    // bigram types — a 1024 cap overflowed there and the oracle
+    // caught it exactly as designed: counts dropped below truth AND
+    // max_error went nonzero), so the sketch stays in its EXACT
+    // regime (max_error = 0 is an output column the oracle pins to 0)
+    // and the top-50 equals the exact GROUP BY twin — while the plan
+    // carries ONE capacity-entry sketch per map task through the
+    // Exchange instead of the keyed vocabulary (ObjectHashAggregate
+    // partial merge; the 100 TB path for billion-key n-gram
+    // vocabularies, where the exact twin's vocabulary shuffle is the
+    // bottleneck). Approximation-regime guarantees (retention above
+    // N/(cap+1), counter undershoot <= maxError) are spec'd in
+    // FrequentItemsSpec.
     "text_heavy_hitters_sketch" -> ((s, dir) => {
-      val mg = udaf(new graft.functions.MisraGries(1024),
+      val mg = udaf(new graft.functions.MisraGries(4096),
         org.apache.spark.sql.Encoders.STRING)
       documents(s, dir)
         .select(explode(
@@ -4219,6 +4261,26 @@ object SparkEntry {
     // Attribution pairs compared on epoch micros inside the join (same
     // integer-domain discipline as events_range_join), timestamps
     // formatted for the registered shape.
+    // the stream-stream join's oracle IS the batch attribution SQL:
+    // identical join condition, identical output shape — the join
+    // state store must land on the identical pair set.
+    "stream_attribution" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
+        |    epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |    epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us
+        |  AND p.p_us <= c.c_us + 3600000000""".stripMargin,
+
     "events_attribution" ->
       """WITH c AS (
         |  SELECT event_id AS click_id, user_id, ts AS click_ts,
