@@ -106,9 +106,10 @@ object Profile {
     * in the lower bucket (so bins are only approximately equal-sized
     * under ties; that is the standard equi-depth contract).
     *
-    * Determinism across engines: the cuts come from the exact
-    * `percentile` aggregate (linear interpolation at
-    * pos = f·(n−1)). Fed an INTEGER-VALUED column (counts, cents,
+    * Determinism across engines: the cuts are exact percentiles
+    * (linear interpolation at pos = f·(n−1); computed by
+    * [[exactPercentiles]], bit-identical to the `percentile`
+    * aggregate). Fed an INTEGER-VALUED column (counts, cents,
     * epoch seconds — the profiling domains), every interpolated cut
     * is an integer multiple of 1/nBins and therefore EXACT in IEEE
     * double on any engine and any summation order, for any
@@ -117,10 +118,11 @@ object Profile {
     * bit-parity needs the integer domain.)
     *
     * Two paths, one shape (the [[graft.features.RobustScaling]] Q5
-    * convention): `exact = true` runs the sort-based exact percentile
-    * — the oracle-parity validation path; `exact = false` swaps in
-    * Greenwald–Khanna `approxQuantile` (bounded sketch state, no
-    * sort) — the 100 TB default. Either way the cuts are a BOUNDED
+    * convention): `exact = true` runs the distributed-CDF exact
+    * percentile — the oracle-parity validation path; `exact = false`
+    * swaps in Greenwald–Khanna `approxQuantile` (bounded sketch
+    * state, no distinct-scale step) — the 100 TB default for
+    * high-cardinality columns. Either way the cuts are a BOUNDED
     * driver artifact (nBins−1 doubles) baked into the second pass as
     * plan literals, so the binning pass is a pure narrow projection
     * feeding an nBins-row aggregate: one scan, fixed-size state, no

@@ -56,6 +56,26 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
+  test("capacity contract: the registered query's capacity covers the " +
+      "fixture bigram vocabulary with >= 2x margin") {
+    // the sf1 rehearsal showed testdata drift CAN grow the vocabulary
+    // (replica suffixes minted 931 -> 1210 bigram types and overflowed
+    // the original 1024 cap); this spec fails loudly if the fixture
+    // vocabulary ever creeps toward the registered capacity of 4096
+    // instead of letting the oracle row break silently at gate time
+    val s = spark
+    import s.implicits._
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vocab = docs.select(explode(
+        graft.functions.WordNgrams(col("text"), 2, strictFallback = false))
+        .as("gram"))
+      .filter(size(split(col("gram"), " ")) === 2)
+      .distinct().count()
+    assert(vocab * 2 <= 4096,
+      s"bigram vocabulary $vocab is within 2x of the registered " +
+        "capacity 4096 — raise the capacity in text_heavy_hitters_sketch")
+  }
+
   test("sketch algebra: reduce decrement-all on overflow; merge " +
       "offset-truncates to capacity and accumulates the error") {
     val mg = new MisraGries(2)

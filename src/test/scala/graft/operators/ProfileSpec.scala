@@ -141,6 +141,24 @@ class ProfileSpec extends SparkSpec {
     assert(cdf == ref, s"cdf $cdf != percentile $ref")
   }
 
+  test("exactPercentiles: integer-domain cuts at power-of-two probs " +
+      "are exact multiples of 1/8 — the cross-engine bit-parity claim") {
+    val s = spark
+    import s.implicits._
+    // pseudo-random integers (deterministic LCG), octile probs: every
+    // interpolated cut must be k/8 exactly, so cut*8 is an integer —
+    // the property the profile_equidepth oracle's exactness rests on
+    var x = 12345L
+    val ints = (1 to 997).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL
+      x % 1000003L
+    }
+    val df = ints.map(Tuple1(_)).toDF("v").repartition(6)
+    val cuts = Profile.exactPercentiles(df, "v", (1 to 7).map(_ / 8.0))
+    cuts.foreach(c => assert(c * 8 == math.rint(c * 8),
+      s"cut $c is not an exact eighth"))
+  }
+
   test("equidepth: GK approx path matches exact depths within one " +
       "element per cut at tight relErr") {
     val s = spark
