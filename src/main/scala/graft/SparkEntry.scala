@@ -1830,6 +1830,37 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // The persisted-sketch workflow end-to-end (the deployment shape:
+    // daily sketches merged without rescanning history): corpus split
+    // by doc_id parity, the "history" half sketched and round-tripped
+    // through a parquet artifact (<= capacity+1 rows), the "new batch"
+    // half sketched fresh, the two MERGED by the aggregator's own
+    // rule — and the merged top-50 must equal the exact GROUP BY over
+    // the WHOLE corpus (mergeable-summaries exactness composes: both
+    // halves stayed exact and the union fits the capacity, so the
+    // merge is a plain sum). Same oracle SQL as the one-shot sketch.
+    "text_heavy_hitters_incremental" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hhi")
+      try {
+        def grams(d: DataFrame) = d
+          .select(explode(
+            graft.functions.WordNgrams(col("text"), 2,
+              strictFallback = false)).as("gram"))
+          .filter(size(split(col("gram"), " ")) === 2)
+        val docs = documents(s, dir)
+        val hist = graft.functions.FrequentItems.sketch(
+          grams(docs.filter(col("doc_id") % 2 === 0)), "gram", 4096)
+        graft.functions.FrequentItems.writeSketch(s, hist, s"$tmp/sk")
+        val reloaded = graft.functions.FrequentItems.readSketch(s, s"$tmp/sk")
+        val fresh = graft.functions.FrequentItems.sketch(
+          grams(docs.filter(col("doc_id") % 2 === 1)), "gram", 4096)
+        val merged = graft.functions.FrequentItems
+          .merge(reloaded, fresh, 4096)
+        graft.functions.FrequentItems.topK(s, merged, 50)
+          .localCheckpoint(true)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
     // Referential-integrity orphan scan. TPC-H guarantees every
     // l_orderkey resolves, so orphans are planted in-flight (every
     // 97th order key re-keyed +900M — the decontaminate planting
@@ -4976,6 +5007,22 @@ object SparkEntry {
     // max_error = 0 is pinned as an output column — any sketch
     // overflow would both perturb cnt (lower bound < true) and raise
     // max_error, failing the hash twice over.
+    // the incremental row shares the one-shot sketch's oracle verbatim:
+    // history-sketch -> persist -> reload -> merge with the new batch
+    // must land on the same exact top-50 as one pass over everything.
+    "text_heavy_hitters_incremental" ->
+      """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT gram, count(*) AS cnt, CAST(0 AS BIGINT) AS max_error
+        |FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+
     "text_heavy_hitters_sketch" ->
       """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w

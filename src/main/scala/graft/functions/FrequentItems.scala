@@ -103,3 +103,78 @@ final class MisraGries(capacity: Int)
   override def bufferEncoder: Encoder[MgState] = Encoders.product[MgState]
   override def outputEncoder: Encoder[MgState] = Encoders.product[MgState]
 }
+
+/** The persisted-sketch workflow around [[MisraGries]] — the shape a
+  * deployment actually runs at 100 TB: sketch each day's (or each
+  * ingest batch's) items INDEPENDENTLY, persist the capacity-bounded
+  * state (a few KB), and answer "top-k over any span" by MERGING the
+  * stored sketches — no rescan of history, ever. Mergeability with
+  * intact guarantees is the Misra–Gries selling point over a plain
+  * top-k (Agarwal et al., Mergeable Summaries, PODS'12); this object
+  * makes the artifact side of that real: [[sketch]] collects ONE
+  * bounded state row per corpus slice, [[writeSketch]]/[[readSketch]]
+  * round-trip it through parquet, [[merge]] applies the aggregator's
+  * own merge rule, [[topK]] renders a merged state back into the
+  * (gram, cnt, max_error) frame the oracle checks.
+  *
+  * Persisted layout: rows `(item, cnt)` for the counters plus ONE
+  * reserved `item IS NULL` row whose `cnt` is `maxError` — the whole
+  * file is ≤ capacity+1 rows. Exactness composes: if every slice's
+  * sketch stayed exact (maxError 0) and the merged size fits the
+  * capacity, the merged counts are exact too — what the
+  * text_heavy_hitters_incremental oracle row pins end-to-end. */
+object FrequentItems {
+
+  /** Aggregate an item column into one MG state — a bounded driver
+    * artifact (≤ capacity entries), like collecting KMeans centroids. */
+  def sketch(items: org.apache.spark.sql.DataFrame, column: String,
+      capacity: Int): MgState = {
+    val mg = org.apache.spark.sql.functions.udaf(
+      new MisraGries(capacity), Encoders.STRING)
+    val row = items
+      .agg(mg(org.apache.spark.sql.functions.col(column)).as("sk"))
+      .select("sk.*").head()
+    MgState(row.getMap[String, Long](0).toMap, row.getLong(1))
+  }
+
+  def writeSketch(spark: org.apache.spark.sql.SparkSession,
+      state: MgState, path: String): Unit = {
+    import spark.implicits._
+    // the null item slot is RESERVED for the maxError row — a null key
+    // in the counts map would alias it and corrupt the round-trip
+    require(!state.counts.contains(null),
+      "writeSketch: null items are not persistable (reserved slot); " +
+        "filter or fill the item column before sketching")
+    (state.counts.toSeq.map { case (k, v) => (Option(k), v) } :+
+      (Option.empty[String], state.maxError))
+      .toDF("item", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): MgState = {
+    val rows = spark.read.parquet(path).collect()
+    val (err, items) = rows.partition(_.isNullAt(0))
+    require(err.length == 1,
+      s"sketch file $path must carry exactly one maxError row")
+    MgState(items.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      err.head.getLong(1))
+  }
+
+  /** The aggregator's own merge rule over stored states. */
+  def merge(a: MgState, b: MgState, capacity: Int): MgState =
+    new MisraGries(capacity).merge(a, b)
+
+  /** Render a state as the ranked (gram, cnt, max_error) frame — a
+    * ≤ capacity-row local relation, sorted/cut by Spark so tie rules
+    * match the exact twin's. */
+  def topK(spark: org.apache.spark.sql.SparkSession, state: MgState,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit}
+    state.counts.toSeq.toDF("gram", "cnt")
+      .withColumn("max_error", lit(state.maxError))
+      .orderBy(col("cnt").desc, col("gram"))
+      .limit(k)
+  }
+}

@@ -76,6 +76,72 @@ class FrequentItemsSpec extends SparkSpec {
         "capacity 4096 — raise the capacity in text_heavy_hitters_sketch")
   }
 
+  test("persisted workflow: sketch -> write -> read -> merge equals " +
+      "the one-pass sketch; artifact is <= capacity+1 rows") {
+    val s = spark
+    import s.implicits._
+    val a = Seq.fill(30)("x") ++ Seq.fill(12)("y") ++ Seq("p", "q")
+    val b = Seq.fill(20)("x") ++ Seq.fill(25)("z") ++ Seq("q", "r")
+    val cap = 16
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fi")
+    try {
+      val skA = FrequentItems.sketch(a.toDF("t"), "t", cap)
+      FrequentItems.writeSketch(spark, skA, s"$tmp/sk")
+      assert(spark.read.parquet(s"$tmp/sk").count() <= cap + 1L)
+      val back = FrequentItems.readSketch(spark, s"$tmp/sk")
+      assert(back == skA, "parquet round-trip must be lossless")
+      val merged = FrequentItems.merge(back,
+        FrequentItems.sketch(b.toDF("t"), "t", cap), cap)
+      val onePass = FrequentItems.sketch((a ++ b).toDF("t"), "t", cap)
+      assert(merged.counts == onePass.counts && merged.maxError == 0L,
+        s"merged $merged != one-pass $onePass")
+      val top = FrequentItems.topK(spark, merged, 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(top.toSeq == Seq(("x", 50L, 0L), ("z", 25L, 0L),
+        ("y", 12L, 0L)))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+  }
+
+  test("property: MG bounds hold for random streams, capacities and " +
+      "merge trees (untracked items bounded by maxError too)") {
+    val rng = new scala.util.Random(7)
+    (1 to 25).foreach { trial =>
+      val cap = 1 + rng.nextInt(12)
+      val n = 50 + rng.nextInt(400)
+      // zipf-ish: item i drawn with weight ~ 1/(i+1)
+      val universe = (0 until 30).map(i => f"it$i%02d")
+      val stream = Seq.fill(n) {
+        val z = rng.nextDouble()
+        universe(math.min(29, (1.0 / (z + 0.02) - 1).toInt % 30))
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong)
+      val mg = new MisraGries(cap)
+      // random chunking + random-order pairwise merges = an arbitrary
+      // distributed merge tree
+      var parts = stream.grouped(1 + rng.nextInt(40))
+        .map(chunk => chunk.foldLeft(mg.zero)(mg.reduce)).toVector
+      while (parts.size > 1) {
+        val i = rng.nextInt(parts.size)
+        val a = parts(i); parts = parts.patch(i, Nil, 1)
+        val j = rng.nextInt(parts.size)
+        parts = parts.updated(j, mg.merge(a, parts(j)))
+      }
+      val st = parts.head
+      assert(st.counts.size <= cap, s"trial $trial: size over capacity")
+      assert(st.maxError <= n / (cap + 1L),
+        s"trial $trial: maxError ${st.maxError} > N/(cap+1)")
+      universe.foreach { k =>
+        val est = st.counts.getOrElse(k, 0L)
+        val t = truth.getOrElse(k, 0L)
+        assert(est <= t, s"trial $trial: $k overestimated $est > $t")
+        assert(t <= est + st.maxError,
+          s"trial $trial: $k true $t exceeds $est + ${st.maxError}")
+      }
+    }
+  }
+
   test("sketch algebra: reduce decrement-all on overflow; merge " +
       "offset-truncates to capacity and accumulates the error") {
     val mg = new MisraGries(2)
