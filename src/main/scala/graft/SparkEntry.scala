@@ -1801,7 +1801,7 @@ object SparkEntry {
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
 
     // Bounded-state sibling of text_top_ngrams: Misra-Gries sketch at
-    // capacity 4096 >= the bigram vocabulary (916 at sf0.01, 1210 on
+    // FrequentItems.DefaultCapacity (4096) >= the bigram vocabulary (916 at sf0.01, 1210 on
     // the sf1 rehearsal fixture, whose replica suffixes mint new
     // bigram types — a 1024 cap overflowed there and the oracle
     // caught it exactly as designed: counts dropped below truth AND
@@ -1816,7 +1816,8 @@ object SparkEntry {
     // N/(cap+1), counter undershoot <= maxError) are spec'd in
     // FrequentItemsSpec.
     "text_heavy_hitters_sketch" -> ((s, dir) => {
-      val mg = udaf(new graft.functions.MisraGries(4096),
+      val mg = udaf(new graft.functions.MisraGries(
+        graft.functions.FrequentItems.DefaultCapacity),
         org.apache.spark.sql.Encoders.STRING)
       documents(s, dir)
         .select(explode(
@@ -1849,15 +1850,20 @@ object SparkEntry {
           .filter(size(split(col("gram"), " ")) === 2)
         val docs = documents(s, dir)
         val hist = graft.functions.FrequentItems.sketch(
-          grams(docs.filter(col("doc_id") % 2 === 0)), "gram", 4096)
+          grams(docs.filter(col("doc_id") % 2 === 0)), "gram",
+          graft.functions.FrequentItems.DefaultCapacity)
         graft.functions.FrequentItems.writeSketch(s, hist, s"$tmp/sk")
         val reloaded = graft.functions.FrequentItems.readSketch(s, s"$tmp/sk")
         val fresh = graft.functions.FrequentItems.sketch(
-          grams(docs.filter(col("doc_id") % 2 === 1)), "gram", 4096)
+          grams(docs.filter(col("doc_id") % 2 === 1)), "gram",
+          graft.functions.FrequentItems.DefaultCapacity)
         val merged = graft.functions.FrequentItems
-          .merge(reloaded, fresh, 4096)
+          .merge(reloaded, fresh,
+            graft.functions.FrequentItems.DefaultCapacity)
+        // topK is a driver-local relation (readSketch/merge collect the
+        // bounded states), so nothing here has lineage into tmp — no
+        // checkpoint needed before the finally deletes it
         graft.functions.FrequentItems.topK(s, merged, 50)
-          .localCheckpoint(true)
       } finally deleteRecursively(tmp.toFile)
     }),
 
@@ -2054,6 +2060,52 @@ object SparkEntry {
   /** Shared by events_window and its round-11 streaming twin
     * stream_window_counts (complete-mode materialization makes the
     * final sink state equal the batch aggregate). */
+  // shared verbatim between the batch row and its streaming twin — the
+  // "oracle IS the batch SQL" claim enforced by construction
+  private val eventsSessionizeOracle: String =
+    """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        |FROM (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |         THEN 1 ELSE 0 END AS is_new
+        |  FROM events)""".stripMargin
+
+  private val eventsAttributionOracle: String =
+    """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
+        |    epoch_us(ts) AS c_us
+        |  FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+        |    epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT c.click_id, p.purchase_id, c.user_id,
+        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
+        |FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.p_us >= c.c_us
+        |  AND p.p_us <= c.c_us + 3600000000""".stripMargin
+
+  // shared between the one-shot sketch row and its persisted
+  // incremental twin; capacity lives in FrequentItems.DefaultCapacity
+  private val heavyHittersOracle: String =
+    """WITH toks AS (
+        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(w)),
+        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
+        |  FROM toks WHERE len(w) >= 2
+        |)
+        |SELECT gram, count(*) AS cnt, CAST(0 AS BIGINT) AS max_error
+        |FROM g GROUP BY gram
+        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin
+
   private val eventsWindowOracle: String =
     """SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  strftime(time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
@@ -4207,29 +4259,9 @@ object SparkEntry {
     // same gap rule, same (ts, event_id) order, same session_idx
     // numbering — the state-store path must land on the identical
     // frame.
-    "stream_sessionize" ->
-      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |FROM (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events)""".stripMargin,
+    "stream_sessionize" -> eventsSessionizeOracle,
 
-    "events_sessionize" ->
-      """SELECT event_id, user_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
-        |  CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |FROM (
-        |  SELECT event_id, user_id, ts,
-        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
-        |         THEN 1 ELSE 0 END AS is_new
-        |  FROM events)""".stripMargin,
+    "events_sessionize" -> eventsSessionizeOracle,
 
     // session-summary oracle: the proven sessionize CTE grouped per
     // (user, session); duration = second-truncated epoch diff, the
@@ -4295,39 +4327,9 @@ object SparkEntry {
     // the stream-stream join's oracle IS the batch attribution SQL:
     // identical join condition, identical output shape — the join
     // state store must land on the identical pair set.
-    "stream_attribution" ->
-      """WITH c AS (
-        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
-        |    epoch_us(ts) AS c_us
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-        |    epoch_us(ts) AS p_us
-        |  FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT c.click_id, p.purchase_id, c.user_id,
-        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.p_us >= c.c_us
-        |  AND p.p_us <= c.c_us + 3600000000""".stripMargin,
+    "stream_attribution" -> eventsAttributionOracle,
 
-    "events_attribution" ->
-      """WITH c AS (
-        |  SELECT event_id AS click_id, user_id, ts AS click_ts,
-        |    epoch_us(ts) AS c_us
-        |  FROM events WHERE event_type = 'click'
-        |), p AS (
-        |  SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
-        |    epoch_us(ts) AS p_us
-        |  FROM events WHERE event_type = 'purchase'
-        |)
-        |SELECT c.click_id, p.purchase_id, c.user_id,
-        |  strftime(c.click_ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
-        |  strftime(p.purchase_ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts
-        |FROM c JOIN p ON c.user_id = p.user_id
-        |  AND p.p_us >= c.c_us
-        |  AND p.p_us <= c.c_us + 3600000000""".stripMargin,
+    "events_attribution" -> eventsAttributionOracle,
 
     "text_chunk" ->
       """WITH t AS (
@@ -5010,31 +5012,9 @@ object SparkEntry {
     // the incremental row shares the one-shot sketch's oracle verbatim:
     // history-sketch -> persist -> reload -> merge with the new batch
     // must land on the same exact top-50 as one pass over everything.
-    "text_heavy_hitters_incremental" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
-        |  FROM documents
-        |), g AS (
-        |  SELECT unnest(list_transform(range(1, len(w)),
-        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
-        |  FROM toks WHERE len(w) >= 2
-        |)
-        |SELECT gram, count(*) AS cnt, CAST(0 AS BIGINT) AS max_error
-        |FROM g GROUP BY gram
-        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+    "text_heavy_hitters_incremental" -> heavyHittersOracle,
 
-    "text_heavy_hitters_sketch" ->
-      """WITH toks AS (
-        |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
-        |  FROM documents
-        |), g AS (
-        |  SELECT unnest(list_transform(range(1, len(w)),
-        |                               i -> w[i] || ' ' || w[i + 1])) AS gram
-        |  FROM toks WHERE len(w) >= 2
-        |)
-        |SELECT gram, count(*) AS cnt, CAST(0 AS BIGINT) AS max_error
-        |FROM g GROUP BY gram
-        |ORDER BY cnt DESC, gram LIMIT 50""".stripMargin,
+    "text_heavy_hitters_sketch" -> heavyHittersOracle,
 
     // Planted-orphan referential check (literal twin of the in-flight
     // +900M re-keying).

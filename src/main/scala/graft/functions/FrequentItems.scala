@@ -125,16 +125,24 @@ final class MisraGries(capacity: Int)
   * text_heavy_hitters_incremental oracle row pins end-to-end. */
 object FrequentItems {
 
+  /** The registered queries' capacity — ONE constant shared by the
+    * one-shot row, every stage of the incremental row and the
+    * vocabulary-margin CI contract, so a future bump cannot drift
+    * between them (the sf1 lesson: a capacity that only covers part
+    * of the workflow exits the exact regime at gate time). */
+  val DefaultCapacity: Int = 4096
+
   /** Aggregate an item column into one MG state — a bounded driver
     * artifact (≤ capacity entries), like collecting KMeans centroids. */
   def sketch(items: org.apache.spark.sql.DataFrame, column: String,
       capacity: Int): MgState = {
+    val spark = items.sparkSession
+    import spark.implicits._
     val mg = org.apache.spark.sql.functions.udaf(
       new MisraGries(capacity), Encoders.STRING)
-    val row = items
+    items
       .agg(mg(org.apache.spark.sql.functions.col(column)).as("sk"))
-      .select("sk.*").head()
-    MgState(row.getMap[String, Long](0).toMap, row.getLong(1))
+      .select("sk.*").as[MgState].head()
   }
 
   def writeSketch(spark: org.apache.spark.sql.SparkSession,

@@ -56,24 +56,35 @@ class FrequentItemsSpec extends SparkSpec {
     }
   }
 
-  test("capacity contract: the registered query's capacity covers the " +
-      "fixture bigram vocabulary with >= 2x margin") {
-    // the sf1 rehearsal showed testdata drift CAN grow the vocabulary
-    // (replica suffixes minted 931 -> 1210 bigram types and overflowed
-    // the original 1024 cap); this spec fails loudly if the fixture
-    // vocabulary ever creeps toward the registered capacity of 4096
-    // instead of letting the oracle row break silently at gate time
+  test("capacity contract: the registered capacity covers the fixture " +
+      "bigram vocabulary with >= 2x margin, INCLUDING under the sf1 " +
+      "replica-suffix recipe that overflowed the original cap") {
+    // the sf1 rehearsal showed testdata drift CAN grow the vocabulary:
+    // scripts/make_sf1.py's replica suffixes (text || ' rK') minted
+    // 931 -> 1210 bigram types and overflowed the original 1024 cap —
+    // caught only at gate time. This spec applies THAT recipe to the
+    // sf0.001 fixture so the drift mode itself is under CI, not just
+    // the base vocabulary.
     val s = spark
     import s.implicits._
-    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
-    val vocab = docs.select(explode(
-        graft.functions.WordNgrams(col("text"), 2, strictFallback = false))
-        .as("gram"))
-      .filter(size(split(col("gram"), " ")) === 2)
-      .distinct().count()
-    assert(vocab * 2 <= 4096,
-      s"bigram vocabulary $vocab is within 2x of the registered " +
-        "capacity 4096 — raise the capacity in text_heavy_hitters_sketch")
+    val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("text")
+    val replicated = (0 to 9).map { k =>
+      if (k == 0) base
+      else base.select(concat(col("text"), lit(s" r$k")).as("text"))
+    }.reduce(_ unionByName _)
+    def vocabOf(d: org.apache.spark.sql.DataFrame): Long =
+      d.select(explode(
+          graft.functions.WordNgrams(col("text"), 2, strictFallback = false))
+          .as("gram"))
+        .filter(size(split(col("gram"), " ")) === 2)
+        .distinct().count()
+    val grown = vocabOf(replicated)
+    assert(vocabOf(base) < grown, "the recipe must actually mint types")
+    assert(grown * 2 <= FrequentItems.DefaultCapacity,
+      s"sf1-recipe bigram vocabulary $grown is within 2x of the " +
+        s"registered capacity ${FrequentItems.DefaultCapacity} — raise " +
+        "FrequentItems.DefaultCapacity")
   }
 
   test("persisted workflow: sketch -> write -> read -> merge equals " +
