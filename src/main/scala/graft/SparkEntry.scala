@@ -132,17 +132,24 @@ object SparkEntry {
   // stays observable under its own named timers (`similarity_ivf_build`
   // / `similarity_ivfpq_build` / `text_bm25_write`, each a fresh
   // UNCACHED build with its own hash-EXACT oracle row).
+  // keyed by (SparkContext, dir): the cached index holds a
+  // localCheckpoint'ed DataFrame whose RDD blocks die with the context
+  // that built it — a dir-only key would serve dead plans to a second
+  // SparkSession in the same JVM (e.g. Verify then Bench in one
+  // process, or any probe harness)
+  private def annCacheKey(s: SparkSession, dir: String): String =
+    s"${s.sparkContext.applicationId}|$dir"
   private val ivfHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]
   private def cachedIvfHashInit(s: SparkSession, dir: String) =
-    ivfHashInitCache.getOrElseUpdate(dir, {
+    ivfHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfIndexHashInit(embeddings(s, dir))
       idx.copy(cells = idx.cells.localCheckpoint(true))
     })
   private val ivfPqHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]
   private def cachedIvfPqHashInit(s: SparkSession, dir: String) =
-    ivfPqHashInitCache.getOrElseUpdate(dir, {
+    ivfPqHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfPqIndexHashInit(embeddings(s, dir))
       idx.copy(cellCodes = idx.cellCodes.localCheckpoint(true))
     })
@@ -2138,7 +2145,12 @@ object SparkEntry {
     * 2654435761) re-derived in SQL, summarized per cell with all-integer
     * checksums. CTE arithmetic matches the similarity_ivfpq probe oracle
     * verbatim; only the final aggregation differs. */
-  private val similarityIvfPqBuildOracle: String =
+  // shared CTE prefix of the IVFPQ probe oracle and its build-half
+  // twin: hash-draw codebook + hash-draw IVF centroids + cosine argmax
+  // assignment — ONE text, so a fix to the draw/assignment arithmetic
+  // cannot drift between the two rows (the null-element screen had to
+  // be patched in three copies before this was factored).
+  private val ivfPqAssignCtesSql: String =
     """WITH wf AS MATERIALIZED (
       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
       |  FROM embeddings WHERE len(embedding) = 64
@@ -2186,7 +2198,11 @@ object SparkEntry {
       |  SELECT vec_id, cell FROM rowcos
       |  QUALIFY row_number() OVER (
       |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1
-      |), dists AS (
+      |""".stripMargin
+
+  private val similarityIvfPqBuildOracle: String =
+    ivfPqAssignCtesSql +
+      """), dists AS (
       |  SELECT v.vec_id, cb.c, v.i // 4 AS j,
       |    SUM((v.x - cb.v) * (v.x - cb.v)) AS d2
       |  FROM vals v JOIN cbv cb USING (i)
@@ -3620,55 +3636,8 @@ object SparkEntry {
     // similarity_pq ADC machinery restricted to probed cells. Both
     // cosine legs divide by the recomputed centroid norm (≈1 after
     // normalization) exactly as CosineSimilarity does.
-    "similarity_ivfpq" ->
-      """WITH wf AS MATERIALIZED (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
-        |  FROM embeddings WHERE len(embedding) = 64
-        |), vals AS MATERIALIZED (
-        |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
-        |  FROM wf
-        |), norms AS MATERIALIZED (
-        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
-        |), cb_rows AS (
-        |  SELECT e, row_number() OVER (
-        |    ORDER BY (vec_id % 1048573) * 2654435761 % 1048573, vec_id
-        |  ) - 1 AS c
-        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
-        |  QUALIFY c < 64
-        |), cbv AS MATERIALIZED (
-        |  SELECT c, unnest(range(0, len(e))) AS i, unnest(e) AS v
-        |  FROM cb_rows
-        |), ivf_rows AS (
-        |  SELECT vec_id, e, row_number() OVER (
-        |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
-        |  ) - 1 AS cell
-        |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
-        |  QUALIFY cell < 16
-        |), centv AS (
-        |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
-        |  FROM ivf_rows
-        |), cent AS MATERIALIZED (
-        |  SELECT cell, i,
-        |    v / sqrt(SUM(v * v) OVER (PARTITION BY cell)) AS cv
-        |  FROM centv
-        |), centnorm AS (
-        |  SELECT cell, sqrt(SUM(cv * cv)) AS cnrm FROM cent GROUP BY 1
-        |), rowdot AS (
-        |  SELECT v.vec_id, c.cell, SUM(v.x * c.cv) AS dot
-        |  FROM vals v JOIN cent c USING (i)
-        |  GROUP BY 1, 2
-        |), rowcos AS (
-        |  SELECT d.vec_id, d.cell,
-        |    CASE WHEN n.nrm > 0 THEN d.dot / (n.nrm * cn.cnrm)
-        |      ELSE -1 END AS cos
-        |  FROM rowdot d
-        |  JOIN norms n ON n.vec_id = d.vec_id
-        |  JOIN centnorm cn USING (cell)
-        |), assign AS (
-        |  SELECT vec_id, cell FROM rowcos
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) = 1
-        |), probecells AS (
+    "similarity_ivfpq" -> (ivfPqAssignCtesSql +
+      """), probecells AS (
         |  SELECT vec_id AS query_id, cell FROM rowcos
         |  WHERE vec_id < 10
         |  QUALIFY row_number() OVER (
@@ -3709,7 +3678,7 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
         |  FROM scored
-        |) WHERE rnk <= 10""".stripMargin,
+        |) WHERE rnk <= 10""".stripMargin),
 
     // Hash-init IVF-Flat re-derived in SQL: unit-normalized hash-drawn
     // centroids, cosine argmax assignment (largest-cell ties), top-4

@@ -73,25 +73,11 @@ object DimReduction {
       k: Int,
       featureCols: Seq[String],
       idCol: String,
-      roundAt: Int = 6): DataFrame = {
-    require(k >= 1, s"need k >= 1, got $k")
-    require(featureCols.nonEmpty, "need at least one feature column")
-    val feats = featureCols.map(c => col(c).cast("double"))
-    val clean = df.where(feats.map(_.isNotNull).reduce(_ && _))
-    val drawn = clean
-      .select((col(idCol).cast("long").as("__id") +: feats): _*)
-      .orderBy(idHash(col("__id")), col("__id"))
-      .limit(k)
-      .collect()
-    require(drawn.length == k,
-      s"hash-init kmeans: only ${drawn.length} well-formed rows, need $k")
-    val centroids = drawn.map(r =>
-      featureCols.indices.map(i => r.getDouble(i + 1)).toArray)
-    val best = nearestCluster(feats, centroids)
-    clean
-      .withColumn("prediction", best.getField("cluster"))
-      .withColumn("dist2", round(best.getField("d2"), roundAt))
-  }
+      roundAt: Int = 6): DataFrame =
+    // exactly the zero-refinement case of the Lloyd machinery — ONE
+    // body, so the draw/assignment arithmetic can never diverge from
+    // the steps>0 path (FeaturesSpec pins the steps=0 equality)
+    kmeansLloyd(df, k, featureCols, idCol, steps = 0, roundAt = roundAt)
 
   /** The deterministic PCA SCORING half (round 11): project each row
     * onto a FIXED loading matrix — `loadings(j)` is component `j`'s

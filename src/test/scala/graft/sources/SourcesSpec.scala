@@ -142,6 +142,16 @@ class SourcesSpec extends SparkSpec {
         "exists(embedding, x -> x IS NULL)")).count()
     assert(nullElems == 0L,
       s"embeddings testdata grew $nullElems null-element rows")
+    // ...and NULL / wrong-dimension embeddings: the Spark ANN builds
+    // park such rows in the largest cell (assignCells' documented
+    // fallback) while the DuckDB twins drop them via len(embedding)=64
+    // — one ill-shaped generator row would surface as unexplained
+    // oracle drift on similarity_*_build, so pin the whole shape here
+    val illShaped = Sources.parquetTable(spark, sf0001, "embeddings")
+      .where(org.apache.spark.sql.functions.expr(
+        "embedding IS NULL OR size(embedding) != 64")).count()
+    assert(illShaped == 0L,
+      s"embeddings testdata grew $illShaped null/wrong-dim rows")
     // lineitem/orders date columns arrive as some timestamp flavor
     // (currently NTZ micros); registered queries only date-truncate
     // them, which is legal on every flavor. Assert the family, so an

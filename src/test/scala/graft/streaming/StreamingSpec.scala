@@ -531,23 +531,27 @@ class StreamingSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
 
     val tmp = java.nio.file.Files.createTempDirectory("graft_sw_spec")
-    val sink = s"$tmp/out"
-    val writeBatch = (b: DataFrame, _: Long) =>
-      b.coalesce(1).write.mode("overwrite").parquet(sink)
-    val q = StreamOps
-      .windowedEventCounts(graft.sources.Sources.eventsStream(spark, dir),
-        watermark = Some("1 hour"))
-      .writeStream
-      .outputMode("complete")
-      .option("checkpointLocation", s"$tmp/chk")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .foreachBatch(writeBatch)
-      .start()
-    q.awaitTermination()
-    val streamed = spark.read.parquet(sink)
-      .orderBy("window_start", "event_type")
-      .collect().map(_.toSeq).toSeq
-    assert(streamed.nonEmpty)
-    assert(streamed == batch)
+    try {
+      val sink = s"$tmp/out"
+      val writeBatch = (b: DataFrame, _: Long) =>
+        b.coalesce(1).write.mode("overwrite").parquet(sink)
+      val q = StreamOps
+        .windowedEventCounts(graft.sources.Sources.eventsStream(spark, dir),
+          watermark = Some("1 hour"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(writeBatch)
+        .start()
+      q.awaitTermination()
+      val streamed = spark.read.parquet(sink)
+        .orderBy("window_start", "event_type")
+        .collect().map(_.toSeq).toSeq
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
   }
 }
