@@ -1017,6 +1017,20 @@ object SparkEntry {
           (0 until 4).map(i =>
             hex(element_at(col("frames"), i + 1)).as(s"frame_$i")): _*)
     }),
+    // Nearest-neighbor thumbnail resize over a synthesized 16x8 ASCII
+    // raster (text padded/truncated to 128 "pixels" — the family's
+    // payload-synthesis convention): 16x8 -> 8x4, output pixel (x,y)
+    // copies input (floor(x*16/8), floor(y*8/4)). Pure integer index
+    // arithmetic restated verbatim in the DuckDB twin; the plan is a
+    // flat 32-substr codegen concat, zero shuffles (PlanAudit).
+    "multimodal_resize" -> ((s, dir) => {
+      val raster = documents(s, dir).select(col("doc_id"),
+        rpad(substring(col("text"), 1, 128), 128, "x").as("raster"))
+      Multimodal.resizeRaster(raster, "raster", w = 16, h = 8,
+        newW = 8, newH = 4)
+        .select("doc_id", "resized")
+    }),
+
     "multimodal_payload_meta" -> ((s, dir) => {
       val meta = Multimodal.payloadMeta(col("payload"))
       documents(s, dir)
@@ -3766,6 +3780,21 @@ object SparkEntry {
         |  substring(h, 2 * stride * 2 + 1, 32) AS frame_2,
         |  substring(h, 3 * stride * 2 + 1, 32) AS frame_3
         |FROM b""".stripMargin,
+
+    // nearest-neighbor twin: same integer index formula, char-based
+    // substr/rpad semantics identical across engines on the ASCII
+    // fixture (p: x = p%8, y = p//8; src = (y*8//4)*16 + x*16//8).
+    "multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS raster
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 32),
+        |    p -> substr(raster,
+        |      ((p // 8) * 8 // 4) * 16 + ((p % 8) * 16 // 8) + 1, 1)),
+        |    '') AS resized
+        |FROM r""".stripMargin,
 
     "multimodal_payload_meta" ->
       """WITH b AS (

@@ -137,6 +137,40 @@ object Multimodal {
       .toDF(idCol, "decoded_features")
   }
 
+  /** Nearest-neighbor raster RESIZE — the one multimodal preprocessing
+    * step that is pure index arithmetic, so unlike pixel DECODE it
+    * needs no codec and runs as a real, oracle-checkable operator:
+    * output pixel (x, y) copies input pixel
+    * (⌊x·w/newW⌋, ⌊y·h/newH⌋) of a row-major `w`×`h` raster. The
+    * raster column is one "pixel" per character (the ASCII stand-in
+    * this container uses for raw grayscale bytes, like the rest of the
+    * multimodal family's synthesized payloads — a byte-raster variant
+    * is the same substr arithmetic over BINARY).
+    *
+    * All source indices are COMPILE-TIME constants (the output
+    * geometry is fixed), so the plan is a flat `concat` of
+    * `newW·newH` one-char `substr`s — a single zero-shuffle
+    * whole-stage-codegen projection, no lambda, no explode, no UDF;
+    * the DuckDB twin restates the same integer index formula. At
+    * scale this is the shape a real thumbnail pass wants: per-row
+    * constant work, fused into the scan, no data movement. */
+  def resizeRaster(
+      df: DataFrame,
+      rasterCol: String,
+      w: Int, h: Int,
+      newW: Int, newH: Int,
+      outputCol: String = "resized"): DataFrame = {
+    require(w >= 1 && h >= 1 && newW >= 1 && newH >= 1,
+      s"raster dims must be >= 1, got ${(w, h, newW, newH)}")
+    val picks = (0 until newH).flatMap { y =>
+      (0 until newW).map { x =>
+        val idx = (y * h / newH) * w + (x * w / newW) // row-major source
+        col(rasterCol).substr(lit(idx + 1), lit(1))
+      }
+    }
+    df.withColumn(outputCol, concat(picks: _*))
+  }
+
   /** Frame sampling over an opaque payload: `n` fixed-width byte slices
     * at even strides (the video-frame-extraction plumbing, with the
     * codec stubbed as raw slicing). Pure codegen'd expression — schema

@@ -30,6 +30,8 @@ class PlanAuditSpec extends SparkSpec {
       // header decode: payload synthesis + ImageMeta parse are one
       // codegen'd projection over the documents scan
       "multimodal_decode",
+      // thumbnail resize: a flat 32-substr concat fused into the scan
+      "multimodal_resize",
       "prepare_features", "add_split_column",
       "predefined_split_train", "predefined_split_test", "text_tfidf",
       // chunking is posexplode over a per-row token array — pure narrow

@@ -84,4 +84,26 @@ class MultimodalSpec extends SparkSpec {
     assert(a.forall(v => v >= -1.0 && v < 1.0))
     assert(a.distinct.size > 1) // not a constant vector
   }
+
+  test("resizeRaster: identity is a no-op, 2x downscale picks every " +
+      "other pixel, zero shuffles in the plan") {
+    val s = spark
+    import s.implicits._
+    // 4x2 raster, row-major: rows "abcd" / "efgh"
+    val df = Seq(("abcdefgh")).toDF("raster")
+    val same = Multimodal.resizeRaster(df, "raster", w = 4, h = 2,
+      newW = 4, newH = 2).head().getString(1)
+    assert(same == "abcdefgh")
+    // 2x1 output: (x,y)=(0,0)->src(0,0)='a', (1,0)->src(2,0)='c'
+    val down = Multimodal.resizeRaster(df, "raster", w = 4, h = 2,
+      newW = 2, newH = 1).head().getString(1)
+    assert(down == "ac")
+    // 2x upscale replicates neighbors: each source pixel appears twice
+    val up = Multimodal.resizeRaster(df, "raster", w = 4, h = 2,
+      newW = 8, newH = 2).head().getString(1)
+    assert(up == "aabbccddeeffgghh")
+    val plan = Multimodal.resizeRaster(df, "raster", 4, 2, 2, 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
 }
