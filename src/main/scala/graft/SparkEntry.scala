@@ -139,20 +139,35 @@ object SparkEntry {
   // process, or any probe harness)
   private def annCacheKey(s: SparkSession, dir: String): String =
     s"${s.sparkContext.applicationId}|$dir"
+  // entries of DEAD contexts are dropped on access (a session-cycling
+  // harness would otherwise grow the maps monotonically, each stale
+  // entry pinning plans of a stopped context). getOrElseUpdate is not
+  // atomic for the expensive build — a racing first probe may build
+  // twice and abandon one checkpointed copy; benign (GC'd with the
+  // context) and cheaper than locking every steady-state hit.
+  private def pruneStale[T](
+      cache: scala.collection.concurrent.TrieMap[String, T],
+      appId: String): Unit =
+    cache.keys.filterNot(_.startsWith(appId + "|"))
+      .foreach(cache.remove)
   private val ivfHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]
-  private def cachedIvfHashInit(s: SparkSession, dir: String) =
+  private def cachedIvfHashInit(s: SparkSession, dir: String) = {
+    pruneStale(ivfHashInitCache, s.sparkContext.applicationId)
     ivfHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfIndexHashInit(embeddings(s, dir))
       idx.copy(cells = idx.cells.localCheckpoint(true))
     })
+  }
   private val ivfPqHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]
-  private def cachedIvfPqHashInit(s: SparkSession, dir: String) =
+  private def cachedIvfPqHashInit(s: SparkSession, dir: String) = {
+    pruneStale(ivfPqHashInitCache, s.sparkContext.applicationId)
     ivfPqHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfPqIndexHashInit(embeddings(s, dir))
       idx.copy(cellCodes = idx.cellCodes.localCheckpoint(true))
     })
+  }
   // BM25: write the postings artifact once per (dir) per JVM; the
   // registered text_bm25_persisted then measures the steady-state
   // reload + probe (the nightly-deployment shape), not write+reload+probe.
@@ -274,6 +289,40 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2 + §7. */
+  /** The shared streaming-oracle harness: run `stream` to completion
+    * under Trigger.AvailableNow with foreachBatch materializing each
+    * micro-batch to a temp parquet sink, read the sink back through
+    * `readBack`, and LOCALCHECKPOINT before the finally-block deletes
+    * the temp dir (the returned frame must not reference the deleted
+    * sink lazily — load-bearing, stated once here instead of five
+    * times). `tagBatchId` appends the micro-batch id column the CDC
+    * snapshot row resolves last-writer-wins with. */
+  private def runAvailableNow(
+      s: SparkSession,
+      stream: DataFrame,
+      outputMode: String,
+      sinkWriteMode: String,
+      tagBatchId: Boolean = false)(
+      readBack: DataFrame => DataFrame): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
+    try {
+      val sink = s"$tmp/out"
+      val writeBatch = (batch: DataFrame, bid: Long) => {
+        val b = if (tagBatchId) batch.withColumn("batch_id", lit(bid))
+                else batch
+        b.coalesce(1).write.mode(sinkWriteMode).parquet(sink)
+      }
+      val q = stream.writeStream
+        .outputMode(outputMode)
+        .option("checkpointLocation", s"$tmp/chk")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch(writeBatch)
+        .start()
+      q.awaitTermination()
+      readBack(s.read.parquet(sink)).localCheckpoint(true)
+    } finally deleteRecursively(tmp.toFile)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ reference surface
     // §2.1 #7 robust_scaling — exact-percentile path (oracle parity, Q5).
@@ -682,7 +731,7 @@ object SparkEntry {
             (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
             .as("embedding"))
       Dedup.semantic(base.unionByName(planted), nCells = 16,
-        minCosine = 0.8)
+        minCosine = 0.8, dim = Some(64))
         .withColumn("cell", col("cell").cast("int"))
     }),
 
@@ -1294,30 +1343,15 @@ object SparkEntry {
     // trigger and keeps the identical plan. StreamingSpec keeps the
     // MemoryStream multi-batch coverage; this row proves the end-to-end
     // source → stateful agg → sink path against DuckDB.
-    "stream_window_counts" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_stream")
-      try {
-        val sink = s"$tmp/out"
-        val writeBatch = (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("overwrite").parquet(sink)
-        val q = StreamOps
-          .windowedEventCounts(Sources.eventsStream(s, dir),
-            watermark = Some("1 hour"))
-          .writeStream
-          .outputMode("complete")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        q.awaitTermination()
-        s.read.parquet(sink)
-          .withColumn("window_start",
+    "stream_window_counts" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.windowedEventCounts(Sources.eventsStream(s, dir),
+          watermark = Some("1 hour")),
+        outputMode = "complete", sinkWriteMode = "overwrite")(
+        _.withColumn("window_start",
             date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
           .withColumn("window_end",
-            date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))
-          .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
-    }),
+            date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")))),
     // Second streaming oracle row (round 11): APPEND-mode stateful
     // dedup through a real readStream file source —
     // dropDuplicatesWithinWatermark keyed on (user_id, event_type),
@@ -1330,27 +1364,13 @@ object SparkEntry {
     // arrives as ONE AvailableNow micro-batch anyway); production
     // tightens it to bound state, the [[StreamOps.dedupStream]]
     // contract.
-    "stream_dedup_keys" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sdk")
-      try {
-        val sink = s"$tmp/out"
-        val writeBatch = (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(sink)
-        val q = StreamOps
-          .dedupStream(Sources.eventsStream(s, dir),
+    "stream_dedup_keys" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.dedupStream(Sources.eventsStream(s, dir),
             keyCols = Seq("user_id", "event_type"),
             tsCol = "ts", watermark = "30 days")
-          .select("user_id", "event_type")
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        q.awaitTermination()
-        s.read.parquet(sink).localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
-    }),
+          .select("user_id", "event_type"),
+        outputMode = "append", sinkWriteMode = "append")(identity)),
     // Third streaming oracle row (round 11): the CDC merge snapshot,
     // continuously maintained by mergeStream's keyed
     // flatMapGroupsWithState — events read as a change stream
@@ -1364,36 +1384,24 @@ object SparkEntry {
     // at every SF, so seq order is total.
     "stream_merge_snapshot" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sms")
-      try {
-        val sink = s"$tmp/out"
-        val writeBatch = (batch: DataFrame, bid: Long) =>
-          batch.withColumn("batch_id", lit(bid))
-            .coalesce(1).write.mode("append").parquet(sink)
-        val changes = Sources.eventsStream(s, dir)
-          .select(col("user_id").as("key"),
-            col("event_type").as("payload"),
-            (col("event_type") === "purchase").as("del"),
-            unix_micros(col("ts")).as("seq"))
-          .as[graft.streaming.MergeEvent]
-        val q = graft.streaming.StreamOps.mergeStream(changes)
-          .toDF()
-          .writeStream
-          .outputMode("update")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        q.awaitTermination()
+      val changes = Sources.eventsStream(s, dir)
+        .select(col("user_id").as("key"),
+          col("event_type").as("payload"),
+          (col("event_type") === "purchase").as("del"),
+          unix_micros(col("ts")).as("seq"))
+        .as[graft.streaming.MergeEvent]
+      runAvailableNow(s,
+        graft.streaming.StreamOps.mergeStream(changes).toDF(),
+        outputMode = "update", sinkWriteMode = "append",
+        tagBatchId = true) { sinkDf =>
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("key")).orderBy(col("batch_id").desc)
-        s.read.parquet(sink)
+        sinkDf
           .withColumn("__rn", row_number().over(w))
           .filter(col("__rn") === 1)
           .select(col("key"), col("payload"),
             col("deleted").cast("int").as("deleted"))
-          .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
+      }
     }),
     // Fourth streaming oracle row: the flatMapGroupsWithState
     // sessionizer itself under the DuckDB gate — events through a real
@@ -1406,30 +1414,16 @@ object SparkEntry {
     // tightens it to bound state, the sessionizeStream contract.
     "stream_sessionize" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ssz")
-      try {
-        val sink = s"$tmp/out"
-        val writeBatch = (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(sink)
-        val ev = Sources.eventsStream(s, dir)
-          .select(col("event_id"), col("user_id"), col("ts"))
-          .as[graft.streaming.SessionEvent]
-        val q = StreamOps.sessionizeStream(ev, gapMinutes = 30,
-            watermark = "30 days")
-          .toDF()
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        q.awaitTermination()
-        s.read.parquet(sink)
-          .select(col("event_id"), col("user_id"),
-            date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-            col("session_idx"))
-          .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
+      val ev = Sources.eventsStream(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+        .as[graft.streaming.SessionEvent]
+      runAvailableNow(s,
+        StreamOps.sessionizeStream(ev, gapMinutes = 30,
+          watermark = "30 days").toDF(),
+        outputMode = "append", sinkWriteMode = "append")(
+        _.select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
+          col("session_idx")))
     }),
 
     "events_sessionize" -> ((s, dir) =>
@@ -1511,33 +1505,19 @@ object SparkEntry {
     // spans the fixture so no state eviction drops a late match here;
     // StreamingSpec pins the eviction semantics (a purchase behind
     // the watermark is dropped, not matched from evicted state).
-    "stream_attribution" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_sat")
-      try {
-        val sink = s"$tmp/out"
-        val writeBatch = (batch: DataFrame, _: Long) =>
-          batch.coalesce(1).write.mode("append").parquet(sink)
-        val clicks = Sources.eventsStream(s, dir)
-          .filter(col("event_type") === "click")
-        val purchases = Sources.eventsStream(s, dir)
-          .filter(col("event_type") === "purchase")
-        val q = StreamOps.attributionJoin(clicks, purchases,
-            horizonMinutes = 60, watermark = Some("30 days"))
-          .writeStream
-          .outputMode("append")
-          .option("checkpointLocation", s"$tmp/chk")
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .foreachBatch(writeBatch)
-          .start()
-        q.awaitTermination()
-        s.read.parquet(sink)
-          .withColumn("click_ts",
+    "stream_attribution" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.attributionJoin(
+          Sources.eventsStream(s, dir)
+            .filter(col("event_type") === "click"),
+          Sources.eventsStream(s, dir)
+            .filter(col("event_type") === "purchase"),
+          horizonMinutes = 60, watermark = Some("30 days")),
+        outputMode = "append", sinkWriteMode = "append")(
+        _.withColumn("click_ts",
             date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
           .withColumn("purchase_ts",
-            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-          .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
-    }),
+            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")))),
 
     // Sliding-window chunking for context packing: 32-token windows,
     // stride 24 (8-token overlap). chunk_idx = start/stride in both

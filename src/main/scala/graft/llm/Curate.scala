@@ -340,15 +340,16 @@ object Curate {
     * comparable across frames); the benchmark side is an eval suite —
     * small by construction — so its banded keys BROADCAST and the
     * candidate join never shuffles the corpus. Verification
-    * ([[Dedup.ngramJaccard]]) is candidate-bounded. Benchmark ids are
-    * internally remapped to the negative range so they can never
-    * collide with corpus ids inside the shared verify frame; outputs
-    * carry the original ids. PRECONDITION: ids in BOTH frames must be
-    * nonnegative — the (-id - 1) remap is only collision-free then (a
-    * benchmark id of -1 would remap to 0 and silently merge with a
-    * corpus doc). Enforced by filtering both inputs to idCol >= 0, so
-    * a violating row is excluded rather than corrupting the pair
-    * report and [[decontaminateNear]]'s anti-join (round-11 ADVICE). */
+    * ([[Dedup.ngramJaccard]]) is candidate-bounded. Inside the shared
+    * verify frame the two id spaces are PARITY-TAGGED — corpus ids map
+    * to even longs (id·2), benchmark ids to odd (id·2+1) — which is
+    * injective for ids of ANY sign, so negative-id corpora (signed
+    * hash ids) are screened like everything else instead of silently
+    * bypassing decontamination (the round-11 review finding against
+    * the earlier filter-out-negatives guard). Outputs carry the
+    * original ids (arithmetic shift right, exact for all longs). Only
+    * |id| < 2^62 is required — any practical id space; the earlier
+    * (-id - 1) remap needed nonnegative ids outright. */
   def nearContamination(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -358,9 +359,10 @@ object Curate {
       textCol: String = "text",
       idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
-    val t = docs.where(col(idCol) >= 0).select(col(idCol), col(textCol))
-    val bNeg = benchmark.where(col(idCol) >= 0)
-      .select((-col(idCol) - 1).as(idCol), col(textCol))
+    val t = docs.select(
+      (col(idCol).cast("long") * 2).as(idCol), col(textCol))
+    val bNeg = benchmark
+      .select((col(idCol).cast("long") * 2 + 1).as(idCol), col(textCol))
     val tBands = Dedup.minhashBandKeys(t, textCol, idCol,
       numHashes, bands, seed)
     val bBands = Dedup.minhashBandKeys(bNeg, textCol, idCol,
@@ -372,8 +374,8 @@ object Curate {
     Dedup.ngramJaccard(t.unionByName(bNeg), cands,
       textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
-      .select(col("id_a").as(idCol),
-        (-col("id_b") - 1).as("bench_id"), col("jaccard"))
+      .select(shiftright(col("id_a"), 1).as(idCol),
+        shiftright(col("id_b"), 1).as("bench_id"), col("jaccard"))
   }
 
   /** The rows of `docs` that survive near-duplicate decontamination —

@@ -1444,9 +1444,14 @@ object Dedup {
     * cosine against any SMALLER-id row in its cell (null when it is
     * the cell's smallest id), the per-row evidence an operator
     * inspects when tuning the threshold; `is_dup` is `max_cos ≥
-    * minCosine`. Rows with null / ill-shaped embeddings are not
-    * indexed (no cell → excluded, the [[Similarity.IvfIndex]]
-    * contract).
+    * minCosine`. Rows with null embeddings are never indexed, and
+    * when `dim` is given, wrong-dimension rows are excluded too (the
+    * oracle's len(embedding)=64 screen). With `dim = None` the CALLER
+    * must guarantee a uniform dimension: an unfiltered short vector
+    * WOULD be assigned a cell and compared by truncated min-length
+    * cosine ([[graft.functions.CosineSimilarity]] semantics) — a
+    * silent false-dup risk, which is why the registered query pins
+    * `dim = Some(64)`.
     *
     * Scale shape (the SemDeDup economics): cell assignment is a
     * narrow codegen'd argmax over broadcast centroid literals — no
@@ -1464,15 +1469,19 @@ object Dedup {
       nCells: Int = 16,
       minCosine: Double = 0.8,
       embCol: String = "embedding",
-      idCol: String = "vec_id"): DataFrame = {
+      idCol: String = "vec_id",
+      dim: Option[Int] = None): DataFrame = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     // null embeddings are excluded BEFORE assignment: the nAssign=1
     // argmax would otherwise park them in the largest cell (struct
     // ordering sorts a null cos first), and a row with no vector can
-    // be neither duplicate nor keeper. Mixed-dim corpora must be
-    // filtered to one dim by the caller (the quantizer-draw contract).
+    // be neither duplicate nor keeper. dim = Some(d) additionally
+    // excludes wrong-dimension rows (see scaladoc); dim = None leaves
+    // uniform-dimension responsibility with the caller.
+    val wellFormed = dim.foldLeft(df.where(col(embCol).isNotNull))(
+      (d, n) => d.where(size(col(embCol)) === n))
     val cells = Similarity.ivfIndexHashInit(
-        df.where(col(embCol).isNotNull), nCells, embCol, idCol)
+        wellFormed, nCells, embCol, idCol)
       .cells
       .select(col("neighbor_id").as(idCol), col("c_emb").as("e"),
         col("cell"))

@@ -159,13 +159,21 @@ object Multimodal {
       rasterCol: String,
       w: Int, h: Int,
       newW: Int, newH: Int,
-      outputCol: String = "resized"): DataFrame = {
+      outputCol: String = "resized",
+      fill: String = " "): DataFrame = {
     require(w >= 1 && h >= 1 && newW >= 1 && newH >= 1,
       s"raster dims must be >= 1, got ${(w, h, newW, newH)}")
+    require(fill.length == 1, s"fill must be one char, got '$fill'")
+    // defensive geometry: a raster shorter than w*h would make
+    // past-the-end substrs return "" and concat a TRUNCATED,
+    // pixel-misaligned output with no failure signal — pad to the
+    // declared geometry instead (and truncate an over-long one), so
+    // every output pixel maps to a defined source position
+    val raster = rpad(col(rasterCol), w * h, fill)
     val picks = (0 until newH).flatMap { y =>
       (0 until newW).map { x =>
         val idx = (y * h / newH) * w + (x * w / newW) // row-major source
-        col(rasterCol).substr(lit(idx + 1), lit(1))
+        raster.substr(lit(idx + 1), lit(1))
       }
     }
     df.withColumn(outputCol, concat(picks: _*))

@@ -137,6 +137,22 @@ class CurateSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(!kept.contains(500000L))
     assert(kept.contains(600000L))
+    // NEGATIVE ids are screened too (parity-tagged internal keys, not
+    // the old sign-flip): a contaminated doc with a signed-hash id and
+    // a negative-id benchmark row both participate, original ids out
+    val negTrain = train.unionByName(
+      Seq((-7L, mangled)).toDF("doc_id", "text"))
+    val negBench = bench.unionByName(
+      Seq((-3L, srcText)).toDF("doc_id", "text"))
+    val negHits = Curate.nearContamination(negTrain, negBench,
+      minJaccard = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negHits.contains((-7L, srcId)),
+      s"negative-id corpus doc must be screened: ${negHits.take(8)}")
+    assert(negHits.contains((-7L, -3L)),
+      "negative-id benchmark row must contribute evidence")
+    assert(!Curate.decontaminateNear(negTrain, negBench, minJaccard = 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet.contains(-7L))
   }
 
   test("temperatureMix: rarest source kept whole; keep fractions track " +

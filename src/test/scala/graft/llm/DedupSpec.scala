@@ -597,6 +597,15 @@ class DedupSpec extends SparkSpec {
     assert(out(0L)._2 === 0)
     assert(Seq(1L, 2L, 3L).forall(out(_)._2 === 0),
       "dissimilar rows must not be flagged at τ = 0.95")
+    // dim guard: a wrong-dimension vector is EXCLUDED when dim is
+    // given (it would otherwise be cell-assigned and compared by
+    // truncated min-length cosine — a silent false-dup risk)
+    val short = Seq((50L, Some(Seq(1.0, 1e-5)))).toDF("vec_id", "embedding")
+    val guarded = Dedup.semantic(base.unionByName(short), nCells = 2,
+      minCosine = 0.95, dim = Some(4))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!guarded.contains(50L), "wrong-dim row must not be indexed")
+    assert(guarded == Set(0L, 1L, 2L, 3L, 10L))
   }
 
   test("semantic plan: pair stage is an equi-join on cell — no " +

@@ -105,5 +105,11 @@ class MultimodalSpec extends SparkSpec {
     val plan = Multimodal.resizeRaster(df, "raster", 4, 2, 2, 1)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(400))
+    // short raster: padded to the declared geometry, never a silently
+    // truncated / pixel-shifted output
+    val short = Seq(("abcde")).toDF("raster") // 5 chars for a 4x2 grid
+    val padded = Multimodal.resizeRaster(short, "raster", w = 4, h = 2,
+      newW = 4, newH = 2, fill = "_").head().getString(1)
+    assert(padded == "abcde___")
   }
 }
