@@ -68,6 +68,13 @@ final class MisraGries(capacity: Int)
   override def zero: MgState = MgState(Map.empty, 0L)
 
   override def reduce(b: MgState, item: String): MgState = {
+    // null is NOT a sketchable item: the persisted layout reserves the
+    // null slot for the maxError row ([[FrequentItems.writeSketch]]),
+    // so ingesting one here would consume a counter, skew every bound,
+    // and only surface later as a writeSketch require failure. Ignore
+    // at the point of ingestion — the SQL twin's GROUP BY likewise
+    // never counts NULL grams.
+    if (item == null) return b
     val c = b.counts
     c.get(item) match {
       case Some(n) => MgState(c.updated(item, n + 1L), b.maxError)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -328,6 +328,26 @@ object Curate {
         .select(idCol),
       Seq(idCol), "left_anti")
 
+  /** The parity encoding (corpus id·2, benchmark id·2+1) with its
+    * precondition ENFORCED in-plan: ids outside [-2^62, 2^62) would
+    * silently wrap under non-ANSI long multiplication and
+    * `shiftright` would then recover a WRONG original id — the
+    * anti-join would keep a contaminated doc. `raise_error` makes
+    * that a loud per-row failure instead (a codegen branch, no extra
+    * pass). The bound is exact: id·2 ∈ [-2^63, 2^63-2] and +1 stays
+    * representable, so every id in the range round-trips. The lower
+    * bound is checked directly (not via `abs`, which itself wraps at
+    * Long.MinValue and would let -2^63 slip through). */
+  private def parityTag(id: Column, parity: Int): Column = {
+    val lim = 1L << 62
+    val idL = id.cast("long")
+    when(idL >= lim || idL < -lim,
+      raise_error(concat(
+        lit("nearContamination: id out of parity-taggable range " +
+          "[-2^62, 2^62): "), idL.cast("string"))))
+      .otherwise(idL * 2 + parity)
+  }
+
   /** NEAR-duplicate contamination: training docs whose 3-gram shingle
     * Jaccard against ANY benchmark item reaches `minJaccard` — the
     * fuzzy complement of [[contamination]]'s exact-8-gram test, which
@@ -347,9 +367,12 @@ object Curate {
     * hash ids) are screened like everything else instead of silently
     * bypassing decontamination (the round-11 review finding against
     * the earlier filter-out-negatives guard). Outputs carry the
-    * original ids (arithmetic shift right, exact for all longs). Only
-    * |id| < 2^62 is required — any practical id space; the earlier
-    * (-id - 1) remap needed nonnegative ids outright. */
+    * original ids (arithmetic shift right, exact for all longs). Ids
+    * must lie in [-2^62, 2^62) — any practical id space; the earlier
+    * (-id - 1) remap needed nonnegative ids outright — and the bound
+    * is ENFORCED per-row by [[parityTag]] (round-12 advice: the
+    * documented-but-unchecked precondition was exactly the id space
+    * uniform 64-bit hash ids violate ~50% of the time). */
   def nearContamination(
       docs: DataFrame,
       benchmark: DataFrame,
@@ -360,9 +383,9 @@ object Curate {
       idCol: String = "doc_id",
       seed: Long = 42L): DataFrame = {
     val t = docs.select(
-      (col(idCol).cast("long") * 2).as(idCol), col(textCol))
+      parityTag(col(idCol), 0).as(idCol), col(textCol))
     val bNeg = benchmark
-      .select((col(idCol).cast("long") * 2 + 1).as(idCol), col(textCol))
+      .select(parityTag(col(idCol), 1).as(idCol), col(textCol))
     val tBands = Dedup.minhashBandKeys(t, textCol, idCol,
       numHashes, bands, seed)
     val bBands = Dedup.minhashBandKeys(bNeg, textCol, idCol,

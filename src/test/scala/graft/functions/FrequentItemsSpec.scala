@@ -167,4 +167,25 @@ class FrequentItemsSpec extends SparkSpec {
       MgState(counts("c" -> 2L, "b" -> 1L), 2L))
     assert(m == MgState(counts("a" -> 3L, "b" -> 2L), 5L))
   }
+
+  test("null items are ignored at ingestion, not tracked as a counter " +
+      "(the writeSketch reserved-slot contract, r12 advice)") {
+    val mg = new MisraGries(2)
+    // pure algebra: a null reduce is the identity
+    val s1 = mg.reduce(mg.reduce(mg.zero, "a"), null)
+    assert(s1 == MgState(counts("a" -> 1L), 0L))
+    // end-to-end: a null-bearing column sketches exactly like the
+    // null-free twin (SQL GROUP BY likewise never counts NULL), and
+    // the state persists without tripping the reserved-slot require
+    val s = spark
+    import s.implicits._
+    val withNulls = (Seq.fill(5)(Some("a")) ++ Seq(None, None) ++
+      Seq.fill(2)(Some("b"))).toDF("t")
+    val st = FrequentItems.sketch(withNulls, "t", 2)
+    assert(st == MgState(counts("a" -> 5L, "b" -> 2L), 0L))
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-mg-null").toString
+    FrequentItems.writeSketch(spark, st, s"$tmp/sk")
+    assert(FrequentItems.readSketch(spark, s"$tmp/sk") == st)
+  }
 }

@@ -153,6 +153,30 @@ class CurateSpec extends SparkSpec {
       "negative-id benchmark row must contribute evidence")
     assert(!Curate.decontaminateNear(negTrain, negBench, minJaccard = 0.4)
       .select("doc_id").collect().map(_.getLong(0)).toSet.contains(-7L))
+    // ...and ids OUTSIDE the parity-taggable range fail LOUDLY instead
+    // of wrap-around silently keeping a contaminated doc (r12 advice:
+    // uniform 64-bit hash ids violate the bound ~50% of the time, so
+    // an unenforced precondition is the silent-bypass failure mode
+    // this encoding set out to fix). Boundary: -2^62 itself is the
+    // last safe id (·2 = Long.MinValue exactly) and must pass.
+    val boundTrain = train.unionByName(
+      Seq((-(1L << 62), mangled)).toDF("doc_id", "text"))
+    assert(Curate.nearContamination(boundTrain, bench, minJaccard = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .contains((-(1L << 62), srcId)))
+    Seq(1L << 62, Long.MinValue, Long.MaxValue).foreach { badId =>
+      val badTrain = train.unionByName(
+        Seq((badId, mangled)).toDF("doc_id", "text"))
+      val e = intercept[Exception] {
+        Curate.nearContamination(badTrain, bench, minJaccard = 0.4)
+          .collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x =>
+          Option(x.getMessage).toSeq ++ messages(x.getCause))
+      assert(messages(e).exists(_.contains("parity-taggable")),
+        s"id $badId must fail loudly, got: ${e.getMessage}")
+    }
   }
 
   test("temperatureMix: rarest source kept whole; keep fractions track " +

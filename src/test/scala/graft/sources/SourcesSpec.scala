@@ -152,6 +152,18 @@ class SourcesSpec extends SparkSpec {
         "embedding IS NULL OR size(embedding) != 64")).count()
     assert(illShaped == 0L,
       s"embeddings testdata grew $illShaped null/wrong-dim rows")
+    // documents.text charset pin (round-12 ADVICE): multimodal_resize
+    // treats text as a byte raster and aligns Spark `substring` with
+    // DuckDB `substr` POSITIONALLY — one char per position in both
+    // engines holds only for single-byte (ASCII) text. A generator
+    // that starts emitting non-ASCII docs would otherwise surface as
+    // unexplained oracle drift on the multimodal rows; name it here.
+    val nonAscii = Sources.parquetTable(spark, sf0001, "documents")
+      .where(col("text").isNotNull &&
+        col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0L,
+      s"documents testdata grew $nonAscii non-ASCII rows; the " +
+        "multimodal substr rasters assume single-byte text positions")
     // lineitem/orders date columns arrive as some timestamp flavor
     // (currently NTZ micros); registered queries only date-truncate
     // them, which is legal on every flavor. Assert the family, so an
