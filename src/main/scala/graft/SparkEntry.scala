@@ -575,8 +575,28 @@ object SparkEntry {
       Dedup.minhashConnectedBest(documents(s, dir), scoreCol = "n_chars",
         minJaccard = 0.2)
         .select("doc_id", "lang", "source", "n_chars")),
+    // Registered in the PRODUCTION star-first shape (round 12, retiring
+    // the r11 sf1 weak flag): star-collapse the replica mass first
+    // (linear at any duplication rate), then the banded pair self-join
+    // over the replica-free SURVIVORS only — the C(m,2) pair expansion
+    // that went 32× at 10× data on the ~90%-duplicated rehearsal corpus
+    // can no longer occur on the full corpus (PlanAuditSpec asserts the
+    // collapse anti-join sits below the pair join). The raw-corpus
+    // quadratic form stays available as Dedup.simhashPairs — the
+    // exhaustive ground truth, exercised un-benched in DedupSpec (the
+    // star-first relation == it restricted to survivors). The oracle
+    // restates the full composition: fingerprints → star links → drop
+    // set → brute-force survivor pairs (exact by pigeonhole: Hamming
+    // ≤ 3 < 4 bands, ±1 salt covers len-delta ≤ 1). The collapse is
+    // TIGHTER than the enumeration (Hamming ≤ 2 replicas collapse,
+    // ≤ 3 pairs among survivors are enumerated) — the production
+    // split: pair rows are only worth emitting where they carry
+    // information a keep-min collapse hasn't already consumed, and it
+    // keeps the row non-vacuous on this fixture (4 rows at sf0.01;
+    // equal thresholds leave 1).
     "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairs(documents(s, dir), maxHamming = 3)),
+      Dedup.simhashPairsStarFirst(documents(s, dir), maxHamming = 3,
+        collapseHamming = 2)),
     // Star-reduced simhash linking (round 11, the sf1 rehearsal fix):
     // on a 10×-replicated sf0.1 corpus the pair self-join is quadratic
     // in the duplication rate (simhash_verified 3.3 s → 438 s); the
@@ -587,14 +607,20 @@ object SparkEntry {
     // banding + linking + Hamming mechanics.
     "dedup_simhash_star" -> ((s, dir) =>
       Dedup.simhashStar(documents(s, dir), maxHamming = 3)),
-    // simhash as candidate generator + exact-Jaccard verification —
-    // ground-truth output, so it DOES get the brute-force oracle
-    // (all-pairs Jaccard ≥ 0.5). Exact on this fixture: every
-    // qualifying pair measured Hamming ≤ 5 and len-bucket delta ≤ 1,
-    // inside maxHamming=6 / bands=8 / ±1 salt replication — the row
-    // guards simhash recall end-to-end, not just schema.
+    // simhash candidates + exact-Jaccard verification, registered in
+    // the PRODUCTION star-first shape (round 12, retiring the 484 s
+    // r11 sf1 weak flag): star-collapse first, candidates + verify
+    // over the survivors only. The oracle composes the exact star
+    // mechanics (fingerprint CTEs shared with dedup_simhash_star)
+    // with the brute-force all-pairs Jaccard ≥ 0.5 over the survivor
+    // docs — exact on this fixture: every qualifying pair measured
+    // Hamming ≤ 5 and len-bucket delta ≤ 1, inside maxHamming=6 /
+    // bands=8 / ±1 salt replication, and restricting to survivors
+    // preserves that margin — so simhash recall is still guarded
+    // end-to-end. Raw-corpus Dedup.simhashVerified stays the
+    // un-benched brute-force validation baseline (DedupSpec).
     "dedup_simhash_verified" -> ((s, dir) =>
-      Dedup.simhashVerified(documents(s, dir), minJaccard = 0.5)),
+      Dedup.simhashVerifiedStarFirst(documents(s, dir), minJaccard = 0.5)),
     // Incremental dedup: the batch tail (last decimal-digit ids) deduped
     // against the keeper hashes of the historical 80% — the same split
     // both engines can compute, so the anti-join is oracle-exact.
@@ -2457,32 +2483,53 @@ object SparkEntry {
     * PREDECESSOR, Hamming-filtered at ≤ 3. Block extraction is
     * (fp >> 16b) & 0xFFFF in both engines (arithmetic-shift sign bits
     * are masked off identically). */
+  private val simhashStarLinkCtesSql: String =
+    """, banded AS (
+      |  SELECT f.doc_id, f.fp, f.len_bucket + off.o AS salt, b.band,
+      |    (f.fp >> (b.band * 16)) & 65535 AS key
+      |  FROM fpl f
+      |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+      |), linked AS (
+      |  SELECT doc_id, fp,
+      |    MIN(doc_id) OVER (PARTITION BY band, key, salt
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn_id,
+      |    lag(doc_id) OVER (PARTITION BY band, key, salt
+      |      ORDER BY doc_id) AS pv_id
+      |  FROM banded
+      |), links AS (
+      |  SELECT doc_id, fp, mn_id AS lnk FROM linked WHERE mn_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, fp, pv_id FROM linked WHERE pv_id IS NOT NULL
+      |)""".stripMargin
+
   private val simhashStarOracle: String =
-    simhashFpCtesSql +
-      """, banded AS (
-        |  SELECT f.doc_id, f.fp, f.len_bucket + off.o AS salt, b.band,
-        |    (f.fp >> (b.band * 16)) & 65535 AS key
-        |  FROM fpl f
-        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
-        |  CROSS JOIN (SELECT unnest([0, 1]) AS o) off
-        |), linked AS (
-        |  SELECT doc_id, fp,
-        |    MIN(doc_id) OVER (PARTITION BY band, key, salt
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn_id,
-        |    lag(doc_id) OVER (PARTITION BY band, key, salt
-        |      ORDER BY doc_id) AS pv_id
-        |  FROM banded
-        |), links AS (
-        |  SELECT doc_id, fp, mn_id AS lnk FROM linked WHERE mn_id IS NOT NULL
-        |  UNION ALL
-        |  SELECT doc_id, fp, pv_id FROM linked WHERE pv_id IS NOT NULL
-        |)
+    simhashFpCtesSql + simhashStarLinkCtesSql +
+      """
         |SELECT DISTINCT l.lnk AS id_a, l.doc_id AS id_b,
         |  CAST(bit_count(xor(l.fp, f2.fp)) AS INT) AS hamming
         |FROM links l
         |JOIN fpl f2 ON f2.doc_id = l.lnk
         |WHERE bit_count(xor(l.fp, f2.fp)) <= 3""".stripMargin
+
+  /** The star-first SURVIVOR frame shared by the production simhash
+    * oracles (round 12): star links applied as keep-min collapse —
+    * `star_drop` is every doc with a link within `collapseHamming`
+    * (its `lnk` is always a smaller id), `surv` the remaining
+    * fingerprint rows. Composes the exact mechanics
+    * [[simhashStarOracle]] pins with the brute-force pair relations
+    * the two rows restate over `surv`. */
+  private def simhashSurvivorCtesSql(collapseHamming: Int): String =
+    simhashFpCtesSql + simhashStarLinkCtesSql +
+      s""", star_drop AS (
+         |  SELECT DISTINCT l.doc_id FROM links l
+         |  JOIN fpl f2 ON f2.doc_id = l.lnk
+         |  WHERE bit_count(xor(l.fp, f2.fp)) <= $collapseHamming
+         |), surv AS (
+         |  SELECT * FROM fpl
+         |  WHERE doc_id NOT IN (SELECT doc_id FROM star_drop)
+         |)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "robust_scaling" ->
@@ -2754,32 +2801,50 @@ object SparkEntry {
     // similarity threshold could reproduce. Byte access assumes the
     // fixture's ASCII-only text (unicode(ch) == byte; validated, and
     // the XXH64 short path covers the <32-byte fixture tokens).
-    "dedup_simhash_pairs" -> simhashPairsOracle,
+    // Star-first production shape (round 12): the full-fidelity
+    // fingerprint + star-link mechanics (shared CTE prefix with
+    // dedup_simhash_star) feed the keep-min drop set, then the pair
+    // relation is brute-forced over the SURVIVORS — exact by the same
+    // pigeonhole/salt argument as before, now composed with the
+    // collapse. The raw-corpus pair relation stays pinned by
+    // dedup_simhash_star's oracle (same fingerprints, same banding)
+    // and by DedupSpec's un-benched ground-truth comparison.
+    "dedup_simhash_pairs" -> (simhashSurvivorCtesSql(2) +
+      """
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+        |FROM surv a JOIN surv b
+        |  ON a.doc_id < b.doc_id
+        |  AND abs(a.len_bucket - b.len_bucket) <= 1
+        |  AND bit_count(xor(a.fp, b.fp)) <= 3""".stripMargin),
     "dedup_simhash_star" -> simhashStarOracle,
 
     // Same ground truth at the 0.5 threshold for the simhash-candidate
-    // verified path (recall margin measured on the fixture: worst
-    // Hamming 5 vs cutoff 6, worst len-bucket delta 1 vs ±1 salt).
-    "dedup_simhash_verified" ->
-      """WITH toks AS (
+    // verified path, now RESTRICTED to the star-collapse survivors
+    // (recall margin measured on the fixture: worst Hamming 5 vs
+    // cutoff 6, worst len-bucket delta 1 vs ±1 salt — restricting to
+    // a survivor subset preserves it).
+    "dedup_simhash_verified" -> (simhashSurvivorCtesSql(3) +
+      """, vtoks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |                t -> length(t) > 0) AS tokens
         |  FROM documents
-        |), sh AS (
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM star_drop)
+        |), vsh AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
         |      list_transform(range(1, len(tokens) - 1),
         |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
         |      ELSE tokens END) AS sh
-        |  FROM toks WHERE len(tokens) > 0
+        |  FROM vtoks WHERE len(tokens) > 0
         |)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
-        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.5""".stripMargin,
+        |  FROM vsh a JOIN vsh b ON a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5""".stripMargin),
 
     "dedup_minhash_incremental" ->
       """WITH toks AS (

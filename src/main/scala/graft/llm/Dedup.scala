@@ -809,13 +809,22 @@ object Dedup {
     * predecessor chains span each bucket. */
   def simhashStar(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3,
-      bands: Int = 4, salted: Boolean = true): DataFrame = {
+      bands: Int = 4, salted: Boolean = true): DataFrame =
+    simhashStarFromFingerprints(
+      simhashFingerprints(df, textCol, idCol), idCol, maxHamming, bands,
+      if (salted) Some("len_bucket") else None)
+
+  /** [[simhashStar]] over a precomputed `(idCol, simhash[, salt])`
+    * frame — the fingerprint-reuse seam the star-first compositions
+    * below build on (persist `fps` yourself when recompute matters,
+    * per the [[simhashPairs]] cost note). */
+  def simhashStarFromFingerprints(fps: DataFrame,
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4, saltCol: Option[String] = None): DataFrame = {
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming < bands " +
         s"(got $maxHamming >= $bands)")
-    val fps = simhashFingerprints(df, textCol, idCol)
-    val banded = bandedRows(fps, idCol, bands,
-      if (salted) Some("len_bucket") else None)
+    val banded = bandedRows(fps, idCol, bands, saltCol)
     // Two links per banded row, both from ONE sorted window pass:
     // the bucket's prefix MINIMUM (== the bucket min for every
     // non-first row) and the bucket PREDECESSOR. The predecessor link
@@ -840,6 +849,89 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
+  }
+
+  /** Keep-min STAR COLLAPSE — [[simhashStar]]'s links applied as a
+    * dedup: drops every doc with a qualifying link to a SMALLER id
+    * (links are (id_a < id_b), so the drop set is the distinct id_b
+    * side), returns the surviving `df` rows unchanged. On a
+    * high-duplication corpus this removes the replica mass in LINEAR
+    * time; the survivors are replica-free, which is exactly what makes
+    * a subsequent exhaustive pair pass affordable (see
+    * [[simhashPairsStarFirst]] / [[simhashVerifiedStarFirst]]). */
+  def simhashStarCollapse(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4, salted: Boolean = true): DataFrame =
+    df.join(
+      simhashStar(df, textCol, idCol, maxHamming, bands, salted)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** The PRODUCTION simhash pair relation (round-12, retiring the r11
+    * sf1 finding for good): star-collapse first, banded pairs over the
+    * replica-free SURVIVORS. The plain [[simhashPairs]] self-join
+    * emits C(m,2) pairs per replica group — quadratic in the
+    * duplication rate, measured 0.77 s → 25 s at 10× data on a ~90%
+    * near-duplicated corpus — so at crawl duplication it must never be
+    * the shape a pipeline runs on the full corpus. Here the quadratic
+    * mechanism is structurally removed: the collapse is one sorted
+    * window pass (linear at any dup rate), and the pair self-join only
+    * ever sees the collapsed corpus, where replica groups have at most
+    * one member left. [[simhashPairs]] on the raw corpus remains the
+    * exhaustive ground truth for low-duplication corpora and for
+    * validation (DedupSpec pins this path = that path restricted to
+    * survivors).
+    *
+    * Semantics: the pair relation RESTRICTED to collapse survivors —
+    * a doc dropped by the collapse was already attributed to a
+    * smaller near-duplicate (at `collapseHamming`), so for keep-min
+    * dedup its pairs are redundant by construction. Fingerprints are
+    * computed ONCE and feed the collapse, the anti-join and both pair
+    * sides ([[simhashFingerprints]] is a narrow codegen projection;
+    * persist it yourself if the re-scan matters, per the
+    * [[simhashPairs]] cost note). */
+  def simhashPairsStarFirst(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3,
+      bands: Int = 4, salted: Boolean = true,
+      collapseHamming: Int = 3, collapseBands: Int = 4): DataFrame = {
+    val fps = simhashFingerprints(df, textCol, idCol)
+    val salt = if (salted) Some("len_bucket") else None
+    val drops = simhashStarFromFingerprints(fps, idCol, collapseHamming,
+        collapseBands, salt)
+      .select(col("id_b").as(idCol)).distinct()
+    val surv = fps.join(drops, Seq(idCol), "left_anti")
+    simhashPairsFromFingerprints(surv, idCol, maxHamming, bands, salt)
+  }
+
+  /** [[simhashVerified]] in the production star-first shape: collapse
+    * the replica mass (linear), generate banded candidates over the
+    * survivors only, verify with exact n-gram Jaccard. Same contract
+    * as [[simhashPairsStarFirst]] one stage later — precision exact by
+    * construction, recall = the sketch's over the survivor corpus;
+    * verification cost scales with the (replica-free) candidate count.
+    * The raw-corpus [[simhashVerified]] stays the brute-force
+    * validation baseline (DedupSpec). */
+  def simhashVerifiedStarFirst(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minJaccard: Double = 0.5,
+      maxHamming: Int = 6,
+      bands: Int = 8,
+      salted: Boolean = true,
+      collapseHamming: Int = 3, collapseBands: Int = 4): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val fps = simhashFingerprints(docs, textCol, idCol)
+    val salt = if (salted) Some("len_bucket") else None
+    val drops = simhashStarFromFingerprints(fps, idCol, collapseHamming,
+        collapseBands, salt)
+      .select(col("id_b").as(idCol)).distinct()
+    val surv = fps.join(drops, Seq(idCol), "left_anti")
+    val candidates = simhashPairsFromFingerprints(surv, idCol, maxHamming,
+        bands, salt)
+      .select("id_a", "id_b")
+    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
   }
 
   /** Banded candidate pairs with exact Hamming distance, BEFORE the

@@ -240,6 +240,30 @@ class PlanAuditSpec extends SparkSpec {
       p.take(800))
   }
 
+  test("production simhash rows: the banded pair self-join runs over " +
+      "star-collapse survivors, never the raw corpus (r12 weak-flag fix)") {
+    // The r11 sf1 rehearsal measured the raw-corpus banded self-join
+    // quadratic in the duplication rate (484 s at 10× data). The
+    // registered shapes are star-first: every Inner join on the band
+    // key must have the keep-min collapse (a LeftAnti join) BELOW it
+    // on both sides — i.e. in the printed tree, after the last banded
+    // join line there are still two LeftAnti descendants. A revert to
+    // the raw shape loses the LeftAnti entirely; hoisting the collapse
+    // ABOVE the pair join (filtering pairs after emitting them) would
+    // put the LeftAnti before the banded join and fail the order check.
+    Seq("dedup_simhash_pairs", "dedup_simhash_verified").foreach { q =>
+      val p = plan(q)
+      val banded = "Join \\[bk#\\d+\\], \\[bk#\\d+\\], Inner".r
+        .findAllMatchIn(p).map(_.start).toSeq
+      assert(banded.nonEmpty, s"$q lost the banded pair join:\n${p.take(600)}")
+      val antisAfterLast = "LeftAnti".r.findAllMatchIn(p)
+        .count(_.start > banded.max)
+      assert(antisAfterLast >= 2,
+        s"$q: banded self-join no longer sits above the collapse " +
+          s"anti-joins (found $antisAfterLast LeftAnti below)")
+    }
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work

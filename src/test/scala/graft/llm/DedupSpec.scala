@@ -574,6 +574,60 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("star-first production composition: collapse survivors, pairs == " +
+      "raw pair relation restricted to them, verified pairs candidate-" +
+      "exact (r12, the benched shape behind dedup_simhash_pairs/_verified)") {
+    val s = spark
+    import s.implicits._
+    // same 5×-replicated high-duplication fixture as the star test
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 30)
+    val replicated = (0 until 5).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$k")).as("text"))
+    }.reduce(_ unionByName _)
+    val survivors = Dedup.simhashStarCollapse(replicated, maxHamming = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val starDrops = Dedup.simhashStar(replicated, maxHamming = 3)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    // collapse = corpus minus the star drop set, nothing else
+    assert(survivors ==
+      replicated.select("doc_id").collect().map(_.getLong(0)).toSet
+        -- starDrops)
+    // the production pair relation IS the raw (quadratic, un-benched
+    // ground truth) relation restricted to survivor×survivor — the
+    // banding/knob paths cannot drift apart without failing here
+    val starFirst = Dedup.simhashPairsStarFirst(replicated, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rawPairs = Dedup.simhashPairs(replicated, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFirst ==
+      rawPairs.filter(p => survivors(p._1) && survivors(p._2)))
+    // after the collapse the replica mass is gone: the survivor pair
+    // relation is a sliver of the raw one (the quadratic cost the
+    // registered shape no longer pays)
+    assert(rawPairs.size > 100 && starFirst.size < rawPairs.size / 5,
+      s"raw=${rawPairs.size} starFirst=${starFirst.size}")
+    // the registered pairs row collapses TIGHTER (Hamming ≤ 2) than it
+    // enumerates (≤ 3) — the same restriction property must hold with
+    // the thresholds split
+    val surv2 = Dedup.simhashStarCollapse(replicated, maxHamming = 2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val starFirst2 = Dedup.simhashPairsStarFirst(replicated,
+      maxHamming = 3, collapseHamming = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFirst2 == rawPairs.filter(p => surv2(p._1) && surv2(p._2)))
+    // verified composition: same restriction property at the
+    // Jaccard-verified stage, and every emitted pair meets the bar
+    val verified = Dedup.simhashVerifiedStarFirst(replicated,
+      minJaccard = 0.5)
+    verified.collect().foreach { r =>
+      assert(survivors(r.getLong(0)) && survivors(r.getLong(1)))
+      assert(r.getDouble(2) >= 0.5)
+    }
+  }
+
   test("semantic: planted near-identical vectors flagged, keeper and " +
       "dissimilar rows kept, null embeddings unindexed") {
     val s = spark
