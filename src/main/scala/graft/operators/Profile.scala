@@ -186,11 +186,7 @@ object Profile {
       val lo = math.floor(f * (n - 1)).toLong
       Seq(lo, math.min(lo + 1, n - 1))
     }.distinct
-    val counts = nn.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("v"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val cum = counts.withColumn("cum", sum(col("cnt")).over(w))
+    val cum = distinctCdf(nn, x)
     // rank r lives in the row with cum − cnt <= r < cum
     val hit = ranks.map(r =>
       col("cum") - col("cnt") <= lit(r) && col("cum") > lit(r))
@@ -208,6 +204,64 @@ object Profile {
       val b = atRank(math.min(lo + 1, n - 1))
       a + (b - a) * (pos - lo)
     }
+  }
+
+  /** The distinct-value CDF `(v, cnt, cum)` under [[exactPercentiles]]
+    * — `cum` is the running count of the sorted value multiset at each
+    * distinct value's upper edge. Round 12: the running sum is now a
+    * TWO-PHASE bucket prefix-sum instead of a global `orderBy` window,
+    * which planned as a SinglePartition sort of the whole distinct
+    * frame — fine at fixture scale, a one-thread bottleneck on a
+    * high-cardinality column at 100 TB (the same defect the r8
+    * `llm_global_shuffle` fix removed, reused here):
+    *
+    *  1. bucket = an ORDER-PRESERVING affine map of the value into
+    *     2^16 range buckets (monotone: v1 < v2 ⇒ bkt(v1) ≤ bkt(v2)).
+    *     Bucket COUNT subtotals cumulate into bucket offsets — that
+    *     window is partition-less but its input is ≤ 65536 rows
+    *     regardless of corpus size, driver-scale by construction.
+    *  2. cum = (broadcast) bucket offset + within-bucket running sum,
+    *     where the window partitions by bucket — 65536-way parallel.
+    *
+    * Correctness needs only MONOTONICITY of the bucket map, never
+    * balance: a skewed value domain degrades parallelism back toward
+    * the old single-partition shape, it cannot change `cum`. Extrema
+    * are taken over the DISTINCT frame (already aggregated — no extra
+    * corpus pass); non-finite domains (±Inf spread, or min == max)
+    * fall back to one bucket, and NaN — which Spark sorts above every
+    * double — maps above every finite bucket, preserving the global
+    * sort order the old window used. ProfileSpec pins bit-parity vs
+    * the built-in `percentile` and the two-window plan shape. */
+  private[operators] def distinctCdf(
+      nn: DataFrame,
+      x: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = nn.groupBy(x.as("v")).agg(count(lit(1)).as("cnt"))
+    val vd = col("v").cast("double")
+    val statsRow = counts.select(vd.as("v")).where(!isnan(col("v")))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    val (mn, mx) =
+      if (statsRow.isNullAt(0)) (0.0, 0.0)
+      else (statsRow.getDouble(0), statsRow.getDouble(1))
+    val spreadFinite = !mn.isInfinite && !mx.isInfinite && mx > mn
+    val bkt =
+      if (spreadFinite)
+        when(isnan(vd), lit(65536L)).otherwise(
+          least(floor((vd - lit(mn)) / lit(mx - mn) * 65536).cast("long"),
+            lit(65535L)))
+      else when(isnan(vd), lit(65536L)).otherwise(lit(0L))
+    val withBkt = counts.withColumn("bkt", bkt)
+    val offsets = withBkt.groupBy("bkt").agg(sum("cnt").as("bcnt"))
+      .withColumn("off",
+        coalesce(sum("bcnt").over(
+          Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("bkt", "off")
+    val w = Window.partitionBy("bkt").orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    withBkt.join(broadcast(offsets), "bkt")
+      .withColumn("cum", col("off") + sum(col("cnt")).over(w))
+      .select("v", "cnt", "cum")
   }
 
   private def assemble(df: DataFrame, cols: Seq[String], exact: Boolean,

@@ -159,6 +159,48 @@ class ProfileSpec extends SparkSpec {
       s"cut $c is not an exact eighth"))
   }
 
+  test("distinctCdf: the corpus-scale running sum partitions by bucket " +
+      "(no SinglePartition sort of the distinct frame); bit-parity " +
+      "holds on skewed, negative and outlier domains (r12)") {
+    val s = spark
+    import s.implicits._
+    def refPercentiles(df: org.apache.spark.sql.DataFrame,
+        probs: Seq[Double]): Seq[Double] =
+      df.where(col("v").isNotNull)
+        .agg(expr(s"percentile(v, array(${probs.mkString(",")}))"))
+        .head().getSeq[Double](0)
+    val probs = Seq(0.01, 0.25, 0.5, 0.733, 0.99)
+    // (a) negatives + an extreme outlier: the affine bucket map parks
+    // nearly everything in bucket 0 — parallelism degrades, cum must not
+    val outlier = (Seq(-1.0e9, -5.0, -4.5, -4.5, -4.5) ++
+      (1 to 200).map(_ * 0.125) :+ 1.0e12).map(Tuple1(_)).toDF("v")
+      .repartition(7)
+    // (b) high-cardinality uniform (the domain the two-phase split is
+    // FOR: 10k distinct values spread over the buckets)
+    var x = 99L
+    val wide = (1 to 9973).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L) & 0x7fffffffL
+      Tuple1(x.toDouble / 7.0)
+    }.toDF("v").repartition(9)
+    // (c) degenerate: a single distinct value (mx == mn → one bucket)
+    val flat = Seq.fill(40)(Tuple1(3.25)).toDF("v")
+    Seq(outlier, wide, flat).foreach { df =>
+      assert(Profile.exactPercentiles(df, "v", probs) ==
+        refPercentiles(df, probs))
+    }
+    // plan shape: the running sum over the distinct frame partitions by
+    // bkt (65536-way parallel); only the ≤65536-row bucket-offset window
+    // is partition-less. A revert to the global orderBy shape would put
+    // the order column FIRST in a partition-less windowspecdefinition.
+    val plan = Profile.distinctCdf(wide.where(col("v").isNotNull), col("v"))
+      .queryExecution.executedPlan.toString
+    assert("windowspecdefinition\\(bkt#\\d+L?, v#".r
+      .findFirstIn(plan).isDefined,
+      s"data window no longer partitions by bkt:\n${plan.take(800)}")
+    assert("windowspecdefinition\\(v#\\d+ ASC".r.findFirstIn(plan).isEmpty,
+      s"partition-less window over the distinct frame is back:\n${plan.take(800)}")
+  }
+
   test("equidepth: GK approx path matches exact depths within one " +
       "element per cut at tight relErr") {
     val s = spark
