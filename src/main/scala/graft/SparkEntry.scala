@@ -105,6 +105,26 @@ object SparkEntry {
         .otherwise(textBin).as("payload"))
   }
 
+  /** Planted binary-PPM (P6) fixture over documents (round 12): a real
+    * canonical PPM header (`P6\n<w> <h>\n255\n`, geometry derived from
+    * (doc_id, n_chars)) followed by raw interleaved RGB bytes — the
+    * doc's ASCII-pinned text padded with 'x' to w·h·3. The payload is
+    * a VALID P6 image; [[graft.llm.Multimodal.ppmChannelStats]] must
+    * recover the geometry from the actual header bytes and the pixels
+    * from the actual byte offsets for its oracle row to hash. */
+  private def ppmFixture(docs: DataFrame): DataFrame = {
+    val w = (pmod(col("doc_id"), lit(7L)) + 2).cast("int")  // 2..8
+    val h = (pmod(col("n_chars"), lit(5L)) + 2).cast("int") // 2..6
+    val n = (w * h * lit(3)).cast("int")
+    // rpad to the 8·6·3 geometry maximum then cut to n reads the same
+    // bytes as rpad(substr(text,1,n), n) for every text length
+    val px = rpad(col("text"), 8 * 6 * 3, "x").substr(lit(1), n)
+    val header = concat(lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"), lit("\n255\n"))
+    docs.select(col("doc_id"),
+      concat(header, px).cast("binary").as("payload"))
+  }
+
   /** customer with `(features, label)` — the ML-pipeline input frame
     * (label = c_mktsegment indexed, features = numeric customer cols). */
   private def customerFeatures(s: SparkSession, dir: String): DataFrame =
@@ -408,6 +428,17 @@ object SparkEntry {
         customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
         k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
         idCol = "c_custkey", steps = 1)),
+    // round 12 (r11 verdict item 5): TWO chained Lloyd steps under the
+    // oracle — the re-centered 6dp centroids from step 1 feed step 2's
+    // assignment, so the iteration COMPOSITION (not just one step's
+    // arithmetic) is hash-proven; the invariant-only surface shrinks
+    // to MLlib's internal termination test. Oracle = the same CTE
+    // chain unrolled twice (kmeansLloydOracle(2)).
+    "dim_reduction_kmeans_lloyd2" -> ((s, dir) =>
+      DimReduction.kmeansLloyd(
+        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
+        k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
+        idCol = "c_custkey", steps = 2)),
 
     // §2.1 #9, round 11 (VERDICT item 4): the PCA SCORING half under
     // the oracle — projection onto a FROZEN 2×3 loading matrix (the
@@ -756,7 +787,14 @@ object SparkEntry {
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
             .as("embedding"))
-      Dedup.semantic(base.unionByName(planted), nCells = 16,
+      // nCells = 0 → derived: ⌈n/32⌉ = 16 cells on this fixture (501
+      // well-formed rows), IDENTICAL to the previous fixed-16
+      // registration — but the registered shape now scales nCells ∝ N
+      // (the r12 semanticKnobs derivation; within-cell pair work stays
+      // linear at sf1's 20k vectors instead of quadratic), and the
+      // oracle restates the same derivation as a scalar subquery so
+      // the two engines always agree on the cell count.
+      Dedup.semantic(base.unionByName(planted), nCells = 0,
         minCosine = 0.8, dim = Some(64))
         .withColumn("cell", col("cell").cast("int"))
     }),
@@ -1123,6 +1161,19 @@ object SparkEntry {
     // zero shuffles).
     "multimodal_decode" -> ((s, dir) =>
       Multimodal.decodeMeta(mediaFixture(documents(s, dir)), "payload")),
+    // Round 12 (r11 verdict item 4): REAL pixels end-to-end. Planted
+    // binary-PPM payloads (ppmFixture — valid P6 header + the doc's
+    // text as raw RGB bytes); the operator parses the ACTUAL header
+    // bytes for geometry, hex-walks the ACTUAL pixel offsets for the
+    // 4×4 nearest-neighbor thumbnail, and aggregates per-channel
+    // stats. The oracle recomputes the same stats from the fixture's
+    // construction arithmetic ((doc_id, n_chars, text) → geometry →
+    // resize index formula → unicode(char) bytes), so the row hashes
+    // only if header parse, pixel offsets and thumbnail indexing are
+    // all byte-exact. Completes the decode → resize → stats quartet
+    // with actual pixels; compressed formats keep the documented stub.
+    "multimodal_ppm_stats" -> ((s, dir) =>
+      Multimodal.ppmChannelStats(ppmFixture(documents(s, dir)), "payload")),
 
     // ------------------------------------------ §2.2 engine primitives
     // composed at scale: pushed-down date filter, per-order pre-agg,
@@ -2324,9 +2375,34 @@ object SparkEntry {
     * assignment against the updated centroids. The 6dp round is what
     * makes the ITERATION itself engine-portable: both engines assign
     * against bit-identical updated-centroid literals. */
-  private val kmeansLloydOracle: String = {
+  private def kmeansLloydOracle(steps: Int): String = {
     def terms(c: String) = customerXs.indices
       .map(i => s"(f.x$i - $c.k$i) * (f.x$i - $c.k$i)").mkString(" + ")
+    // one CTE triple per unrolled step s: assignment a{s-1} against
+    // cent{s-1}, 6dp-rounded per-cluster means upd{s}, updated
+    // centroids cent{s} (COALESCE keeps an emptied cluster's previous
+    // centroid — kmeansLloyd's contract). The round-12 lloyd2 row
+    // chains TWO of these, hash-proving the iteration COMPOSITION
+    // (re-centered centroids feeding the next assignment), not just
+    // one step's arithmetic.
+    val updCols = customerXs.indices
+      .map(i => s"ROUND(AVG(f.x$i), 6) AS k$i").mkString(",\n       |    ")
+    val keepCols = customerXs.indices
+      .map(i => s"COALESCE(u.k$i, c.k$i) AS k$i").mkString(",\n       |    ")
+    val stepCtes = (1 to steps).map { s =>
+      s""", a${s - 1} AS (
+         |  SELECT f.c_custkey, c.j
+         |  FROM feat f CROSS JOIN cent${s - 1} c
+         |  QUALIFY row_number() OVER (PARTITION BY f.c_custkey
+         |    ORDER BY ${terms("c")}, c.j) = 1
+         |), upd$s AS (
+         |  SELECT a${s - 1}.j, $updCols
+         |  FROM a${s - 1} JOIN feat f USING (c_custkey) GROUP BY a${s - 1}.j
+         |), cent$s AS (
+         |  SELECT c.j, $keepCols
+         |  FROM cent${s - 1} c LEFT JOIN upd$s u USING (j)
+         |)""".stripMargin
+    }.mkString
     s"""WITH feat AS MATERIALIZED (
        |  SELECT c_custkey, c_acctbal, c_nationkey,
        |    CAST(c_acctbal AS DOUBLE) AS x0,
@@ -2338,28 +2414,16 @@ object SparkEntry {
        |    ORDER BY (c_custkey % 1048573) * ${DimReduction.KmeansHashMultiplier} % 1048573, c_custkey
        |  ) - 1 AS j
        |  FROM feat QUALIFY j < 8
-       |), a0 AS (
-       |  SELECT f.c_custkey, c.j
-       |  FROM feat f CROSS JOIN cent0 c
-       |  QUALIFY row_number() OVER (PARTITION BY f.c_custkey
-       |    ORDER BY ${terms("c")}, c.j) = 1
-       |), upd AS (
-       |  SELECT a0.j, ROUND(AVG(f.x0), 6) AS k0,
-       |    ROUND(AVG(f.x1), 6) AS k1, ROUND(AVG(f.x2), 6) AS k2
-       |  FROM a0 JOIN feat f USING (c_custkey) GROUP BY a0.j
-       |), cent1 AS (
-       |  SELECT c0.j, COALESCE(u.k0, c0.k0) AS k0,
-       |    COALESCE(u.k1, c0.k1) AS k1, COALESCE(u.k2, c0.k2) AS k2
-       |  FROM cent0 c0 LEFT JOIN upd u USING (j)
-       |), d1 AS (
-       |  SELECT f.c_custkey, f.c_acctbal, f.c_nationkey, c.j,
-       |    ${terms("c")} AS d2
-       |  FROM feat f CROSS JOIN cent1 c
-       |)
-       |SELECT c_custkey, c_acctbal, c_nationkey, CAST(j AS INT) AS prediction,
-       |  ROUND(d2, 6) AS dist2
-       |FROM d1
-       |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY d2, j) = 1""".stripMargin
+       |)""".stripMargin + stepCtes +
+      s""", d AS (
+         |  SELECT f.c_custkey, f.c_acctbal, f.c_nationkey, c.j,
+         |    ${terms("c")} AS d2
+         |  FROM feat f CROSS JOIN cent$steps c
+         |)
+         |SELECT c_custkey, c_acctbal, c_nationkey, CAST(j AS INT) AS prediction,
+         |  ROUND(d2, 6) AS dist2
+         |FROM d
+         |QUALIFY row_number() OVER (PARTITION BY c_custkey ORDER BY d2, j) = 1""".stripMargin
   }
 
   /** Brute-force simhash ground truth shared by the pair oracle and
@@ -2605,7 +2669,8 @@ object SparkEntry {
     // evaluator's accuracy arithmetic over a deterministic predictions
     // frame (label restated via the prepare_features mapping).
     "dim_reduction_kmeans_hashinit" -> kmeansHashInitOracle,
-    "dim_reduction_kmeans_lloyd" -> kmeansLloydOracle,
+    "dim_reduction_kmeans_lloyd" -> kmeansLloydOracle(1),
+    "dim_reduction_kmeans_lloyd2" -> kmeansLloydOracle(2),
     "dim_reduction_pca_scoring" -> pcaScoringOracle,
     "probability_scoring" -> probabilityScoringOracle,
     "evaluator_accuracy" ->
@@ -3017,7 +3082,8 @@ object SparkEntry {
         |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
         |  ) - 1 AS cell
         |  FROM wf WHERE len(list_filter(e, x -> x IS NULL)) = 0
-        |  QUALIFY cell < 16
+        |  QUALIFY cell < (SELECT CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)
+        |                  FROM wf)
         |), centv AS (
         |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
         |  FROM ivf_rows
@@ -3882,6 +3948,42 @@ object SparkEntry {
         |    WHEN kind = 2 THEN CASE WHEN doc_id % 16 = 2 THEN 1 ELSE 2 END
         |  END AS INT) AS channels
         |FROM m""".stripMargin,
+
+    // PPM pixel-path oracle (round 12): recompute the 4×4 thumbnail
+    // channel stats from the fixture CONSTRUCTION — geometry from
+    // (doc_id, n_chars), pixel bytes from the ASCII text (unicode(ch)
+    // == byte, the pinned charset) padded with 'x', thumbnail source
+    // index ⌊y·h/4⌋·w + ⌊x·w/4⌋, channel byte at src·3 + c. The Spark
+    // side reads geometry and bytes from the ACTUAL payload, so the
+    // hash proves the header parse and byte-offset arithmetic.
+    "multimodal_ppm_stats" ->
+      """WITH ppm AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 7 + 2 AS INT) AS w,
+        |    CAST(n_chars % 5 + 2 AS INT) AS h,
+        |    rpad(text, 144, 'x') AS padded
+        |  FROM documents
+        |), pix AS (
+        |  SELECT doc_id, w, h, c.cc,
+        |    unicode(substr(padded,
+        |      CAST((((y.yy * h) // 4) * w + ((x.xx * w) // 4)) * 3
+        |        + c.cc + 1 AS INT), 1)) AS v
+        |  FROM ppm
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS yy) y
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS xx) x
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS cc) c
+        |)
+        |SELECT doc_id, CAST(1 AS INT) AS is_ppm, w AS width, h AS height,
+        |  ROUND(AVG(CASE WHEN cc = 0 THEN v END), 6) AS r_mean,
+        |  CAST(MIN(CASE WHEN cc = 0 THEN v END) AS INT) AS r_min,
+        |  CAST(MAX(CASE WHEN cc = 0 THEN v END) AS INT) AS r_max,
+        |  ROUND(AVG(CASE WHEN cc = 1 THEN v END), 6) AS g_mean,
+        |  CAST(MIN(CASE WHEN cc = 1 THEN v END) AS INT) AS g_min,
+        |  CAST(MAX(CASE WHEN cc = 1 THEN v END) AS INT) AS g_max,
+        |  ROUND(AVG(CASE WHEN cc = 2 THEN v END), 6) AS b_mean,
+        |  CAST(MIN(CASE WHEN cc = 2 THEN v END) AS INT) AS b_min,
+        |  CAST(MAX(CASE WHEN cc = 2 THEN v END) AS INT) AS b_max
+        |FROM pix GROUP BY doc_id, w, h""".stripMargin,
 
     // FULL-FIDELITY HashingTF oracle: murmur3_x86_32 (Spark's
     // hashUnsafeBytes2 variant — 4-byte LE blocks, remaining tail bytes

@@ -1508,6 +1508,30 @@ object Dedup {
           .as("n_removed"))
   }
 
+  /** The nCells auto-derivation for [[semantic]] — the embedding-side
+    * sibling of [[minhashKnobs]]/`lshKnobs`, opt-in by passing
+    * `nCells = 0`; explicit values pass through untouched (`count` is
+    * by-name and only evaluated when deriving). SemDeDup's pair stage
+    * costs Σ|cell|²/2, so a FIXED nCells is quadratic in corpus growth
+    * — the round-11 PLANS.md caveat. Holding the expected cell size at
+    * `targetCellSize` instead (nCells = ⌈n / targetCellSize⌉, the
+    * paper's constant-cell-size regime — LAION-440M over 50 k
+    * clusters) keeps expected within-cell pair work LINEAR:
+    * n·targetCellSize/2. Exact ceil via integer arithmetic so the
+    * DuckDB twin's CEIL(n / target) lands on the same integer for
+    * every n. */
+  private[graft] def semanticKnobs(
+      count: => Long,
+      nCells: Int,
+      targetCellSize: Int = 32): Int =
+    if (nCells > 0) nCells
+    else {
+      require(targetCellSize >= 1,
+        s"targetCellSize must be >= 1, got $targetCellSize")
+      math.max(1L,
+        (count + targetCellSize - 1) / targetCellSize).toInt
+    }
+
   /** SemDeDup-style SEMANTIC dedup over an embedding column (Abbas et
     * al. 2023, "SemDeDup: Data-efficient learning at web-scale through
     * semantic deduplication", arXiv:2303.09540): cluster the corpus
@@ -1551,19 +1575,24 @@ object Dedup {
     * shuffle, and the self-join's two sides reuse the same exchange)
     * with the cosine as a join-residual predicate, so work is
     * Σ|cell|²/2, bounded by scaling nCells ∝ N to hold cells at a
-    * constant target size (the paper runs 50k clusters on LAION-440M;
+    * constant target size — which is exactly what the default
+    * `nCells = 0` does: [[semanticKnobs]] derives
+    * nCells = ⌈n / targetCellSize⌉ from one count job (the paper runs
+    * 50k clusters on LAION-440M;
     * a mega-cell from a degenerate centroid draw surfaces in
     * [[Similarity.ivfIndexHashInit]]'s build profile before a probe
     * path is enabled, and re-drawing with a different multiplier or
     * salting the hot cell bounds it). */
   def semantic(
       df: DataFrame,
-      nCells: Int = 16,
+      nCells: Int = 0,
       minCosine: Double = 0.8,
       embCol: String = "embedding",
       idCol: String = "vec_id",
-      dim: Option[Int] = None): DataFrame = {
-    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+      dim: Option[Int] = None,
+      targetCellSize: Int = 32): DataFrame = {
+    require(nCells >= 0,
+      s"nCells must be >= 1, or 0 to derive from the corpus: $nCells")
     // null embeddings are excluded BEFORE assignment: the nAssign=1
     // argmax would otherwise park them in the largest cell (struct
     // ordering sorts a null cos first), and a row with no vector can
@@ -1572,8 +1601,9 @@ object Dedup {
     // uniform-dimension responsibility with the caller.
     val wellFormed = dim.foldLeft(df.where(col(embCol).isNotNull))(
       (d, n) => d.where(size(col(embCol)) === n))
+    val nc = semanticKnobs(wellFormed.count(), nCells, targetCellSize)
     val cells = Similarity.ivfIndexHashInit(
-        wellFormed, nCells, embCol, idCol)
+        wellFormed, nc, embCol, idCol)
       .cells
       .select(col("neighbor_id").as(idCol), col("c_emb").as("e"),
         col("cell"))

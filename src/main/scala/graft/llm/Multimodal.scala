@@ -179,6 +179,80 @@ object Multimodal {
     df.withColumn(outputCol, concat(picks: _*))
   }
 
+  /** REAL pixel path (round 12, completing the quartet): binary PPM
+    * (P6) is the one raster container whose pixel decode needs no
+    * codec — the payload after the ASCII header IS the raw interleaved
+    * RGB bytes — so decode → nearest-neighbor resize → channel stats
+    * runs real and oracle-checkable end-to-end on actual pixel bytes.
+    * The compressed-format pixel slot stays the documented stub
+    * ([[decodePartitions]]); header/metadata decode for PNG/JPEG/WAV
+    * stays [[decodeMeta]].
+    *
+    * Parse contract: the canonical-form header `P6\n<w> <h>\n<max>\n`
+    * (single whitespace, no comments — the form every PPM writer
+    * emits). Width/height come from the ACTUAL header bytes, never
+    * from external metadata, and the pixel region starts at the
+    * matched header's byte length — a payload whose header lies about
+    * its geometry produces different stats, which is what makes the
+    * oracle row cheat-proof. Non-PPM payloads yield `is_ppm = 0` with
+    * null dims/stats, never an exception.
+    *
+    * Pipeline, all per-row index arithmetic in one codegen'd
+    * projection (the [[resizeRaster]] recipe over the decoded bytes):
+    * resized pixel (x, y) of the `newW`×`newH` thumbnail reads source
+    * pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋); channel c of source pixel p is
+    * payload byte header_len + p·3 + c (hex-walked: 2 hex chars per
+    * byte). Output: per-channel mean (6dp) / min / max over the
+    * resized raster. Zero shuffles, zero UDFs, newW·newH·3 byte reads
+    * per row regardless of payload size — scan-speed at 100 TB. */
+  def ppmChannelStats(
+      df: DataFrame,
+      binCol: String,
+      newW: Int = 4, newH: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(newW >= 1 && newH >= 1,
+      s"thumbnail dims must be >= 1, got ${(newW, newH)}")
+    val pat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
+    // the header is ASCII, so char positions == byte positions in the
+    // decoded prefix; 32 chars cover any sane "P6 w h max" header
+    val head = substring(col(binCol), 1, 32).cast("string")
+    val matched = regexp_extract(head, pat, 0)
+    val isPpm = (length(matched) > 0).cast("int")
+    val w = when(isPpm === 1, regexp_extract(head, pat, 1).cast("int"))
+    val h = when(isPpm === 1, regexp_extract(head, pat, 2).cast("int"))
+    val hlen = length(matched)
+    // hex-walk ONLY the resized raster's source bytes: the payload is
+    // sliced to the pixel region once, and each thumbnail pixel reads
+    // its 3 channel bytes by position
+    val hx = hex(col(binCol).substr(hlen + 1, w * h * lit(3)))
+    def byteAt(i: Column): Column =
+      conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")
+    def chan(c: Int): Seq[Column] =
+      for { y <- 0 until newH; x <- 0 until newW } yield {
+        val src = floor(h * lit(y) / lit(newH)).cast("int") * w +
+          floor(w * lit(x) / lit(newW)).cast("int")
+        byteAt(src * 3 + lit(c))
+      }
+    val stats = Seq("r", "g", "b").zipWithIndex.flatMap { case (nm, c) =>
+      val vs = chan(c)
+      // the sum is null if ANY source byte is missing (truncated
+      // payload); gate min/max on it too so a malformed raster is
+      // all-null, not a silent partial aggregate (least/greatest
+      // would otherwise skip nulls)
+      val sum = vs.reduce(_ + _)
+      // least/greatest require 2+ args; a 1×1 thumbnail is its own extremum
+      val (mn, mx) =
+        if (vs.size == 1) (vs.head, vs.head)
+        else (least(vs: _*), greatest(vs: _*))
+      Seq(
+        round(sum.cast("double") / lit(newW * newH), 6).as(s"${nm}_mean"),
+        when(sum.isNotNull, mn).cast("int").as(s"${nm}_min"),
+        when(sum.isNotNull, mx).cast("int").as(s"${nm}_max"))
+    }
+    df.select(col(idCol) +: isPpm.as("is_ppm") +: w.as("width") +:
+      h.as("height") +: stats: _*)
+  }
+
   /** Frame sampling over an opaque payload: `n` fixed-width byte slices
     * at even strides (the video-frame-extraction plumbing, with the
     * codec stubbed as raw slicing). Pure codegen'd expression — schema

@@ -32,6 +32,9 @@ class PlanAuditSpec extends SparkSpec {
       "multimodal_decode",
       // thumbnail resize: a flat 32-substr concat fused into the scan
       "multimodal_resize",
+      // PPM pixel path: header regex + hex-walk + flat channel
+      // arithmetic, one projection over the documents scan (r12)
+      "multimodal_ppm_stats",
       "prepare_features", "add_split_column",
       "predefined_split_train", "predefined_split_test", "text_tfidf",
       // chunking is posexplode over a per-row token array — pure narrow
@@ -291,7 +294,8 @@ class PlanAuditSpec extends SparkSpec {
       // construction; their (join-free or elsewhere-asserted) shapes
       // gain nothing from re-execution here
       "text_bm25_write", "evaluator_accuracy",
-      "dim_reduction_kmeans_lloyd", "text_heavy_hitters_incremental")
+      "dim_reduction_kmeans_lloyd", "dim_reduction_kmeans_lloyd2",
+      "text_heavy_hitters_incremental")
     (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is

@@ -662,6 +662,34 @@ class DedupSpec extends SparkSpec {
     assert(guarded == Set(0L, 1L, 2L, 3L, 10L))
   }
 
+  test("semanticKnobs: explicit passthrough; derived nCells holds the " +
+      "target cell size so within-cell pair work stays linear (r12)") {
+    // explicit knobs pass through, count never evaluated
+    var evaluated = false
+    assert(Dedup.semanticKnobs({ evaluated = true; 5L }, 16) == 16)
+    assert(!evaluated)
+    // the registered fixture lands on the same 16 cells the previous
+    // fixed registration used (501 well-formed rows, target 32)
+    assert(Dedup.semanticKnobs(501L, 0) == 16)
+    // derivation = exact ceil(n/target) — the DuckDB twin's CEIL —
+    // and expected cell size never exceeds the target, which bounds
+    // expected within-cell pairs by n·target/2 (linear in n)
+    Seq(1L, 31L, 32L, 33L, 501L, 2001L, 20001L, 1000000L).foreach { n =>
+      val nc = Dedup.semanticKnobs(n, 0)
+      assert(nc == math.max(1, math.ceil(n / 32.0).toInt), s"n=$n")
+      assert(n.toDouble / nc <= 32.0, s"n=$n cell size ${n.toDouble / nc}")
+    }
+    // end-to-end: the derived path clusters into ⌈n/target⌉ cells
+    val s = spark
+    import s.implicits._
+    val base = (0L until 64L)
+      .map(i => (i, Seq.tabulate(4)(d => math.sin(i * 4.0 + d))))
+      .toDF("vec_id", "embedding")
+    val cells = Dedup.semantic(base, nCells = 0, minCosine = 0.9)
+      .select("cell").distinct().count()
+    assert(cells <= 2 && cells >= 1) // ⌈64/32⌉ = 2 drawn cells
+  }
+
   test("semantic plan: pair stage is an equi-join on cell — no " +
       "cartesian, bounded exchanges") {
     val s = spark

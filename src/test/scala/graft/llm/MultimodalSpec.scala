@@ -112,4 +112,48 @@ class MultimodalSpec extends SparkSpec {
       newW = 4, newH = 2, fill = "_").head().getString(1)
     assert(padded == "abcde___")
   }
+
+  test("ppmChannelStats: real P6 parse — geometry from header bytes, " +
+      "pixels from byte offsets; resize picks the right sources; " +
+      "non-PPM and truncated payloads are null, never wrong (r12)") {
+    val s = spark
+    import s.implicits._
+    def ppm(w: Int, h: Int, px: Seq[Int]): Array[Byte] =
+      (s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++
+        px.map(_.toByte)).toArray
+    // 2×2 RGB, known channel bytes per pixel
+    val px22 = Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120)
+    val df = Seq(
+      (1L, ppm(2, 2, px22)),
+      (2L, "hello not a ppm".getBytes("US-ASCII")),
+      (3L, ppm(2, 2, px22.take(5)))) // header lies: pixels truncated
+      .toDF("doc_id", "payload")
+    // 1×1 thumbnail reads exactly source pixel (0,0)
+    val one = Multimodal.ppmChannelStats(df.filter(col("doc_id") === 1),
+      "payload", newW = 1, newH = 1).head()
+    assert(one.getInt(1) == 1 && one.getInt(2) == 2 && one.getInt(3) == 2)
+    assert(one.getDouble(4) == 10.0 && one.getInt(5) == 10 &&
+      one.getInt(6) == 10) // r
+    assert(one.getDouble(7) == 20.0 && one.getDouble(10) == 30.0) // g, b
+    // 2×2 identity thumbnail aggregates every pixel
+    val idm = Multimodal.ppmChannelStats(df.filter(col("doc_id") === 1),
+      "payload", newW = 2, newH = 2).head()
+    assert(idm.getDouble(4) == 55.0 && idm.getInt(5) == 10 &&
+      idm.getInt(6) == 100) // r: mean(10,40,70,100), min, max
+    assert(idm.getDouble(7) == 65.0 && idm.getDouble(10) == 75.0)
+    // multi-digit dims parse from the actual header, not field widths
+    val wide = Seq((9L, ppm(12, 3, Seq.fill(12 * 3 * 3)(7))))
+      .toDF("doc_id", "payload")
+    val wr = Multimodal.ppmChannelStats(wide, "payload").head()
+    assert(wr.getInt(2) == 12 && wr.getInt(3) == 3 &&
+      wr.getDouble(4) == 7.0)
+    // non-PPM: flagged 0, everything null; truncated: parsed but
+    // all-null stats (no silent partial aggregate)
+    val rows = Multimodal.ppmChannelStats(df, "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(1).getInt(1) == 0 && rows(1).isNullAt(2) &&
+      rows(1).isNullAt(4))
+    assert(rows(2).getInt(1) == 1 && rows(2).getInt(2) == 2 &&
+      rows(2).isNullAt(4) && rows(2).isNullAt(5) && rows(2).isNullAt(6))
+  }
 }
