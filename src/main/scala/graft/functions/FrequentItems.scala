@@ -72,8 +72,12 @@ final class MisraGries(capacity: Int)
     // null slot for the maxError row ([[FrequentItems.writeSketch]]),
     // so ingesting one here would consume a counter, skew every bound,
     // and only surface later as a writeSketch require failure. Ignore
-    // at the point of ingestion — the SQL twin's GROUP BY likewise
-    // never counts NULL grams.
+    // at the point of ingestion. (Contract note: SQL GROUP BY *does*
+    // retain a NULL group, so this skip is NOT mirrored by the oracle
+    // twin's aggregation — the twins stay aligned only because their
+    // gram derivations cannot yield NULL from non-null text; an item
+    // expression that can go null must be coalesced or filtered by
+    // the caller before sketching.)
     if (item == null) return b
     val c = b.counts
     c.get(item) match {

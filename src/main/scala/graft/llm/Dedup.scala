@@ -1528,8 +1528,17 @@ object Dedup {
     else {
       require(targetCellSize >= 1,
         s"targetCellSize must be >= 1, got $targetCellSize")
-      math.max(1L,
-        (count + targetCellSize - 1) / targetCellSize).toInt
+      val derived = math.max(1L, (count + targetCellSize - 1) / targetCellSize)
+      // fail loudly rather than wrap: past ~2^31 cells (corpora above
+      // Int.MaxValue * targetCellSize rows) a silent Long-to-Int
+      // truncation would produce a bogus — possibly negative — cell
+      // count at exactly the web-scale regime this derivation exists
+      // for (r12 advice); such a corpus needs explicit knobs anyway
+      require(derived <= Int.MaxValue,
+        s"derived nCells $derived exceeds Int.MaxValue — corpus too " +
+          s"large for auto-derivation at targetCellSize=$targetCellSize; " +
+          "pass nCells explicitly")
+      derived.toInt
     }
 
   /** SemDeDup-style SEMANTIC dedup over an embedding column (Abbas et
@@ -1577,8 +1586,12 @@ object Dedup {
     * Σ|cell|²/2, bounded by scaling nCells ∝ N to hold cells at a
     * constant target size — which is exactly what the default
     * `nCells = 0` does: [[semanticKnobs]] derives
-    * nCells = ⌈n / targetCellSize⌉ from one count job (the paper runs
-    * 50k clusters on LAION-440M;
+    * nCells = ⌈n / targetCellSize⌉ from one count job — note this
+    * makes the default EAGER at DataFrame-CONSTRUCTION time (the
+    * count executes when `semantic` is called, not when the returned
+    * frame is; plan-only callers pay one Spark job and an extra scan
+    * of the upstream input — pass an explicit `nCells` to stay fully
+    * lazy). (The paper runs 50k clusters on LAION-440M;
     * a mega-cell from a degenerate centroid draw surfaces in
     * [[Similarity.ivfIndexHashInit]]'s build profile before a probe
     * path is enabled, and re-drawing with a different multiplier or

@@ -194,8 +194,11 @@ object Multimodal {
     * from external metadata, and the pixel region starts at the
     * matched header's byte length — a payload whose header lies about
     * its geometry produces different stats, which is what makes the
-    * oracle row cheat-proof. Non-PPM payloads yield `is_ppm = 0` with
-    * null dims/stats, never an exception.
+    * oracle row cheat-proof. Non-PPM payloads — null payloads
+    * included — yield `is_ppm = 0` with null dims/stats, never an
+    * exception; a well-formed header whose raster is too large for
+    * 32-bit hex-string addressing keeps its true (width, height) but
+    * nulls every channel stat (see the `hexSafe` gate below).
     *
     * Pipeline, all per-row index arithmetic in one codegen'd
     * projection (the [[resizeRaster]] recipe over the decoded bytes):
@@ -217,21 +220,41 @@ object Multimodal {
     // decoded prefix; 32 chars cover any sane "P6 w h max" header
     val head = substring(col(binCol), 1, 32).cast("string")
     val matched = regexp_extract(head, pat, 0)
-    val isPpm = (length(matched) > 0).cast("int")
+    // null payload => is_ppm = 0 (the documented non-PPM contract),
+    // not NULL: length(null) > 0 is null and would leak through the
+    // int cast otherwise (r12 advice)
+    val isPpm = coalesce((length(matched) > 0).cast("int"), lit(0))
     val w = when(isPpm === 1, regexp_extract(head, pat, 1).cast("int"))
     val h = when(isPpm === 1, regexp_extract(head, pat, 2).cast("int"))
     val hlen = length(matched)
+    // Offset arithmetic in LONG, gated before any int cast (r12
+    // advice): a genuine large P6 raster (w*h*3 past 2^31, e.g.
+    // ~30000x30000) would overflow the old 32-bit products — wrapping
+    // to wrong offsets with ANSI off, failing the whole job with ANSI
+    // on. The long products never overflow (w, h ≤ 2^31 each), and
+    // `hexSafe` bounds the hex walk to what 32-bit string positions
+    // (the JVM string ceiling) can address; an oversized raster nulls
+    // its slice — and with it every downstream stat — deterministically
+    // instead, while still reporting the true header geometry.
+    val wL = w.cast("long")
+    val hL = h.cast("long")
+    val pixelBytesL = wL * hL * lit(3L)
+    val hexSafe = pixelBytesL * lit(2L) + lit(2L) <= lit(Int.MaxValue.toLong)
     // hex-walk ONLY the resized raster's source bytes: the payload is
     // sliced to the pixel region once, and each thumbnail pixel reads
     // its 3 channel bytes by position
-    val hx = hex(col(binCol).substr(hlen + 1, w * h * lit(3)))
+    val hx = hex(col(binCol).substr(hlen + 1,
+      when(hexSafe, pixelBytesL).cast("int")))
+    // i arrives null (unsafe raster) or int-range-proven, so the cast
+    // cannot overflow in either ANSI mode
     def byteAt(i: Column): Column =
-      conv(hx.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")
+      conv(hx.substr((i * lit(2L) + lit(1L)).cast("int"), lit(2)), 16, 10)
+        .cast("long")
     def chan(c: Int): Seq[Column] =
       for { y <- 0 until newH; x <- 0 until newW } yield {
-        val src = floor(h * lit(y) / lit(newH)).cast("int") * w +
-          floor(w * lit(x) / lit(newW)).cast("int")
-        byteAt(src * 3 + lit(c))
+        val src = floor(hL * lit(y) / lit(newH)).cast("long") * wL +
+          floor(wL * lit(x) / lit(newW)).cast("long")
+        byteAt(when(hexSafe, src * lit(3L) + lit(c.toLong)))
       }
     val stats = Seq("r", "g", "b").zipWithIndex.flatMap { case (nm, c) =>
       val vs = chan(c)
