@@ -31,6 +31,25 @@ object ValidationCurves {
   val DefaultParamRange: Seq[Double] =
     (0 until 5).map(i => math.pow(10, -6.0 + 1.25 * i))
 
+  /** Deterministic k-fold assignment for [[apply]]'s `foldCol` path:
+    * `fold = id mod numFolds` — the sklearn `KFold(shuffle=False)`
+    * spirit made id-stable. Unlike the seeded-random default (MLlib
+    * `kFold` RDD sampling, not SQL-expressible), this assignment is a
+    * pure arithmetic fact of the frame: the registered
+    * `validation_curves_folds` row pins it (fold ids + per-fold
+    * counts) against the DuckDB oracle, shrinking the fit's unproven
+    * surface to the optimizer iterations proper. */
+  def foldAssignments(
+      df: DataFrame,
+      id: org.apache.spark.sql.Column,
+      numFolds: Int = 3,
+      outputCol: String = "fold"): DataFrame = {
+    require(numFolds >= 2, s"numFolds must be >= 2, got $numFolds")
+    df.withColumn(outputCol,
+      org.apache.spark.sql.functions.pmod(id.cast("long"),
+        org.apache.spark.sql.functions.lit(numFolds.toLong)).cast("int"))
+  }
+
   def apply(
       spark: SparkSession,
       df: DataFrame,
@@ -40,7 +59,8 @@ object ValidationCurves {
       estimator: Option[Estimator[_]] = None,
       numFolds: Int = 3,
       parallelism: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      foldCol: Option[String] = None): DataFrame = {
     val est = estimator.getOrElse(
       new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features"))
     val param = est.getParam(paramName)
@@ -56,6 +76,9 @@ object ValidationCurves {
       .setNumFolds(numFolds)
       .setParallelism(parallelism)
       .setSeed(seed)
+    // deterministic pre-assigned folds ([[foldAssignments]]) instead of
+    // the seeded-random kFold sampling; values must sit in [0, numFolds)
+    foldCol.foreach(cv.setFoldCol)
     val model = cv.fit(df)
     import spark.implicits._
     paramRange.zip(model.avgMetrics.toSeq)

@@ -137,14 +137,24 @@ object Dedup {
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
     val banded =
       minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    ngramJaccard(docs, bandedCandidates(banded, idCol),
+      textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The banded self-join candidate pairs `(id_a < id_b)` shared by
+    * [[minhashPairs]] and the star-first compositions' survivor pass.
+    * Self-join via dataset aliases, renaming only AFTER the join, so
+    * the two inputs are canonically identical subtrees and the band-
+    * key pipeline computes ONCE (ReusedExchange — the
+    * [[simhashCandidates]] reuse note applies verbatim). */
+  private def bandedCandidates(banded: DataFrame, idCol: String): DataFrame = {
     val x = banded.alias("x")
     val y = banded.alias("y")
-    val candidates = x.join(y, col("x.bk") === col("y.bk") &&
+    x.join(y, col("x.bk") === col("y.bk") &&
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
-    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
   }
 
   /** The `(numHashes, bands)` auto-derivation for the MinHash family —
@@ -640,6 +650,298 @@ object Dedup {
       .filter(col("_rk") =!= 1)
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // --------------------------------------------------------- minhash star
+
+  /** STAR-reduced MinHash linking — the Jaccard twin of
+    * [[simhashStarFromFingerprints]], closing the r12 verdict's one
+    * remaining quadratic mechanism: on a high-duplication corpus every
+    * replica group of size m lands in the same band buckets and the
+    * [[minhashPairs]] self-join emits all C(m,2) candidates —
+    * quadratic in the duplication rate (the r11 sf1 rehearsal measured
+    * the pairs row 12× at 10× data on a ~90%-duplicated corpus; raw
+    * CommonCrawl runs ~80% duplicates). For keep-min dedup those pairs
+    * are redundant: linking each banded row to its bucket's prefix
+    * MINIMUM and its bucket PREDECESSOR marks the same non-keeper set
+    * on duplicate mass — near-identical docs share (nearly) all
+    * buckets, so a replica group sits contiguously by id in each, and
+    * ~2(m−1) star/chain links replace C(m,2). ONE sorted window pass
+    * over the banded rows (a single hash shuffle on the band key)
+    * generates ≤ 2 links per banded row; exact n-gram Jaccard then
+    * verifies ONLY the linked candidates ([[ngramJaccard]] — unlike
+    * simhash, the sketch carries no in-row distance, so verification
+    * is the text join, still linear in banded rows).
+    *
+    * Contract vs [[minhashPairs]]: returns (id_a < id_b, jaccard)
+    * LINKS, a SUBSET of the pair relation sufficient for keep-min
+    * dedup — never a false link (every link passes exact Jaccard ≥
+    * `minJaccard`), but a doc whose bucket min AND bucket predecessor
+    * are both far-Jaccard coincidences in EVERY one of its buckets can
+    * escape (DedupSpec measures coverage on the replicated fixture;
+    * [[minhashPairs]] stays the exhaustive ground truth for
+    * low-duplication corpora). For cluster structure, predecessor
+    * chains span each bucket — feed the links to
+    * [[connectedComponents]]. */
+  def minhashStar(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
+      textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The UNVERIFIED star candidate links `(id_a < id_b)` from a
+    * [[minhashBandKeys]] frame: per band bucket, each row links to the
+    * bucket's prefix minimum and its immediate predecessor — both from
+    * ONE sorted window pass, no self-join anywhere. The predecessor
+    * link keeps replica CHAINS connected when an unrelated smaller id
+    * coincidentally lands in the bucket and becomes its min (the
+    * [[simhashStarFromFingerprints]] linking rationale verbatim).
+    * Public for the persisted-band-keys pipeline: a nightly job that
+    * keeps its history banded ([[graft.sources.Sources.writeBucketed]])
+    * can star-link a day's corpus without re-deriving keys. Callers
+    * verify the links with [[ngramJaccard]] — every emitted link is a
+    * candidate, not a confirmed near-dup. */
+  def minhashStarFromBandKeys(
+      banded: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val w = Window.partitionBy(col("bk")).orderBy(col(idCol))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    banded
+      .withColumn("mn", min(col(idCol)).over(wPrev))
+      .withColumn("pv", lag(col(idCol), 1).over(w))
+      .select(col(idCol).as("id_b"),
+        explode(array(col("mn"), col("pv"))).as("id_a"))
+      // first row of a bucket links nowhere (both null); a cross-band
+      // 64-bit key collision can put the same id in a bucket twice —
+      // never self-link
+      .filter(col("id_a").isNotNull && col("id_a") =!= col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Keep-min STAR COLLAPSE — [[minhashStar]]'s verified links applied
+    * as a dedup: drops every doc with a link to a SMALLER id at
+    * Jaccard ≥ `minJaccard`, returns the surviving `df` rows
+    * unchanged. Removes the replica mass in LINEAR time at any
+    * duplication rate; the survivors are replica-free, which is what
+    * makes a subsequent exhaustive pair pass affordable
+    * ([[minhashPairsStarFirst]]). */
+  def minhashStarCollapse(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame =
+    df.join(
+      minhashStar(df, textCol, idCol, numHashes, bands, minJaccard, seed)
+        .select(col("id_b").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
+  /** The PRODUCTION minhash pair relation (the [[simhashPairsStarFirst]]
+    * recipe on the Jaccard side): star-collapse the near-identical
+    * replica mass at `collapseJaccard` first (linear), then run the
+    * banded pair self-join over the replica-free SURVIVORS only at
+    * `minJaccard` — the C(m,2) expansion can no longer occur on the
+    * full corpus. Band keys are derived ONCE and feed the star pass,
+    * the survivor anti-join and both pair sides.
+    *
+    * Semantics: the [[minhashPairs]] relation restricted to collapse
+    * survivors — a doc dropped by the collapse was already attributed
+    * to a smaller near-identical duplicate (exact Jaccard ≥
+    * `collapseJaccard`, never a sketch guess), so for keep-min dedup
+    * its pairs are redundant by construction. The default collapse
+    * threshold (0.8) is deliberately TIGHTER than typical pair
+    * enumeration thresholds: only near-identical replicas collapse
+    * silently; looser similarity still surfaces as explicit pair rows.
+    * DedupSpec pins the restriction equality against the raw
+    * (un-benched, ground-truth) pair path on a replicated fixture. */
+  def minhashPairsStarFirst(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      collapseJaccard: Double = 0.8,
+      seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    // LINEAGE CUT at the collapse boundary: the drop-id frame embeds
+    // the banded subtree ~3× (ngramJaccard references its `pairs` arg
+    // three times), and the survivor pass would re-embed it 8 more —
+    // a ~24×-nested plan Catalyst chews minutes of driver CPU on
+    // (measured: analysis alone stalled at small SF). The lazy
+    // localCheckpoint compiles the drop plan ONCE to an RDD leaf —
+    // compact (one long column, persisted on executors, the
+    // connectedComponents label precedent) — and the survivor pass
+    // plans against the leaf. Execution is unchanged: banded still
+    // ReusedExchanges across the pair self-join.
+    val drops = ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= collapseJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(false)
+    val survBanded = banded.join(drops, Seq(idCol), "left_anti")
+    ngramJaccard(docs, bandedCandidates(survBanded, idCol),
+      textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The star-first EDGE set cluster dedup runs components over:
+    * verified star links (the collapse-grade edges, linear) UNION the
+    * banded pairs among collapse survivors — both at `minJaccard`, so
+    * every edge is a true pair and components REFINE the raw pair
+    * relation's components (an edge missed by both mechanisms can
+    * split a component — extra keepers, never wrong merges; DedupSpec
+    * bounds the divergence on the replicated fixture). */
+  private def minhashStarFirstEdges(
+      docs: DataFrame,
+      banded: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double): DataFrame = {
+    // same lineage cut as [[minhashPairsStarFirst]] — links feed both
+    // the drop set and the edge union, so without the cut the banded
+    // subtree nests ~27× and plan analysis stalls
+    val links = ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+      .localCheckpoint(false)
+    val drops = links.select(col("id_b").as(idCol)).distinct()
+    val survBanded = banded.join(drops, Seq(idCol), "left_anti")
+    val survPairs = ngramJaccard(docs, bandedCandidates(survBanded, idCol),
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b")
+    links.unionByName(survPairs).distinct()
+  }
+
+  /** [[minhashConnected]] in the production star-first shape: cluster
+    * edges = verified star links ∪ survivor pairs (see
+    * [[minhashStarFirstEdges]]), components, keep the smallest id per
+    * cluster. The raw-pair-driven [[minhashConnected]] stays the
+    * exhaustive ground truth (un-benched, DedupSpec). */
+  def minhashConnectedStarFirst(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    val comps = connectedComponents(
+      minhashStarFirstEdges(docs, banded, textCol, idCol, minJaccard))
+    val losers = comps.filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashConnectedBest]] in the star-first shape: same edge set
+    * as [[minhashConnectedStarFirst]], production keep rule — the
+    * best-scoring member of each cluster survives (`scoreCol` desc,
+    * ties to the smaller id). Collapsed docs are still cluster
+    * MEMBERS (their star links are edges), so a high-quality replica
+    * can win its cluster even though a keep-min collapse would have
+    * dropped it — the keep policy stays exactly [[minhashConnectedBest]]'s. */
+  def minhashConnectedBestStarFirst(
+      df: DataFrame,
+      scoreCol: String,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    val comps = connectedComponents(
+      minhashStarFirstEdges(docs, banded, textCol, idCol, minJaccard))
+    val members = comps
+      .join(df.select(col(idCol).as("id"), col(scoreCol).as("_score")),
+        "id")
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col("_score").desc, col("id"))
+    val losers = members
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") =!= 1)
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** [[minhashIncremental]] in the star-first shape: the WITHIN-BATCH
+    * self-join — the C(m,2) mechanism when a batch carries replica
+    * groups — is replaced by verified star links over the batch band
+    * keys; the batch×history candidate join then consumes only the
+    * within-SURVIVORS (a within-loser is dropped regardless, so its
+    * cross pairs are redundant). History-side mechanics are unchanged:
+    * pass persisted [[minhashBandKeys]] as `histBands` for the
+    * zero-history-Exchange nightly shape, and note a production
+    * history is the already-DEDUPED keeper table — which is what keeps
+    * the cross join itself linear. Semantics: `newDocs` minus (star
+    * within-losers ∪ cross losers); a within-loser the star linking
+    * misses (the documented escape) survives unless it is also
+    * history-near — DedupSpec bounds the divergence. */
+  def minhashIncrementalStarFirst(
+      newDocs: DataFrame,
+      histDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L,
+      histBands: Option[DataFrame] = None): DataFrame = {
+    require(histBands.isEmpty || (numHashes > 0 && bands > 0),
+      "histBands requires explicit numHashes and bands — the persisted " +
+        "keys are only comparable under the exact knobs that built them")
+    val (nh, nb) = minhashKnobs(
+      histDocs.select(col(idCol)).count(), minJaccard, numHashes, bands)
+    val batchDocs = newDocs.select(col(idCol), col(textCol))
+    val batchBands = minhashBandKeys(newDocs, textCol, idCol, nh, nb, seed)
+    val hb = histBands.getOrElse(minhashBandKeys(
+      histDocs, textCol, idCol, nh, nb, seed))
+    // lineage cut (see [[minhashPairsStarFirst]]): the within-loser ids
+    // feed the survivor anti-join AND the final drop union
+    val withinLosers = ngramJaccard(batchDocs,
+        minhashStarFromBandKeys(batchBands, idCol),
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(false)
+    val survBands = batchBands.join(withinLosers, Seq(idCol), "left_anti")
+    val cross = survBands.alias("x")
+      .join(hb.select(col(idCol), col("bk")).alias("y"),
+        col("x.bk") === col("y.bk"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .distinct()
+    val allDocs = batchDocs
+      .unionByName(histDocs.select(col(idCol), col(textCol)))
+    // cross pairs are (batch id_a, history id_b): the batch side loses
+    // whenever the pair verifies, regardless of id order
+    val crossLosers = ngramJaccard(allDocs, cross,
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("id_a").as(idCol))
+    newDocs.join(withinLosers.union(crossLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   // -------------------------------------------------------------- simhash

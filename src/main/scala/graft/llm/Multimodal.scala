@@ -190,24 +190,31 @@ object Multimodal {
     *
     * Parse contract: the canonical-form header `P6\n<w> <h>\n<max>\n`
     * (single whitespace, no comments — the form every PPM writer
-    * emits). Width/height come from the ACTUAL header bytes, never
-    * from external metadata, and the pixel region starts at the
-    * matched header's byte length — a payload whose header lies about
-    * its geometry produces different stats, which is what makes the
-    * oracle row cheat-proof. Non-PPM payloads — null payloads
-    * included — yield `is_ppm = 0` with null dims/stats, never an
-    * exception; a well-formed header whose raster is too large for
-    * 32-bit hex-string addressing keeps its true (width, height) but
-    * nulls every channel stat (see the `hexSafe` gate below).
+    * emits), completing within the payload's first 32 bytes.
+    * Width/height come from the ACTUAL header bytes, never from
+    * external metadata, and the pixel region starts at the header's
+    * byte length — a payload whose header lies about its geometry
+    * produces different (null) stats, which is what makes the oracle
+    * row cheat-proof. Non-PPM payloads — null payloads included —
+    * yield `is_ppm = 0` with null dims/stats, never an exception; a
+    * channel any of whose sampled bytes fall outside the payload
+    * (truncated upload, oversized claimed geometry) is all-null while
+    * the header-true (width, height) is still reported.
     *
-    * Pipeline, all per-row index arithmetic in one codegen'd
-    * projection (the [[resizeRaster]] recipe over the decoded bytes):
-    * resized pixel (x, y) of the `newW`×`newH` thumbnail reads source
-    * pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋); channel c of source pixel p is
-    * payload byte header_len + p·3 + c (hex-walked: 2 hex chars per
-    * byte). Output: per-channel mean (6dp) / min / max over the
-    * resized raster. Zero shuffles, zero UDFs, newW·newH·3 byte reads
-    * per row regardless of payload size — scan-speed at 100 TB. */
+    * Decode is a custom codegen'd Catalyst expression
+    * ([[graft.functions.PpmChannelStats]], the
+    * [[graft.functions.ImageMeta]] static-helper pattern) fused into
+    * the payload scan: resized pixel (x, y) of the `newW`×`newH`
+    * thumbnail reads source pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋); channel c
+    * of source pixel p is payload byte header_len + p·3 + c. Output:
+    * per-channel mean (6dp, via Spark `round` on sum/(newW·newH)) /
+    * min / max over the resized raster. Zero shuffles, zero UDFs,
+    * newW·newH·3 byte reads per row regardless of payload size —
+    * scan-speed at 100 TB. (The r12 Column-tree formulation of the
+    * same arithmetic was retired in r13: its long-guard subtrees
+    * re-inlined into every byte read at scan planning and blew
+    * janino's 64 KB method limit, silently dropping the projection to
+    * interpreted eval.) */
   def ppmChannelStats(
       df: DataFrame,
       binCol: String,
@@ -215,65 +222,60 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame = {
     require(newW >= 1 && newH >= 1,
       s"thumbnail dims must be >= 1, got ${(newW, newH)}")
-    val pat = "^P6\\n(\\d+) (\\d+)\\n(\\d+)\\n"
-    // the header is ASCII, so char positions == byte positions in the
-    // decoded prefix; 32 chars cover any sane "P6 w h max" header
-    val head = substring(col(binCol), 1, 32).cast("string")
-    val matched = regexp_extract(head, pat, 0)
-    // null payload => is_ppm = 0 (the documented non-PPM contract),
-    // not NULL: length(null) > 0 is null and would leak through the
-    // int cast otherwise (r12 advice)
-    val isPpm = coalesce((length(matched) > 0).cast("int"), lit(0))
-    val w = when(isPpm === 1, regexp_extract(head, pat, 1).cast("int"))
-    val h = when(isPpm === 1, regexp_extract(head, pat, 2).cast("int"))
-    val hlen = length(matched)
-    // Offset arithmetic in LONG, gated before any int cast (r12
-    // advice): a genuine large P6 raster (w*h*3 past 2^31, e.g.
-    // ~30000x30000) would overflow the old 32-bit products — wrapping
-    // to wrong offsets with ANSI off, failing the whole job with ANSI
-    // on. The long products never overflow (w, h ≤ 2^31 each), and
-    // `hexSafe` bounds the hex walk to what 32-bit string positions
-    // (the JVM string ceiling) can address; an oversized raster nulls
-    // its slice — and with it every downstream stat — deterministically
-    // instead, while still reporting the true header geometry.
-    val wL = w.cast("long")
-    val hL = h.cast("long")
-    val pixelBytesL = wL * hL * lit(3L)
-    val hexSafe = pixelBytesL * lit(2L) + lit(2L) <= lit(Int.MaxValue.toLong)
-    // hex-walk ONLY the resized raster's source bytes: the payload is
-    // sliced to the pixel region once, and each thumbnail pixel reads
-    // its 3 channel bytes by position
-    val hx = hex(col(binCol).substr(hlen + 1,
-      when(hexSafe, pixelBytesL).cast("int")))
-    // i arrives null (unsafe raster) or int-range-proven, so the cast
-    // cannot overflow in either ANSI mode
-    def byteAt(i: Column): Column =
-      conv(hx.substr((i * lit(2L) + lit(1L)).cast("int"), lit(2)), 16, 10)
-        .cast("long")
-    def chan(c: Int): Seq[Column] =
-      for { y <- 0 until newH; x <- 0 until newW } yield {
-        val src = floor(hL * lit(y) / lit(newH)).cast("long") * wL +
-          floor(wL * lit(x) / lit(newW)).cast("long")
-        byteAt(when(hexSafe, src * lit(3L) + lit(c.toLong)))
-      }
-    val stats = Seq("r", "g", "b").zipWithIndex.flatMap { case (nm, c) =>
-      val vs = chan(c)
-      // the sum is null if ANY source byte is missing (truncated
-      // payload); gate min/max on it too so a malformed raster is
-      // all-null, not a silent partial aggregate (least/greatest
-      // would otherwise skip nulls)
-      val sum = vs.reduce(_ + _)
-      // least/greatest require 2+ args; a 1×1 thumbnail is its own extremum
-      val (mn, mx) =
-        if (vs.size == 1) (vs.head, vs.head)
-        else (least(vs: _*), greatest(vs: _*))
+    val stats = Seq("r", "g", "b").flatMap { nm =>
       Seq(
-        round(sum.cast("double") / lit(newW * newH), 6).as(s"${nm}_mean"),
-        when(sum.isNotNull, mn).cast("int").as(s"${nm}_min"),
-        when(sum.isNotNull, mx).cast("int").as(s"${nm}_max"))
+        round(col(s"m.${nm}_sum").cast("double") / lit(newW * newH), 6)
+          .as(s"${nm}_mean"),
+        col(s"m.${nm}_min").as(s"${nm}_min"),
+        col(s"m.${nm}_max").as(s"${nm}_max"))
     }
-    df.select(col(idCol) +: isPpm.as("is_ppm") +: w.as("width") +:
-      h.as("height") +: stats: _*)
+    df.select(col(idCol),
+      graft.functions.PpmChannelStats(col(binCol), newW, newH).as("m"))
+      .select(col(idCol) +:
+        coalesce(col("m.is_ppm"), lit(0)).as("is_ppm") +:
+        col("m.width").as("width") +: col("m.height").as("height") +:
+        stats: _*)
+  }
+
+  /** REAL pixel path, second codec (round 13): uncompressed 24-bpp
+    * Windows BMP — the other raster container whose pixels need no
+    * codec, and the layout-hard one (LE headers, data offset, 4-byte
+    * row stride, bottom-up rows, B,G,R interleave — none of which PPM
+    * exercises; see [[graft.functions.BmpChannelStats]] for the decode
+    * contract). The decode is a custom codegen'd Catalyst expression
+    * (the [[graft.functions.ImageMeta]] static-helper pattern) fused
+    * into the payload scan — `newW·newH·3` byte reads per row
+    * regardless of payload size, zero shuffles, zero UDFs, scan-speed
+    * at 100 TB. A Column-expression formulation of the same arithmetic
+    * was tried first and rejected: scan planning re-inlined the
+    * header-parse subtrees into every byte read and the generated Java
+    * blew janino's 64 KB method limit, falling back to interpreted.
+    *
+    * Output schema mirrors the PPM row — `is_bmp` (0 for any non-BMP
+    * payload, nulls included), header-true width/height, per-channel
+    * mean (6dp, via Spark `round` on sum/(newW·newH) — the PPM row's
+    * proven rounding recipe) / min / max over the nearest-neighbor
+    * thumbnail, in R,G,B order. */
+  def bmpChannelStats(
+      df: DataFrame,
+      binCol: String,
+      newW: Int = 4, newH: Int = 4,
+      idCol: String = "doc_id"): DataFrame = {
+    require(newW >= 1 && newH >= 1,
+      s"thumbnail dims must be >= 1, got ${(newW, newH)}")
+    val stats = Seq("r", "g", "b").flatMap { nm =>
+      Seq(
+        round(col(s"m.${nm}_sum").cast("double") / lit(newW * newH), 6)
+          .as(s"${nm}_mean"),
+        col(s"m.${nm}_min").as(s"${nm}_min"),
+        col(s"m.${nm}_max").as(s"${nm}_max"))
+    }
+    df.select(col(idCol),
+      graft.functions.BmpChannelStats(col(binCol), newW, newH).as("m"))
+      .select(col(idCol) +:
+        coalesce(col("m.is_bmp"), lit(0)).as("is_bmp") +:
+        col("m.width").as("width") +: col("m.height").as("height") +:
+        stats: _*)
   }
 
   /** Frame sampling over an opaque payload: `n` fixed-width byte slices

@@ -267,6 +267,35 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("production minhash pairs: the banded pair self-join runs over " +
+      "star-collapse survivors, never the raw corpus (r13, the minhash " +
+      "twin of the r12 simhash retirement)") {
+    // Same contract as the simhash check above: the banded Inner join
+    // on the band key must have the star-collapse (a LeftAnti against
+    // the checkpointed drop-id leaf) BELOW it on both sides. A revert
+    // to the raw shape loses the LeftAnti; hoisting the collapse above
+    // the pair join would reorder the tree and fail the order check.
+    val p = plan("dedup_minhash_pairs")
+    // minhash band keys are LONGs, so attribute ids print with the L
+    // type suffix (bk#9L) — unlike the simhash check above
+    val banded = "Join \\[bk#\\d+L\\], \\[bk#\\d+L\\], Inner".r
+      .findAllMatchIn(p).map(_.start).toSeq
+    assert(banded.nonEmpty,
+      s"dedup_minhash_pairs lost the banded pair join:\n${p.take(600)}")
+    val antisAfterLast = "LeftAnti".r.findAllMatchIn(p)
+      .count(_.start > banded.max)
+    assert(antisAfterLast >= 2,
+      "dedup_minhash_pairs: banded self-join no longer sits above the " +
+        s"collapse anti-joins (found $antisAfterLast LeftAnti below)")
+  }
+
+  test("multimodal_bmp_stats: pure codegen projection, zero shuffles") {
+    // the BMP pixel path is per-row header/offset arithmetic — any
+    // Exchange here means the decode stopped being scan-speed
+    val p = plan("multimodal_bmp_stats")
+    assert(shuffles(p) == 0, p.take(800))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work

@@ -628,6 +628,125 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashStar: replica groups collapse to keep-min links, drop set " +
+      "== pair-based keep-min, and the link plan has NO self-join") {
+    val s = spark
+    import s.implicits._
+    // the same 5×-replicated high-duplication fixture as the simhash
+    // star test — each replica appends one trailing token, Jaccard
+    // ~0.9+ against its original
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 30)
+    val replicated = (0 until 5).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$k")).as("text"))
+    }.reduce(_ unionByName _)
+    val star = Dedup.minhashStar(replicated, minJaccard = 0.5)
+    val starDrops = star.select("id_b").distinct()
+      .collect().map(_.getLong(0)).toSet
+    // pair-based keep-min ground truth at the same knobs
+    val pairs = Dedup.minhashPairs(replicated, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairDrops = pairs.map(_._2).toSet // id_b is always the larger id
+    // measured on this fixture: the star drop set IS the pair keep-min
+    // drop set — zero false links (every link passes exact Jaccard)
+    // and zero escapes (every replica group sits contiguously in its
+    // shared buckets, so prefix-min + predecessor links cover it)
+    assert(starDrops == pairDrops,
+      s"false=${starDrops -- pairDrops} missed=${pairDrops -- starDrops}")
+    assert(starDrops.size >= 100,
+      s"expected the bulk of 120 replicas dropped, got ${starDrops.size}")
+    // links are star-shaped: every id_a is smaller than its id_b, and
+    // every link is VERIFIED (exact n-gram Jaccard >= the bar — the
+    // sketch never decides alone)
+    star.collect().foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.5)
+    }
+    // the link GENERATION is join-free — one window pass over banded
+    // rows (verification joins text afterward, linear in links)
+    val links = Dedup.minhashStarFromBandKeys(
+      Dedup.minhashBandKeys(replicated))
+    val plan = links.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
+  test("minhash star-first production composition: collapse survivors, " +
+      "pairs == raw relation restricted to them, clusters/best/" +
+      "incremental refine raw (r13, the benched shapes behind " +
+      "dedup_minhash_pairs/_clusters/_clusters_best/_incremental)") {
+    val s = spark
+    import s.implicits._
+    val base = docs.select("doc_id", "text").filter(col("doc_id") < 30)
+    val replicated = (0 until 5).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + lit(k * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$k")).as("text"))
+    }.reduce(_ unionByName _)
+    val allIds = replicated.select("doc_id").collect().map(_.getLong(0)).toSet
+    val starDrops = Dedup.minhashStar(replicated, minJaccard = 0.5)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val survivors = Dedup.minhashStarCollapse(replicated, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // collapse = corpus minus the star drop set, nothing else
+    assert(survivors == allIds -- starDrops)
+    // the production pair relation IS the raw (quadratic, un-benched
+    // ground truth) relation restricted to survivor×survivor
+    val rawPairs = Dedup.minhashPairs(replicated, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val starFirst = Dedup.minhashPairsStarFirst(replicated,
+      minJaccard = 0.5, collapseJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFirst ==
+      rawPairs.filter(p => survivors(p._1) && survivors(p._2)))
+    // after the collapse the replica mass is gone — the survivor pair
+    // relation is a sliver of the raw one (the C(m,2) cost the
+    // registered shape no longer pays)
+    assert(rawPairs.size > 300 && starFirst.size < rawPairs.size / 5,
+      s"raw=${rawPairs.size} starFirst=${starFirst.size}")
+    // the registered pairs row collapses TIGHTER (0.95) than it
+    // enumerates (0.2) — the restriction property must hold with the
+    // thresholds split too
+    val surv9 = Dedup.minhashStarCollapse(replicated, minJaccard = 0.9)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val starFirst9 = Dedup.minhashPairsStarFirst(replicated,
+      minJaccard = 0.5, collapseJaccard = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(starFirst9 ==
+      rawPairs.filter(p => surv9(p._1) && surv9(p._2)))
+    // cluster dedup: star-first components can only REFINE the raw
+    // relation's (every edge is a true pair — extra keepers on an
+    // escape, never a wrong merge); on this fixture the keep sets are
+    // IDENTICAL, which is what lets the registered rows keep the
+    // brute-force closure oracle
+    val rawKeep = Dedup.minhashConnected(replicated, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sfKeep = Dedup.minhashConnectedStarFirst(replicated, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawKeep.subsetOf(sfKeep), "star-first lost a raw keeper")
+    assert(sfKeep == rawKeep, s"extra keepers: ${sfKeep -- rawKeep}")
+    val rawBest = Dedup.minhashConnectedBest(replicated,
+      scoreCol = "text", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sfBest = Dedup.minhashConnectedBestStarFirst(replicated,
+      scoreCol = "text", minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sfBest == rawBest)
+    // incremental: the within-batch star replaces the batch self-join;
+    // survivors match the raw path on this fixture
+    val batch = replicated.filter(col("doc_id") % 10 >= 8)
+    val hist = replicated.filter(col("doc_id") % 10 < 8)
+    val rawInc = Dedup.minhashIncremental(batch, hist, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val sfInc = Dedup.minhashIncrementalStarFirst(batch, hist,
+      minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rawInc.subsetOf(sfInc), "star-first dropped a raw survivor")
+    assert(sfInc == rawInc, s"extra survivors: ${sfInc -- rawInc}")
+  }
+
   test("semantic: planted near-identical vectors flagged, keeper and " +
       "dissimilar rows kept, null embeddings unindexed") {
     val s = spark

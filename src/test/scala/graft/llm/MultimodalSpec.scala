@@ -113,6 +113,68 @@ class MultimodalSpec extends SparkSpec {
     assert(padded == "abcde___")
   }
 
+  test("bmpChannelStats: real 24-bpp BMP decode — LE header fields, data " +
+      "offset, 4-byte stride, bottom-up rows, BGR swap; non-BMP and " +
+      "truncated rasters null, never wrong (r13)") {
+    val s = spark
+    import s.implicits._
+    // hand-assemble a 2×2 24-bpp BMP. w=2 ⇒ row bytes 6, stride 8
+    // (2 pad bytes per row). Image pixels (x,y), TOP-down logical:
+    //   (0,0)=RGB(1,2,3)   (1,0)=RGB(4,5,6)
+    //   (0,1)=RGB(7,8,9)   (1,1)=RGB(10,11,12)
+    // File stores BOTTOM row first, channels as B,G,R.
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def bmp(rasterRows: Seq[Seq[Int]], w: Int, h: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val header =
+        Seq('B'.toByte, 'M'.toByte) ++ le(54 + stride * h, 4) ++
+          le(0, 4) ++ le(54, 4) ++ // reserved, data offset
+          le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+          le(0, 4) ++ le(stride * h, 4) ++ le(0, 4) ++ le(0, 4) ++
+          le(0, 4) ++ le(0, 4)
+      (header ++ rasterRows.flatten.map(_.toByte)).toArray
+    }
+    // file rows bottom-up: image row 1 first; B,G,R per pixel; 2 pad
+    val fileRows = Seq(
+      Seq(9, 8, 7, 12, 11, 10, 0, 0), // image row y=1
+      Seq(3, 2, 1, 6, 5, 4, 0, 0)) // image row y=0
+    val good = bmp(fileRows, 2, 2)
+    val df = Seq(
+      (1L, good),
+      (2L, "BM but not really a bitmap......................................"
+        .getBytes("US-ASCII")),
+      (3L, good.take(54 + 8 + 3))) // bottom row + 3 bytes: truncated
+      .toDF("doc_id", "payload")
+    // 1×1 thumbnail reads exactly image pixel (0,0) = RGB(1,2,3) —
+    // proves the flip (it lives in the SECOND file row) and the BGR
+    // swap in one read
+    val one = Multimodal.bmpChannelStats(df.filter(col("doc_id") === 1),
+      "payload", newW = 1, newH = 1).head()
+    assert(one.getInt(1) == 1 && one.getInt(2) == 2 && one.getInt(3) == 2)
+    assert(one.getDouble(4) == 1.0 && one.getDouble(7) == 2.0 &&
+      one.getDouble(10) == 3.0)
+    // 2×2 identity thumbnail aggregates every pixel — proves the
+    // stride walk skips the pad bytes
+    val idm = Multimodal.bmpChannelStats(df.filter(col("doc_id") === 1),
+      "payload", newW = 2, newH = 2).head()
+    assert(idm.getDouble(4) == 5.5 && idm.getInt(5) == 1 &&
+      idm.getInt(6) == 10) // r: mean(1,4,7,10)
+    assert(idm.getDouble(7) == 6.5 && idm.getDouble(10) == 7.5)
+    // malformed header: is_bmp=0 all-null; truncated raster: header
+    // geometry kept, stats all-null (no silent partial aggregate)
+    val rows = Multimodal.bmpChannelStats(df, "payload")
+      .orderBy("doc_id").collect()
+    assert(rows(1).getInt(1) == 0 && rows(1).isNullAt(2) &&
+      rows(1).isNullAt(4))
+    assert(rows(2).getInt(1) == 1 && rows(2).getInt(2) == 2 &&
+      rows(2).isNullAt(4) && rows(2).isNullAt(5) && rows(2).isNullAt(6))
+    // zero shuffles: the decode is a scan-fused projection
+    val plan = Multimodal.bmpChannelStats(df, "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("ppmChannelStats: real P6 parse — geometry from header bytes, " +
       "pixels from byte offsets; resize picks the right sources; " +
       "non-PPM and truncated payloads are null, never wrong (r12)") {
