@@ -755,17 +755,24 @@ object SparkEntry {
     "dedup_simhash_star" -> ((s, dir) =>
       Dedup.simhashStar(documents(s, dir), maxHamming = 3)),
     // simhash candidates + exact-Jaccard verification, registered in
-    // the PRODUCTION star-first shape (round 12, retiring the 484 s
-    // r11 sf1 weak flag): star-collapse first, candidates + verify
-    // over the survivors only. The oracle composes the exact star
-    // mechanics (fingerprint CTEs shared with dedup_simhash_star)
-    // with the brute-force all-pairs Jaccard ≥ 0.5 over the survivor
-    // docs — exact on this fixture: every qualifying pair measured
-    // Hamming ≤ 5 and len-bucket delta ≤ 1, inside maxHamming=6 /
-    // bands=8 / ±1 salt replication, and restricting to survivors
-    // preserves that margin — so simhash recall is still guarded
-    // end-to-end. Raw-corpus Dedup.simhashVerified stays the
-    // un-benched brute-force validation baseline (DedupSpec).
+    // the PRODUCTION star-first shape. Round 13 sharpened the r12
+    // recipe: the r12 collapse ran TIGHTER than the enumeration
+    // (Hamming ≤ 3, Jaccard-unverified), and the sf1 re-rehearsal
+    // caught its failure mode — replicas at Hamming 4-6 half-survived
+    // the collapse and the banded self-join over 23 k semi-replicated
+    // survivors emitted 650 k candidates (101 s, the quadratic
+    // mechanism half-returned). Now: star links at the FULL
+    // enumeration thresholds (8 bands, ≤ 6), each link verified with
+    // exact n-gram Jaccard BEFORE it can drop anyone (drop decisions
+    // are text facts, never sketch guesses), candidates + verify over
+    // the truly replica-free survivors. The oracle composes the exact
+    // 8-band star mechanics with the same Jaccard bar and the
+    // brute-force all-pairs relation over the survivors — exact on
+    // this fixture: every qualifying pair measured Hamming ≤ 5 and
+    // len-bucket delta ≤ 1, inside maxHamming=6 / bands=8 / ±1 salt
+    // replication, and restricting to survivors preserves that margin.
+    // Raw-corpus Dedup.simhashVerified stays the un-benched
+    // brute-force validation baseline (DedupSpec).
     "dedup_simhash_verified" -> ((s, dir) =>
       Dedup.simhashVerifiedStarFirst(documents(s, dir), minJaccard = 0.5)),
     // Incremental dedup: the batch tail (last decimal-digit ids) deduped
@@ -2676,19 +2683,53 @@ object SparkEntry {
     simhashPairsOracle.substring(0,
       simhashPairsOracle.lastIndexOf("SELECT a.doc_id AS id_a"))
 
-  /** Star-reduction oracle (round 11): the EXACT banding + linking
-    * mechanics — 4×16-bit blocks of the re-derived fingerprint, ±1
-    * length-bucket salt replication, then per bucket (ordered by
-    * doc_id) each row links to the bucket's PREFIX MINIMUM and its
-    * PREDECESSOR, Hamming-filtered at ≤ 3. Block extraction is
-    * (fp >> 16b) & 0xFFFF in both engines (arithmetic-shift sign bits
-    * are masked off identically). */
-  private val simhashStarLinkCtesSql: String =
+  /** Star-reduction oracle (round 11, band-parametric since r13): the
+    * EXACT banding + linking mechanics — `bands`×(64/bands)-bit blocks
+    * of the re-derived fingerprint, ±1 length-bucket salt replication,
+    * then per bucket (ordered by doc_id) each row links to the
+    * bucket's PREFIX MINIMUM and its PREDECESSOR. Block extraction is
+    * (fp >> bits·b) & mask in both engines (arithmetic-shift sign bits
+    * are masked off identically). Hamming filtering is the CALLER's
+    * (star_drop / the star oracle tail). */
+  private def simhashStarLinkCtesSql(bands: Int): String = {
+    val bits = 64 / bands
+    val mask = (1L << bits) - 1L
+    s""", banded AS (
+      |  SELECT f.doc_id, f.fp, f.len_bucket + off.o AS salt, b.band,
+      |    (f.fp >> (b.band * $bits)) & $mask AS key
+      |  FROM fpl f
+      |  CROSS JOIN (SELECT unnest(range(0, $bands)) AS band) b
+      |  CROSS JOIN (SELECT unnest([0, 1]) AS o) off
+      |), linked AS (
+      |  SELECT doc_id, fp,
+      |    MIN(doc_id) OVER (PARTITION BY band, key, salt
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn_id,
+      |    lag(doc_id) OVER (PARTITION BY band, key, salt
+      |      ORDER BY doc_id) AS pv_id
+      |  FROM banded
+      |), links AS (
+      |  SELECT doc_id, fp, mn_id AS lnk FROM linked WHERE mn_id IS NOT NULL
+      |  UNION ALL
+      |  SELECT doc_id, fp, pv_id FROM linked WHERE pv_id IS NOT NULL
+      |)""".stripMargin
+  }
+
+  /** MULTIPROBE star-link CTEs (round 13): 4×16-bit blocks, each doc
+    * emitting its exact block key plus all 16 one-bit flips (v = 0 is
+    * the exact row), then the same per-bucket prefix-min + predecessor
+    * linking. Restates `Dedup.multiprobeBandedRows` +
+    * `starLinksFromBanded` verbatim — the Hamming-≤7-guaranteed,
+    * 16-bit-selective layout the verified row runs on. */
+  private val simhashMultiprobeLinkCtesSql: String =
     """, banded AS (
       |  SELECT f.doc_id, f.fp, f.len_bucket + off.o AS salt, b.band,
-      |    (f.fp >> (b.band * 16)) & 65535 AS key
+      |    xor((f.fp >> (b.band * 16)) & 65535,
+      |        CASE WHEN v.v = 0 THEN 0 ELSE (1 << (v.v - 1)) END) AS key,
+      |    (v.v = 0) AS exact
       |  FROM fpl f
       |  CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+      |  CROSS JOIN (SELECT unnest(range(0, 17)) AS v) v
       |  CROSS JOIN (SELECT unnest([0, 1]) AS o) off
       |), linked AS (
       |  SELECT doc_id, fp,
@@ -2705,7 +2746,7 @@ object SparkEntry {
       |)""".stripMargin
 
   private val simhashStarOracle: String =
-    simhashFpCtesSql + simhashStarLinkCtesSql +
+    simhashFpCtesSql + simhashStarLinkCtesSql(4) +
       """
         |SELECT DISTINCT l.lnk AS id_a, l.doc_id AS id_b,
         |  CAST(bit_count(xor(l.fp, f2.fp)) AS INT) AS hamming
@@ -2721,7 +2762,7 @@ object SparkEntry {
     * [[simhashStarOracle]] pins with the brute-force pair relations
     * the two rows restate over `surv`. */
   private def simhashSurvivorCtesSql(collapseHamming: Int): String =
-    simhashFpCtesSql + simhashStarLinkCtesSql +
+    simhashFpCtesSql + simhashStarLinkCtesSql(4) +
       s""", star_drop AS (
          |  SELECT DISTINCT l.doc_id FROM links l
          |  JOIN fpl f2 ON f2.doc_id = l.lnk
@@ -3043,17 +3084,23 @@ object SparkEntry {
     "dedup_simhash_star" -> simhashStarOracle,
 
     // Same ground truth at the 0.5 threshold for the simhash-candidate
-    // verified path, now RESTRICTED to the star-collapse survivors
-    // (recall margin measured on the fixture: worst Hamming 5 vs
-    // cutoff 6, worst len-bucket delta 1 vs ±1 salt — restricting to
-    // a survivor subset preserves it).
-    "dedup_simhash_verified" -> (simhashSurvivorCtesSql(3) +
+    // verified path (r13 shape): MULTIPROBE star links at the full
+    // enumeration threshold (4×16-bit blocks + 1-bit probes, Hamming
+    // ≤ 6), each link verified at Jaccard ≥ 0.5 before it can drop
+    // anyone. Output = the verified links themselves (the relation's
+    // replica mass, linear) UNION the pair relation brute-forced over
+    // the collapse survivors. Exact because the multiprobe link
+    // mechanics are restated verbatim and survivor-pair recall is
+    // complete on the fixture (multiprobe guarantees Hamming ≤ 7 >
+    // the 6 cutoff; worst len-bucket delta 1 vs ±1 salt — restricting
+    // to a survivor subset preserves the margin).
+    "dedup_simhash_verified" -> (simhashFpCtesSql +
+      simhashMultiprobeLinkCtesSql +
       """, vtoks AS (
         |  SELECT doc_id,
         |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
         |                t -> length(t) > 0) AS tokens
         |  FROM documents
-        |  WHERE doc_id NOT IN (SELECT doc_id FROM star_drop)
         |), vsh AS (
         |  SELECT doc_id,
         |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
@@ -3061,12 +3108,30 @@ object SparkEntry {
         |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
         |      ELSE tokens END) AS sh
         |  FROM vtoks WHERE len(tokens) > 0
+        |), vlinks AS (
+        |  SELECT DISTINCT l.lnk AS id_a, l.doc_id AS id_b,
+        |    CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+        |      / GREATEST(len(list_distinct(list_concat(sa.sh, sb.sh))), 1)
+        |      AS jaccard
+        |  FROM links l
+        |  JOIN fpl f2 ON f2.doc_id = l.lnk
+        |  JOIN vsh sa ON sa.doc_id = l.lnk
+        |  JOIN vsh sb ON sb.doc_id = l.doc_id
+        |  WHERE bit_count(xor(l.fp, f2.fp)) <= 6
+        |), vlinks_ok AS (
+        |  SELECT * FROM vlinks WHERE jaccard >= 0.5
+        |), star_drop AS (
+        |  SELECT DISTINCT id_b AS doc_id FROM vlinks_ok
         |)
+        |SELECT id_a, id_b, jaccard FROM vlinks_ok
+        |UNION
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |      / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1) AS jaccard
         |  FROM vsh a JOIN vsh b ON a.doc_id < b.doc_id
+        |  WHERE a.doc_id NOT IN (SELECT doc_id FROM star_drop)
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM star_drop)
         |) WHERE jaccard >= 0.5""".stripMargin),
 
     "dedup_minhash_incremental" ->

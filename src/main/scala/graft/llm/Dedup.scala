@@ -777,6 +777,31 @@ object Dedup {
       collapseJaccard: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
+    // cut on the survivor candidates: the final verify references its
+    // pair argument three times (PlanAuditSpec audits the pre-cut
+    // frame below)
+    ngramJaccard(docs,
+      minhashSurvivorCandidates(docs, textCol, idCol, numHashes, bands,
+        minJaccard, collapseJaccard, seed).localCheckpoint(false),
+      textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+  }
+
+  /** The survivor candidate pairs [[minhashPairsStarFirst]] verifies —
+    * collapse drops (Jaccard-verified star links at `collapseJaccard`)
+    * anti-joined below the banded pair self-join. Package-visible so
+    * PlanAuditSpec can assert the collapse-below-join shape on the
+    * exact production construction (the public operator checkpoints
+    * this frame, hiding the shape behind an RDD leaf). */
+  private[graft] def minhashSurvivorCandidates(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      minJaccard: Double,
+      collapseJaccard: Double,
+      seed: Long): DataFrame = {
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
     val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
     // LINEAGE CUT at the collapse boundary: the drop-id frame embeds
@@ -795,9 +820,7 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
       .localCheckpoint(false)
     val survBanded = banded.join(drops, Seq(idCol), "left_anti")
-    ngramJaccard(docs, bandedCandidates(survBanded, idCol),
-      textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    bandedCandidates(survBanded, idCol)
   }
 
   /** The star-first EDGE set cluster dedup runs components over:
@@ -823,7 +846,8 @@ object Dedup {
       .localCheckpoint(false)
     val drops = links.select(col("id_b").as(idCol)).distinct()
     val survBanded = banded.join(drops, Seq(idCol), "left_anti")
-    val survPairs = ngramJaccard(docs, bandedCandidates(survBanded, idCol),
+    val survPairs = ngramJaccard(docs,
+        bandedCandidates(survBanded, idCol).localCheckpoint(false),
         textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
       .select("id_a", "id_b")
@@ -932,6 +956,8 @@ object Dedup {
         col("x.bk") === col("y.bk"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
       .distinct()
+      // cut before the verify's triple reference (see the pairs path)
+      .localCheckpoint(false)
     val allDocs = batchDocs
       .unionByName(histDocs.select(col(idCol), col(textCol)))
     // cross pairs are (batch id_a, history id_b): the batch side loses
@@ -1126,17 +1152,23 @@ object Dedup {
     require(maxHamming < bands,
       s"pigeonhole recall guarantee needs maxHamming < bands " +
         s"(got $maxHamming >= $bands)")
-    val banded = bandedRows(fps, idCol, bands, saltCol)
-    // Two links per banded row, both from ONE sorted window pass:
-    // the bucket's prefix MINIMUM (== the bucket min for every
-    // non-first row) and the bucket PREDECESSOR. The predecessor link
-    // is what keeps replica CHAINS connected when an unrelated
-    // smaller id coincidentally lands in the bucket and becomes its
-    // min at large Hamming — a member is missed only when BOTH its
-    // bucket min and its immediate predecessor are far, in EVERY one
-    // of its buckets (measured on the replicated spec fixture: the
-    // min-only variant missed 4 of 104 replicas, min+predecessor
-    // drops the full pair-based keep-min set).
+    starLinksFromBanded(bandedRows(fps, idCol, bands, saltCol), idCol,
+      maxHamming)
+  }
+
+  /** Two links per banded row, both from ONE sorted window pass: the
+    * bucket's prefix MINIMUM (== the bucket min for every non-first
+    * row) and the bucket PREDECESSOR. The predecessor link is what
+    * keeps replica CHAINS connected when an unrelated smaller id
+    * coincidentally lands in the bucket and becomes its min at large
+    * Hamming — a member is missed only when BOTH its bucket min and
+    * its immediate predecessor are far, in EVERY one of its buckets
+    * (measured on the replicated spec fixture: the min-only variant
+    * missed 4 of 104 replicas, min+predecessor drops the full
+    * pair-based keep-min set). Shared by the plain-banded and
+    * multiprobe star generators. */
+  private def starLinksFromBanded(banded: DataFrame, idCol: String,
+      maxHamming: Int): DataFrame = {
     val w = Window.partitionBy(col("bk")).orderBy(col(idCol))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     banded
@@ -1207,33 +1239,95 @@ object Dedup {
 
   /** [[simhashVerified]] in the production star-first shape: collapse
     * the replica mass (linear), generate banded candidates over the
-    * survivors only, verify with exact n-gram Jaccard. Same contract
-    * as [[simhashPairsStarFirst]] one stage later — precision exact by
-    * construction, recall = the sketch's over the survivor corpus;
+    * survivors only, verify with exact n-gram Jaccard. Precision exact
+    * by construction, recall = the sketch's over the survivor corpus;
     * verification cost scales with the (replica-free) candidate count.
     * The raw-corpus [[simhashVerified]] stays the brute-force
-    * validation baseline (DedupSpec). */
+    * validation baseline (DedupSpec).
+    *
+    * Round 13: MULTIPROBE banding end to end, and every star link is
+    * VERIFIED with exact n-gram Jaccard before any drop (the
+    * [[minhashPairsStarFirst]] recipe). Two prior shapes failed the
+    * 10× sf1 rehearsal: the r12 tighter collapse (Hamming ≤ 3,
+    * Jaccard-unverified) left every replica at Hamming 4-6 alive and
+    * the 8×8-bit survivor self-join emitted 650 k candidates (101 s);
+    * collapsing at ≤ 6 with the same 8×8-bit bands was worse still
+    * (614 s) — 256-key bands have no selectivity, so star links land
+    * on coincidental bucket-mates and nothing collapses. The
+    * [[multiprobeBandedRows]] layout fixes both at once: 16-bit
+    * buckets stay selective while the 1-bit probes preserve the
+    * pigeonhole recall guarantee to Hamming ≤ 7. Drop decisions are
+    * exact-text facts (never sketch guesses).
+    *
+    * Output contract (r13): the verified near-dup relation SUFFICIENT
+    * for keep-min dedup — the Jaccard-verified star links (the
+    * collapse edges, which on a high-duplication corpus carry the
+    * replica mass of the relation in linear volume) UNION the
+    * exhaustive verified pairs among the collapse survivors. Every
+    * row is a true pair at `jaccard ≥ minJaccard` with `id_a < id_b`;
+    * the branches are disjoint (a verified link's id_b never
+    * survives). The C(m,2) expansion within replica groups can no
+    * longer occur — where the raw [[simhashVerified]] enumerates all
+    * of a clique's pairs, this returns its ~(m−1) star edges plus the
+    * survivor relation, preserving the keep-min drop set
+    * (DedupSpec pins drop-set equality on the replicated fixture). */
   def simhashVerifiedStarFirst(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
       minJaccard: Double = 0.5,
       maxHamming: Int = 6,
-      bands: Int = 8,
-      salted: Boolean = true,
-      collapseHamming: Int = 3, collapseBands: Int = 4): DataFrame = {
+      salted: Boolean = true): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
+    val (verifiedLinks, candidates) = simhashStarFirstFrames(docs,
+      textCol, idCol, minJaccard, maxHamming, salted)
+    val survPairs = ngramJaccard(docs, candidates.localCheckpoint(false),
+        textCol = textCol, idCol = idCol)
+      .filter(col("jaccard") >= minJaccard)
+    // branches are disjoint (a verified link's id_b never survives),
+    // but the same pair can arrive via several links/buckets — distinct
+    verifiedLinks.unionByName(survPairs).distinct()
+  }
+
+  /** [[simhashVerifiedStarFirst]]'s two frames: the Jaccard-verified
+    * multiprobe star links (output rows AND collapse edges) and the
+    * un-cut survivor candidate pairs — the Jaccard-verified collapse
+    * anti-joined below the multiprobe candidate self-join.
+    * Package-visible so PlanAuditSpec can assert the
+    * collapse-below-join shape on the exact production construction
+    * (the public operator checkpoints the candidate frame, hiding the
+    * shape behind an RDD leaf).
+    *
+    * Lineage cuts at every id-pair boundary
+    * ([[minhashPairsStarFirst]]'s discipline): ngramJaccard references
+    * its pair argument THREE times, so an un-cut link/candidate
+    * pipeline — a multiprobe window resp. self-join — re-plans and
+    * re-executes per reference (measured: 51 s vs 11 s at the 10×
+    * rehearsal). Each checkpoint holds only compact id pairs. */
+  private[graft] def simhashStarFirstFrames(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      minJaccard: Double,
+      maxHamming: Int,
+      salted: Boolean): (DataFrame, DataFrame) = {
     val fps = simhashFingerprints(docs, textCol, idCol)
     val salt = if (salted) Some("len_bucket") else None
-    val drops = simhashStarFromFingerprints(fps, idCol, collapseHamming,
-        collapseBands, salt)
-      .select(col("id_b").as(idCol)).distinct()
-    val surv = fps.join(drops, Seq(idCol), "left_anti")
-    val candidates = simhashPairsFromFingerprints(surv, idCol, maxHamming,
-        bands, salt)
+    val links = simhashStarFromFingerprintsMultiprobe(fps, idCol,
+        maxHamming, salt)
       .select("id_a", "id_b")
-    ngramJaccard(docs, candidates, textCol = textCol, idCol = idCol)
+      .localCheckpoint(false)
+    val verifiedLinks = ngramJaccard(docs, links,
+        textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)
+      .localCheckpoint(false)
+    val drops = verifiedLinks.select(col("id_b").as(idCol)).distinct()
+    val surv = fps.join(drops, Seq(idCol), "left_anti")
+    val candidates = simhashCandidatesMultiprobe(surv, idCol, salt)
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .select("id_a", "id_b")
+    (verifiedLinks, candidates)
   }
 
   /** Banded candidate pairs with exact Hamming distance, BEFORE the
@@ -1285,6 +1379,100 @@ object Dedup {
         col(s"x.$idCol") < col(s"y.$idCol"))
       .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
         hamming.as("hamming"))
+  }
+
+  /** MULTIPROBE banded rows (round 13): 4×16-bit blocks, each doc
+    * emitting its exact block key plus all 16 one-bit FLIPS of it
+    * (`exact` tags the unflipped row). A pair within Hamming ≤ 7 has,
+    * by pigeonhole (all four blocks ≥ 2 would sum to 8), a block
+    * differing in ≤ 1 bit — so one side's exact key equals the other
+    * side's exact-or-flipped key and the two share a bucket. This
+    * keeps band keys 16-bit SELECTIVE at Hamming budgets where plain
+    * banding cannot: 64/7 ≈ 9-bit blocks would be needed for a plain
+    * pigeonhole at ≤ 6, and the 8×8-bit layout the r12 verified path
+    * used has only 256 distinct keys per band — at ≥ 10⁴ docs every
+    * bucket is hundreds of RANDOM rows, star links land on
+    * coincidental neighbors, and the pair self-join degenerates toward
+    * quadratic (measured 614 s at the 10× rehearsal). Multiprobe pays
+    * 17× banded-row volume (linear, compact rows through one hash
+    * shuffle) for bucket sizes that stay ~17n/2¹⁶ — the standard
+    * block-key + probing trade for Hamming-k retrieval over 64-bit
+    * simhashes (cf. Manku, Jain & Das Sarma, "Detecting Near-
+    * Duplicates for Web Crawling", WWW 2007). */
+  private def multiprobeBandedRows(fps: DataFrame, idCol: String,
+      saltCol: Option[String]): DataFrame = {
+    val bands = 4
+    val bits = 16
+    val mask = (1L << bits) - 1L
+    val variants = for { b <- 0 until bands; v <- 0 to bits } yield {
+      val block = shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+      val key =
+        if (v == 0) block else block.bitwiseXOR(lit(1L << (v - 1)))
+      (v, struct(lit(b).as("band"), key.as("key")))
+    }
+    val probeStructs = saltCol match {
+      case Some(sc) =>
+        for { (v, bk0) <- variants; off <- 0 to 1 } yield
+          struct(
+            struct(bk0.getField("band").as("band"),
+              bk0.getField("key").as("key"),
+              (col(sc) + lit(off)).as("salt")).as("bk"),
+            lit(v == 0).as("exact"))
+      case None =>
+        variants.map { case (v, bk0) =>
+          struct(bk0.as("bk"), lit(v == 0).as("exact"))
+        }
+    }
+    fps.select(col(idCol), col("simhash"),
+      explode(array(probeStructs: _*)).as("p"))
+      .select(col(idCol), col("simhash"),
+        col("p.bk").as("bk"), col("p.exact").as("exact"))
+      // explicit exchange on the join/window key (the minhashBandKeys
+      // discipline, load-bearing here): the 17× explode hides its row
+      // growth from size estimates, so without the exchange the
+      // planner broadcasts one self-join side and runs probe + distinct
+      // single-threaded inside the scan stage (measured: one task, 236 s
+      // CPU at the 10× rehearsal). The exchange restores bucket-keyed
+      // parallelism, the self-join's two sides become one ReusedExchange,
+      // and the star window partitions by the same key — no extra
+      // shuffle anywhere.
+      .repartition(col("bk"))
+  }
+
+  /** [[simhashCandidates]] over multiprobe buckets: bucket-mates where
+    * at least ONE side is an exact row (two flips meeting proves only
+    * block distance ≤ 2 — outside the guarantee, pure noise) —
+    * recall-complete for Hamming ≤ 7 per [[multiprobeBandedRows]].
+    * Same ReusedExchange self-join discipline as the plain path. */
+  private[graft] def simhashCandidatesMultiprobe(fps: DataFrame,
+      idCol: String, saltCol: Option[String]): DataFrame = {
+    val banded = multiprobeBandedRows(fps, idCol, saltCol)
+    val x = banded.alias("x")
+    val y = banded.alias("y")
+    val hamming = bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+    x.join(y, col("x.bk") === col("y.bk") &&
+        (col("x.exact") || col("y.exact")) &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"),
+        hamming.as("hamming"))
+  }
+
+  /** [[simhashStarFromFingerprints]] over MULTIPROBE buckets — star
+    * links with 16-bit bucket selectivity at Hamming budgets up to 7
+    * (see [[multiprobeBandedRows]]; plain 4-band star linking is only
+    * guaranteed to ≤ 3). Links stay candidates: callers verify (the
+    * production path Jaccard-verifies before any drop). A replica pair
+    * shadowed by coincidental bucket-mates in every shared bucket can
+    * escape the star — it then simply SURVIVES into the pair stage,
+    * whose multiprobe join is recall-complete, so escapes cost pair
+    * rows, never correctness. */
+  def simhashStarFromFingerprintsMultiprobe(fps: DataFrame,
+      idCol: String = "doc_id", maxHamming: Int = 6,
+      saltCol: Option[String] = None): DataFrame = {
+    require(maxHamming <= 7,
+      s"multiprobe recall guarantee covers Hamming <= 7, got $maxHamming")
+    starLinksFromBanded(
+      multiprobeBandedRows(fps, idCol, saltCol), idCol, maxHamming)
   }
 
   // ------------------------------------------------------- n-gram jaccard

@@ -180,23 +180,39 @@ object Similarity {
   }
 
   /** The one-pass cell assignment shared by [[ivfIndex]] (build) and
-    * [[ivfAppend]] (grow): centroids are plan literals, the per-row
-    * argmax/top-nAssign is a narrow codegen'd projection — no shuffle,
-    * no join, no driver loop. */
+    * [[ivfAppend]] (grow): the centroid matrix rides a BROADCAST into
+    * one codegen'd [[graft.functions.TopCells]] loop — no shuffle, no
+    * join, no driver loop, and (round 13) no plan growth in nCells.
+    * The literal-centroid formulation this replaces inlined one
+    * cosine + a dim-double literal per centroid; at SemDeDup's
+    * corpus-derived cell counts (625 cells at the 10× rehearsal) the
+    * generated code blew janino's 64 KB method limit and the corpus
+    * projection silently fell back to interpreted eval. Ordering is
+    * unchanged (cos desc, ties to the larger cell id) and the
+    * per-centroid cosine is CosineSimilarity's fold verbatim, so
+    * assignments — and every oracle row downstream — are
+    * bit-identical. A NULL embedding coalesces to the top-nAssign
+    * LARGEST cell ids, replicating the struct-ordering fallback the
+    * literal argmax had (ill-shaped rows score -1 everywhere inside
+    * the expression, landing in the same cells). */
   private def assignCells(
       corpus: DataFrame,
       centroids: Array[Array[Double]],
       nAssign: Int,
       embCol: String,
       idCol: String): DataFrame = {
+    val dim = centroids.head.length
+    val nCells = centroids.length
+    val bcast = corpus.sparkSession.sparkContext
+      .broadcast(centroids.flatten)
+    val top = graft.functions.TopCells(col("c_emb"), bcast, dim, nAssign)
+    val fallback = array(
+      (0 until math.min(nAssign, nCells)).map(i => lit(nCells - 1 - i)): _*)
     val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
-    if (nAssign == 1) base.withColumn("cell", nearestCell(col("c_emb"), centroids))
-    else base.withColumn("cell",
-      explode(transform(
-        slice(sort_array(cellScores(col("c_emb"), centroids), asc = false),
-          1, nAssign),
-        s => s.getField("cell"))))
+    if (nAssign == 1)
+      base.withColumn("cell", element_at(coalesce(top, fallback), 1))
+    else base.withColumn("cell", explode(coalesce(top, fallback)))
   }
 
   /** Grow a built index WITHOUT refitting the quantizer: the batch is
@@ -1113,11 +1129,6 @@ object Similarity {
         graft.functions.CosineSimilarity(v, typedLit(ctr.toSeq)).as("cos"),
         lit(i).as("cell"))
     }: _*)
-
-  /** argmax cell id (struct max compares cos first; ties → largest cell
-    * id, deterministic). */
-  private def nearestCell(v: Column, centroids: Array[Array[Double]]): Column =
-    array_max(cellScores(v, centroids)).getField("cell")
 
   /** Driver-local spherical k-means (Lloyd on unit vectors, centroids
     * re-normalized each step — assignment by max dot product == cosine).

@@ -254,8 +254,19 @@ class PlanAuditSpec extends SparkSpec {
     // the raw shape loses the LeftAnti entirely; hoisting the collapse
     // ABOVE the pair join (filtering pairs after emitting them) would
     // put the LeftAnti before the banded join and fail the order check.
-    Seq("dedup_simhash_pairs", "dedup_simhash_verified").foreach { q =>
-      val p = plan(q)
+    // dedup_simhash_pairs still exposes the shape in its registered
+    // plan; the verified row checkpoints its candidate frame (r13
+    // lineage cuts), so its shape is audited on the exact pre-cut
+    // production construction instead
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val plans = Seq(
+      "dedup_simhash_pairs" -> plan("dedup_simhash_pairs"),
+      "dedup_simhash_verified(candidates)" ->
+        graft.llm.Dedup.simhashStarFirstFrames(
+          docs, "text", "doc_id", 0.5, 6, salted = true)
+          ._2.queryExecution.executedPlan.toString)
+    plans.foreach { case (q, p) =>
       val banded = "Join \\[bk#\\d+\\], \\[bk#\\d+\\], Inner".r
         .findAllMatchIn(p).map(_.start).toSeq
       assert(banded.nonEmpty, s"$q lost the banded pair join:\n${p.take(600)}")
@@ -275,7 +286,14 @@ class PlanAuditSpec extends SparkSpec {
     // the checkpointed drop-id leaf) BELOW it on both sides. A revert
     // to the raw shape loses the LeftAnti; hoisting the collapse above
     // the pair join would reorder the tree and fail the order check.
-    val p = plan("dedup_minhash_pairs")
+    // the registered row checkpoints its candidate frame (r13 lineage
+    // cuts), so the shape is audited on the exact pre-cut production
+    // construction
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text")
+    val p = graft.llm.Dedup.minhashSurvivorCandidates(
+      docs, "text", "doc_id", 64, 16, 0.2, 0.95, 42L)
+      .queryExecution.executedPlan.toString
     // minhash band keys are LONGs, so attribute ids print with the L
     // type suffix (bk#9L) — unlike the simhash check above
     val banded = "Join \\[bk#\\d+L\\], \\[bk#\\d+L\\], Inner".r

@@ -618,15 +618,57 @@ class DedupSpec extends SparkSpec {
       maxHamming = 3, collapseHamming = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(starFirst2 == rawPairs.filter(p => surv2(p._1) && surv2(p._2)))
-    // verified composition: same restriction property at the
-    // Jaccard-verified stage, and every emitted pair meets the bar
+    // verified composition (r13 shape): MULTIPROBE star links at the
+    // full enumeration threshold (Hamming ≤ 6) with every link
+    // Jaccard-verified before it can drop anyone — so the result must
+    // be the raw brute-force verified relation restricted to the
+    // Jaccard-verified star survivors, with no qualifying pair among
+    // them lost
+    val fps = Dedup.simhashFingerprints(replicated)
+    val vDrops = Dedup.ngramJaccard(replicated,
+        Dedup.simhashStarFromFingerprintsMultiprobe(fps, "doc_id", 6,
+          Some("len_bucket")).select("id_a", "id_b"))
+      .filter(col("jaccard") >= 0.5)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    val vSurv = allIdsOf(replicated) -- vDrops
     val verified = Dedup.simhashVerifiedStarFirst(replicated,
       minJaccard = 0.5)
-    verified.collect().foreach { r =>
-      assert(survivors(r.getLong(0)) && survivors(r.getLong(1)))
-      assert(r.getDouble(2) >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    verified.foreach { case (a, b, j) =>
+      assert(a < b)
+      assert(j >= 0.5)
     }
+    val verifiedPairs = verified.map(p => (p._1, p._2)).toSet
+    val rawVerified = Dedup.simhashVerified(replicated, minJaccard = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // precision: every output row — link or survivor pair — is a true
+    // pair of the raw (un-benched ground truth) verified relation
+    assert(verifiedPairs.subsetOf(rawVerified),
+      s"false pairs: ${verifiedPairs -- rawVerified}")
+    // the survivor×survivor part is EXACTLY the raw relation
+    // restricted to the collapse survivors — nothing missed
+    assert(verifiedPairs.filter(p => vSurv(p._1) && vSurv(p._2)) ==
+      rawVerified.filter(p => vSurv(p._1) && vSurv(p._2)))
+    // the link part is exactly the Jaccard-verified star links, so the
+    // output's keep-min drop set equals the raw relation's (keep-min
+    // sufficiency — the output is a compressed but equivalent relation)
+    assert(verifiedPairs.map(_._2) == rawVerified.map(_._2),
+      "keep-min drop sets diverge")
+    // on the replicated fixture the Jaccard-verified collapse removes
+    // the replica mass outright — the quadratic cost the r12 tighter
+    // collapse only half-removed (its Hamming-4..6 replicas survived);
+    // the output carries that mass as ~linear star links, not C(m,2)
+    assert(vDrops.size >= 100, s"collapse too weak: ${vDrops.size}")
+    // link-vs-clique compression is C(m,2)/~2(m−1) ≈ m/4 — modest at
+    // this fixture's m=5 (10 pairs vs ~8 links per group), dominant at
+    // crawl replica depths; strictly smaller already proves the clique
+    // expansion is gone
+    assert(verifiedPairs.size < rawVerified.size,
+      s"no compression: ${verifiedPairs.size} vs ${rawVerified.size}")
   }
+
+  private def allIdsOf(df: DataFrame): Set[Long] =
+    df.select("doc_id").collect().map(_.getLong(0)).toSet
 
   test("minhashStar: replica groups collapse to keep-min links, drop set " +
       "== pair-based keep-min, and the link plan has NO self-join") {
