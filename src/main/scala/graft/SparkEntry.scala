@@ -137,16 +137,19 @@ object SparkEntry {
     * [[graft.llm.Multimodal.bmpChannelStats]] must honor the LE header
     * fields, the data offset, the stride, the vertical flip and the
     * BGR interleave for its oracle row to hash. */
+  /** Little-endian hex of an int column, `nBytes` wide — the header
+    * field builder shared by the BMP and WAV fixtures. */
+  private def leHex(c: Column, nBytes: Int): Column = {
+    val be = lpad(hex(c.cast("long")), nBytes * 2, "0")
+    concat((0 until nBytes).reverse.map(i => be.substr(i * 2 + 1, 2)): _*)
+  }
+
   private def bmpFixture(docs: DataFrame): DataFrame = {
     val w = (pmod(col("n_chars"), lit(7L)) + 2).cast("int") // 2..8
     val h = (pmod(col("doc_id"), lit(5L)) + 2).cast("int")  // 2..6
     val pad = pmod(lit(4) - pmod(w * lit(3), lit(4)), lit(4))
     val stride = w * lit(3) + pad
-    // little-endian hex of an int column, nBytes wide
-    def le(c: Column, nBytes: Int): Column = {
-      val be = lpad(hex(c.cast("long")), nBytes * 2, "0")
-      concat((0 until nBytes).reverse.map(i => be.substr(i * 2 + 1, 2)): _*)
-    }
+    def le(c: Column, nBytes: Int): Column = leHex(c, nBytes)
     val padded = rpad(col("text"), 8 * 6 * 3, "x")
     val padHex = lit("000000").substr(lit(1), pad * lit(2))
     // file row r carries text bytes [r·3w, (r+1)·3w) + stride padding
@@ -163,6 +166,38 @@ object SparkEntry {
       lit("00000000"), le(stride * h, 4),
       lit("00000000" * 4)) // ppm×2, clrUsed, clrImportant
     docs.select(col("doc_id"), unhex(concat(header, raster)).as("payload"))
+  }
+
+  /** Planted 16-bit PCM WAV fixture over documents (round 13, the
+    * third real-decode codec — audio): a byte-correct RIFF/WAVE file
+    * with an LE `fmt ` chunk (PCM, planted channels / sample rate), a
+    * VARIABLE-LENGTH junk `LIST` chunk between fmt and data (so the
+    * data chunk sits at a doc-dependent offset — a fixed-offset cheat
+    * cannot pass; the mediaFixture JPEG APP0 trick, chunk-walk
+    * flavor), and a `data` chunk whose samples are the doc's
+    * ASCII-pinned text padded with 'x', interleaved LE int16 by
+    * channel. [[graft.llm.Multimodal.wavSampleStats]] must chunk-walk
+    * the ACTUAL bytes for geometry and sample values for its oracle
+    * row to hash. */
+  private def wavFixture(docs: DataFrame): DataFrame = {
+    val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")    // 1..2
+    val nf = (pmod(col("n_chars"), lit(9L)) + 4).cast("int")   // 4..12
+    val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
+    val junk = (pmod(col("doc_id"), lit(5L)) * 2 + 2).cast("int") // 2..10
+    val dataBytes = nf * ch * lit(2)
+    val padded = rpad(col("text"), 12 * 2 * 2, "x")
+    val hexPayload = concat(
+      lit("52494646"), // RIFF
+      leHex(lit(4 + 24) + lit(8) + junk + lit(8) + dataBytes, 4),
+      lit("57415645"), // WAVE
+      lit("666D7420"), leHex(lit(16), 4), // fmt , size 16
+      leHex(lit(1), 2), leHex(ch, 2), leHex(sr, 4),
+      leHex(sr * ch * lit(2), 4), leHex(ch * lit(2), 2), leHex(lit(16), 2),
+      lit("4C495354"), leHex(junk, 4), // LIST junk chunk
+      lit("00" * 10).substr(lit(1), junk * lit(2)),
+      lit("64617461"), leHex(dataBytes, 4), // data
+      hex(padded.substr(lit(1), dataBytes).cast("binary")))
+    docs.select(col("doc_id"), unhex(hexPayload).as("payload"))
   }
 
   /** customer with `(features, label)` — the ML-pipeline input frame
@@ -1317,6 +1352,17 @@ object SparkEntry {
     // rule is byte-exact.
     "multimodal_bmp_stats" -> ((s, dir) =>
       Multimodal.bmpChannelStats(bmpFixture(documents(s, dir)), "payload")),
+    // Round 13: the third real-decode codec, and the second MODALITY —
+    // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
+    // doc-dependent junk chunk, so the data offset varies and the
+    // operator must actually chunk-walk). The operator recovers
+    // channels / sample rate / frame count from the ACTUAL LE header
+    // fields and per-channel stats from the ACTUAL signed-int16
+    // samples at nearest-neighbor frame positions; the oracle
+    // recomputes the same stats from the fixture construction in
+    // text-index space (interleave and sign folded into the formula).
+    "multimodal_wav_stats" -> ((s, dir) =>
+      Multimodal.wavSampleStats(wavFixture(documents(s, dir)), "payload")),
 
     // ------------------------------------------ §2.2 engine primitives
     // composed at scale: pushed-down date filter, per-order pre-agg,
@@ -4244,6 +4290,47 @@ object SparkEntry {
         |  CAST(MIN(CASE WHEN fc = 0 THEN v END) AS INT) AS b_min,
         |  CAST(MAX(CASE WHEN fc = 0 THEN v END) AS INT) AS b_max
         |FROM pix GROUP BY doc_id, w, h""".stripMargin,
+
+    // WAV sample-path oracle (round 13): recompute the k=8 sampled
+    // per-channel stats from the fixture CONSTRUCTION — geometry from
+    // (doc_id, n_chars), sample i of channel cc at text bytes
+    // ((⌊i·nf/8⌋·ch + cc)·2, +1) as signed LE int16. The Spark side
+    // chunk-walks the ACTUAL bytes (junk chunk ⇒ variable data
+    // offset) — two independent paths to one answer. A mono doc's
+    // channel-2 aggregates run over zero rows ⇒ NULL, matching the
+    // operator's null c2 contract.
+    "multimodal_wav_stats" ->
+      """WITH wav AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    CAST(n_chars % 9 + 4 AS INT) AS nf,
+        |    CAST(doc_id % 1000 + 8000 AS INT) AS sr,
+        |    rpad(text, 48, 'x') AS padded
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, ch, nf, sr, c.cc,
+        |    unicode(substr(padded,
+        |      CAST((((i.ii * nf) // 8) * ch + c.cc) * 2 + 1 AS INT), 1))
+        |    + 256 * unicode(substr(padded,
+        |      CAST((((i.ii * nf) // 8) * ch + c.cc) * 2 + 2 AS INT), 1)) AS u
+        |  FROM wav
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS ii) i
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS cc) c
+        |  WHERE c.cc < ch
+        |), sgn AS (
+        |  SELECT doc_id, ch, nf, sr, cc,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |  FROM smp
+        |)
+        |SELECT doc_id, CAST(1 AS INT) AS is_wav, ch AS channels,
+        |  sr AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+        |  ROUND(AVG(CASE WHEN cc = 0 THEN s END), 6) AS c1_mean,
+        |  CAST(MIN(CASE WHEN cc = 0 THEN s END) AS INT) AS c1_min,
+        |  CAST(MAX(CASE WHEN cc = 0 THEN s END) AS INT) AS c1_max,
+        |  ROUND(AVG(CASE WHEN cc = 1 THEN s END), 6) AS c2_mean,
+        |  CAST(MIN(CASE WHEN cc = 1 THEN s END) AS INT) AS c2_min,
+        |  CAST(MAX(CASE WHEN cc = 1 THEN s END) AS INT) AS c2_max
+        |FROM sgn GROUP BY doc_id, ch, nf, sr""".stripMargin,
 
     // FULL-FIDELITY HashingTF oracle: murmur3_x86_32 (Spark's
     // hashUnsafeBytes2 variant — 4-byte LE blocks, remaining tail bytes

@@ -278,6 +278,37 @@ object Multimodal {
         stats: _*)
   }
 
+  /** REAL pixel path, third codec and second MODALITY (round 13):
+    * 16-bit PCM WAV sample statistics — raw audio the way PPM/BMP are
+    * raw rasters; see [[graft.functions.WavSampleStats]] for the
+    * chunk-walk contract (variable chunk layout, PCM-only gate,
+    * truncation semantics). Per-channel mean (6dp, Spark `round` on
+    * sum/k — the PPM/BMP rounding recipe) / min / max over `k`
+    * nearest-neighbor-sampled frames; mono rows null the channel-2
+    * stats. Zero shuffles, one codegen'd call per row, `k·channels`
+    * 16-bit reads regardless of clip length — scan-speed at 100 TB. */
+  def wavSampleStats(
+      df: DataFrame,
+      binCol: String,
+      k: Int = 8,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"sample count must be >= 1, got $k")
+    val stats = Seq("c1", "c2").flatMap { nm =>
+      Seq(
+        round(col(s"m.${nm}_sum").cast("double") / lit(k), 6)
+          .as(s"${nm}_mean"),
+        col(s"m.${nm}_min").as(s"${nm}_min"),
+        col(s"m.${nm}_max").as(s"${nm}_max"))
+    }
+    df.select(col(idCol),
+      graft.functions.WavSampleStats(col(binCol), k).as("m"))
+      .select(col(idCol) +:
+        coalesce(col("m.is_wav"), lit(0)).as("is_wav") +:
+        col("m.channels").as("channels") +:
+        col("m.sample_rate").as("sample_rate") +:
+        col("m.n_frames").as("n_frames") +: stats: _*)
+  }
+
   /** Frame sampling over an opaque payload: `n` fixed-width byte slices
     * at even strides (the video-frame-extraction plumbing, with the
     * codec stubbed as raw slicing). Pure codegen'd expression — schema

@@ -175,6 +175,64 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("wavSampleStats: real PCM chunk walk — LE fmt fields behind a " +
+      "junk chunk, signed int16 samples, channel interleave; non-WAV " +
+      "and truncated data null, never wrong (r13)") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    // hand-assembled stereo PCM: 3 frames, samples incl. a NEGATIVE
+    // one; a junk LIST chunk sits between fmt and data so the decode
+    // must actually chunk-walk
+    def wav(samples: Seq[Int], ch: Int, sr: Int, junk: Int): Array[Byte] = {
+      val data = samples.flatMap(v => le(v & 0xffffL, 2))
+      ("RIFF".getBytes("US-ASCII") ++ le(4 + 24 + 8 + junk + 8 + data.size, 4) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++
+        le(sr, 4) ++ le(sr.toLong * ch * 2, 4) ++ le(ch * 2, 2) ++ le(16, 2) ++
+        "LIST".getBytes("US-ASCII") ++ le(junk, 4) ++ Array.fill(junk)(0.toByte) ++
+        "data".getBytes("US-ASCII") ++ le(data.size, 4) ++ data).toArray
+    }
+    // stereo frames: (100,-200) (300,400) (-500,600)
+    val stereo = wav(Seq(100, -200, 300, 400, -500, 600), 2, 44100, 6)
+    val mono = wav(Seq(7, 8, 9), 1, 8000, 2)
+    val df = Seq(
+      (1L, stereo), (2L, mono),
+      (3L, "RIFFxxxxWAVEnot really".getBytes("US-ASCII")),
+      (4L, stereo.take(stereo.length - 4))) // data chunk truncated
+      .toDF("doc_id", "payload")
+    // k=3 on 3 frames samples each frame exactly once
+    val r1 = Multimodal.wavSampleStats(df.filter(col("doc_id") === 1),
+      "payload", k = 3).head()
+    assert(r1.getInt(1) == 1 && r1.getInt(2) == 2 &&
+      r1.getInt(3) == 44100 && r1.getLong(4) == 3L)
+    assert(r1.getDouble(5) == -33.333333 && r1.getInt(6) == -500 &&
+      r1.getInt(7) == 300) // c1: mean(100,300,-500) rounded 6dp
+    assert(r1.getDouble(8) == 266.666667 && r1.getInt(9) == -200 &&
+      r1.getInt(10) == 600) // c2
+    // mono: channel-2 stats null; different junk length still parses
+    val r2 = Multimodal.wavSampleStats(df.filter(col("doc_id") === 2),
+      "payload", k = 3).head()
+    assert(r2.getInt(2) == 1 && r2.getDouble(5) == 8.0 &&
+      r2.isNullAt(8) && r2.isNullAt(9))
+    // short clip + larger k: frames repeat (nearest-neighbor), mean
+    // still over k samples
+    val r2b = Multimodal.wavSampleStats(df.filter(col("doc_id") === 2),
+      "payload", k = 6).head()
+    assert(r2b.getDouble(5) == (7 + 7 + 8 + 8 + 9 + 9) / 6.0)
+    // non-WAV: is_wav=0 all null; truncated data: header kept, stats null
+    val rows = Multimodal.wavSampleStats(df, "payload").orderBy("doc_id")
+      .collect()
+    assert(rows(2).getInt(1) == 0 && rows(2).isNullAt(2) && rows(2).isNullAt(5))
+    assert(rows(3).getInt(1) == 1 && rows(3).getInt(2) == 2 &&
+      rows(3).getLong(4) == 3L && rows(3).isNullAt(5))
+    // zero shuffles: scan-fused projection
+    val plan = Multimodal.wavSampleStats(df, "payload")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
+
   test("ppmChannelStats: real P6 parse — geometry from header bytes, " +
       "pixels from byte offsets; resize picks the right sources; " +
       "non-PPM and truncated payloads are null, never wrong (r12)") {
