@@ -201,18 +201,33 @@ object Similarity {
       nAssign: Int,
       embCol: String,
       idCol: String): DataFrame = {
-    val dim = centroids.head.length
-    val nCells = centroids.length
-    val bcast = corpus.sparkSession.sparkContext
-      .broadcast(centroids.flatten)
-    val top = graft.functions.TopCells(col("c_emb"), bcast, dim, nAssign)
-    val fallback = array(
-      (0 until math.min(nAssign, nCells)).map(i => lit(nCells - 1 - i)): _*)
+    val top = topCells(corpus, col("c_emb"), centroids, nAssign)
     val base = corpus
       .select(col(idCol).as("neighbor_id"), asDouble(col(embCol)).as("c_emb"))
-    if (nAssign == 1)
-      base.withColumn("cell", element_at(coalesce(top, fallback), 1))
-    else base.withColumn("cell", explode(coalesce(top, fallback)))
+    if (nAssign == 1) base.withColumn("cell", element_at(top, 1))
+    else base.withColumn("cell", explode(top))
+  }
+
+  /** Broadcast top-`n` cell ranking shared by assignment and probing
+    * (round 13): one [[graft.functions.TopCells]] call against the
+    * flattened centroid matrix — ordering (cos desc, ties to the
+    * larger cell) identical to the literal struct-sort it replaces,
+    * with no plan growth in nCells. A NULL embedding coalesces to the
+    * `n` LARGEST cell ids, replicating the literal formulation's
+    * struct-ordering fallback (ill-shaped but non-null vectors score
+    * -1 everywhere inside the expression and land there on their
+    * own). */
+  private def topCells(
+      df: DataFrame,
+      v: Column,
+      centroids: Array[Array[Double]],
+      n: Int): Column = {
+    val dim = centroids.head.length
+    val nCells = centroids.length
+    val bcast = df.sparkSession.sparkContext.broadcast(centroids.flatten)
+    val fallback = array(
+      (0 until math.min(n, nCells)).map(i => lit(nCells - 1 - i)): _*)
+    coalesce(graft.functions.TopCells(v, bcast, dim, n), fallback)
   }
 
   /** Grow a built index WITHOUT refitting the quantizer: the batch is
@@ -232,10 +247,12 @@ object Similarity {
     index.copy(cells = index.cells.unionByName(
       assignCells(batch, index.centroids, index.nAssign, embCol, idCol)))
 
-  /** Probe a built [[IvfIndex]]: rank the (literal) centroids per query
-    * with the same codegen'd cosine used for assignment, explode the
-    * `nProbe` best cells, equi-join into the assigned corpus, and
-    * re-rank exactly within the probed cells.
+  /** Probe a built [[IvfIndex]]: rank the (broadcast) centroids per
+    * query with the same codegen'd cosine used for assignment
+    * ([[graft.functions.TopCells]] — round 13, replacing the literal
+    * formulation so probe plans, like assignment, stop growing with
+    * nCells), explode the `nProbe` best cells, equi-join into the
+    * assigned corpus, and re-rank exactly within the probed cells.
     *
     * Returns the same shape as [[cosineTopK]]; recall < 1.0 by design,
     * measured by [[recallAgainst]]. Scale: probes (|queries| × nProbe
@@ -255,11 +272,10 @@ object Similarity {
       embCol: String = "embedding",
       idCol: String = "vec_id",
       roundAt: Int = -1): DataFrame = {
-    val ranked = sort_array(cellScores(col("q_emb"), index.centroids), asc = false)
     val probes = queries
       .select(col(idCol).as("query_id"), asDouble(col(embCol)).as("q_emb"))
       .withColumn("cell",
-        explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell"))))
+        explode(topCells(queries, col("q_emb"), index.centroids, nProbe)))
     val sim = cosine(col("q_emb"), col("c_emb"))
     val scored = index.cells.join(broadcast(probes), "cell")
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -788,8 +804,6 @@ object Similarity {
       "refine > 0 needs the raw corpus to re-rank against")
     val normSq = aggregate(
       transform(asDouble(col(embCol)), x => x * x), lit(0.0), (s, x) => s + x)
-    val ranked = sort_array(cellScores(col("q_emb"), index.centroids),
-      asc = false)
     val probes = broadcast(queries
       .select(col(idCol).as("query_id"),
         asDouble(col(embCol)).as("q_emb"),
@@ -798,7 +812,7 @@ object Similarity {
         sqrt(normSq).as("q_norm"))
       .where(col("lut").isNotNull)
       .withColumn("cell",
-        explode(transform(slice(ranked, 1, nProbe), s => s.getField("cell")))))
+        explode(topCells(queries, col("q_emb"), index.centroids, nProbe))))
     val adc = graft.functions.PqAdcScore(col("lut"), col("codes"), index.k)
     val rawScore = when(col("norm") > 0 && col("q_norm") > 0,
       adc / (col("norm") * col("q_norm"))).otherwise(lit(-1.0))
@@ -1118,17 +1132,6 @@ object Similarity {
       spark.table(cellsTable),
       rows.head.getInt(2))
   }
-
-  /** `array<struct<cos,cell>>` of a vector's cosine against each
-    * literal centroid — the shared scoring expression for assignment
-    * (argmax) and probing (top-nProbe). Fully codegen'd: nCells
-    * [[graft.functions.CosineSimilarity]] calls per row. */
-  private def cellScores(v: Column, centroids: Array[Array[Double]]): Column =
-    array(centroids.zipWithIndex.map { case (ctr, i) =>
-      struct(
-        graft.functions.CosineSimilarity(v, typedLit(ctr.toSeq)).as("cos"),
-        lit(i).as("cell"))
-    }: _*)
 
   /** Driver-local spherical k-means (Lloyd on unit vectors, centroids
     * re-normalized each step — assignment by max dot product == cosine).
