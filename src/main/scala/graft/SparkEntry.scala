@@ -1785,6 +1785,30 @@ object SparkEntry {
           .withColumn("purchase_ts",
             date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")))),
 
+    // Sixth streaming oracle row (round 13): STREAMING NEAR-dup dedup —
+    // the minhash star collapse as a stateful stream. One pass derives
+    // band keys + shingles per doc (no stream-stream self-join), band
+    // buckets carry ONE keeper row of state each, every drop is
+    // verified with exact shingle Jaccard in-state. Run to completion
+    // under AvailableNow the drop set equals the batch star-link drop
+    // set, which on this fixture equals brute-force keep-min at 0.95
+    // (the exact equality the dedup_minhash_pairs collapse oracle
+    // already proves green) — so the oracle is the keep-min survivor
+    // SQL, an independent all-pairs restatement.
+    "stream_dedup_near" -> ((s, dir) => {
+      import s.implicits._
+      val banded = Dedup.minhashBandedShingles(
+          Sources.documentsStream(s, dir).select(col("doc_id"), col("text")))
+        .as[graft.streaming.BandedShingleRow]
+      runAvailableNow(s,
+        StreamOps.nearDedupStream(banded, minJaccard = 0.95).toDF(),
+        outputMode = "append", sinkWriteMode = "append")(links =>
+        documents(s, dir).join(
+            links.select(col("doc_id")).distinct(), Seq("doc_id"),
+            "left_anti")
+          .select("doc_id", "lang", "source", "n_chars"))
+    }),
+
     // Sliding-window chunking for context packing: 32-token windows,
     // stride 24 (8-token overlap). chunk_idx = start/stride in both
     // engines; ws tokenization matches text_token_stats.
@@ -3179,6 +3203,33 @@ object SparkEntry {
         |  WHERE a.doc_id NOT IN (SELECT doc_id FROM star_drop)
         |    AND b.doc_id NOT IN (SELECT doc_id FROM star_drop)
         |) WHERE jaccard >= 0.5""".stripMargin),
+
+    // Streaming near-dedup oracle (round 13): brute-force keep-min
+    // survivors at Jaccard >= 0.95 — exact because the stream's
+    // verified star-link drop set equals the brute-force keep-min drop
+    // set on this fixture (zero escapes, the dedup_minhash_pairs
+    // collapse precedent at the same banding knobs and threshold).
+    "stream_dedup_near" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), drops AS (
+        |  SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+        |        >= 0.95
+        |)
+        |SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
     "dedup_minhash_incremental" ->
       """WITH toks AS (

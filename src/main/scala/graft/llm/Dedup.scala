@@ -350,6 +350,42 @@ object Dedup {
         WordNgrams(col(textCol), n, strictFallback = false).as("shingles"))
       .filter(size(col("shingles")) > 0)
 
+  /** Banded rows carrying their VERIFICATION payload: one row per
+    * (doc, band) with the doc's distinct shingle set riding along —
+    * the single-pass input a STREAMING near-dedup needs
+    * ([[graft.streaming.StreamOps.nearDedupStream]]), where a
+    * batch-style "band first, join texts back for the candidates"
+    * would be a stream-stream self-join (watermark state on both
+    * sides) for no benefit. Band keys are bit-identical to
+    * [[minhashBandKeys]] (same raw-shingle [[MinhashSignature]], same
+    * xxhash64 banding), so the bucket structure — and with it the
+    * star-link drop set — matches the batch family exactly; `sh` is
+    * the array_distinct the verification arithmetic
+    * ([[ngramJaccard]]'s) expects. Streaming-safe: a narrow projection
+    * + explode, no repartition (the downstream groupByKey shuffles on
+    * the band key anyway). */
+  def minhashBandedShingles(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    val sigs = shingled(docs.select(col(idCol), col(textCol)), textCol, idCol)
+      .select(col(idCol),
+        array_distinct(col("shingles")).as("sh"),
+        MinhashSignature(col("shingles"), numHashes, seed).as("sig"))
+    sigs.select(col(idCol), col("sh"),
+      explode(array((0 until bands).map { b =>
+        val rows = (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))
+        xxhash64(lit(b) +: rows: _*)
+      }: _*)).as("bk"))
+  }
+
   /** MLlib MinHashLSH variant (HashingTF sparse vectors +
     * approxSimilarityJoin), kept as the recall cross-check for
     * [[minhashPairs]] — same equi-join scale shape, heavier constants

@@ -242,6 +242,16 @@ object Sources {
     * directory the source incrementally lists; here it is the fixture
     * file itself, which arrives as one micro-batch under
     * `Trigger.AvailableNow`. */
+  /** `documents` as an unbounded file-stream source — the corpus-side
+    * twin of [[eventsStream]] (same single-file-glob landing-dir
+    * recipe) for the streaming dedup rows. */
+  def documentsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

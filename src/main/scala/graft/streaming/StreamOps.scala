@@ -34,6 +34,22 @@ final case class MergeRow(key: Long, payload: String, deleted: Boolean)
 /** Per-key merge state: latest payload + the seq it came from. */
 final case class MergeState(payload: String, deleted: Boolean, seq: Long)
 
+/** One (doc, band) row with the doc's distinct shingle set riding
+  * along — [[graft.llm.Dedup.minhashBandedShingles]]'s shape, the
+  * input of [[StreamOps.nearDedupStream]]. */
+final case class BandedShingleRow(doc_id: Long, sh: Seq[String], bk: Long)
+
+/** A verified near-duplicate link emitted by
+  * [[StreamOps.nearDedupStream]]: `doc_id` is attributed to the
+  * earlier/smaller `kept_id` at exact shingle Jaccard `jaccard`. */
+final case class NearDupLink(doc_id: Long, kept_id: Long, jaccard: Double)
+
+/** Per-bucket keeper state for [[StreamOps.nearDedupStream]]: the
+  * smallest doc id seen in the bucket so far, with its shingles —
+  * ONE row of state per occupied band bucket, regardless of corpus
+  * size or duplication rate. */
+final case class BucketKeeper(id: Long, sh: Seq[String])
+
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
   * (driver verify/bench, DuckDB-oracle-checkable) and `readStream`
@@ -332,6 +348,73 @@ object StreamOps {
               out.iterator
             }
           }
+      }
+  }
+
+  /** STREAMING near-duplicate dedup — the minhash star collapse
+    * ([[graft.llm.Dedup.minhashStarFromBandKeys]]) as a stateful
+    * stream: banded rows group by band bucket, and each doc verifies
+    * (exact shingle Jaccard, [[graft.llm.Dedup.ngramJaccard]]'s
+    * arithmetic bit-for-bit) against its bucket's KEEPER — the
+    * smallest id seen so far, carried across micro-batches as ONE
+    * state row per occupied bucket — and against its in-batch bucket
+    * PREDECESSOR (id order; the chain link that keeps replica groups
+    * connected when a coincidental bucket-mate shadows the min).
+    * Emits verified (doc_id, kept_id, jaccard) links, append mode;
+    * survivors = docs minus the distinct link doc_ids.
+    *
+    * Scale contract: state is one (id, shingles) row per occupied
+    * bucket — bounded by bucket count, never by corpus size or
+    * duplication rate — and per-row work is ≤ 2 verifications. This
+    * is the continuous form of the nightly incremental dedup: at any
+    * duplication rate the replica mass is attributed in linear time,
+    * with no pair self-join anywhere.
+    *
+    * Semantics: KEEP-FIRST by arrival, keep-min within a batch (the
+    * group iterator is sorted by id). Run under Trigger.AvailableNow
+    * over a corpus — one batch, ids sorted — the drop set equals the
+    * batch star-link drop set, which the registered row's brute-force
+    * keep-min DuckDB oracle pins exactly (the dedup_minhash_pairs
+    * collapse-equality precedent). Across live micro-batches a
+    * later-arriving smaller id becomes the new keeper without
+    * retroactively dropping the old one — the keep-first contract
+    * every streaming dedup has ([[dedupStream]]'s exact analog). */
+  def nearDedupStream(
+      banded: Dataset[BandedShingleRow],
+      minJaccard: Double = 0.95): Dataset[NearDupLink] = {
+    import banded.sparkSession.implicits._
+    def jac(a: Seq[String], b: Seq[String]): Double = {
+      val bs = b.toSet
+      var inter = 0
+      a.foreach(s => if (bs(s)) inter += 1)
+      val uni = a.size + b.size - inter
+      if (uni == 0) 0.0 else inter.toDouble / uni
+    }
+    banded.groupByKey(_.bk)
+      .flatMapGroupsWithState[BucketKeeper, NearDupLink](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it: Iterator[BandedShingleRow],
+            state: GroupState[BucketKeeper]) =>
+          val sorted = it.toArray.sortBy(_.doc_id)
+          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupLink]
+          var keeper = state.getOption
+          var prev: Option[BandedShingleRow] = None
+          sorted.foreach { d =>
+            val candidates =
+              (keeper.map(k => (k.id, k.sh)).toSeq ++
+                prev.map(p => (p.doc_id, p.sh)).toSeq)
+                .filter(_._1 < d.doc_id)
+                .distinctBy(_._1)
+            candidates.foreach { case (cid, csh) =>
+              val j = jac(d.sh, csh)
+              if (j >= minJaccard) out += NearDupLink(d.doc_id, cid, j)
+            }
+            if (keeper.forall(_.id > d.doc_id))
+              keeper = Some(BucketKeeper(d.doc_id, d.sh))
+            prev = Some(d)
+          }
+          keeper.foreach(state.update)
+          out.iterator
       }
   }
 

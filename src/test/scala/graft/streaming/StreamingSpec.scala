@@ -231,6 +231,84 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupStream: verified star-collapse drops match the batch " +
+      "keep-min set in one batch; cross-batch keeper keeps first-arrived; " +
+      "state is one keeper row per bucket (r13)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 10 base docs, each with 2 near-identical replicas (one appended
+    // token) — replicas must collapse; the base docs are mutually far
+    val base = (0L until 10L).map(i =>
+      (i, s"alpha bravo charlie delta echo foxtrot golf hotel doc$i " +
+        "india juliet kilo lima mike november oscar papa"))
+    val replicated = base ++ base.flatMap { case (i, t) =>
+      Seq((i + 100L, s"$t r1"), (i + 200L, s"$t r2")) }
+    val docs = replicated.toDF("doc_id", "text")
+    // batch ground truth: brute-force keep-min at the same threshold
+    val rawDrops = graft.llm.Dedup
+      .ngramJaccard(docs,
+        docs.alias("a").join(docs.alias("b"),
+            col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
+      .filter(col("jaccard") >= 0.9)
+      .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+    assert(rawDrops.size == 20, s"fixture drift: $rawDrops") // all replicas
+    // ONE batch over everything: stream drop set == keep-min set
+    val stream = MemoryStream[(Long, String)]
+    val banded = graft.llm.Dedup.minhashBandedShingles(
+        stream.toDS.toDF("doc_id", "text"))
+      .as[BandedShingleRow]
+    val q = StreamOps.nearDedupStream(banded, minJaccard = 0.9)
+      .writeStream.format("memory").queryName("neardup")
+      .outputMode("append").start()
+    try {
+      stream.addData(replicated: _*)
+      q.processAllAvailable()
+      val links = spark.table("neardup").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // every link is a verified true pair, attributed to a smaller id
+      links.foreach { case (d, kept, j) =>
+        assert(kept < d && j >= 0.9)
+      }
+      assert(links.map(_._1).toSet == rawDrops,
+        s"drop set diverges: ${links.map(_._1).toSet} vs $rawDrops")
+    } finally q.stop()
+    // cross-batch: the keeper persists, a batch-2 replica of a batch-1
+    // doc is dropped against it; a batch-2 SMALLER near doc becomes
+    // the new keeper but is NOT retroactively dropped (keep-first)
+    val stream2 = MemoryStream[(Long, String)]
+    val banded2 = graft.llm.Dedup.minhashBandedShingles(
+        stream2.toDS.toDF("doc_id", "text"))
+      .as[BandedShingleRow]
+    val q2 = StreamOps.nearDedupStream(banded2, minJaccard = 0.9)
+      .writeStream.format("memory").queryName("neardup2")
+      .outputMode("append").start()
+    try {
+      val t = base.head._2 // identical text in every batch (j = 1.0)
+      stream2.addData((50L, t))
+      q2.processAllAvailable()
+      stream2.addData((60L, t))
+      q2.processAllAvailable()
+      val links2 = spark.table("neardup2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // 60 drops against the keeper persisted from batch 1
+      assert(links2.contains((60L, 50L)), s"got $links2")
+      // a later-arriving SMALLER id survives (keep-first, not
+      // retroactive keep-min) and takes over as keeper
+      stream2.addData((40L, t))
+      q2.processAllAvailable()
+      val links3 = spark.table("neardup2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!links3.exists(_._1 == 40L), s"keep-first violated: $links3")
+      stream2.addData((70L, t))
+      q2.processAllAvailable()
+      val links4 = spark.table("neardup2").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links4.exists(p => p._1 == 70L && p._2 == 40L), s"got $links4")
+    } finally q2.stop()
+  }
+
   test("curateStream: streaming curation matches batch Curate in arrival=id order") {
     val s = spark
     import s.implicits._
