@@ -90,8 +90,26 @@ object Bench {
     // transient contention). The min of two runs is the steady-state
     // cost of the plan; both runs are printed under "runs" so any drift
     // between them stays auditable.
+    //
+    // The 11 baseline-subset queries run THREE times (r13 verdict item
+    // 2): the r12→r13 driver runs doubled the subset (9.86→18.37s) on
+    // unchanged code — min-of-two no longer absorbs this box's
+    // contention for the one number with a hard ≤2× gate, so the gate
+    // queries get one extra sample (~+10s total).
+    val baselineSet = Set("dim_reduction_kmeans", "add_split_column",
+      "validation_curves", "probability_prediction", "dim_reduction_pca",
+      "feature_union", "predefined_split_train", "prepare_features",
+      "predefined_split_fit", "robust_scaling", "predefined_split_test")
+    // 1-minute load average at bench start/end (same JVM, no /proc
+    // parsing): persistently high values mean the box was contended and
+    // the driver-vs-local gap is environmental, not a regression.
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+    val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to 2).map { _ =>
+      val nRuns = if (baselineSet(name)) 3 else 2
+      val runs = (1 to nRuns).map { _ =>
         // per-query isolation: cached fold/CV blocks from one query must
         // not occupy (or re-register, cf. the r4 "block already exists"
         // churn) block-manager state while a later query is timed
@@ -126,10 +144,6 @@ object Bench {
     // run (36.58s) actually timed — the query set has since grown 6×,
     // so the grand total is not comparable to the baseline total; this
     // field is the apples-to-apples number next to it.
-    val baselineSet = Set("dim_reduction_kmeans", "add_split_column",
-      "validation_curves", "probability_prediction", "dim_reduction_pca",
-      "feature_union", "predefined_split_train", "prepare_features",
-      "predefined_split_fit", "robust_scaling", "predefined_split_test")
     val baseSub = results.collect {
       case (n, v, true, _) if baselineSet(n) => v }.sum
     // The stream_* rows carry ~fixed state-store/checkpoint overhead
@@ -143,7 +157,8 @@ object Bench {
     // window has truncated the line from the front (r9), so the tail
     // repeats value/baseline_subset to keep the gate numbers evidenced
     // either way
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)}}""")
+    val loadEnd = loadAvg()
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadEnd)},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${r4(loadStart)},"load_avg_end_1m":${r4(loadEnd)}}""")
     spark.stop()
   }
 }

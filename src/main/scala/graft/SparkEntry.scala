@@ -923,6 +923,17 @@ object SparkEntry {
     // the planted pair. Oracle = brute-force all-pairs cosine ≥ 0.99
     // in DuckDB (exactly the planted pair) — exact recall on this
     // fixture under the fixed seed.
+    // Round 14 (VERDICT item 6): registered in the PRODUCTION
+    // star-first shape, closing the discipline across all three sketch
+    // families (minhash r13, simhash r12/13, cosine now) — star links
+    // verified with exact cosine before anyone drops, the banded pair
+    // self-join over collapse survivors only, so the C(m,2) bucket
+    // expansion cannot occur on replica mass under a 90 %-dup corpus
+    // (the r12 sf1 cliff simhash hit). Output here = the same single
+    // planted pair (a star link at cosine ~1.0); oracle unchanged.
+    // Raw Dedup.embeddingPairs stays the un-benched brute-force ground
+    // truth (DedupSpec pins star-first equality on a replicated
+    // fixture).
     "dedup_embedding_pairs" -> ((s, dir) => {
       val base = embeddings(s, dir).select(col("vec_id"),
         col("embedding").cast("array<double>").as("embedding"))
@@ -931,7 +942,8 @@ object SparkEntry {
           transform(col("embedding"),
             (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
             .as("embedding"))
-      Dedup.embeddingPairs(base.unionByName(planted), minCosine = 0.99)
+      Dedup.embeddingPairsStarFirst(base.unionByName(planted),
+          minCosine = 0.99, collapseCosine = 0.99)
         .select(col("id_a"), col("id_b"),
           round(col("cosine"), 6).as("cosine"))
     }),
@@ -1217,6 +1229,29 @@ object SparkEntry {
         s.sql(s"DROP TABLE IF EXISTS `$table`")
         deleteRecursively(tmp.toFile)
       }
+    }),
+    // Driver-visible ANN recall (round 14, VERDICT item 3): recall@10
+    // of the hash-init IVF probe (nProbe=4) against the exact cosine
+    // top-k, per query. Both legs are the deterministic quantizer
+    // pipelines already under oracle (similarity_ivf/similarity_topk),
+    // so the recall NUMBER itself is hash-exact — the quality of the
+    // cell-pruned scan is pinned, not just its shape. The truth leg
+    // broadcasts the 10 query vectors (cosineTopK's contract); the
+    // membership join is per-query top-10 rows on both sides.
+    "similarity_ivf_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.ivfProbe(cachedIvfHashInit(s, dir), qs,
+          k = 10, nProbe = 4, roundAt = 6)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
+          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
+            .as("recall"))
     }),
 
     // Product quantization: codes-only ANN scan (the compressed-corpus
@@ -1809,6 +1844,30 @@ object SparkEntry {
           .select("doc_id", "lang", "source", "n_chars"))
     }),
 
+    // Streaming incremental IVF ingest (round 14, VERDICT item 5):
+    // the quantizer is frozen from history (the full-corpus hash-init
+    // centroids), HALF the corpus is already in the persisted cells,
+    // and the other half arrives as a readStream file source pushed
+    // through the stateless ivfAssign projection into an append sink —
+    // the continuous form of nightly ivfAppend. Because assignment is
+    // per-row deterministic against broadcast centroids (no shuffle,
+    // no state), streamed-in cells ∪ batch cells == one-pass batch
+    // assignment, so append-then-probe answers the SAME DuckDB oracle
+    // as build-then-probe (similarity_ivf) — the stream leg is
+    // hash-verified, not just shape-checked.
+    "stream_ivf_append" -> ((s, dir) => {
+      val index = cachedIvfHashInit(s, dir)
+      val base = index.cells.filter(col("neighbor_id") % 2 === 0)
+      val delta = runAvailableNow(s,
+        Similarity.ivfAssign(index,
+          Sources.embeddingsStream(s, dir)
+            .filter(col("vec_id") % 2 === 1)),
+        outputMode = "append", sinkWriteMode = "append")(identity)
+      val qs = embeddings(s, dir).filter(col("vec_id") < 10)
+      Similarity.ivfProbe(index.copy(cells = base.unionByName(delta)),
+        qs, k = 10, nProbe = 4, roundAt = 6)
+    }),
+
     // Sliding-window chunking for context packing: 32-token windows,
     // stride 24 (8-token overlap). chunk_idx = start/stride in both
     // engines; ws tokenization matches text_token_stats.
@@ -2235,9 +2294,12 @@ object SparkEntry {
       |  MIN(vec_id) AS min_id, MAX(vec_id) AS max_id
       |FROM assign GROUP BY 1""".stripMargin
 
-  private val ivfHashInitOracle: String =
-    ivfAssignCtesSql +
-      """, probecells AS (
+  /** The hash-init IVF probe chain up to `scored` (query_id,
+    * neighbor_id, 6dp cosine over probed candidates) — shared by
+    * [[ivfHashInitOracle]] (which ranks it) and the round-14 recall
+    * oracle (which compares its ranking against the exact top-k). */
+  private val ivfProbeScoredCtesSql: String =
+    """, probecells AS (
       |  SELECT vec_id AS query_id, cell FROM rowcos
       |  WHERE vec_id < 10
       |  QUALIFY row_number() OVER (
@@ -2259,13 +2321,55 @@ object SparkEntry {
       |  FROM pairdot d
       |  JOIN norms nn ON nn.vec_id = d.neighbor_id
       |  JOIN norms qn ON qn.vec_id = d.query_id
-      |)
+      |)""".stripMargin
+
+  private val ivfHashInitOracle: String =
+    ivfAssignCtesSql + ivfProbeScoredCtesSql +
+      """
       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine
       |FROM (
       |  SELECT *, row_number() OVER (
       |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
       |  FROM scored
       |) WHERE rnk <= 10""".stripMargin
+
+  /** Round-14 (VERDICT item 3): recall@10 of the hash-init IVF probe
+    * against the exact top-k, re-derived entirely in SQL — the IVF
+    * ranking from the shared probe chain, the exact ranking from the
+    * similarity_topk restatement, recall = per-query hit fraction. */
+  private val ivfRecallOracle: String =
+    ivfAssignCtesSql + ivfProbeScoredCtesSql +
+      """, approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |    FROM scored
+      |  ) WHERE rnk <= 10
+      |), tq AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < 10
+      |), tscored AS (
+      |  SELECT tq.query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(tq.q_emb,
+      |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM tq CROSS JOIN embeddings c
+      |  WHERE c.vec_id <> tq.query_id
+      |), truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |    FROM tscored
+      |  ) WHERE rn <= 10
+      |)
+      |SELECT t.query_id, COUNT(*) AS n_truth,
+      |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / COUNT(*), 6) AS recall
+      |FROM truth t
+      |LEFT JOIN approx a
+      |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |GROUP BY 1""".stripMargin
 
   /** Shared by text_perplexity_cross and text_perplexity_persisted (the
     * model write → reload → score round-trip must be the identity). */
@@ -4134,6 +4238,12 @@ object SparkEntry {
     // identity, so persistence itself is under the oracle.
     "similarity_ivf" -> ivfHashInitOracle,
     "similarity_ivf_persisted" -> ivfHashInitOracle,
+    "similarity_ivf_recall" -> ivfRecallOracle,
+    // Streaming append-then-probe == batch build-then-probe: the
+    // micro-batched half-corpus ingest must land exactly where the
+    // one-pass assignment puts it, so the row shares similarity_ivf's
+    // oracle verbatim.
+    "stream_ivf_append" -> ivfHashInitOracle,
     // Round-11 build-half rows (VERDICT item 5): the amortized probe
     // queries above report steady-state cost; these keep the build cost
     // observable under named timers AND hash-verified.

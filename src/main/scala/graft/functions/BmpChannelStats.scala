@@ -103,8 +103,13 @@ object BmpChannelStats {
     val off = le32(bytes, 10)
     val stride = ((w * 3L + 3L) / 4L) * 4L
     // truncated or out-of-range raster: true geometry, null stats.
-    // off + stride·h ≤ n also proves every pixel index fits an int.
-    if (off < 54L || off + stride * h > n) return geomOnly(w.toInt, h.toInt)
+    // Divide instead of multiplying: stride·h for dims near 2³¹ wraps
+    // Long (~1.4e19) and a product-form guard would wave the overflowed
+    // raster through into the pixel loop. stride ≥ 4 here (w ≥ 1), so
+    // the division is safe; h ≤ (n−off)/stride ⟺ stride·h ≤ n−off,
+    // which also proves every pixel index fits an int (n ≤ 2³¹).
+    if (off < 54L || off > n || stride > n - off || h > (n - off) / stride)
+      return geomOnly(w.toInt, h.toInt)
     // file channel order is B,G,R = output channels b,g,r
     val sums = new Array[Long](3)
     val mins = Array(255, 255, 255)

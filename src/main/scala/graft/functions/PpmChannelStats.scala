@@ -23,7 +23,9 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, 
   * else (null payloads included, via the expression's null
   * propagation + the Column layer's coalesce) is `is_ppm = 0` with
   * null fields. Dimensions past 2³¹ keep `is_ppm = 1` with null
-  * geometry and stats.
+  * geometry and stats; a zero-area raster (`0` in either dimension)
+  * keeps its header-true geometry with null stats, like a truncated
+  * payload.
   *
   * Emits per-channel SUM/MIN/MAX over the nearest-neighbor
   * `newW`×`newH` thumbnail (source pixel (⌊x·w/newW⌋, ⌊y·h/newH⌋);
@@ -105,6 +107,9 @@ object PpmChannelStats {
     if (w > Int.MaxValue || h > Int.MaxValue) // header-true but unusable
       return new GenericInternalRow(Array[Any](1, null, null, null, null,
         null, null, null, null, null, null, null))
+    if (w < 1 || h < 1) // zero-area raster: true geometry, null stats
+      return new GenericInternalRow(Array[Any](1, w.toInt, h.toInt, null,
+        null, null, null, null, null, null, null, null))
     // per-channel accumulation; a channel with ANY sampled byte out of
     // range goes all-null (no silent partial aggregate), geometry stays
     val sums = new Array[Long](3)
@@ -120,7 +125,11 @@ object PpmChannelStats {
         var c = 0
         while (c < 3) {
           val idx = base + c
-          if (idx >= n) missing(c) = true
+          // idx < 0 ⇔ (srcY·w + …)·3 wrapped Long for dims near 2³¹
+          // (the wrap is provably negative: the pre-multiply index is
+          // < 2⁶², so ·3 lands in [2⁶³, 1.5·2⁶³) ≡ negative) — same
+          // missing-sample contract as a truncated payload.
+          if (idx < 0 || idx >= n) missing(c) = true
           else {
             val v = bytes(idx.toInt) & 0xff
             sums(c) += v

@@ -1752,22 +1752,85 @@ object Dedup {
     val (tables, bits) = lshKnobs(vecs.count(), minCosine,
       numHashTables, bitsPerTable, targetRecall)
     val banded = embeddingBandKeys(df, embCol, idCol, tables, bits, seed)
-    val candidates = banded.alias("x")
-      .join(banded.alias("y"), col("x.bk") === col("y.bk") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .distinct()
-    candidates
-      .join(vecs.select(col(idCol).as("id_a"), col("e").as("ea")), "id_a")
-      .join(vecs.select(col(idCol).as("id_b"), col("e").as("eb")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        CosineSimilarity(col("ea"), col("eb")).as("cosine"))
+    verifyCosine(vecs, bandedCandidates(banded, idCol), idCol)
       .filter(col("cosine") >= minCosine)
   }
 
   private def cleanVecs(df: DataFrame, embCol: String, idCol: String) =
     df.select(col(idCol), col(embCol).cast("array<double>").as("e"))
       .where(col("e").isNotNull)
+
+  /** Exact-cosine verification of candidate id pairs — the embedding
+    * twin of [[ngramJaccard]]'s role in the minhash family: two
+    * id-equi-joins into the vectors and one codegen'd
+    * [[graft.functions.CosineSimilarity]] per candidate, linear in the
+    * candidate count. */
+  private def verifyCosine(
+      vecs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col("e").as("ea")), "id_a")
+      .join(vecs.select(col(idCol).as("id_b"), col("e").as("eb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        CosineSimilarity(col("ea"), col("eb")).as("cosine"))
+
+  /** The PRODUCTION embedding pair relation — the
+    * [[minhashPairsStarFirst]]/[[simhashVerifiedStarFirst]] recipe on
+    * the cosine side (round 14, closing the star-first discipline
+    * across all three sketch families): per band bucket each row
+    * star-links to the bucket's prefix minimum and predecessor (ONE
+    * sorted window pass — [[minhashStarFromBandKeys]] reused verbatim,
+    * the band-key frames share the `(id, bk)` shape), every link is
+    * verified with EXACT cosine before it can drop anyone, links ≥
+    * `collapseCosine` collapse their id_b, and the banded pair
+    * self-join runs over the replica-free SURVIVORS only — the C(m,2)
+    * bucket expansion cannot occur on replica mass at ANY duplication
+    * rate.
+    *
+    * Output = the verified star links (the relation's replica mass,
+    * linear in banded rows) UNION the verified survivor pairs, both at
+    * `minCosine` — a SUBSET of [[embeddingPairs]]' relation (never a
+    * false pair) whose keep-min DROP SET matches the raw relation's
+    * whenever the star links cover each replica's bucket minimum (the
+    * near-identical-signature property that defines replicas; DedupSpec
+    * pins subset + drop-set equality on a replicated fixture, and
+    * [[embeddingPairs]] stays the un-benched brute-force ground
+    * truth). */
+  def embeddingPairsStarFirst(
+      df: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      minCosine: Double = 0.95,
+      numHashTables: Int = 0,
+      bitsPerTable: Int = 0,
+      targetRecall: Double = 0.9,
+      collapseCosine: Double = 0.99,
+      seed: Long = 42L): DataFrame = {
+    val vecs = cleanVecs(df, embCol, idCol)
+    val (tables, bits) = lshKnobs(vecs.count(), minCosine,
+      numHashTables, bitsPerTable, targetRecall)
+    val banded = embeddingBandKeys(df, embCol, idCol, tables, bits, seed)
+    val starVerified = verifyCosine(vecs,
+      minhashStarFromBandKeys(banded, idCol)
+        .select(col("id_a"), col("id_b")), idCol)
+      .filter(col("cosine") >= minCosine)
+    // LINEAGE CUT at the collapse boundary (the minhashSurvivorCandidates
+    // rationale): the drop frame re-embeds the banded subtree in the
+    // survivor pass; the lazy localCheckpoint compiles it once to a
+    // compact RDD leaf, leaving the banded Exchange reusable across the
+    // survivor self-join's two sides.
+    val drops = starVerified
+      .filter(col("cosine") >= collapseCosine)
+      .select(col("id_b").as(idCol)).distinct()
+      .localCheckpoint(false)
+    val survBanded = banded.join(drops, Seq(idCol), "left_anti")
+    val survPairs = verifyCosine(vecs, bandedCandidates(survBanded, idCol),
+      idCol)
+      .filter(col("cosine") >= minCosine)
+    // a star link between two SURVIVORS (verified below collapseCosine)
+    // also surfaces from the survivor self-join — same exact cosine on
+    // both paths, so distinct() is the union's dedup
+    starVerified.unionByName(survPairs).distinct()
+  }
 
   /** The (band width, table count) auto-derivation shared by
     * [[embeddingPairs]] and [[embeddingIncremental]] — see

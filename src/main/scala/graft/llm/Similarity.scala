@@ -245,7 +245,23 @@ object Similarity {
       embCol: String = "embedding",
       idCol: String = "vec_id"): IvfIndex =
     index.copy(cells = index.cells.unionByName(
-      assignCells(batch, index.centroids, index.nAssign, embCol, idCol)))
+      ivfAssign(index, batch, embCol, idCol)))
+
+  /** The stateless assignment delta inside [[ivfAppend]], exposed for
+    * the STREAMING ingest twin: a narrow codegen'd projection against
+    * the frozen quantizer (broadcast centroids, no shuffle, no join,
+    * no state), so it runs unchanged on a streaming DataFrame —
+    * `stream.transform(df => ivfAssign(index, df))` + an append sink
+    * on the cells table is the continuous form of incremental index
+    * growth. Because assignment is per-row deterministic, cells
+    * streamed in micro-batches equal cells assigned in one batch pass
+    * — the invariant the `stream_ivf_append` oracle row pins. */
+  def ivfAssign(
+      index: IvfIndex,
+      batch: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame =
+    assignCells(batch, index.centroids, index.nAssign, embCol, idCol)
 
   /** Probe a built [[IvfIndex]]: rank the (broadcast) centroids per
     * query with the same codegen'd cosine used for assignment

@@ -252,6 +252,16 @@ object Sources {
       .parquet(dir)
   }
 
+  /** `embeddings` as an unbounded file-stream source (same
+    * landing-dir glob recipe as [[documentsStream]]) — the vector
+    * ingest feed for the streaming IVF append row. */
+  def embeddingsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/embeddings.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(dir)
+  }
+
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")

@@ -45,9 +45,12 @@ final case class BandedShingleRow(doc_id: Long, sh: Seq[String], bk: Long)
 final case class NearDupLink(doc_id: Long, kept_id: Long, jaccard: Double)
 
 /** Per-bucket keeper state for [[StreamOps.nearDedupStream]]: the
-  * smallest doc id seen in the bucket so far, with its shingles —
-  * ONE row of state per occupied band bucket, regardless of corpus
-  * size or duplication rate. */
+  * smallest doc id seen in the bucket so far, with its shingles.
+  * ONE row of state per occupied band bucket — but occupied buckets
+  * grow with the corpus (~`bands` per distinct document), so TOTAL
+  * state is linear in distinct documents seen, like any keep-first
+  * dedup; see [[StreamOps.nearDedupStream]]'s scale contract for the
+  * two ways to bound it. */
 final case class BucketKeeper(id: Long, sh: Seq[String])
 
 /** Structured-Streaming-first transforms. Each function is written
@@ -363,12 +366,31 @@ object StreamOps {
     * Emits verified (doc_id, kept_id, jaccard) links, append mode;
     * survivors = docs minus the distinct link doc_ids.
     *
-    * Scale contract: state is one (id, shingles) row per occupied
-    * bucket — bounded by bucket count, never by corpus size or
-    * duplication rate — and per-row work is ≤ 2 verifications. This
-    * is the continuous form of the nightly incremental dedup: at any
-    * duplication rate the replica mass is attributed in linear time,
-    * with no pair self-join anywhere.
+    * Scale contract: per-row WORK is bounded (≤ 2 verifications, no
+    * pair self-join anywhere — at any duplication rate the replica
+    * mass is attributed in linear time), but per-bucket STATE is not a
+    * corpus-size bound: each distinct document occupies ~`bands` (16)
+    * buckets and its keeper rows carry the full distinct shingle set,
+    * so total state grows linearly with distinct documents seen —
+    * exactly like the exact [[dedupStream]]'s key set, only heavier
+    * per entry. Two ways to run it forever: (a) pass `ttl` to dedup
+    * against a bounded RECENT-HISTORY horizon (the
+    * `dropDuplicatesWithinWatermark` analog): a bucket idle past the
+    * TTL is evicted, and a later near-duplicate of an evicted keeper
+    * re-emits as a NEW keeper — not a drop (eviction semantics pinned
+    * in StreamingSpec). With a TTL, run the query under a real
+    * `Trigger.ProcessingTime` interval: processing-time timeouts make
+    * the engine re-batch continuously to check expiry, and the default
+    * 0ms trigger busy-loops empty micro-batches (thousands of state
+    * versions per minute, enough to wedge checkpoint maintenance).
+    * Those perpetual timeout-check batches also mean `noNewData` never
+    * latches, so `processAllAvailable()` never returns on a TTL'd
+    * query — await committed source offsets or use
+    * `Trigger.AvailableNow` + `awaitTermination` instead;
+    * (b) for full-corpus history, run the RocksDB
+    * state store provider so state lives off-heap on disk — the same
+    * production contract [[mergeStream]] documents for its snapshot
+    * state.
     *
     * Semantics: KEEP-FIRST by arrival, keep-min within a batch (the
     * group iterator is sorted by id). Run under Trigger.AvailableNow
@@ -381,7 +403,8 @@ object StreamOps {
     * every streaming dedup has ([[dedupStream]]'s exact analog). */
   def nearDedupStream(
       banded: Dataset[BandedShingleRow],
-      minJaccard: Double = 0.95): Dataset[NearDupLink] = {
+      minJaccard: Double = 0.95,
+      ttl: Option[String] = None): Dataset[NearDupLink] = {
     import banded.sparkSession.implicits._
     def jac(a: Seq[String], b: Seq[String]): Double = {
       val bs = b.toSet
@@ -390,31 +413,45 @@ object StreamOps {
       val uni = a.size + b.size - inter
       if (uni == 0) 0.0 else inter.toDouble / uni
     }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     banded.groupByKey(_.bk)
       .flatMapGroupsWithState[BucketKeeper, NearDupLink](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, timeoutConf) {
         case (_, it: Iterator[BandedShingleRow],
             state: GroupState[BucketKeeper]) =>
-          val sorted = it.toArray.sortBy(_.doc_id)
-          val out = scala.collection.mutable.ArrayBuffer.empty[NearDupLink]
-          var keeper = state.getOption
-          var prev: Option[BandedShingleRow] = None
-          sorted.foreach { d =>
-            val candidates =
-              (keeper.map(k => (k.id, k.sh)).toSeq ++
-                prev.map(p => (p.doc_id, p.sh)).toSeq)
-                .filter(_._1 < d.doc_id)
-                .distinctBy(_._1)
-            candidates.foreach { case (cid, csh) =>
-              val j = jac(d.sh, csh)
-              if (j >= minJaccard) out += NearDupLink(d.doc_id, cid, j)
+          if (state.hasTimedOut) {
+            // bucket idle past the TTL horizon: evict the keeper. A
+            // later near-dup of it re-enters as a fresh keeper.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.doc_id)
+            val out = scala.collection.mutable.ArrayBuffer.empty[NearDupLink]
+            var keeper = state.getOption
+            var prev: Option[BandedShingleRow] = None
+            sorted.foreach { d =>
+              val candidates =
+                (keeper.map(k => (k.id, k.sh)).toSeq ++
+                  prev.map(p => (p.doc_id, p.sh)).toSeq)
+                  .filter(_._1 < d.doc_id)
+                  .distinctBy(_._1)
+              candidates.foreach { case (cid, csh) =>
+                val j = jac(d.sh, csh)
+                if (j >= minJaccard) out += NearDupLink(d.doc_id, cid, j)
+              }
+              if (keeper.forall(_.id > d.doc_id))
+                keeper = Some(BucketKeeper(d.doc_id, d.sh))
+              prev = Some(d)
             }
-            if (keeper.forall(_.id > d.doc_id))
-              keeper = Some(BucketKeeper(d.doc_id, d.sh))
-            prev = Some(d)
+            keeper.foreach { k =>
+              state.update(k)
+              // any batch touching the bucket renews its horizon
+              ttl.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
           }
-          keeper.foreach(state.update)
-          out.iterator
       }
   }
 

@@ -337,7 +337,7 @@ class PlanAuditSpec extends SparkSpec {
       // plain parquet read of the sink — no join to audit) ...
       "stream_window_counts", "stream_dedup_keys",
       "stream_merge_snapshot", "stream_sessionize", "stream_attribution",
-      "stream_dedup_near",
+      "stream_dedup_near", "stream_ivf_append",
       // ... or a full artifact build / evaluator job / Lloyd draw at
       // construction; their (join-free or elsewhere-asserted) shapes
       // gain nothing from re-execution here

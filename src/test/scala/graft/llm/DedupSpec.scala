@@ -457,6 +457,59 @@ class DedupSpec extends SparkSpec {
       col("id_a") === 0L && col("id_b") === 90000L).count() == 1)
   }
 
+  test("embeddingPairsStarFirst: subset of the raw pair relation, " +
+      "keep-min drop set identical on a 5x-replicated corpus, and the " +
+      "planted-pair registration shape is exact (r14)") {
+    val s = spark
+    import s.implicits._
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      .filter(col("vec_id") < 30)
+    // 5×-replicated high-duplication fixture (the sf1 rehearsal shape):
+    // replica k nudges the first coordinate by k·1e-4 — within-group
+    // cosine ~1.0, cross-group cosine stays at the natural ≤ 0.51
+    val replicated = (0 until 5).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("vec_id") + lit(k * 1000000L)).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(k * 1e-4)).otherwise(x))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+    // explicit knobs: auto-derivation counts rows per call and the two
+    // paths must band identically
+    val starFirst = Dedup.embeddingPairsStarFirst(replicated,
+        minCosine = 0.95, numHashTables = 4, bitsPerTable = 12,
+        collapseCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val raw = Dedup.embeddingPairs(replicated,
+        minCosine = 0.95, numHashTables = 4, bitsPerTable = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // never a false pair
+    assert((starFirst -- raw).isEmpty,
+      s"star-first emitted pairs outside the raw relation: ${starFirst -- raw}")
+    // keep-min drop sets identical: every non-min replica is attributed
+    val dropsOf = (ps: Set[(Long, Long)]) => ps.map(_._2)
+    assert(dropsOf(starFirst) == dropsOf(raw),
+      s"drop sets diverge: star-only=${dropsOf(starFirst) -- dropsOf(raw)} " +
+        s"raw-only=${dropsOf(raw) -- dropsOf(starFirst)}")
+    assert(raw.nonEmpty, "fixture degenerate: no replica pairs at all")
+    // the dedup_embedding_pairs registration shape (minCosine ==
+    // collapseCosine == 0.99, one planted near-copy) returns exactly
+    // the raw relation on the planted fixture
+    val v = base.filter(col("vec_id") === 0L)
+      .head().getSeq[Double](1).toArray
+    val nearCopy = v.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + 1e-4 else x }
+    val planted = base.unionByName(
+      Seq((90000L, nearCopy.toSeq)).toDF("vec_id", "embedding"))
+    val sf = Dedup.embeddingPairsStarFirst(planted, minCosine = 0.99,
+        collapseCosine = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sf == Set((0L, 90000L)), s"got $sf")
+  }
+
   test("lineDedup: keep-first semantics — cross-doc, within-doc, blanks, " +
       "all-repeat docs") {
     val s = spark

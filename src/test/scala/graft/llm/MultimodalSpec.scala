@@ -175,6 +175,28 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan.take(400))
   }
 
+  test("bmpChannelStats: a crafted 2³¹-dim header cannot overflow the " +
+      "raster guard into the pixel loop (r14 advice)") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    // w = h = Int.MaxValue passes the per-dimension checks; stride·h
+    // ≈ 1.38e19 wraps Long negative, so a product-form guard would
+    // admit the raster and the loop would index garbage. The
+    // division-form guard must return header-true geometry, null stats.
+    val dim = Int.MaxValue.toLong
+    val evil = (Seq('B'.toByte, 'M'.toByte) ++ le(1024, 4) ++ le(0, 4) ++
+      le(54, 4) ++ le(40, 4) ++ le(dim, 4) ++ le(dim, 4) ++ le(1, 2) ++
+      le(24, 2) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++ le(0, 4) ++
+      le(0, 4) ++ le(0, 4) ++ Seq.fill(970)(7.toByte)).toArray
+    val r = Multimodal.bmpChannelStats(
+      Seq((1L, evil)).toDF("doc_id", "payload"), "payload").head()
+    assert(r.getInt(1) == 1 && r.getInt(2) == Int.MaxValue &&
+      r.getInt(3) == Int.MaxValue)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(7) && r.isNullAt(10))
+  }
+
   test("wavSampleStats: real PCM chunk walk — LE fmt fields behind a " +
       "junk chunk, signed int16 samples, channel interleave; non-WAV " +
       "and truncated data null, never wrong (r13)") {
@@ -275,5 +297,25 @@ class MultimodalSpec extends SparkSpec {
       rows(1).isNullAt(4))
     assert(rows(2).getInt(1) == 1 && rows(2).getInt(2) == 2 &&
       rows(2).isNullAt(4) && rows(2).isNullAt(5) && rows(2).isNullAt(6))
+    // crafted near-2³¹ dims: (srcY·w + …)·3 wraps Long negative for the
+    // deep thumbnail rows — overflowed indices are missing samples
+    // (all-null channels, header-true geometry), never an AIOOBE
+    val big = 2147483646L
+    val evil = Seq((8L,
+      (s"P6\n$big $big\n255\n".getBytes("US-ASCII") ++
+        Seq.fill(64)(7.toByte)).toArray)).toDF("doc_id", "payload")
+    val er = Multimodal.ppmChannelStats(evil, "payload",
+      newW = 1, newH = 4).head()
+    assert(er.getInt(1) == 1 && er.getInt(2) == big.toInt &&
+      er.getInt(3) == big.toInt)
+    assert(er.isNullAt(4) && er.isNullAt(7) && er.isNullAt(10))
+    // zero-area raster: header-true geometry, null stats — the bytes
+    // after the header are payload junk, not pixels to aggregate
+    val zero = Seq((9L,
+      ("P6\n0 0\n255\n".getBytes("US-ASCII") ++
+        Seq.fill(16)(5.toByte)).toArray)).toDF("doc_id", "payload")
+    val zr = Multimodal.ppmChannelStats(zero, "payload").head()
+    assert(zr.getInt(1) == 1 && zr.getInt(2) == 0 && zr.getInt(3) == 0)
+    assert(zr.isNullAt(4) && zr.isNullAt(7) && zr.isNullAt(10))
   }
 }

@@ -309,6 +309,72 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("nearDedupStream: TTL horizon evicts idle bucket keepers — a late " +
+      "near-dup of an evicted keeper re-emits as a NEW keeper, not a " +
+      "drop (r14)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa"
+    val stream = MemoryStream[(Long, String)]
+    val banded = graft.llm.Dedup.minhashBandedShingles(
+        stream.toDS.toDF("doc_id", "text"))
+      .as[BandedShingleRow]
+    // Two ProcessingTimeTimeout facts shape this test (both learned
+    // the hard way when it first ran with a 1ms TTL + default trigger):
+    // (1) the engine re-batches at EVERY trigger to check expiry, so
+    // the default 0ms trigger busy-loops thousands of empty
+    // micro-batches (enough to wedge checkpoint maintenance) — a real
+    // trigger interval is load-bearing; (2) those timeout-check
+    // batches mean `shouldRunAnotherBatch` is always true, `noNewData`
+    // never latches, and processAllAvailable() NEVER RETURNS — so the
+    // test awaits committed source offsets instead.
+    val q = StreamOps.nearDedupStream(banded, minJaccard = 0.9,
+      ttl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("neardup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    def awaitOffset(target: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline &&
+          !Option(q.lastProgress).exists(p =>
+            p.sources.headOption.exists(s =>
+              Option(s.endOffset).contains(target))))
+        Thread.sleep(100)
+      assert(Option(q.lastProgress).exists(p =>
+          p.sources.headOption.exists(s =>
+            Option(s.endOffset).contains(target))),
+        s"timed out awaiting source offset $target; " +
+          s"lastProgress=${Option(q.lastProgress).map(_.json)}")
+    }
+    try {
+      // batch 1: doc 50 becomes keeper of t's buckets
+      awaitOffset(stream.addData((50L, t)).json)
+      // let the 2s horizon lapse; the paced timeout-check batches fire
+      // the processing-time timeouts and evict t's idle bucket keepers
+      Thread.sleep(3500)
+      // one batch with doc 60 (identical to evicted 50) and doc 70:
+      // 60 finds NO keeper — it re-enters as a fresh keeper, not a drop
+      // — and 70 links to the NEW keeper 60 within the same batch
+      awaitOffset(stream.addData((60L, t), (70L, t)).json)
+      val links = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!links.exists(_._1 == 60L),
+        s"evicted keeper still dropping: $links")
+      assert(links.exists(p => p._1 == 70L && p._2 == 60L), s"got $links")
+      assert(!links.exists(_._2 == 50L), s"evicted keeper cited: $links")
+      // inside the renewed horizon, the persisted keeper IS 60: doc 80
+      // (next batch, no prev-candidate) links to it through state
+      awaitOffset(stream.addData((80L, t)).json)
+      val links2 = spark.table("neardup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links2.exists(p => p._1 == 80L && p._2 == 60L), s"got $links2")
+    } finally q.stop()
+  }
+
   test("curateStream: streaming curation matches batch Curate in arrival=id order") {
     val s = spark
     import s.implicits._
