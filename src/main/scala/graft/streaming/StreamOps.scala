@@ -390,7 +390,9 @@ object StreamOps {
     * (b) for full-corpus history, run the RocksDB
     * state store provider so state lives off-heap on disk — the same
     * production contract [[mergeStream]] documents for its snapshot
-    * state.
+    * state; StreamingSpec runs this keeper machine under the RocksDB
+    * provider (drop-set equality + a cross-batch state reload), so the
+    * at-scale path is tested, not just named.
     *
     * Semantics: KEEP-FIRST by arrival, keep-min within a batch (the
     * group iterator is sorted by id). Run under Trigger.AvailableNow

@@ -375,6 +375,76 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupStream under the RocksDB state store provider: the " +
+      "documented at-scale provider runs the same keeper machine — " +
+      "single-batch drops equal brute-force keep-min, and the " +
+      "cross-batch keeper survives a RocksDB state round-trip (r14)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // nearDedupStream's scale contract names RocksDB as the
+    // full-corpus-history path (StreamOps.scala) — this is the test
+    // that keeps that sentence true: same fixture and assertions as
+    // the in-memory-provider run, BucketKeeper state (case class with
+    // a Seq[String] shingle set) serialized through RocksDB instead of
+    // the HDFS-backed in-memory map, including a cross-batch reload.
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val base = (0L until 10L).map(i =>
+        (i, s"alpha bravo charlie delta echo foxtrot golf hotel doc$i " +
+          "india juliet kilo lima mike november oscar papa"))
+      val replicated = base ++ base.flatMap { case (i, t) =>
+        Seq((i + 100L, s"$t r1"), (i + 200L, s"$t r2")) }
+      val docs = replicated.toDF("doc_id", "text")
+      val rawDrops = graft.llm.Dedup
+        .ngramJaccard(docs,
+          docs.alias("a").join(docs.alias("b"),
+              col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")))
+        .filter(col("jaccard") >= 0.9)
+        .select("id_b").distinct().collect().map(_.getLong(0)).toSet
+      val stream = MemoryStream[(Long, String)]
+      val banded = graft.llm.Dedup.minhashBandedShingles(
+          stream.toDS.toDF("doc_id", "text"))
+        .as[BandedShingleRow]
+      val q = StreamOps.nearDedupStream(banded, minJaccard = 0.9)
+        .writeStream.format("memory").queryName("neardup_rocks")
+        .outputMode("append").start()
+      try {
+        stream.addData(replicated: _*)
+        q.processAllAvailable()
+        // self-evidencing: the state operator must REPORT RocksDB
+        // custom metrics — a silently-ignored provider conf would
+        // still pass the semantic assertions below (both providers
+        // run the same keeper machine), which is exactly why the
+        // engagement itself is asserted
+        assert(Option(q.lastProgress).exists(
+            _.json.toLowerCase.contains("rocksdb")),
+          s"RocksDB provider not engaged: " +
+            s"${Option(q.lastProgress).map(_.json)}")
+        val links = spark.table("neardup_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(links.map(_._1) == rawDrops,
+          s"drop set diverges under RocksDB: ${links.map(_._1)} vs $rawDrops")
+        // batch 2 exercises the RocksDB round-trip: a replica of a
+        // batch-1 keeper must drop against state RELOADED from RocksDB
+        stream.addData((500L, s"${base.head._2} r3"))
+        q.processAllAvailable()
+        val links2 = spark.table("neardup_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(links2.contains((500L, 0L)),
+          s"keeper lost across RocksDB reload: $links2")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(providerKey, p)
+      case None    => spark.conf.unset(providerKey)
+    }
+  }
+
   test("curateStream: streaming curation matches batch Curate in arrival=id order") {
     val s = spark
     import s.implicits._
