@@ -1312,6 +1312,28 @@ object SparkEntry {
           sum(col("neighbor_id")).as("id_sum"),
           sum(aggregate(col("codes"), lit(0L),
             (acc, x) => acc + x.cast("long"))).as("code_sum"))),
+    // The IVFPQ counterpart of similarity_ivf_recall (round 14): IVF's
+    // recall row quantifies what cell PRUNING loses; this one adds the
+    // ADC QUANTIZATION loss on top — approximate scores from 4-dim
+    // subvector codes can reorder true neighbors out of the top-10
+    // even when probing surfaces them, so this recall is the stricter
+    // end-to-end quality number for the compressed-corpus scan. Same
+    // deterministic hash-init legs, so the number is hash-exact.
+    "similarity_ivfpq_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val qs = emb.filter(col("vec_id") < 10)
+      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
+        .select("query_id", "neighbor_id")
+      val approx = Similarity.ivfPqProbe(cachedIvfPqHashInit(s, dir), qs,
+          k = 10, nProbe = 8, roundAt = 6)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_truth"),
+          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
+          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
+            .as("recall"))
+    }),
 
     // ---------------------------------------- §7 LLM-pipeline: multimodal
     "multimodal_profile" -> ((s, dir) =>
@@ -2608,6 +2630,88 @@ object SparkEntry {
       |  CAST(SUM(vec_id) AS BIGINT) AS id_sum,
       |  CAST(SUM(row_code_sum) AS BIGINT) AS code_sum
       |FROM percell GROUP BY 1""".stripMargin
+
+  /** The hash-init IVFPQ probe chain up to `scored` (query_id,
+    * neighbor_id, 6dp ADC pq_score over probed candidates) — shared by
+    * the `similarity_ivfpq` oracle (which ranks it) and the round-14
+    * recall oracle (which compares its ranking against the exact
+    * top-k): cell-pruned candidates (top-8 probe cells), per-subvector
+    * code assignment, and the ADC dot rebuilt from the codebook. */
+  private val ivfPqProbeScoredCtesSql: String =
+    """), probecells AS (
+      |  SELECT vec_id AS query_id, cell FROM rowcos
+      |  WHERE vec_id < 10
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) <= 8
+      |), dists AS (
+      |  SELECT v.vec_id, cb.c, v.i // 4 AS j,
+      |    SUM((v.x - cb.v) * (v.x - cb.v)) AS d2
+      |  FROM vals v JOIN cbv cb USING (i)
+      |  GROUP BY 1, 2, 3
+      |), codes AS (
+      |  SELECT vec_id, j, c FROM dists
+      |  QUALIFY row_number() OVER (
+      |    PARTITION BY vec_id, j ORDER BY d2, c) = 1
+      |), qdots AS (
+      |  SELECT q.vec_id AS query_id, cb.c, q.i // 4 AS j,
+      |    SUM(q.x * cb.v) AS dot
+      |  FROM vals q JOIN cbv cb USING (i)
+      |  WHERE q.vec_id < 10
+      |  GROUP BY 1, 2, 3
+      |), adc AS (
+      |  SELECT qd.query_id, cd.vec_id AS neighbor_id, SUM(qd.dot) AS adc_dot
+      |  FROM codes cd
+      |  JOIN qdots qd ON qd.j = cd.j AND qd.c = cd.c
+      |  JOIN assign a ON a.vec_id = cd.vec_id
+      |  JOIN probecells p ON p.query_id = qd.query_id AND p.cell = a.cell
+      |  WHERE cd.vec_id <> qd.query_id
+      |  GROUP BY 1, 2
+      |), scored AS (
+      |  SELECT a.query_id, a.neighbor_id,
+      |    ROUND(CASE WHEN nn.nrm > 0 AND qn.nrm > 0
+      |      THEN a.adc_dot / (nn.nrm * qn.nrm) ELSE -1 END, 6) AS pq_score
+      |  FROM adc a
+      |  JOIN norms nn ON nn.vec_id = a.neighbor_id
+      |  JOIN norms qn ON qn.vec_id = a.query_id
+      |)""".stripMargin
+
+  /** Round-14: recall@10 of the hash-init IVFPQ probe against the
+    * exact cosine top-k, re-derived entirely in SQL — the quantization
+    * loss of the two-level (cell-pruned + ADC-scored) scan becomes a
+    * gated number. Truth CTEs identical to [[ivfRecallOracle]]'s. */
+  private val ivfPqRecallOracle: String =
+    ivfPqAssignCtesSql + ivfPqProbeScoredCtesSql +
+      """, approx AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
+      |    FROM scored
+      |  ) WHERE rnk <= 10
+      |), tq AS (
+      |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+      |  FROM embeddings WHERE vec_id < 10
+      |), tscored AS (
+      |  SELECT tq.query_id, c.vec_id AS neighbor_id,
+      |    ROUND(list_cosine_similarity(tq.q_emb,
+      |      CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+      |  FROM tq CROSS JOIN embeddings c
+      |  WHERE c.vec_id <> tq.query_id
+      |), truth AS (
+      |  SELECT query_id, neighbor_id FROM (
+      |    SELECT *, row_number() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+      |    FROM tscored
+      |  ) WHERE rn <= 10
+      |)
+      |SELECT t.query_id, COUNT(*) AS n_truth,
+      |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_hit,
+      |  ROUND(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+      |    / COUNT(*), 6) AS recall
+      |FROM truth t
+      |LEFT JOIN approx a
+      |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+      |GROUP BY 1""".stripMargin
 
   // ---- round-11 frozen-scoring oracles: the SQL is string-interpolated
   // from the SAME Scala constants the registered queries evaluate
@@ -4185,49 +4289,15 @@ object SparkEntry {
     // similarity_pq ADC machinery restricted to probed cells. Both
     // cosine legs divide by the recomputed centroid norm (≈1 after
     // normalization) exactly as CosineSimilarity does.
-    "similarity_ivfpq" -> (ivfPqAssignCtesSql +
-      """), probecells AS (
-        |  SELECT vec_id AS query_id, cell FROM rowcos
-        |  WHERE vec_id < 10
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY vec_id ORDER BY cos DESC, cell DESC) <= 8
-        |), dists AS (
-        |  SELECT v.vec_id, cb.c, v.i // 4 AS j,
-        |    SUM((v.x - cb.v) * (v.x - cb.v)) AS d2
-        |  FROM vals v JOIN cbv cb USING (i)
-        |  GROUP BY 1, 2, 3
-        |), codes AS (
-        |  SELECT vec_id, j, c FROM dists
-        |  QUALIFY row_number() OVER (
-        |    PARTITION BY vec_id, j ORDER BY d2, c) = 1
-        |), qdots AS (
-        |  SELECT q.vec_id AS query_id, cb.c, q.i // 4 AS j,
-        |    SUM(q.x * cb.v) AS dot
-        |  FROM vals q JOIN cbv cb USING (i)
-        |  WHERE q.vec_id < 10
-        |  GROUP BY 1, 2, 3
-        |), adc AS (
-        |  SELECT qd.query_id, cd.vec_id AS neighbor_id, SUM(qd.dot) AS adc_dot
-        |  FROM codes cd
-        |  JOIN qdots qd ON qd.j = cd.j AND qd.c = cd.c
-        |  JOIN assign a ON a.vec_id = cd.vec_id
-        |  JOIN probecells p ON p.query_id = qd.query_id AND p.cell = a.cell
-        |  WHERE cd.vec_id <> qd.query_id
-        |  GROUP BY 1, 2
-        |), scored AS (
-        |  SELECT a.query_id, a.neighbor_id,
-        |    ROUND(CASE WHEN nn.nrm > 0 AND qn.nrm > 0
-        |      THEN a.adc_dot / (nn.nrm * qn.nrm) ELSE -1 END, 6) AS pq_score
-        |  FROM adc a
-        |  JOIN norms nn ON nn.vec_id = a.neighbor_id
-        |  JOIN norms qn ON qn.vec_id = a.query_id
-        |)
+    "similarity_ivfpq" -> (ivfPqAssignCtesSql + ivfPqProbeScoredCtesSql +
+      """
         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, pq_score
         |FROM (
         |  SELECT *, row_number() OVER (
         |    PARTITION BY query_id ORDER BY pq_score DESC, neighbor_id) AS rnk
         |  FROM scored
         |) WHERE rnk <= 10""".stripMargin),
+    "similarity_ivfpq_recall" -> ivfPqRecallOracle,
 
     // Hash-init IVF-Flat re-derived in SQL: unit-normalized hash-drawn
     // centroids, cosine argmax assignment (largest-cell ties), top-4
