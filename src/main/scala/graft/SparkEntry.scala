@@ -1694,6 +1694,23 @@ object SparkEntry {
             tsCol = "ts", watermark = "30 days")
           .select("user_id", "event_type"),
         outputMode = "append", sinkWriteMode = "append")(identity)),
+    // Streaming sketch row (round 14): Misra-Gries AS the streaming
+    // aggregation state — live top-bigrams over the document stream,
+    // state ≤ capacity counters FOREVER (the algebraically-bounded
+    // contrast to keep-first dedup's distinct-keys state; no TTL or
+    // RocksDB contract needed). Exact regime at this SF (maxError 0,
+    // merge-order-independent), so the COMPLETE-mode final sketch
+    // shares the batch row's DuckDB oracle verbatim; StreamingSpec
+    // adds the forced multi-batch MemoryStream equality.
+    "stream_heavy_hitters" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.heavyHittersStream(Sources.documentsStream(s, dir),
+          graft.functions.FrequentItems.DefaultCapacity),
+        outputMode = "complete", sinkWriteMode = "overwrite")(
+        _.select(explode(col("sk.counts")).as(Seq("gram", "cnt")),
+          col("sk.maxError").as("max_error"))
+          .orderBy(col("cnt").desc, col("gram"))
+          .limit(50))),
     // Third streaming oracle row (round 11): the CDC merge snapshot,
     // continuously maintained by mergeStream's keyed
     // flatMapGroupsWithState — events read as a change stream
@@ -2023,6 +2040,40 @@ object SparkEntry {
     // for the at-scale shape (EventsSpec pins its error bound).
     "events_cardinality" -> ((s, dir) =>
       Events.cardinality(events(s, dir))),
+
+    // Persisted mergeable HLL distinct-count artifact end-to-end
+    // (round 14, the FrequentItems persisted-sketch workflow for
+    // cardinality): events split by event_id parity, the "history"
+    // half sketched per event_type (DataSketches hll_sketch_agg) and
+    // ROUND-TRIPPED through a parquet artifact, the "new batch" half
+    // sketched fresh, both merged by hll_union_agg — and the merged
+    // estimate GATED against the exact distinct over the whole corpus
+    // (|est−exact| ≤ 3 %·exact, ~4σ at lgK=14; these slice sizes sit
+    // in HLL's exact sparse mode). n_events rides the artifact and
+    // must be EXACT. The estimate has no SQL twin (DataSketches), so
+    // the driver-visible row is the gate plus the exactly-checkable
+    // volume — the similarity_ivf_recall gated-number pattern.
+    "events_cardinality_sketch" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_hll")
+      try {
+        val ev = events(s, dir)
+        val hist = Events.cardinalitySketch(
+          ev.filter(col("event_id") % 2 === 0))
+        hist.write.mode("overwrite").parquet(s"$tmp/sk")
+        val reloaded = s.read.parquet(s"$tmp/sk")
+        val fresh = Events.cardinalitySketch(
+          ev.filter(col("event_id") % 2 === 1))
+        val est = Events.cardinalityEstimate(
+          Events.cardinalityMerge(reloaded.unionByName(fresh)))
+        val exact = ev.groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        est.join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_events"), col("n_exact"),
+            (abs(col("n_users_est") - col("n_exact")) <=
+              col("n_exact") * lit(0.03)).as("within_tol"))
+          .localCheckpoint(true) // cut lineage into tmp pre-delete
+      } finally deleteRecursively(tmp.toFile)
+    }),
 
     // Corpus-shape profiling: per-source token-length quantiles. Exact
     // sort-based percentile matches DuckDB quantile_cont bit-exactly
@@ -5213,6 +5264,15 @@ object SparkEntry {
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // The sketch row's oracle restates only the EXACT legs (volume,
+    // distinct) and pins within_tol TRUE — a DataSketches estimate
+    // outside the 3 % gate hash-mismatches the boolean column.
+    "events_cardinality_sketch" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS within_tol
+        |FROM events GROUP BY 1""".stripMargin,
+
     "text_length_quantiles" ->
       """WITH n AS (
         |  SELECT source,
@@ -5738,6 +5798,11 @@ object SparkEntry {
     "text_heavy_hitters_incremental" -> heavyHittersOracle,
 
     "text_heavy_hitters_sketch" -> heavyHittersOracle,
+
+    // The streaming MG aggregate's final COMPLETE-mode sketch equals
+    // the batch sketch (exact regime ⇒ merge-order-independent), so it
+    // shares the same exact-GROUP-BY oracle.
+    "stream_heavy_hitters" -> heavyHittersOracle,
 
     // Planted-orphan referential check (literal twin of the in-flight
     // +900M re-keying).

@@ -109,6 +109,46 @@ object StreamOps {
         col("event_type"), col("n_events"), col("n_users"))
   }
 
+  /** Streaming heavy hitters: the Misra–Gries sketch
+    * ([[graft.functions.MisraGries]]) AS the streaming aggregation
+    * state — live "top n-grams right now" over a document stream.
+    *
+    * The streaming engine maintains the aggregation buffer (one
+    * `MgState`) in the state store and folds each micro-batch's
+    * map-side partial sketch into it via the Aggregator's own
+    * `merge` — exactly the mergeable-summaries algebra the persisted
+    * batch workflow (`FrequentItems.merge`) runs, applied
+    * incrementally. Unlike keep-first dedup (state ∝ distinct keys
+    * seen, the [[nearDedupStream]] caveat), this state is GENUINELY
+    * bounded on an unbounded stream: ≤ `capacity` counters total,
+    * forever, with the classical retention/error bounds intact at any
+    * stream length. That contrast is the point of the row: the sketch
+    * family is the one whose streaming state needs no TTL, no RocksDB
+    * escape hatch, no watermark — the bound is algebraic.
+    *
+    * In the exact regime (capacity ≥ distinct grams, `maxError` 0) the
+    * final state is merge-order-independent, so the stream shares the
+    * batch row's DuckDB oracle verbatim under any micro-batch split —
+    * StreamingSpec drives a forced multi-batch MemoryStream against
+    * the one-shot batch sketch. Complete output mode: each batch emits
+    * the full current sketch row; the sink keeps the last.
+    *
+    * Input: a streaming `documents`-shaped frame; gram derivation is
+    * the batch row's (word bigrams, codegen'd [[graft.functions.WordNgrams]]). */
+  def heavyHittersStream(
+      docs: DataFrame,
+      capacity: Int,
+      n: Int = 2): DataFrame = {
+    val mg = udaf(new graft.functions.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    docs
+      .select(explode(
+        graft.functions.WordNgrams(col("text"), n,
+          strictFallback = false)).as("gram"))
+      .filter(size(split(col("gram"), " ")) === n)
+      .agg(mg(col("gram")).as("sk"))
+  }
+
   /** Live retention: an event STREAM joined against a STATIC cohort
     * table (user_id → cohort_ts, e.g. the landed output of
     * `operators.Events.retention`'s cohort stage), counting distinct

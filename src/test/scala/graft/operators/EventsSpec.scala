@@ -335,4 +335,58 @@ class EventsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(out.toSet == Set(1L))
   }
+
+  test("cardinalitySketch: split-sketch-merge == one-shot, parquet " +
+      "round-trip preserves the estimate, gate holds vs exact") {
+    val s = spark
+    import s.implicits._
+    // 2 types × overlapping user ranges; enough users that a broken
+    // merge (double-count / drop) moves the estimate past the gate
+    val df = (0L until 5000L).map { i =>
+      (i, if (i % 3 == 0) "click" else "view", i % 1200L)
+    }.toDF("event_id", "event_type", "user_id")
+    val oneShot = Events.cardinalityEstimate(Events.cardinalitySketch(df))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val tmp = java.nio.file.Files.createTempDirectory("graft_hll_spec")
+    try {
+      val hist = Events.cardinalitySketch(df.filter($"event_id" % 2 === 0))
+      hist.write.mode("overwrite").parquet(s"$tmp/sk")
+      val merged = Events.cardinalityEstimate(Events.cardinalityMerge(
+        s.read.parquet(s"$tmp/sk").unionByName(
+          Events.cardinalitySketch(df.filter($"event_id" % 2 === 1)))))
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      // merge over a parquet round-trip reproduces the one-shot sketch
+      // exactly (same input union → same HLL registers → same estimate)
+      assert(merged == oneShot, s"merged=$merged oneShot=$oneShot")
+      val exact = df.groupBy("event_type")
+        .agg(countDistinct($"user_id").as("n")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      for ((t, (nEv, est)) <- merged) {
+        assert(math.abs(est - exact(t)).toDouble <= 0.03 * exact(t),
+          s"$t: est $est vs exact ${exact(t)}")
+      }
+      assert(merged.values.map(_._1).sum == 5000L) // volume leg exact
+    } finally {
+      def del(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(del))
+        f.delete(); ()
+      }
+      del(tmp.toFile)
+    }
+  }
+
+  test("cardinalitySketch: sketch rows are KB-scale artifacts (state " +
+      "bounded by lgK, not user count)") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 20000L).map(i => (i, "view", i))
+      .toDF("event_id", "event_type", "user_id")
+    val row = Events.cardinalitySketch(df, lgK = 12).collect().head
+    val bytes = row.getAs[Array[Byte]]("sk")
+    // lgK=12 → ≤ 4096 registers (+header); 20k distinct users must not
+    // inflate the artifact past the register ceiling
+    assert(bytes.length <= 4096 + 64, s"sketch ${bytes.length} bytes")
+  }
 }

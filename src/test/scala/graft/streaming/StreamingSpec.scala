@@ -133,6 +133,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("heavyHittersStream: forced multi-batch final sketch == one-shot " +
+      "batch sketch (exact regime, merge-order-independent)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docsA = Seq((1L, "alpha beta gamma alpha beta"),
+      (2L, "beta gamma delta"))
+    val docsB = Seq((3L, "alpha beta alpha beta"),
+      (4L, "gamma delta epsilon zeta"))
+    def sketchRows(df: DataFrame) = df
+      .select(explode(col("sk.counts")).as(Seq("gram", "cnt")),
+        col("sk.maxError").as("me"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = sketchRows(StreamOps.heavyHittersStream(
+      (docsA ++ docsB).toDF("doc_id", "text"), capacity = 64))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.heavyHittersStream(
+        stream.toDF.toDF("doc_id", "text"), capacity = 64)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("complete").start()
+    try {
+      stream.addData(docsA: _*); q.processAllAvailable()
+      stream.addData(docsB: _*); q.processAllAvailable()
+      val streamed = sketchRows(spark.table("hh"))
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.forall(_._3 == 0L))
+    } finally q.stop()
+  }
+
+  test("heavyHittersStream: over-capacity stream keeps <= capacity " +
+      "counters (algebraically bounded state), planted heavy item " +
+      "retained with the MG bound") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // 40 singleton bigrams + one bigram planted 60x: N=100, capacity 8
+    // => frequency floor N/(cap+1) ~ 11.1; the planted item MUST survive
+    val tail = (1 to 40).map(i => (100L + i, s"u$i v$i"))
+    val hot = (1 to 60).map(i => (200L + i, "hot item"))
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.heavyHittersStream(
+        stream.toDF.toDF("doc_id", "text"), capacity = 8)
+      .writeStream.format("memory").queryName("hh_over")
+      .outputMode("complete").start()
+    try {
+      stream.addData(tail ++ hot.take(30): _*); q.processAllAvailable()
+      stream.addData(hot.drop(30): _*); q.processAllAvailable()
+      val row = spark.table("hh_over")
+        .select(col("sk.counts"), col("sk.maxError")).collect().head
+      val counts = row.getMap[String, Long](0)
+      val maxError = row.getLong(1)
+      assert(counts.size <= 8, s"state ${counts.size} counters")
+      assert(counts.contains("hot item"))
+      val c = counts("hot item")
+      assert(c <= 60L && c + maxError >= 60L,
+        s"count $c + maxError $maxError vs true 60")
+    } finally q.stop()
+  }
+
   test("retentionStream: stream-static cohort join matches batch retention") {
     val s = spark
     import s.implicits._
