@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.features._
 import graft.llm._
-import graft.operators.{Events, Profile, RangeJoin, Relational, Skew}
+import graft.operators.{Events, Profile, RangeJoin, Relational, Sketches, Skew}
 import graft.sources.Sources
 import graft.streaming.StreamOps
 
@@ -1711,6 +1711,21 @@ object SparkEntry {
           col("sk.maxError").as("max_error"))
           .orderBy(col("cnt").desc, col("gram"))
           .limit(50))),
+    // Streaming KMV distinct-count (round 14): the bottom-k sketch as
+    // streaming aggregation state — ≤ k hashes per event_type FOREVER,
+    // and, stronger than the MG row's exact-regime-only claim, the
+    // COMPLETE-mode final state is micro-batch-split-independent in
+    // the APPROXIMATE regime too (min-k of a set ignores arrival
+    // order). So the streamed approximate estimate is pinned
+    // hash-EXACT by a DuckDB oracle re-deriving the full estimator
+    // from the raw table.
+    "stream_cardinality_kmv" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.cardinalityKmvStream(Sources.eventsStream(s, dir)),
+        outputMode = "complete", sinkWriteMode = "overwrite")(
+        _.select(col("event_type"), col("n_events"),
+          graft.functions.BottomK.estimateDistinct(col("sk"),
+            graft.functions.BottomK.DefaultK).as("n_users_est")))),
     // Third streaming oracle row (round 11): the CDC merge snapshot,
     // continuously maintained by mergeStream's keyed
     // flatMapGroupsWithState — events read as a change stream
@@ -2075,12 +2090,80 @@ object SparkEntry {
       } finally deleteRecursively(tmp.toFile)
     }),
 
+    // The SAME persisted split/round-trip/merge workflow on the KMV
+    // bottom-k sketch (round 14) — and the reason both exist: KMV is
+    // deterministic AND merge-order-independent in every regime (min-k
+    // of a set), so unlike the HLL row's tolerance boolean, the
+    // APPROXIMATE estimate itself is in the output, restated
+    // bit-exactly by a DuckDB oracle that re-derives the sketch from
+    // raw rows ((k−1)·2⁶⁰/h₍ₖ₎ over the repo's md5 hash recipe). k=64
+    // keeps sf0.01 (150 users/type) in the approximate regime — the
+    // estimator is what's pinned, not the exact fallback.
+    "events_cardinality_kmv" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv")
+      try {
+        val ev = events(s, dir)
+        val hist = Sketches.kmvSketch(
+          ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
+        hist.write.mode("overwrite").parquet(s"$tmp/sk")
+        val fresh = Sketches.kmvSketch(
+          ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
+        val merged = Sketches.kmvMerge(
+          s.read.parquet(s"$tmp/sk").unionByName(fresh), "event_type")
+        val exact = ev.filter(col("user_id").isNotNull)
+          .groupBy(col("event_type"))
+          .agg(countDistinct(col("user_id")).as("n_exact"))
+        Sketches.kmvEstimate(merged, "event_type")
+          .join(exact, Seq("event_type"))
+          .select(col("event_type"), col("n_rows").as("n_events"),
+            col("n_distinct_est").as("n_users_est"), col("n_exact"))
+          .localCheckpoint(true) // cut lineage into tmp pre-delete
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
+    // KMV set algebra (round 14): |click ∩ view| estimated from two
+    // 64-entry sketches alone — the k smallest hashes of a sketch
+    // union are the union's sketch, and the fraction present in both
+    // sides estimates the Jaccard (Beyer et al., SIGMOD'07). Every
+    // estimate (per-side, union, Jaccard, intersection) is a Double
+    // the oracle re-derives bit-exactly; the exact intersection rides
+    // along for the honest-error read. The only join of corpus-sized
+    // data is the exact leg; the sketch legs are a 1×1 of KB rows.
+    "events_overlap_kmv" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val sks = Sketches.kmvSketch(
+        ev.filter(col("event_type").isin("click", "view")),
+        "event_type", "user_id")
+      val exact = ev.filter(col("event_type") === "click" &&
+          col("user_id").isNotNull).select("user_id")
+        .intersect(ev.filter(col("event_type") === "view" &&
+          col("user_id").isNotNull).select("user_id"))
+        .agg(count(lit(1)).as("n_inter_exact"))
+      Sketches.kmvOverlap(sks, "event_type", "click", "view")
+        .crossJoin(exact) // 1×1
+    }),
+
     // Corpus-shape profiling: per-source token-length quantiles. Exact
     // sort-based percentile matches DuckDB quantile_cont bit-exactly
     // (the robust_scaling parity result); approx_percentile is the
     // documented at-scale twin.
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(documents(s, dir))),
+
+    // Persisted-quantile artifact (round 14): the bottom-k sketch's
+    // SECOND face — hash a row-unique id, carry the measure as
+    // payload, and the ≤ m smallest-hash rows are a mergeable uniform
+    // sample whose exact percentile answers any probability later
+    // (approx_percentile's GK summary is not exposed as a storable
+    // value; this is the storable, engine-neutral alternative). The
+    // sample quantiles are DETERMINISTIC (hash-rank sampling, no RNG),
+    // so the oracle restates sample AND exact legs bit-identically —
+    // sampling error is a visible, hash-pinned number. m=16 < 25
+    // docs/source at sf0.01 keeps the sample a real subset.
+    "text_sample_quantiles" -> ((s, dir) =>
+      Sketches.sampleQuantiles(documents(s, dir), "source", "doc_id",
+        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
+        m = 16, probs = Seq(0.5, 0.9))),
 
     // Deterministic held-out split: same doc → same split across
     // engines/partitionings/reruns (md5-bucket thresholds, the
@@ -5273,6 +5356,88 @@ object SparkEntry {
         |  TRUE AS within_tol
         |FROM events GROUP BY 1""".stripMargin,
 
+    // KMV oracle: FULL restatement of the estimator — 60-bit md5
+    // hashes (the mixCorpus parity recipe), k-th smallest per group,
+    // (k−1)·2⁶⁰/h₍ₖ₎ spelled operand-for-operand like
+    // BottomK.estimateDistinct so the Doubles are bit-identical.
+    // Merge-order independence (min-k of a set) is what makes the
+    // split/persist/merge Spark plan equal this one-shot SQL.
+    "events_cardinality_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), est AS (
+        |  SELECT event_type,
+        |    CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |         ELSE (64 - 1) * pow(2.0, 60) / CAST(hv AS DOUBLE) END
+        |      AS n_users_est
+        |  FROM r WHERE rn = LEAST(nd, 64)
+        |), ex AS (
+        |  SELECT event_type, COUNT(*) AS n_events,
+        |    COUNT(DISTINCT user_id) AS n_exact
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT ex.event_type, ex.n_events, est.n_users_est, ex.n_exact
+        |FROM ex JOIN est USING (event_type)""".stripMargin,
+
+    // Overlap oracle: bottom-64 per side, union re-truncated to 64,
+    // membership count in both sides, then the same estimate chain —
+    // (m/|U|)·est(U) with each CASE/regime mirrored from kmvOverlap.
+    "events_overlap_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IN ('click', 'view')
+        |), ka AS (SELECT hv FROM h WHERE event_type = 'click'
+        |          ORDER BY hv LIMIT 64),
+        |   kb AS (SELECT hv FROM h WHERE event_type = 'view'
+        |          ORDER BY hv LIMIT 64),
+        |   u AS (SELECT hv FROM
+        |           (SELECT hv FROM ka UNION SELECT hv FROM kb)
+        |         ORDER BY hv LIMIT 64),
+        |   stats AS (
+        |     SELECT (SELECT COUNT(*) FROM ka) AS na,
+        |            (SELECT MAX(hv) FROM ka) AS kth_a,
+        |            (SELECT COUNT(*) FROM kb) AS nb,
+        |            (SELECT MAX(hv) FROM kb) AS kth_b,
+        |            (SELECT COUNT(*) FROM u) AS nu,
+        |            (SELECT MAX(hv) FROM u) AS kth_u,
+        |            (SELECT COUNT(*) FROM u
+        |             WHERE hv IN (SELECT hv FROM ka)
+        |               AND hv IN (SELECT hv FROM kb)) AS m,
+        |            (SELECT COUNT(*) FROM
+        |              (SELECT DISTINCT user_id FROM events
+        |               WHERE event_type = 'click' AND user_id IS NOT NULL
+        |               INTERSECT
+        |               SELECT DISTINCT user_id FROM events
+        |               WHERE event_type = 'view' AND user_id IS NOT NULL))
+        |              AS n_inter_exact
+        |   )
+        |SELECT 'click' AS group_a, 'view' AS group_b,
+        |  CASE WHEN na < 64 THEN CAST(na AS DOUBLE)
+        |       ELSE (64 - 1) * pow(2.0, 60) / CAST(kth_a AS DOUBLE) END
+        |    AS n_a_est,
+        |  CASE WHEN nb < 64 THEN CAST(nb AS DOUBLE)
+        |       ELSE (64 - 1) * pow(2.0, 60) / CAST(kth_b AS DOUBLE) END
+        |    AS n_b_est,
+        |  CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |       ELSE (64 - 1) * pow(2.0, 60) / CAST(kth_u AS DOUBLE) END
+        |    AS n_union_est,
+        |  CAST(m AS DOUBLE) / CAST(nu AS DOUBLE) AS jaccard_est,
+        |  CAST(m AS DOUBLE) / CAST(nu AS DOUBLE) *
+        |    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE)
+        |         ELSE (64 - 1) * pow(2.0, 60) / CAST(kth_u AS DOUBLE) END
+        |    AS n_inter_est,
+        |  n_inter_exact
+        |FROM stats""".stripMargin,
+
     "text_length_quantiles" ->
       """WITH n AS (
         |  SELECT source,
@@ -5285,6 +5450,37 @@ object SparkEntry {
         |  ROUND(quantile_cont(n_tokens, 0.75), 6) AS p75,
         |  ROUND(quantile_cont(n_tokens, 0.95), 6) AS p95
         |FROM n GROUP BY 1""".stripMargin,
+
+    // Sample-quantile oracle: the bottom-16 rows per source by md5
+    // hash rank (deterministic, no RNG) re-selected in SQL, both
+    // sample and exact legs through the proven percentile ==
+    // quantile_cont parity, 6dp-rounded. Assumes distinct 60-bit
+    // hashes per group (collision odds ~2⁻⁶⁰·n²; a collision would
+    // dedupe in the sketch but not in this rank restatement).
+    "text_sample_quantiles" ->
+      """WITH n AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS v,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |  FROM documents
+        |), r AS (
+        |  SELECT source, v,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        |  FROM n
+        |), qs AS (
+        |  SELECT source, COUNT(*) AS n_sampled,
+        |    ROUND(quantile_cont(v, 0.5), 6) AS p50_sample,
+        |    ROUND(quantile_cont(v, 0.9), 6) AS p90_sample
+        |  FROM r WHERE rn <= 16 GROUP BY 1
+        |), qe AS (
+        |  SELECT source, COUNT(*) AS n_rows,
+        |    ROUND(quantile_cont(v, 0.5), 6) AS p50_exact,
+        |    ROUND(quantile_cont(v, 0.9), 6) AS p90_exact
+        |  FROM n GROUP BY 1
+        |)
+        |SELECT source, n_rows, n_sampled,
+        |  p50_sample, p50_exact, p90_sample, p90_exact
+        |FROM qe JOIN qs USING (source)""".stripMargin,
 
     "dedup_edit_similarity" ->
       """WITH t AS (
@@ -5803,6 +5999,32 @@ object SparkEntry {
     // the batch sketch (exact regime ⇒ merge-order-independent), so it
     // shares the same exact-GROUP-BY oracle.
     "stream_heavy_hitters" -> heavyHittersOracle,
+
+    // The streaming KMV final state is micro-batch-split-independent
+    // in EVERY regime (min-k of a set), so the stream shares the
+    // batch estimator restatement — estimate included, not gated.
+    "stream_cardinality_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, hv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h
+        |), est AS (
+        |  SELECT event_type,
+        |    CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |         ELSE (64 - 1) * pow(2.0, 60) / CAST(hv AS DOUBLE) END
+        |      AS n_users_est
+        |  FROM r WHERE rn = LEAST(nd, 64)
+        |), ex AS (
+        |  SELECT event_type, COUNT(*) AS n_events
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+        |)
+        |SELECT ex.event_type, ex.n_events, est.n_users_est
+        |FROM ex JOIN est USING (event_type)""".stripMargin,
 
     // Planted-orphan referential check (literal twin of the in-flight
     // +900M re-keying).

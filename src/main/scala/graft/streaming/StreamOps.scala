@@ -149,6 +149,40 @@ object StreamOps {
       .agg(mg(col("gram")).as("sk"))
   }
 
+  /** Streaming KMV distinct-count: the bottom-k sketch
+    * ([[graft.functions.BottomK]]) AS the streaming aggregation state —
+    * live per-group "distinct users so far" with ≤ k entries of state
+    * per group, forever.
+    *
+    * Strictly stronger twin-equality than [[heavyHittersStream]]'s:
+    * MG's final state is merge-order-independent only in the EXACT
+    * regime, so the MG stream shares the batch oracle only below
+    * capacity. The bottom-k state is min-k of a SET — arrival order
+    * and micro-batch boundaries can never change it, so the
+    * COMPLETE-mode final sketch (and its estimate) equals the batch
+    * sketch bit-for-bit in the APPROXIMATE regime too, at any split.
+    * The registered row's DuckDB oracle restates the full estimator
+    * from the raw table ((k−1)·2⁶⁰/h₍ₖ₎ over md5 hashes) — a streaming
+    * approximate answer pinned hash-EXACT.
+    *
+    * State story: ≤ k hashes + payloads per group — algebraically
+    * bounded like the MG row (no TTL/RocksDB contract needed), and the
+    * estimate's relative error stays ~1/√(k−2) at ANY stream length. */
+  def cardinalityKmvStream(
+      events: DataFrame,
+      k: Int = graft.functions.BottomK.DefaultK): DataFrame = {
+    val bk = udaf(new graft.functions.BottomK(k),
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+    events
+      .filter(col("user_id").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(bk(graft.functions.BottomK.hash64(col("user_id")), lit(0.0))
+        .as("sk"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Live retention: an event STREAM joined against a STATIC cohort
     * table (user_id → cohort_ts, e.g. the landed output of
     * `operators.Events.retention`'s cohort stage), counting distinct

@@ -192,6 +192,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cardinalityKmvStream: forced multi-batch final sketch == " +
+      "one-shot batch sketch in the APPROXIMATE regime (stronger than " +
+      "the MG twin: min-k of a set ignores micro-batch boundaries)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 16
+    // 200 distinct users per type — deep past k, so the estimator path
+    // (not the exact fallback) is what the equality exercises
+    val all = (0 until 400).map { i =>
+      (i.toLong, if (i % 2 == 0) "click" else "view", s"u${i / 2}")
+    }
+    def sketchRows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), col("n_events"),
+        col("sk.hashes").as("h"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getSeq[Long](2))).toSet
+    val batch = sketchRows(StreamOps.cardinalityKmvStream(
+      all.toDF("event_id", "event_type", "user_id"), k))
+    val stream = MemoryStream[(Long, String, String)]
+    val q = StreamOps.cardinalityKmvStream(
+        stream.toDF.toDF("event_id", "event_type", "user_id"), k)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode("complete").start()
+    try {
+      all.grouped(90).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = sketchRows(spark.table("kmv"))
+      assert(streamed == batch)
+      // state bound: k hashes per group at 200 distinct inputs
+      assert(streamed.forall(_._3.length == k))
+    } finally q.stop()
+  }
+
   test("retentionStream: stream-static cohort join matches batch retention") {
     val s = spark
     import s.implicits._
