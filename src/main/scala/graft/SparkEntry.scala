@@ -1004,6 +1004,33 @@ object SparkEntry {
       Curate.weightedSample(documents(s, dir), k = 100)
         .select("doc_id", "source", "n_chars", "sample_key")),
 
+    // Contrastive training pairs (round 14): positives from the
+    // oracle-proven n-gram-Jaccard edges over the planted near-dup
+    // chain (the dedup_components fixture — the natural consecutive-id
+    // edge set is empty at this SF), negatives drawn by the
+    // deterministic bucketed hash-rank sampler — md5 bucket join +
+    // md5(anchor|cand) row_number, no RNG, no cross join. The full
+    // chain (edge discovery, bucket assignment, target-bucket salt,
+    // pair rank, exclusion, top-k) is restated in SQL — a SAMPLING
+    // operator whose sampled ids are hash-EXACT, like llm_shuffle.
+    "llm_contrastive_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val planted = Seq(
+        (2000000L, "alpha beta gamma delta epsilon zeta"),
+        (2000001L, "alpha beta gamma delta epsilon eta"),
+        (2000002L, "alpha beta gamma delta epsilon theta"))
+        .toDF("doc_id", "text")
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      val candidates = docs.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1).as("id_b"))
+      val positives = Dedup.ngramJaccard(docs, candidates)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
+      Curate.contrastivePairs(docs, positives,
+        negPerAnchor = 2, nBuckets = 16)
+    }),
+
     // Temperature-scaled mixing at α = 0.7: keep fractions DERIVED
     // from per-source counts ((n_min/n)^0.3, 16-bit-quantized), so the
     // oracle recomputes counts → pow → round → hex threshold → md5
@@ -3798,6 +3825,71 @@ object SparkEntry {
         |  CASE source WHEN 'src0' THEN 'g' WHEN 'src1' THEN '8000'
         |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
         |  END""".stripMargin,
+
+    // contrastive-pairs oracle: planted-chain edges via the
+    // dedup_components shingle/Jaccard restatement, then the full
+    // negative-sampler chain — md5 doc buckets, salted target bucket,
+    // md5(anchor|cand) pair rank, both-orientation exclusion,
+    // row_number ≤ 2 (INT-cast to match Spark's row_number type).
+    "llm_contrastive_pairs" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(v.doc_id AS BIGINT), v.text FROM (VALUES
+        |    (2000000, 'alpha beta gamma delta epsilon zeta'),
+        |    (2000001, 'alpha beta gamma delta epsilon eta'),
+        |    (2000002, 'alpha beta gamma delta epsilon theta'))
+        |    v(doc_id, text)
+        |), toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM docs2
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), edges AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM (SELECT doc_id AS id_a, doc_id + 1 AS id_b FROM docs2) p
+        |  JOIN sh a ON a.doc_id = p.id_a
+        |  JOIN sh b ON b.doc_id = p.id_b
+        |  WHERE CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+        |    ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |         / len(list_distinct(list_concat(a.sh, b.sh))) END >= 0.5
+        |), bkt AS (
+        |  SELECT doc_id AS neg_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 16 AS b
+        |  FROM docs2
+        |), tgt AS (
+        |  SELECT DISTINCT id_a AS anchor_id,
+        |    ('0x' || substr(md5(CAST(id_a AS VARCHAR) || '#neg'), 1, 15))
+        |      ::BIGINT % 16 AS tb
+        |  FROM edges
+        |), exclb AS (
+        |  SELECT id_a, id_b FROM edges
+        |  UNION SELECT id_b, id_a FROM edges
+        |), ranked AS (
+        |  SELECT anchor_id, neg_id,
+        |    CAST(row_number() OVER (PARTITION BY anchor_id
+        |      ORDER BY rk, neg_id) AS INT) AS neg_rank
+        |  FROM (
+        |    SELECT t.anchor_id, c.neg_id,
+        |      ('0x' || substr(md5(CAST(t.anchor_id AS VARCHAR) || '|' ||
+        |        CAST(c.neg_id AS VARCHAR)), 1, 15))::BIGINT AS rk
+        |    FROM tgt t JOIN bkt c ON c.b = t.tb
+        |    WHERE c.neg_id != t.anchor_id
+        |      AND NOT EXISTS (SELECT 1 FROM exclb e
+        |        WHERE e.id_a = t.anchor_id AND e.id_b = c.neg_id))
+        |)
+        |SELECT e.id_a AS anchor_id, e.id_b AS pos_id,
+        |  r.neg_id, r.neg_rank
+        |FROM edges e JOIN ranked r ON r.anchor_id = e.id_a
+        |WHERE r.neg_rank <= 2""".stripMargin,
 
     // up-sampling oracle: the same per-source factor CASE, expanded by
     // range/unnest — a factor-0 source yields an empty range and drops.

@@ -685,4 +685,83 @@ object Curate {
     val keptDocs = docs.join(exactStage.select(idCol), Seq(idCol), "left_semi")
     Dedup.minhash(keptDocs, textCol, idCol, minJaccard = minJaccard)
   }
+
+  /** Contrastive training pairs: each (anchor, positive) link — e.g.
+    * the verified near-dup edges [[Dedup.minhashStar]] emits — joined
+    * with `negPerAnchor` DETERMINISTIC negatives drawn by bucketed
+    * hash-rank sampling, no RNG and no cross join anywhere.
+    *
+    * The sampler: every doc lands in one of `nBuckets` md5 buckets;
+    * each anchor is assigned a pseudo-random TARGET bucket (the
+    * md5 of its id salted with `#neg` — independent of the doc's own
+    * bucket assignment), equi-joins that bucket's members, and keeps
+    * the `negPerAnchor` candidates with the smallest md5(anchor|cand)
+    * pair rank. Three determinism properties follow: re-runs and
+    * repartitionings reproduce the same negatives (hash ranks, not
+    * RNG), adding documents to OTHER buckets never disturbs an
+    * anchor's negatives (locality — the nightly-incremental property
+    * the md5-split family already has), and the whole chain is
+    * restatable in oracle SQL (the mixCorpus md5 recipe +
+    * row_number).
+    *
+    * `exclude` lists (id, id) pairs that must never serve as an
+    * anchor's negative — pass the FULL near-dup relation (or the
+    * connected-components edge closure) when positives are only a
+    * spanning subset; both orientations are handled internally, and
+    * self-pairs are always excluded. A candidate surviving exclusion
+    * is a genuine negative by the caller's own duplicate relation.
+    *
+    * 100 TB: the bucket equi-join meets each anchor with ~N/nBuckets
+    * candidates — size `nBuckets` ∝ corpus/1k so the per-anchor pool
+    * stays constant; ONE window shuffle on anchor_id ranks the pool;
+    * the exclusion anti-join keys on the pair. Work is linear in
+    * anchors at fixed pool size, never all-pairs.
+    *
+    * Contract: an anchor whose target bucket holds no eligible
+    * candidate (everything excluded, or an over-sized `nBuckets` left
+    * the bucket empty) DROPS its (anchor, positive) examples — the
+    * inner join is deliberate, a contrastive example without
+    * negatives is untrainable. Size `nBuckets` so pools stay ≫
+    * `negPerAnchor`; anchors short of the full k keep their examples
+    * with ranks 1..available. */
+  def contrastivePairs(
+      docs: DataFrame,
+      positives: DataFrame, // (anchor_id, pos_id)
+      exclude: Option[DataFrame] = None, // (id_a, id_b), any orientation
+      negPerAnchor: Int = 2,
+      nBuckets: Int = 16,
+      idCol: String = "doc_id"): DataFrame = {
+    require(negPerAnchor >= 1 && nBuckets >= 1,
+      s"negPerAnchor/nBuckets must be positive, got $negPerAnchor/$nBuckets")
+    val hash64 = graft.functions.BottomK.hash64 _
+    val excl = exclude.getOrElse(
+        positives.select(col("anchor_id").as("id_a"),
+          col("pos_id").as("id_b")))
+      .select(col("id_a"), col("id_b"))
+    val exclBoth = excl.unionByName(
+      excl.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .distinct()
+    val cands = docs.select(col(idCol).as("neg_id"),
+      (hash64(col(idCol)) % nBuckets).as("b"))
+    val anchors = positives.select(col("anchor_id")).distinct()
+      .withColumn("tb",
+        hash64(concat(col("anchor_id").cast("string"), lit("#neg")))
+          % nBuckets)
+    val ranked = anchors
+      .join(cands, col("tb") === col("b"))
+      .filter(col("neg_id") =!= col("anchor_id"))
+      .join(exclBoth,
+        col("anchor_id") === col("id_a") && col("neg_id") === col("id_b"),
+        "left_anti")
+      .withColumn("rk", hash64(concat(col("anchor_id").cast("string"),
+        lit("|"), col("neg_id").cast("string"))))
+      .withColumn("neg_rank", row_number().over(
+        Window.partitionBy(col("anchor_id"))
+          .orderBy(col("rk"), col("neg_id"))))
+      .filter(col("neg_rank") <= negPerAnchor)
+      .select(col("anchor_id"), col("neg_id"), col("neg_rank"))
+    positives.join(ranked, Seq("anchor_id"))
+      .select(col("anchor_id"), col("pos_id"), col("neg_id"),
+        col("neg_rank"))
+  }
 }

@@ -123,6 +123,12 @@ object Sketches {
     val sk = df
       .select(col(groupCol), BottomK.hash64(col(idCol)).as("h"),
         valueCol.cast("double").as("v"))
+      // a null id or measure has no hash rank / no quantile mass —
+      // drop it here (the aggregator's primitive tuple input cannot
+      // carry null; at 100 TB malformed rows are data, not crashes).
+      // Mirrors percentile/quantile_cont's own null-skipping, so the
+      // oracle needs no counterpart clause on a null-free fixture.
+      .filter(col("h").isNotNull && col("v").isNotNull)
       .groupBy(col(groupCol))
       .agg(bkAgg(m)(col("h"), col("v")).as("sk"),
         count(lit(1)).as("n_rows"),

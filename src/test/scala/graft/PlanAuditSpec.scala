@@ -156,6 +156,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(800))
   }
 
+  test("KMV sketch rows: the sketched domain never keys a shuffle — " +
+      "one group-key Exchange of <= k-entry partial states (round 14)") {
+    // the kmvSketch plan must be the MG plan shape: map-side partial
+    // BottomK states (KB rows) meeting at ONE hashpartitioning
+    // Exchange on the GROUP key; any second hash Exchange means the
+    // hashed domain (user_id) itself started crossing the wire
+    val ev = graft.sources.Sources.parquetTable(spark, sf0001, "events")
+    val pSketch = operators.Sketches
+      .kmvSketch(ev, "event_type", "user_id")
+      .queryExecution.executedPlan.toString
+    assert(pSketch.contains("ObjectHashAggregate"), pSketch.take(800))
+    assert(shuffles(pSketch) == 1,
+      s"kmvSketch must shuffle only sketch partials:\n${pSketch.take(800)}")
+    // text_sample_quantiles (registered): two aggregates + self-join,
+    // but every stage keys on the GROUP column — the row-id hash and
+    // the sampled payloads never key an Exchange. The sketch/exact agg
+    // subtree appears twice (both join inputs derive from it), so the
+    // group-key Exchange count is bounded by the branch count, not by
+    // corpus-keyed stages: assert every hash Exchange partitions on
+    // the group column only
+    val pQ = plan("text_sample_quantiles")
+    val exchangeKeys = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(pQ).map(_.group(1)).toSeq
+    assert(exchangeKeys.nonEmpty, pQ.take(800))
+    assert(exchangeKeys.forall(_.startsWith("source")),
+      s"non-group-key shuffle in text_sample_quantiles: $exchangeKeys\n" +
+        pQ.take(800))
+  }
+
   test("profile_equidepth: literal-cut binning pass — one nBins-keyed " +
       "aggregate, no range shuffle / global sort of the data (round 11)") {
     // the exact-percentile CUT job runs at plan-construction time (a

@@ -399,4 +399,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: BottomK state is a pure function of the input SET — " +
+      "random inputs, random splits, random merge trees all agree " +
+      "with the brute-force min-k") {
+    import graft.functions.{BkState, BottomK}
+    def oneShot(k: Int, items: Seq[(Long, Double)]): BkState =
+      items.foldLeft(new BottomK(k).zero)(
+        (b, x) => new BottomK(k).reduce(b, x))
+    (1 to 5).foreach { _ =>
+      val k = 2 + rng.nextInt(20)
+      val n = 1 + rng.nextInt(300)
+      // duplicate-heavy hash domain forces the dedupe/tiebreak paths
+      val items = Seq.fill(n)(
+        (rng.nextInt(60).toLong, (rng.nextInt(9) + 1).toDouble))
+      // brute force: per distinct hash keep the min payload, then the
+      // k smallest hashes ascending
+      val truth = items.groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toSeq.sortBy(_._1).take(k)
+      val ref = oneShot(k, items)
+      assert(ref.hashes.toSeq == truth.map(_._1), s"k=$k n=$n")
+      assert(ref.values.toSeq == truth.map(_._2), s"k=$k n=$n")
+      // random binary merge tree over random-sized chunks
+      def mergeTree(chunks: Seq[BkState]): BkState = chunks match {
+        case Seq(one) => one
+        case _ =>
+          val (l, r) = chunks.splitAt(1 + rng.nextInt(chunks.length - 1))
+          new graft.functions.BottomKMerge(k)
+            .merge(mergeTree(l), mergeTree(r))
+      }
+      val nChunks = 1 + rng.nextInt(8)
+      val chunks = (0 until nChunks).map(i =>
+        oneShot(k, items.zipWithIndex.collect {
+          case (x, j) if j % nChunks == i => x
+        }))
+      val merged = mergeTree(chunks)
+      assert(merged.hashes.toSeq == ref.hashes.toSeq, s"k=$k n=$n")
+      assert(merged.values.toSeq == ref.values.toSeq, s"k=$k n=$n")
+    }
+  }
 }

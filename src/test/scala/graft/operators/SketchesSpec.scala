@@ -76,4 +76,27 @@ class SketchesSpec extends SparkSpec {
     val p50 = big.getAs[Double]("p50_sample")
     assert(p50 > 10.0 && p50 < 90.0, s"p50_sample=$p50")
   }
+
+  test("kmvOverlap: a group absent from the sketch frame yields an " +
+      "empty result, not a null-estimate row") {
+    val s = spark
+    import s.implicits._
+    val sks = Sketches.kmvSketch(
+      Seq(("a", "u1"), ("a", "u2")).toDF("grp", "key"), "grp", "key")
+    assert(Sketches.kmvOverlap(sks, "grp", "a", "missing").count() == 0)
+  }
+
+  test("sampleQuantiles: null ids and null measures are dropped, not " +
+      "crashes (the aggregator's primitive input cannot carry null)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq[(String, java.lang.Long, java.lang.Integer)](
+      ("a", 1L, 10), ("a", 2L, 20), ("a", 3L, 30),
+      ("a", null, 99), ("a", 4L, null)).toDF("src", "id", "v")
+    val r = Sketches.sampleQuantiles(df, "src", "id", col("v"),
+      m = 8, probs = Seq(0.5)).head()
+    assert(r.getAs[Long]("n_sampled") == 3L)
+    assert(r.getAs[Double]("p50_sample") == 20.0)
+    assert(r.getAs[Double]("p50_exact") == 20.0)
+  }
 }
