@@ -2192,6 +2192,21 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
         m = 16, probs = Seq(0.5, 0.9))),
 
+    // BPE vocabulary learning, 3 merge steps unrolled under the
+    // oracle (round 14, the kmeans_lloyd treatment of an iterative
+    // fit): word table → char symbols → repeat [overlapping pair
+    // counts → (count DESC, left, right) argmax → leftmost-nonoverlap
+    // merge]. Every stage is window/aggregate relational algebra both
+    // engines restate — the tokenizer-training analog of the Lloyd
+    // rows. Each step's winner is a one-row driver draw.
+    "text_bpe_merges" -> ((s, dir) =>
+      Bpe.learn(documents(s, dir), steps = 3, topWords = 200)._1),
+    // ... and the merges APPLIED: the top-200 word table segmented by
+    // the 3 learned merges — proves the rewrite, not just the argmax.
+    "text_bpe_segment" -> ((s, dir) =>
+      Bpe.segmentation(
+        Bpe.learn(documents(s, dir), steps = 3, topWords = 200)._2)),
+
     // Deterministic held-out split: same doc → same split across
     // engines/partitionings/reruns (md5-bucket thresholds, the
     // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
@@ -2671,6 +2686,65 @@ object SparkEntry {
 
   // shared between the one-shot sketch row and its persisted
   // incremental twin; capacity lives in FrequentItems.DefaultCapacity
+  /** The BPE oracle: the full 3-step unrolled learn restated — word
+    * table (top-200 by count DESC, word ASC), char symbols, and per
+    * step the pair-count argmax plus the leftmost-nonoverlap rewrite
+    * (match marks → run parity via (i − run_start) % 2 → consumed
+    * right neighbors dropped → reindex). Same window algebra as
+    * `Bpe.applyMerge`, so Spark and DuckDB agree position by
+    * position; `finalSelect` picks the merges or the segmentation
+    * view of the shared chain. */
+  private def bpeOracle(finalSelect: String): String = {
+    val stepBlocks = (1 to 3).map { k =>
+      val prev = s"syms${k - 1}"
+      s"""p$k AS (
+         |  SELECT a.s AS l, b.s AS r, CAST(SUM(a.cnt) AS BIGINT) AS pc
+         |  FROM $prev a JOIN $prev b
+         |    ON b.word = a.word AND b.i = a.i + 1
+         |  GROUP BY 1, 2
+         |), b$k AS (
+         |  SELECT l, r, pc FROM p$k ORDER BY pc DESC, l, r LIMIT 1
+         |), m$k AS (
+         |  SELECT s.word, s.cnt, s.i, s.s,
+         |    COALESCE(s.s = (SELECT l FROM b$k) AND
+         |      lead(s.s) OVER (PARTITION BY s.word ORDER BY s.i)
+         |        = (SELECT r FROM b$k), FALSE) AS mt
+         |  FROM $prev s
+         |), g$k AS (
+         |  SELECT *, SUM(CASE WHEN mt THEN 0 ELSE 1 END)
+         |    OVER (PARTITION BY word ORDER BY i) AS grp
+         |  FROM m$k
+         |), r$k AS (
+         |  SELECT *, CASE WHEN mt THEN
+         |      CAST(i - min(i) OVER (PARTITION BY word, grp, mt) AS INT)
+         |        % 2 = 0
+         |    ELSE FALSE END AS keepm
+         |  FROM g$k
+         |), d$k AS (
+         |  SELECT *, COALESCE(lag(keepm)
+         |    OVER (PARTITION BY word ORDER BY i), FALSE) AS consumed
+         |  FROM r$k
+         |), syms$k AS (
+         |  SELECT word, cnt,
+         |    row_number() OVER (PARTITION BY word ORDER BY i) AS i,
+         |    CASE WHEN keepm THEN s || (SELECT r FROM b$k) ELSE s END AS s
+         |  FROM d$k WHERE keepm OR NOT consumed
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH w0 AS (
+       |  SELECT word, cnt FROM (
+       |    SELECT t.w AS word, COUNT(*) AS cnt
+       |    FROM documents,
+       |      unnest(regexp_extract_all(lower(text), '[\\p{L}]+')) AS t(w)
+       |    GROUP BY 1)
+       |  ORDER BY cnt DESC, word LIMIT 200
+       |), syms0 AS (
+       |  SELECT word, cnt, i, substr(word, CAST(i AS INT), 1) AS s
+       |  FROM w0, unnest(range(1, length(word) + 1)) AS t(i)
+       |), $stepBlocks
+       |$finalSelect""".stripMargin
+  }
+
   private val heavyHittersOracle: String =
     """WITH toks AS (
         |  SELECT regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
@@ -5573,6 +5647,17 @@ object SparkEntry {
         |SELECT source, n_rows, n_sampled,
         |  p50_sample, p50_exact, p90_sample, p90_exact
         |FROM qe JOIN qs USING (source)""".stripMargin,
+
+    "text_bpe_merges" -> bpeOracle(
+      """SELECT 1 AS step, l AS merge_left, r AS merge_right,
+        |  pc AS pair_count FROM b1
+        |UNION ALL SELECT 2, l, r, pc FROM b2
+        |UNION ALL SELECT 3, l, r, pc FROM b3""".stripMargin),
+
+    "text_bpe_segment" -> bpeOracle(
+      """SELECT word, cnt AS n_word,
+        |  string_agg(s, ' ' ORDER BY i) AS seg
+        |FROM syms3 GROUP BY word, cnt""".stripMargin),
 
     "dedup_edit_similarity" ->
       """WITH t AS (

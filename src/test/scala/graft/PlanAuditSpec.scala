@@ -185,6 +185,19 @@ class PlanAuditSpec extends SparkSpec {
         pQ.take(800))
   }
 
+  test("BPE word table: the vocabulary bound is a TakeOrdered draw, " +
+      "never a global sort of the word counts (round 14)") {
+    // the topWords selection is the only corpus-scale stage of BPE
+    // learning — a rangepartitioning Exchange here would sort the
+    // whole vocabulary to keep 200 rows
+    val docs = graft.sources.Sources.parquetTable(spark, sf0001,
+      "documents")
+    val p = graft.llm.Bpe.wordTable(docs, 200)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(800))
+  }
+
   test("profile_equidepth: literal-cut binning pass — one nBins-keyed " +
       "aggregate, no range shuffle / global sort of the data (round 11)") {
     // the exact-percentile CUT job runs at plan-construction time (a
