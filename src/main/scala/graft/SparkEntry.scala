@@ -2206,6 +2206,14 @@ object SparkEntry {
     "text_bpe_segment" -> ((s, dir) =>
       Bpe.segmentation(
         Bpe.learn(documents(s, dir), steps = 3, topWords = 200)._2)),
+    // ... and the vocabulary USED at corpus scale: per-doc BPE token
+    // counts via a broadcast vocab join with char fallback for OOV —
+    // the tokenizer-throughput shape of a pretraining pipeline.
+    "text_bpe_encode" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      Bpe.encodeTokenCounts(docs,
+        Bpe.learn(docs, steps = 3, topWords = 200)._2)
+    }),
 
     // Deterministic held-out split: same doc → same split across
     // engines/partitionings/reruns (md5-bucket thresholds, the
@@ -5658,6 +5666,24 @@ object SparkEntry {
       """SELECT word, cnt AS n_word,
         |  string_agg(s, ' ' ORDER BY i) AS seg
         |FROM syms3 GROUP BY word, cnt""".stripMargin),
+
+    // encode oracle: symbol counts per vocab word from the shared
+    // chain, every corpus word LEFT-joined (char-count fallback),
+    // doc-keyed sums (BIGINT-cast: DuckDB SUM returns HUGEINT).
+    "text_bpe_encode" -> bpeOracle(
+      """, vocab AS (
+        |  SELECT word, COUNT(*) AS n_syms FROM syms3 GROUP BY word
+        |), cw AS (
+        |  SELECT doc_id, t.w AS word
+        |  FROM documents,
+        |    unnest(regexp_extract_all(lower(text), '[\p{L}]+')) AS t(w)
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(COALESCE(v.n_syms, length(word))) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  COUNT(*) AS n_words
+        |FROM cw LEFT JOIN vocab v USING (word)
+        |GROUP BY doc_id""".stripMargin),
 
     "dedup_edit_similarity" ->
       """WITH t AS (

@@ -122,6 +122,30 @@ object Bpe {
       "pair_count"), syms)
   }
 
+  /** Corpus ENCODING with a learned vocabulary: per-document BPE
+    * token counts — every word joins the (bounded, broadcast)
+    * segmentation table for its symbol count; out-of-vocabulary words
+    * fall back to character count (the classical char-fallback
+    * tokenizer floor). This is the tokenizer-THROUGHPUT shape a
+    * pretraining pipeline runs over the whole corpus: one narrow
+    * projection, one broadcast join against the ≤ topWords vocab, one
+    * doc-keyed aggregation — no vocab-keyed shuffle, no per-word
+    * state. Documents with no letter tokens have no word rows and are
+    * absent from the output (mirrored by the oracle's GROUP BY). */
+  def encodeTokenCounts(df: DataFrame, finalSyms: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val vocab = segmentation(finalSyms)
+      .select(col("word"), size(split(col("seg"), " ")).as("n_syms"))
+    df.select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)),
+          lit("[\\p{L}]+"), lit(0))).as("word"))
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(coalesce(col("n_syms"), length(col("word"))))
+        .as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Render a symbol frame as one segmentation string per word —
     * the driver-comparable shape. */
   def segmentation(syms: DataFrame): DataFrame =

@@ -88,6 +88,23 @@ class BpeSpec extends SparkSpec {
     assert(segs("ba") == "ba")
   }
 
+  test("encodeTokenCounts: in-vocab words count learned symbols, OOV " +
+      "words fall back to characters, wordless docs are absent") {
+    val s = spark
+    import s.implicits._
+    val words = Map("aaaa" -> 3L, "bb" -> 2L)
+    val (_, syms) = Bpe.learn(docsOf(words), steps = 1, topWords = 10)
+    // best pair (a,a): aaaa -> [aa, aa] (2 syms), bb stays [b, b]
+    val docs = Seq(
+      (100L, "aaaa bb zz"),  // 2 + 2 + 2(OOV chars) = 6 tokens, 3 words
+      (101L, "aaaa aaaa"),   // 4 tokens, 2 words
+      (102L, "123 !!")       // no letter tokens -> absent
+    ).toDF("doc_id", "text")
+    val out = Bpe.encodeTokenCounts(docs, syms).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out == Map(100L -> ((6L, 3L)), 101L -> ((4L, 2L))), s"$out")
+  }
+
   test("partitioning invariance and the topWords bound") {
     // letter-only words: the [\p{L}]+ tokenizer strips digits
     val words = (1 to 40).map { i =>
