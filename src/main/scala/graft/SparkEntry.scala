@@ -2214,6 +2214,22 @@ object SparkEntry {
       Bpe.encodeTokenCounts(docs,
         Bpe.learn(docs, steps = 3, topWords = 200)._2)
     }),
+    // ... and the production lifecycle: learn ONCE, persist the
+    // symbol table as a plain parquet artifact, encode every later
+    // batch against the reloaded artifact with no relearning — the
+    // FrequentItems/IVF persisted-workflow pattern applied to the
+    // tokenizer. Shares text_bpe_encode's oracle verbatim: a lossless
+    // round-trip is the whole claim.
+    "text_bpe_encode_persisted" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe")
+      try {
+        val docs = documents(s, dir)
+        Bpe.learn(docs, steps = 3, topWords = 200)._2
+          .write.mode("overwrite").parquet(s"$tmp/vocab")
+        Bpe.encodeTokenCounts(docs, s.read.parquet(s"$tmp/vocab"))
+          .localCheckpoint(true) // cut lineage into tmp pre-delete
+      } finally deleteRecursively(tmp.toFile)
+    }),
 
     // Deterministic held-out split: same doc → same split across
     // engines/partitionings/reruns (md5-bucket thresholds, the
@@ -5671,6 +5687,22 @@ object SparkEntry {
     // chain, every corpus word LEFT-joined (char-count fallback),
     // doc-keyed sums (BIGINT-cast: DuckDB SUM returns HUGEINT).
     "text_bpe_encode" -> bpeOracle(
+      """, vocab AS (
+        |  SELECT word, COUNT(*) AS n_syms FROM syms3 GROUP BY word
+        |), cw AS (
+        |  SELECT doc_id, t.w AS word
+        |  FROM documents,
+        |    unnest(regexp_extract_all(lower(text), '[\p{L}]+')) AS t(w)
+        |)
+        |SELECT doc_id,
+        |  CAST(SUM(COALESCE(v.n_syms, length(word))) AS BIGINT)
+        |    AS n_bpe_tokens,
+        |  COUNT(*) AS n_words
+        |FROM cw LEFT JOIN vocab v USING (word)
+        |GROUP BY doc_id""".stripMargin),
+
+    // the persisted round-trip must be lossless — same oracle.
+    "text_bpe_encode_persisted" -> bpeOracle(
       """, vocab AS (
         |  SELECT word, COUNT(*) AS n_syms FROM syms3 GROUP BY word
         |), cw AS (
