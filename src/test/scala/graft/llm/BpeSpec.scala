@@ -105,6 +105,28 @@ class BpeSpec extends SparkSpec {
     assert(out == Map(100L -> ((6L, 3L)), 101L -> ((4L, 2L))), s"$out")
   }
 
+  test("property: random small-alphabet corpora equal the brute-force " +
+      "reference over 3 steps (ties and left==right chains are the " +
+      "common case at alphabet size 3)") {
+    val rng = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      val words = (1 to 15).map { _ =>
+        val len = 2 + rng.nextInt(6)
+        (1 to len).map(_ => ('a' + rng.nextInt(3)).toChar).mkString
+      }.distinct.map(w => w -> (1L + rng.nextInt(9))).toMap
+      val (bm, bs) = bruteLearn(words, steps = 3)
+      val (mdf, syms) = Bpe.learn(docsOf(words), steps = 3,
+        topWords = 50)
+      val gm = mdf.orderBy("step").collect()
+        .map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      assert(gm == bm, s"round $round: got $gm want $bm words $words")
+      val gs = Bpe.segmentation(syms).collect()
+        .map(r => r.getString(0) -> r.getString(2)).toMap
+      assert(gs == bs.map { case (w, s) => w -> s.mkString(" ") },
+        s"round $round: words $words")
+    }
+  }
+
   test("partitioning invariance and the topWords bound") {
     // letter-only words: the [\p{L}]+ tokenizer strips digits
     val words = (1 to 40).map { i =>
