@@ -103,9 +103,13 @@ object Bench {
     // 1-minute load average at bench start/end (same JVM, no /proc
     // parsing): persistently high values mean the box was contended and
     // the driver-vs-local gap is environmental, not a regression.
-    def loadAvg(): Double =
-      java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    // The MXBean returns -1.0 where load average is unavailable — emit
+    // JSON null rather than a sentinel that reads as "idle box".
+    def loadAvg(): Option[Double] = {
+      val v = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+      if (v < 0) None else Some(v)
+    }
     val loadStart = loadAvg()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val nRuns = if (baselineSet(name)) 3 else 2
@@ -153,12 +157,56 @@ object Bench {
     val streamSub = results.collect {
       case (n, v, true, _) if n.startsWith("stream_") => v }.sum
     val batchSub = total - streamSub
+    // Per-query drift guard (r14 verdict item 2): compare each query's
+    // min against the previous round's committed BENCH_LOCAL_r{N-1}
+    // .json and flag > 1.5× slowdowns that are also > 0.25 s absolute
+    // (sub-second rows swing past 1.5× on pure scheduler noise). The
+    // r13→r14 92→110 s creep on UNTOUCHED code was diagnosable only by
+    // hand-diffing JSON; this makes it a field in the output. Triage
+    // rule (README): re-run flagged queries solo before chasing a
+    // regression — contention (high load_avg) flags broadly, a real
+    // regression flags the same query reproducibly.
+    val priorFile = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .lastOption
+    val priorQueries: Map[String, Double] = priorFile.map { f =>
+      val txt = scala.io.Source.fromFile(f)
+      val s = try txt.mkString finally txt.close()
+      // machine-written single-line JSON; pull the "queries" object
+      val qsRe = """"queries":\{([^}]*)\}""".r
+      qsRe.findFirstMatchIn(s).map { mm =>
+        mm.group(1).split(",").flatMap { kv =>
+          kv.split(":") match {
+            case Array(kq, v) =>
+              try Some(kq.trim.stripPrefix("\"").stripSuffix("\"") ->
+                v.trim.toDouble)
+              catch { case _: NumberFormatException => None }
+            case _ => None
+          }
+        }.toMap
+      }.getOrElse(Map.empty)
+    }.getOrElse(Map.empty)
+    val drifted = results.collect {
+      case (n, v, true, _) if priorQueries.get(n).exists(p =>
+        p > 0 && v > p * 1.5 && v - p > 0.25) =>
+        (n, v / priorQueries(n))
+    }.sortBy(-_._2)
+    val driftJson = priorFile match {
+      case Some(f) =>
+        val flagged = drifted.map { case (n, ratio) =>
+          "\"" + n + "\":" + r4(ratio) }.mkString("{", ",", "}")
+        s"""{"vs":"${f.getName}","flagged":$flagged}"""
+      case None => "null"
+    }
     // headline fields appear BOTH first and last: the driver's capture
     // window has truncated the line from the front (r9), so the tail
     // repeats value/baseline_subset to keep the gate numbers evidenced
     // either way
     val loadEnd = loadAvg()
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${r4(loadStart)},"load_avg_end":${r4(loadEnd)},"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${r4(loadStart)},"load_avg_end_1m":${r4(loadEnd)}}""")
+    def la(v: Option[Double]): String = v.map(r4).getOrElse("null")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${la(loadStart)},"load_avg_end":${la(loadEnd)},"drift":$driftJson,"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
     spark.stop()
   }
 }

@@ -175,6 +175,86 @@ object DimReduction {
       .withColumn("dist2", round(best.getField("d2"), roundAt))
   }
 
+  /** One-or-more POWER-ITERATION steps toward the top principal
+    * direction, unrolled under the oracle (round 15, verdict item 3 —
+    * the [[kmeansLloyd]] treatment applied to the last fit family
+    * without a hash-exact iteration sibling): v₀ is the first
+    * idHash-ranked row's feature vector unit-normalized, and each step
+    * computes the Gram-vector product w = XᵀXv (one map-side-combined
+    * aggregation: wᵢ = Σ_rows xᵢ·(x·v), never materializing the d×d
+    * Gram) followed by unit normalization, with every normalized
+    * component ROUNDED to `roundAt` dp before the next pass. The
+    * rounding is the determinism contract (the kmeansLloyd recipe):
+    * each corpus pass runs against bit-identical literal v in any
+    * engine, so summation-order ulps in the big sums cannot propagate
+    * past the round, and the whole iteration is restatable in SQL.
+    *
+    * This is the uncentered power method — MLlib's PCA fit computes
+    * principal components of the mean-CENTERED covariance via SVD, so
+    * the learned direction is a sibling, not a drop-in replacement;
+    * the point (as with kmeansLloyd vs the KMeans fit) is that the
+    * ITERATION ARITHMETIC of the fit family is hash-verifiable, while
+    * production fitting stays [[apply]]. FeaturesSpec ties the
+    * converged direction to the dominant eigenvector on a planted
+    * spectrum fixture.
+    *
+    * Output: the input rows (null-feature rows dropped — unprojectable)
+    * plus the learned direction as literal columns `v_0..v_{d-1}` and
+    * the per-row projection `pc1_power = round(x·v, roundAt)`.
+    *
+    * Scale shape: one bounded 1-row TakeOrdered collect (the init
+    * draw), then per step ONE partially-aggregated corpus scan
+    * returning d doubles to the driver — model-artifact-sized, never
+    * corpus-sized — and finally a zero-shuffle codegen projection. */
+  def pcaPowerIteration(
+      df: DataFrame,
+      featureCols: Seq[String],
+      idCol: String,
+      steps: Int = 1,
+      roundAt: Int = 6): DataFrame = {
+    require(steps >= 0, s"need steps >= 0, got $steps")
+    require(featureCols.nonEmpty, "need at least one feature column")
+    val feats = featureCols.map(c => col(c).cast("double"))
+    val clean = df.where(feats.map(_.isNotNull).reduce(_ && _))
+    val drawn = clean
+      .select((col(idCol).cast("long").as("__id") +: feats): _*)
+      .orderBy(idHash(col("__id")), col("__id"))
+      .limit(1)
+      .collect()
+    require(drawn.nonEmpty, "power iteration: no well-formed rows")
+    def normalize(w: Array[Double]): Array[Double] = {
+      // left-assoc sum-of-squares, the order the oracle states
+      val n = math.sqrt(w.map(v => v * v).reduce(_ + _))
+      require(n > 0, "power iteration hit the zero vector")
+      w.map(v => BigDecimal(v / n)
+        .setScale(roundAt, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    var v = normalize(
+      featureCols.indices.map(i => drawn(0).getDouble(i + 1)).toArray)
+    for (_ <- 1 to steps) {
+      // x·v with v as literals, per-dim terms left-associated
+      val dot = feats.zipWithIndex.map { case (x, i) => x * lit(v(i)) }
+        .reduce(_ + _)
+      val sums = feats.zipWithIndex.map { case (x, i) =>
+        sum(x * dot).as(s"__s$i") }
+      val srow = clean.agg(sums.head, sums.tail: _*).collect()(0)
+      v = normalize(featureCols.indices.map(srow.getDouble).toArray)
+    }
+    val vCols = v.zipWithIndex.map { case (w, i) => lit(w).as(s"v_$i") }
+    val proj = feats.zipWithIndex.map { case (x, i) => x * lit(v(i)) }
+      .reduce(_ + _)
+    // Projection rounding is spelled floor(x·10^r + 0.5)/10^r, NOT
+    // round(): x·v here is an EXACT 8-decimal product (2dp features ×
+    // 6dp loadings), so ~1% of rows sit on the 6dp half boundary where
+    // Spark's BigDecimal HALF_UP and DuckDB's multiply-then-round
+    // disagree on the same double (observed: 2/1500 rows off by 1e-6).
+    // The floor form is identical IEEE arithmetic in both engines —
+    // bit-exact by construction, whatever the tie policy.
+    val scale = lit(math.pow(10.0, roundAt))
+    clean.select(df.columns.map(col).toSeq ++ vCols :+
+      (floor(proj * scale + lit(0.5)) / scale).as("pc1_power"): _*)
+  }
+
   /** The shared squared-euclidean argmin: per-dim terms summed in
     * column order, left-associated (the oracle states the same order),
     * ties broken toward the SMALLEST cluster id. Returns the winning

@@ -102,7 +102,15 @@ final class BottomK(k: Int)
 /** Merge persisted [[BkState]] rows (the `hll_union_agg` analog):
   * input is a sketch per stored batch, output the k smallest distinct
   * hashes across all of them — exactly the sketch a one-shot pass
-  * over the unioned raw inputs would build. */
+  * over the unioned raw inputs would build.
+  *
+  * k-mismatch semantics: merging a sketch built with a LARGER k is
+  * sound (the min-k of a k′-sketch, k′ > k, IS the k-sketch — the
+  * merge truncates correctly); a sketch built with a SMALLER k is
+  * indistinguishable from one that never filled, so downstream
+  * estimates at this k would silently degrade to "exact" — keep one
+  * k per workflow ([[BottomK.DefaultK]]) and see the
+  * [[BottomK.estimateFromHashes]] guard for the detectable direction. */
 final class BottomKMerge(k: Int)
     extends Aggregator[BkState, BkState, BkState] {
   override def zero: BkState = BkState(Array.emptyLongArray, Array.emptyDoubleArray)
@@ -166,14 +174,28 @@ object BottomK {
     * `pow(2.0, 60)` — the hash-normalization denominator. */
   val TwoPow60: Double = math.pow(2.0, 60)
 
-  /** KMV distinct estimate from a sketch struct column `sk`:
+  /** KMV distinct estimate from an ASCENDING hash array column:
     * exact size when the sketch never filled, else (k−1)·2⁶⁰ / h₍ₖ₎ —
     * spelled operand-for-operand like the DuckDB oracle so the Double
-    * is bit-identical. */
-  def estimateDistinct(sk: Column, k: Int): Column =
-    when(size(sk.getField("hashes")) < k,
-      size(sk.getField("hashes")).cast("double"))
+    * is bit-identical.
+    *
+    * k-mismatch guard: a sketch LARGER than `k` was provably built
+    * with a different k (e.g. a stored sketch from an older
+    * configuration) — estimating it as-is would silently read the
+    * wrong order statistic, so that row raises instead. The converse
+    * (built with a SMALLER k) is indistinguishable from a sketch that
+    * never filled — min-k state carries no k of its own — which is why
+    * the registered workflows share one [[DefaultK]] end-to-end. */
+  def estimateFromHashes(h: Column, k: Int): Column =
+    when(size(h) > k, raise_error(concat(
+      lit(s"KMV k mismatch: sketch holds "), size(h).cast("string"),
+      lit(s" hashes but the estimator was asked for k=$k"))).cast("double"))
+      .when(size(h) < k, size(h).cast("double"))
       .otherwise(
         lit((k - 1).toDouble) * lit(TwoPow60) /
-          element_at(sk.getField("hashes"), k).cast("double"))
+          element_at(h, k).cast("double"))
+
+  /** [[estimateFromHashes]] over a persisted sketch STRUCT column. */
+  def estimateDistinct(sk: Column, k: Int): Column =
+    estimateFromHashes(sk.getField("hashes"), k)
 }

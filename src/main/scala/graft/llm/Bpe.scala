@@ -93,7 +93,13 @@ object Bpe {
   /** Unrolled BPE learning: `steps` merges over the bounded word
     * table. Returns (merges, finalSymbols) — merges is
     * (step, left, right, pair_count), one row per step; each step's
-    * winner is a one-row driver draw (bounded model artifact). */
+    * winner is a one-row driver draw (bounded model artifact).
+    *
+    * `merges` may hold FEWER than `steps` rows: once a step finds no
+    * adjacent pair at all (every word fully merged into one symbol)
+    * the symbol frame cannot change again, so learning stops at the
+    * first empty argmax rather than burning the remaining steps on
+    * identical driver round-trips. */
   def learn(df: DataFrame, steps: Int, topWords: Int,
       textCol: String = "text"): (DataFrame, DataFrame) = {
     require(steps >= 1 && topWords >= 1,
@@ -105,16 +111,20 @@ object Bpe {
       // cache once, bounded by topWords × max word length rows
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to steps) {
+    var step = 1
+    var done = false
+    while (step <= steps && !done) {
       val best = pairCounts(syms)
         .orderBy(col("pair_count").desc, col("left"), col("right"))
         .limit(1).collect() // ONE row: the step's model artifact
-      if (best.nonEmpty) {
+      if (best.isEmpty) done = true // no pairs left: frame is fixed
+      else {
         val (l, r, pc) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((step, l, r, pc))
         syms = applyMerge(syms, l, r).localCheckpoint(true)
       }
+      step += 1
     }
     // merge_left/merge_right: LEFT/RIGHT are reserved words in the
     // oracle dialect — neutral names keep both engines unquoted

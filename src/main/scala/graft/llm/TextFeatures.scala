@@ -201,6 +201,76 @@ object TextFeatures {
       .select(col("query_id"), col(idCol), col("rank"), col("bm25"))
   }
 
+  /** Per-document postings as a STATELESS projection — one output row
+    * per (doc, distinct term) carrying (dl, term, tf), plus one
+    * null-term row for a tokenless doc (so document count and avgdl
+    * survive the append exactly). Zero shuffle: term counts come from
+    * array functions inside the row, never an explode+groupBy — which
+    * is what makes this the streaming-ingest leg of the living index
+    * (a readStream source maps through it straight into an append
+    * sink, the ivfAssign recipe). Worst-case per-row cost is
+    * O(distinct terms × tokens); for corpus-scale documents the batch
+    * [[bm25Index]]'s aggregated shuffle is the better build path —
+    * this projection exists for DELTAS. */
+  def bm25PostingsStateless(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+      w => length(w) > 0)
+    docs.select(col(idCol), toks.as("ws"))
+      .select(col(idCol), size(col("ws")).as("dl"),
+        explode_outer(expr(
+          "transform(array_distinct(ws), " +
+            "t -> struct(t AS term, size(filter(ws, x -> x = t)) AS tf))"))
+          .as("p"))
+      .select(col(idCol), col("dl"), col("p.term").as("term"),
+        col("p.tf").cast("long").as("tf"))
+  }
+
+  /** Merge a postings DELTA (the [[bm25PostingsStateless]] shape —
+    * batch-read from an append sink, or computed inline) into an
+    * existing [[Bm25Index]]. Postings and lengths are plain unions;
+    * df adds the delta's per-term document counts; (N, avgdl) is
+    * re-derived from the merged lengths — dl is integral, so the
+    * average is EXACT integer arithmetic in every engine and
+    * append-then-score equals build-then-score bit-for-bit.
+    *
+    * Contract: delta doc ids must be NEW (re-ingesting an id would
+    * double-count its postings) — dedupe upstream, the
+    * exactIncremental recipe. */
+  def bm25MergePostings(
+      index: Bm25Index,
+      delta: DataFrame,
+      idCol: String = "doc_id"): Bm25Index = {
+    val termed = delta.filter(col("term").isNotNull)
+    val tf = index.tf.unionByName(
+      termed.select(col(idCol), col("term"), col("tf")))
+    val docLen = index.docLen.unionByName(
+      delta.select(col(idCol), col("dl")).distinct())
+    val dft = index.df.unionByName(
+        termed.groupBy(col("term")).agg(count(lit(1)).as("df_docs")))
+      .groupBy(col("term")).agg(sum(col("df_docs")).as("df_docs"))
+    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    Bm25Index(tf, docLen, dft, statsRow.getLong(0), statsRow.getDouble(1))
+  }
+
+  /** Refit-free index growth (r14 verdict item 5 — the retrieval
+    * counterpart of `ivfAppend`): tokenize ONLY the new batch and
+    * merge its postings into the standing index. The corpus is never
+    * re-scanned; df and the corpus scalars update from
+    * vocabulary-sized / doc-count-sized frames. Scores after append
+    * equal a from-scratch rebuild exactly (see
+    * [[bm25MergePostings]]), which is what the registered oracle row
+    * pins. */
+  def bm25Append(
+      index: Bm25Index,
+      newDocs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id"): Bm25Index =
+    bm25MergePostings(index,
+      bm25PostingsStateless(newDocs, textCol, idCol), idCol)
+
   /** Persist a built [[Bm25Index]] — build-once / probe-many across
     * sessions. Postings and lengths go to plain parquet (the probe
     * touches postings via a broadcast-side term join — no keyed

@@ -74,6 +74,18 @@ object Sketches {
   def kmvOverlap(sketches: DataFrame, groupCol: String,
       groupA: String, groupB: String,
       k: Int = BottomK.DefaultK): DataFrame = {
+    // Guard against a typo'd group name (or an all-null key column):
+    // a missing side would otherwise collapse the 1×1 cross join to an
+    // EMPTY frame — a silent no-answer. The sketch frame is one
+    // KB-sized row per group, so checking presence is one cheap pass.
+    val present = sketches
+      .filter(col(groupCol).isin(groupA, groupB))
+      .select(col(groupCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
+    require(Seq(groupA, groupB).forall(present),
+      s"kmvOverlap: no sketch row for group(s) " +
+        s"${Seq(groupA, groupB).filterNot(present).mkString(", ")} " +
+        s"in column '$groupCol' (present: ${present.mkString(", ")})")
     val a = sketches.filter(col(groupCol) === groupA)
       .select(col("sk.hashes").as("ha"))
     val b = sketches.filter(col(groupCol) === groupB)
@@ -84,10 +96,7 @@ object Sketches {
     // side, so sizes count matches, not multiplicity
     val m = size(array_intersect(array_intersect(col("u"), col("ha")),
       col("hb")))
-    def estOf(h: Column): Column =
-      when(size(h) < k, size(h).cast("double"))
-        .otherwise(lit((k - 1).toDouble) * lit(BottomK.TwoPow60) /
-          element_at(h, k).cast("double"))
+    def estOf(h: Column): Column = BottomK.estimateFromHashes(h, k)
     a.crossJoin(b)
       .withColumn("u", u)
       .withColumn("m", m)
@@ -119,6 +128,14 @@ object Sketches {
     * float-parity trick for interpolated quantiles). */
   def sampleQuantiles(df: DataFrame, groupCol: String, idCol: String,
       valueCol: Column, m: Int, probs: Seq[Double]): DataFrame = {
+    // Output columns are tagged p<round(prob*100)> — probs that round
+    // to the same integer percent (0.95 vs 0.951) would silently
+    // collide into duplicate column names, so reject them up front.
+    val tags = probs.map(p => (p * 100).round.toInt)
+    require(tags.distinct.size == probs.size,
+      s"sampleQuantiles: probs ${probs.mkString(", ")} collide after " +
+        s"integer-percent rounding (tags ${tags.mkString(", ")}); use " +
+        "probs at least 0.01 apart")
     val probsSql = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
     val sk = df
       .select(col(groupCol), BottomK.hash64(col(idCol)).as("h"),
@@ -142,7 +159,7 @@ object Sketches {
       .agg(expr(s"percentile(v, $probsSql)").as("q_sample"),
         count(lit(1)).as("n_sampled"))
     val qCols = probs.indices.flatMap { i =>
-      val tag = (probs(i) * 100).round.toInt
+      val tag = tags(i)
       Seq(round(col("q_sample").getItem(i), 6).as(s"p${tag}_sample"),
         round(col("q_exact").getItem(i), 6).as(s"p${tag}_exact"))
     }

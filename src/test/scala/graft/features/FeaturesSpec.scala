@@ -325,6 +325,69 @@ class FeaturesSpec extends SparkSpec {
     }
   }
 
+  test("pcaPowerIteration: one step equals a hand-rolled Gram-vector " +
+      "product; planted dominant direction recovered; repartition-" +
+      "invariant") {
+    val df = spark.read.parquet(s"$sf0001/customer.parquet")
+      .select("c_custkey", "c_acctbal", "c_nationkey")
+    val feats = Seq("c_acctbal", "c_nationkey", "c_custkey")
+    val out = DimReduction.pcaPowerIteration(df, feats, "c_custkey",
+      steps = 1).collect()
+    assert(out.length == df.count())
+    // hand-rolled iteration in plain Scala (summation order differs →
+    // tolerance, not equality — the registered row's 6dp round is the
+    // cross-engine contract)
+    val all = df.collect().map(r => (r.getLong(0),
+      Array(r.getDouble(1), r.getInt(2).toDouble, r.getLong(0).toDouble)))
+    def norm6(w: Array[Double]) = {
+      val n = math.sqrt(w.map(x => x * x).sum)
+      w.map(x => BigDecimal(x / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val v0 = norm6(all.sortBy { case (id, _) =>
+      ((id % 1048573L) * DimReduction.KmeansHashMultiplier % 1048573L, id)
+    }.head._2)
+    val s = Array.tabulate(3)(i => all.map { case (_, x) =>
+      x(i) * (x(0) * v0(0) + x(1) * v0(1) + x(2) * v0(2)) }.sum)
+    val v1 = norm6(s)
+    val got = Array(out.head.getAs[Double]("v_0"),
+      out.head.getAs[Double]("v_1"), out.head.getAs[Double]("v_2"))
+    got.zip(v1).foreach { case (g, e) =>
+      assert(math.abs(g - e) <= 1e-6, s"v: got ${got.toSeq}, expect ${v1.toSeq}")
+    }
+    val expectProj = all.map { case (id, x) =>
+      id -> (x(0) * v1(0) + x(1) * v1(1) + x(2) * v1(2)) }.toMap
+    out.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pc1_power") -
+        expectProj(r.getLong(0))) <= 2e-6, s"row ${r.getLong(0)}")
+    }
+
+    // planted spectrum: data on a dominant line u = (0.6, 0.8, 0) with
+    // small perpendicular noise → the iteration must recover ±u
+    val u = Array(0.6, 0.8, 0.0)
+    val p = Array(-0.8, 0.6, 0.0)
+    val planted = spark.createDataFrame(
+      (1 to 200).map { i =>
+        val t = 100.0 + i
+        val e = (i % 7 - 3) * 0.5
+        (i.toLong, t * u(0) + e * p(0), t * u(1) + e * p(1), 0.1 * (i % 3))
+      }).toDF("id", "a", "b", "c")
+    val pv = DimReduction.pcaPowerIteration(planted, Seq("a", "b", "c"),
+      "id", steps = 3).head()
+    val vp = Array(pv.getAs[Double]("v_0"), pv.getAs[Double]("v_1"),
+      pv.getAs[Double]("v_2"))
+    val cos = math.abs(vp(0) * u(0) + vp(1) * u(1) + vp(2) * u(2)) /
+      math.sqrt(vp.map(x => x * x).sum)
+    assert(cos > 0.999, s"recovered ${vp.toSeq}, cos=$cos")
+
+    // partitioning must not change the learned direction
+    val re = DimReduction.pcaPowerIteration(df.repartition(7), feats,
+      "c_custkey", steps = 1).head()
+    assert(re.getAs[Double]("v_0") == got(0) &&
+      re.getAs[Double]("v_1") == got(1) &&
+      re.getAs[Double]("v_2") == got(2))
+  }
+
   test("ProbabilityPrediction.score with FITTED coefficients == " +
       "LogisticRegressionModel.transform") {
     import org.apache.spark.ml.classification.LogisticRegression

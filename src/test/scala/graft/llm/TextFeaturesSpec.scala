@@ -131,6 +131,51 @@ class TextFeaturesSpec extends SparkSpec {
     }
   }
 
+  test("bm25PostingsStateless: per-row counts equal the aggregated " +
+      "build; tokenless docs keep their length row") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "alpha alpha beta"),
+      (1L, "beta common common beta"),
+      (2L, "...!!!"), // tokenless: dl = 0, no term rows
+      (3L, "gamma")).toDF("doc_id", "text")
+    val delta = TextFeatures.bm25PostingsStateless(docs)
+    val built = TextFeatures.bm25Index(docs)
+    // postings rows (term != null) == the aggregated tf
+    val dtf = delta.filter(col("term").isNotNull)
+      .select("doc_id", "term", "tf")
+    assert(dtf.exceptAll(built.tf).count() == 0 &&
+      built.tf.exceptAll(dtf).count() == 0)
+    // the tokenless doc keeps exactly one (null-term, dl=0) row
+    val empty = delta.filter(col("doc_id") === 2L).collect()
+    assert(empty.length == 1 && empty.head.getAs[Int]("dl") == 0 &&
+      empty.head.isNullAt(2))
+    // doc lengths (distinct per doc) == the built lengths
+    val dlen = delta.select("doc_id", "dl").distinct()
+    assert(dlen.exceptAll(built.docLen).count() == 0 &&
+      built.docLen.exceptAll(dlen).count() == 0)
+  }
+
+  test("bm25Append: appended index probes identical to a from-scratch " +
+      "rebuild (postings, df, scalars all merge exactly)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val full = TextFeatures.bm25Index(docs)
+    val grown = TextFeatures.bm25Append(
+      TextFeatures.bm25Index(docs.filter(col("doc_id") % 2 === 0)),
+      docs.filter(col("doc_id") % 2 === 1))
+    assert(grown.nDocs == full.nDocs)
+    assert(grown.avgdl == full.avgdl,
+      s"avgdl ${grown.avgdl} vs ${full.avgdl} — integral dl must merge exactly")
+    assert(grown.df.exceptAll(full.df).count() == 0 &&
+      full.df.exceptAll(grown.df).count() == 0)
+    val a = TextFeatures.bm25Probe(grown, q, topK = 10, excludeSelf = true)
+    val b = TextFeatures.bm25Probe(full, q, topK = 10, excludeSelf = true)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+  }
+
   test("rrfFuse: hand-computed fusion; absent side contributes nothing") {
     val s = spark
     import s.implicits._

@@ -77,13 +77,16 @@ class SketchesSpec extends SparkSpec {
     assert(p50 > 10.0 && p50 < 90.0, s"p50_sample=$p50")
   }
 
-  test("kmvOverlap: a group absent from the sketch frame yields an " +
-      "empty result, not a null-estimate row") {
+  test("kmvOverlap: a group absent from the sketch frame (typo'd name, " +
+      "all-null keys) fails loudly instead of emitting an empty frame") {
     val s = spark
     import s.implicits._
     val sks = Sketches.kmvSketch(
       Seq(("a", "u1"), ("a", "u2")).toDF("grp", "key"), "grp", "key")
-    assert(Sketches.kmvOverlap(sks, "grp", "a", "missing").count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      Sketches.kmvOverlap(sks, "grp", "a", "missing")
+    }
+    assert(e.getMessage.contains("missing"), e.getMessage)
   }
 
   test("sampleQuantiles: null ids and null measures are dropped, not " +
