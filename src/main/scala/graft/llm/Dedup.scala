@@ -690,6 +690,82 @@ object Dedup {
 
   // --------------------------------------------------------- minhash star
 
+  /** One-pass per-doc minhash BASE (r15, the shared-shingle fix under
+    * the r14 verdict's top item): the sorted-distinct shingle set (the
+    * verification payload) and the minhash signature (the banding
+    * input) from a SINGLE tokenization, lazily localCheckpoint'ed so
+    * banding, the star-collapse verify and the survivor-pair verify
+    * all read the same materialized blocks — the previous shape
+    * re-tokenized the corpus once per stage (3× on a high-duplication
+    * corpus where the collapse candidates approach the corpus).
+    * Signature arithmetic is unchanged (min over a multiset == min
+    * over its set), so band keys — and every oracle row — are
+    * bit-identical. Blocks are corpus-token-scale: MEMORY_AND_DISK
+    * spill bounds them at scale, and the alternative is paying the
+    * tokenization per consumer. */
+  private def minhashBase(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int,
+      seed: Long): DataFrame =
+    shingled(docs, textCol, idCol)
+      .select(col(idCol),
+        array_sort(array_distinct(col("shingles"))).as("sh"),
+        MinhashSignature(col("shingles"), numHashes, seed).as("sig"))
+      .localCheckpoint(false)
+
+  /** [[minhashBandKeys]]'s banding stage over a [[minhashBase]] frame —
+    * same band-key derivation from the signature column, same explicit
+    * exchange on `bk` (the self-join ReusedExchange contract). */
+  private def bandKeysFromSigs(
+      base: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"bands ($bands) must divide numHashes ($numHashes)")
+    val rowsPerBand = numHashes / bands
+    base.select(col(idCol),
+      explode(array((0 until bands).map { b =>
+        val rows = (0 until rowsPerBand).map(r =>
+          element_at(col("sig"), b * rowsPerBand + r + 1))
+        xxhash64(lit(b) +: rows: _*)
+      }: _*)).as("bk"))
+      .repartition(col("bk"))
+  }
+
+  /** Threshold-aware verification over a shared `(idCol, sh)` frame:
+    * [[jaccardOverShingleFrame]] with (a) an EXACT size prescreen —
+    * J = I/(|A|+|B|−I) with I ≤ min(|A|,|B|) gives J ≤ min/max, so a
+    * pair failing `min ≥ τ·max` cannot qualify and skips the merge
+    * scan entirely (on a near-identical-replica collapse at τ = 0.95
+    * this discards every coincidental bucket-mate for two size reads)
+    * — and (b) the `jaccard ≥ τ` filter fused in, so callers get
+    * exactly the qualifying pairs. Never drops a qualifying pair:
+    * the prescreen is an upper bound, not a heuristic. */
+  private def verifiedAtLeast(
+      shingles: DataFrame,
+      pairs: DataFrame,
+      idCol: String,
+      minJaccard: Double): DataFrame = {
+    val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
+    pairs.join(a, "id_a").join(b, "id_b")
+      .filter(least(size(col("sh_a")), size(col("sh_b"))).cast("double")
+        >= lit(minJaccard) *
+          greatest(size(col("sh_a")), size(col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("uni",
+        size(col("sh_a")) + size(col("sh_b")) - col("inter"))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0.0)
+          .otherwise(col("inter").cast("double") / col("uni")))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "jaccard")
+  }
+
   /** STAR-reduced MinHash linking — the Jaccard twin of
     * [[simhashStarFromFingerprints]], closing the r12 verdict's one
     * remaining quadratic mechanism: on a high-duplication corpus every
@@ -729,10 +805,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
-    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
-    ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
-      textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    val base = minhashBase(docs, textCol, idCol, nh, seed)
+    verifiedAtLeast(base.select(col(idCol), col("sh")),
+      minhashStarFromBandKeys(bandKeysFromSigs(base, idCol, nh, nb), idCol),
+      idCol, minJaccard)
   }
 
   /** The UNVERIFIED star candidate links `(id_a < id_b)` from a
@@ -813,14 +889,17 @@ object Dedup {
       collapseJaccard: Double = 0.8,
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
-    // cut on the survivor candidates: the final verify references its
-    // pair argument three times (PlanAuditSpec audits the pre-cut
-    // frame below)
-    ngramJaccard(docs,
-      minhashSurvivorCandidates(docs, textCol, idCol, numHashes, bands,
-        minJaccard, collapseJaccard, seed).localCheckpoint(false),
-      textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    // ONE tokenization for the whole composition (r15): the base frame
+    // feeds banding, the collapse verify and the final verify
+    val base = minhashBase(docs, textCol, idCol, nh, seed)
+    val sh = base.select(col(idCol), col("sh"))
+    // cut on the survivor candidates: bounds the plan tree at the
+    // collapse boundary (PlanAuditSpec audits the pre-cut frame below)
+    verifiedAtLeast(sh,
+      survivorCandidatesFromBase(base, idCol, nh, nb, collapseJaccard)
+        .localCheckpoint(false),
+      idCol, minJaccard)
   }
 
   /** The survivor candidate pairs [[minhashPairsStarFirst]] verifies —
@@ -839,20 +918,32 @@ object Dedup {
       collapseJaccard: Double,
       seed: Long): DataFrame = {
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
-    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
-    // LINEAGE CUT at the collapse boundary: the drop-id frame embeds
-    // the banded subtree ~3× (ngramJaccard references its `pairs` arg
-    // three times), and the survivor pass would re-embed it 8 more —
-    // a ~24×-nested plan Catalyst chews minutes of driver CPU on
-    // (measured: analysis alone stalled at small SF). The lazy
+    survivorCandidatesFromBase(
+      minhashBase(docs, textCol, idCol, nh, seed),
+      idCol, nh, nb, collapseJaccard)
+  }
+
+  /** [[minhashSurvivorCandidates]] over an already-built
+    * [[minhashBase]] frame — the shape [[minhashPairsStarFirst]]
+    * composes so its final verify shares the SAME base blocks. */
+  private def survivorCandidatesFromBase(
+      base: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int,
+      collapseJaccard: Double): DataFrame = {
+    val banded = bandKeysFromSigs(base, idCol, numHashes, bands)
+    // LINEAGE CUT at the collapse boundary: without it the drop-id
+    // frame embeds the banded subtree into every survivor-pass
+    // reference — a multiply-nested plan Catalyst chews minutes of
+    // driver CPU on (measured at small SF in r13). The lazy
     // localCheckpoint compiles the drop plan ONCE to an RDD leaf —
     // compact (one long column, persisted on executors, the
     // connectedComponents label precedent) — and the survivor pass
     // plans against the leaf. Execution is unchanged: banded still
     // ReusedExchanges across the pair self-join.
-    val drops = ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= collapseJaccard)
+    val drops = verifiedAtLeast(base.select(col(idCol), col("sh")),
+        minhashStarFromBandKeys(banded, idCol), idCol, collapseJaccard)
       .select(col("id_b").as(idCol)).distinct()
       .localCheckpoint(false)
     val survBanded = banded.join(drops, Seq(idCol), "left_anti")
@@ -867,25 +958,24 @@ object Dedup {
     * split a component — extra keepers, never wrong merges; DedupSpec
     * bounds the divergence on the replicated fixture). */
   private def minhashStarFirstEdges(
-      docs: DataFrame,
+      sh: DataFrame,
       banded: DataFrame,
-      textCol: String,
       idCol: String,
       minJaccard: Double): DataFrame = {
     // same lineage cut as [[minhashPairsStarFirst]] — links feed both
     // the drop set and the edge union, so without the cut the banded
-    // subtree nests ~27× and plan analysis stalls
-    val links = ngramJaccard(docs, minhashStarFromBandKeys(banded, idCol),
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    // subtree nests ~27× and plan analysis stalls. `sh` is the shared
+    // [[minhashBase]] shingle frame (r15): both verifies read the same
+    // materialized blocks instead of re-tokenizing the corpus.
+    val links = verifiedAtLeast(sh,
+        minhashStarFromBandKeys(banded, idCol), idCol, minJaccard)
       .select("id_a", "id_b")
       .localCheckpoint(false)
     val drops = links.select(col("id_b").as(idCol)).distinct()
     val survBanded = banded.join(drops, Seq(idCol), "left_anti")
-    val survPairs = ngramJaccard(docs,
+    val survPairs = verifiedAtLeast(sh,
         bandedCandidates(survBanded, idCol).localCheckpoint(false),
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+        idCol, minJaccard)
       .select("id_a", "id_b")
     links.unionByName(survPairs).distinct()
   }
@@ -905,9 +995,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
-    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    val base = minhashBase(docs, textCol, idCol, nh, seed)
     val comps = connectedComponents(
-      minhashStarFirstEdges(docs, banded, textCol, idCol, minJaccard))
+      minhashStarFirstEdges(base.select(col(idCol), col("sh")),
+        bandKeysFromSigs(base, idCol, nh, nb), idCol, minJaccard))
     val losers = comps.filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
@@ -931,9 +1022,10 @@ object Dedup {
       seed: Long = 42L): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
     val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
-    val banded = minhashBandKeys(docs, textCol, idCol, nh, nb, seed)
+    val base = minhashBase(docs, textCol, idCol, nh, seed)
     val comps = connectedComponents(
-      minhashStarFirstEdges(docs, banded, textCol, idCol, minJaccard))
+      minhashStarFirstEdges(base.select(col(idCol), col("sh")),
+        bandKeysFromSigs(base, idCol, nh, nb), idCol, minJaccard))
     val members = comps
       .join(df.select(col(idCol).as("id"), col(scoreCol).as("_score")),
         "id")
@@ -1541,17 +1633,31 @@ object Dedup {
       .join(candidateIds, Seq(idCol), "left_semi")
     // same shingling (incl. the tiny-doc single-token fallback) as the
     // candidate generators — otherwise a sub-n-token doc that banding
-    // matched would verify against an EMPTY shingle set and score 0
+    // matched would verify against an EMPTY shingle set and score 0.
+    // Sets are SORTED once per doc so the per-pair intersect is a
+    // zero-allocation merge scan (SortedIntersectCount) instead of a
+    // per-row hash set — same count bit-for-bit (r15)
     val shingles = shingled(candidates, textCol, idCol, n)
-      .select(col(idCol), array_distinct(col("shingles")).as("sh"))
+      .select(col(idCol),
+        array_sort(array_distinct(col("shingles"))).as("sh"))
+    jaccardOverShingleFrame(shingles, pairs, idCol)
+  }
+
+  /** The shared Jaccard arithmetic over a `(idCol, sh)` frame of
+    * SORTED-DISTINCT shingle sets: |A ∪ B| = |A| + |B| − |A ∩ B| with
+    * the intersect as one codegen'd merge scan per pair
+    * ([[graft.functions.SortedIntersectCount]]). Factored out (r15) so
+    * the star-first compositions can verify against ONE materialized
+    * shingle frame instead of re-tokenizing the corpus per stage. */
+  private def jaccardOverShingleFrame(
+      shingles: DataFrame,
+      pairs: DataFrame,
+      idCol: String): DataFrame = {
     val a = shingles.select(col(idCol).as("id_a"), col("sh").as("sh_a"))
     val b = shingles.select(col(idCol).as("id_b"), col("sh").as("sh_b"))
-    // |A ∪ B| = |A| + |B| − |A ∩ B| (the shingle arrays are distinct
-    // sets): one intersect per pair instead of intersect + a
-    // materialized union array — same jaccard bit-for-bit, about half
-    // the per-pair array work in the verification hot loop
     pairs.join(a, "id_a").join(b, "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b")))
       .withColumn("uni",
         size(col("sh_a")) + size(col("sh_b")) - col("inter"))
       .withColumn("jaccard",
