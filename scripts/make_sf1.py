@@ -6,7 +6,16 @@ near-copies (replica k appends one token " rk"), embeddings perturb
 the first component per replica, events/lineitem remap keys so join
 cardinalities scale linearly. Small dimension tables copy as-is.
 
-Usage: python3 scripts/make_sf1.py [outDir]   (default /tmp/sf1)
+Usage: python3 scripts/make_sf1.py [outDir] [--lowdup]   (default /tmp/sf1)
+
+--lowdup (r14 verdict item 6): the default fixture is ~90%
+near-duplicated by design, which stresses collapse paths but
+under-stresses DISTINCT volume (vocabulary growth overflowed an MG
+capacity once, r11). With --lowdup only ~10% of replicas are
+near-copies; the other ~90% mutate every third word with a
+per-replica suffix — shingles diverge (not near-dups) AND the
+vocabulary grows ~4x, the regime the text/sketch/BPE rows need.
+
 Driver-side tooling only (duckdb) — never imported by library code.
 """
 import sys
@@ -14,7 +23,9 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+args = [a for a in sys.argv[1:] if not a.startswith("--")]
+LOWDUP = "--lowdup" in sys.argv[1:]
+OUT = args[0] if args else "/tmp/sf1"
 
 con = duckdb.connect()
 con.execute(f"CREATE VIEW k AS SELECT unnest(range(0, 10)) AS k")
@@ -42,12 +53,32 @@ def rep(table, sql):
 import os
 os.makedirs(OUT, exist_ok=True)
 
-rep("documents", f"""
-  SELECT doc_id + k * 10000000 AS doc_id,
-         CASE WHEN k = 0 THEN text ELSE text || ' r' || k END AS text,
-         lang, source,
-         n_chars + CASE WHEN k = 0 THEN 0 ELSE 3 END AS n_chars
-  FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN k""")
+if LOWDUP:
+    # replica k of doc d: near-copy only when (d + k) % 10 == 0
+    # (~10% of replicas); otherwise every third word gains a
+    # per-replica suffix — low jaccard vs the original AND ~4x
+    # vocabulary growth (len/3 new word forms per replica)
+    rep("documents", f"""
+      SELECT doc_id + k * 10000000 AS doc_id,
+             CASE
+               WHEN k = 0 THEN text
+               WHEN (doc_id + k) % 10 = 0 THEN text || ' r' || k
+               ELSE array_to_string(list_transform(
+                 range(1, len(string_split(text, ' ')) + 1),
+                 i -> CASE WHEN (i + k) % 3 = 0
+                      THEN string_split(text, ' ')[i] || 'x' || k
+                      ELSE string_split(text, ' ')[i] END), ' ')
+             END AS text,
+             lang, source,
+             n_chars + CASE WHEN k = 0 THEN 0 ELSE 3 END AS n_chars
+      FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN k""")
+else:
+    rep("documents", f"""
+      SELECT doc_id + k * 10000000 AS doc_id,
+             CASE WHEN k = 0 THEN text ELSE text || ' r' || k END AS text,
+             lang, source,
+             n_chars + CASE WHEN k = 0 THEN 0 ELSE 3 END AS n_chars
+      FROM read_parquet('{SRC}/documents.parquet') CROSS JOIN k""")
 
 rep("embeddings", f"""
   SELECT vec_id + k * 10000000 AS vec_id,
