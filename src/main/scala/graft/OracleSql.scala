@@ -937,6 +937,36 @@ private[graft] object OracleSql {
          |  WHERE doc_id NOT IN (SELECT doc_id FROM star_drop)
          |)""".stripMargin
 
+  /** Hash-rank bottom-16 sample + exact quantile legs per source —
+    * shared by the one-shot row (`text_sample_quantiles`) and the r15
+    * persisted-merge lifecycle row (`text_sample_quantiles_merged`):
+    * merged batch sketches equal the one-shot sketch (min-k of a set
+    * union), so one twin adjudicates both. */
+  private val sampleQuantilesOracle: String =
+    """WITH n AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS v,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |), r AS (
+      |  SELECT source, v,
+      |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |  FROM n
+      |), qs AS (
+      |  SELECT source, COUNT(*) AS n_sampled,
+      |    ROUND(quantile_cont(v, 0.5), 6) AS p50_sample,
+      |    ROUND(quantile_cont(v, 0.9), 6) AS p90_sample
+      |  FROM r WHERE rn <= 16 GROUP BY 1
+      |), qe AS (
+      |  SELECT source, COUNT(*) AS n_rows,
+      |    ROUND(quantile_cont(v, 0.5), 6) AS p50_exact,
+      |    ROUND(quantile_cont(v, 0.9), 6) AS p90_exact
+      |  FROM n GROUP BY 1
+      |)
+      |SELECT source, n_rows, n_sampled,
+      |  p50_sample, p50_exact, p90_sample, p90_exact
+      |FROM qe JOIN qs USING (source)""".stripMargin
+
   val all: Map[String, String] = Map(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -3249,30 +3279,13 @@ private[graft] object OracleSql {
     // quantile_cont parity, 6dp-rounded. Assumes distinct 60-bit
     // hashes per group (collision odds ~2⁻⁶⁰·n²; a collision would
     // dedupe in the sketch but not in this rank restatement).
-    "text_sample_quantiles" ->
-      """WITH n AS (
-        |  SELECT source, doc_id,
-        |    CAST(len(regexp_extract_all(text, '\S+')) AS DOUBLE) AS v,
-        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
-        |  FROM documents
-        |), r AS (
-        |  SELECT source, v,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS rn
-        |  FROM n
-        |), qs AS (
-        |  SELECT source, COUNT(*) AS n_sampled,
-        |    ROUND(quantile_cont(v, 0.5), 6) AS p50_sample,
-        |    ROUND(quantile_cont(v, 0.9), 6) AS p90_sample
-        |  FROM r WHERE rn <= 16 GROUP BY 1
-        |), qe AS (
-        |  SELECT source, COUNT(*) AS n_rows,
-        |    ROUND(quantile_cont(v, 0.5), 6) AS p50_exact,
-        |    ROUND(quantile_cont(v, 0.9), 6) AS p90_exact
-        |  FROM n GROUP BY 1
-        |)
-        |SELECT source, n_rows, n_sampled,
-        |  p50_sample, p50_exact, p90_sample, p90_exact
-        |FROM qe JOIN qs USING (source)""".stripMargin,
+    "text_sample_quantiles" -> sampleQuantilesOracle,
+    // The persisted-merge lifecycle row (r15) shares the one-shot twin
+    // VERBATIM: bottom-16 of (batch-1 sketch ∪ batch-2 sketch) is
+    // bottom-16 of the whole corpus (min-k of a set union), so
+    // split / persist / reload / merge / re-answer must be the
+    // identity — which is exactly what the shared oracle pins.
+    "text_sample_quantiles_merged" -> sampleQuantilesOracle,
 
     "text_bpe_merges" -> bpeOracle(
       """SELECT 1 AS step, l AS merge_left, r AS merge_right,

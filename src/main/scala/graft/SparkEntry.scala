@@ -2296,6 +2296,35 @@ object SparkEntry {
         size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
         m = 16, probs = Seq(0.5, 0.9))),
 
+    // The quantile-artifact LIFECYCLE (round 15): two batch halves
+    // each build a bottom-16 sample sketch, one persists to parquet
+    // and reloads, kmvMerge folds them (payloads ride the two-pointer
+    // merge), and the merged artifact re-answers the quantiles —
+    // min-k of a set union makes merged == one-shot EXACTLY, so this
+    // row shares text_sample_quantiles' oracle verbatim (the
+    // events_cardinality_kmv round-trip applied to the sample face
+    // of the sketch; with it both KMV faces have a persisted-merge
+    // row).
+    "text_sample_quantiles_merged" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_sq")
+      try {
+        val docs = documents(s, dir)
+        val vcol = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+        val h1 = Sketches.sampleSketch(
+          docs.filter(col("doc_id") % 2 === 0), "source", "doc_id",
+          vcol, m = 16)
+        h1.write.mode("overwrite").parquet(s"$tmp/sk")
+        val h2 = Sketches.sampleSketch(
+          docs.filter(col("doc_id") % 2 === 1), "source", "doc_id",
+          vcol, m = 16)
+        val merged = Sketches.kmvMerge(
+          s.read.parquet(s"$tmp/sk").unionByName(h2), "source", k = 16)
+        Sketches.sampleQuantilesFromSketches(merged, docs, "source",
+            vcol, probs = Seq(0.5, 0.9))
+          .localCheckpoint(true) // cut lineage into tmp pre-delete
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
     // BPE vocabulary learning, 3 merge steps unrolled under the
     // oracle (round 14, the kmeans_lloyd treatment of an iterative
     // fit): word table → char symbols → repeat [overlapping pair

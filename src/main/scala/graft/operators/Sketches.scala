@@ -111,6 +111,51 @@ object Sketches {
           estOf(col("u"))).as("n_inter_est"))
   }
 
+  /** The persistable BATCH artifact behind [[sampleQuantiles]] (r15):
+    * per-group bottom-`m` sample sketch of (hash(idCol), valueCol) —
+    * two plain parquet array columns plus the exact row count. Batches
+    * persist their sketches; [[kmvMerge]] merges them (payloads ride
+    * the two-pointer merge), and min-k of a set union makes the merged
+    * state EQUAL to a one-shot pass — which is what lets the merged
+    * quantile row answer the one-shot DuckDB oracle verbatim. */
+  def sampleSketch(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: Column, m: Int): DataFrame =
+    df.select(col(groupCol), BottomK.hash64(col(idCol)).as("h"),
+        valueCol.cast("double").as("v"))
+      .filter(col("h").isNotNull && col("v").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(bkAgg(m)(col("h"), col("v")).as("sk"),
+        count(lit(1)).as("n_rows"))
+
+  /** Quantiles from (already-merged) sample sketches, with the exact
+    * legs recomputed from the raw frame for the honest-error read —
+    * the answer-later half of the [[sampleSketch]] lifecycle. Output
+    * columns match [[sampleQuantiles]] exactly. */
+  def sampleQuantilesFromSketches(sketches: DataFrame, df: DataFrame,
+      groupCol: String, valueCol: Column, probs: Seq[Double]): DataFrame = {
+    val tags = probs.map(p => (p * 100).round.toInt)
+    require(tags.distinct.size == probs.size,
+      s"probs ${probs.mkString(", ")} collide after integer-percent rounding")
+    val probsSql = probs.map(p => s"${p}D").mkString("array(", ", ", ")")
+    val sampled = sketches
+      .select(col(groupCol), col("n_rows"), explode(col("sk.values")).as("v"))
+      .groupBy(col(groupCol), col("n_rows"))
+      .agg(expr(s"percentile(v, $probsSql)").as("q_sample"),
+        count(lit(1)).as("n_sampled"))
+    val exact = df
+      .select(col(groupCol), valueCol.cast("double").as("v"))
+      .filter(col("v").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(expr(s"percentile(v, $probsSql)").as("q_exact"))
+    val qCols = probs.indices.flatMap { i =>
+      Seq(round(col("q_sample").getItem(i), 6).as(s"p${tags(i)}_sample"),
+        round(col("q_exact").getItem(i), 6).as(s"p${tags(i)}_exact"))
+    }
+    sampled.join(exact, groupCol)
+      .select(col(groupCol) +: col("n_rows") +: col("n_sampled") +:
+        qCols: _*)
+  }
+
   /** Per-group quantiles from a bottom-k uniform row sample: hash a
     * row-unique id, carry `valueCol` as payload, take the ≤ m rows
     * with the smallest hashes (a mergeable without-replacement uniform

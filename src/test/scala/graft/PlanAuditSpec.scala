@@ -48,11 +48,27 @@ class PlanAuditSpec extends SparkSpec {
       // (kmeans_hashinit additionally pays one bounded TakeOrdered draw
       // job at plan-build time, not an Exchange in the scoring plan)
       "dim_reduction_kmeans_hashinit", "dim_reduction_pca_scoring",
-      "probability_scoring")
+      "probability_scoring",
+      // round 15: the power-iteration SCORING plan is a literal-vector
+      // projection (the draw + Gram-vector aggregation are bounded
+      // plan-build jobs, like kmeans_hashinit's TakeOrdered)
+      "dim_reduction_pca_power")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
       }
+  }
+
+  test("bm25PostingsStateless is a zero-Exchange projection (the " +
+      "streaming-ingest contract of the BM25 living index, r15)") {
+    // term counts come from array functions INSIDE the row — if an
+    // explode+groupBy sneaks back in, the stream leg silently becomes
+    // a stateful aggregation and stream_bm25_append's append-sink
+    // shape breaks
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val p = graft.llm.TextFeatures.bm25PostingsStateless(docs)
+      .queryExecution.executedPlan.toString
+    assert(shuffles(p) == 0, s"stateless postings gained a shuffle:\n${p.take(600)}")
   }
 
   test("round 11: cached ANN probes scan materialized index blocks, " +

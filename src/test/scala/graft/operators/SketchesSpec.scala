@@ -77,6 +77,27 @@ class SketchesSpec extends SparkSpec {
     assert(p50 > 10.0 && p50 < 90.0, s"p50_sample=$p50")
   }
 
+  test("sampleSketch + kmvMerge + sampleQuantilesFromSketches: merged " +
+      "batch artifacts answer EXACTLY like the one-shot pass (min-k of " +
+      "a set union), under any batch split") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val vcol = size(split(col("text"), "\\s+"))
+    val oneShot = Sketches.sampleQuantiles(docs, "source", "doc_id",
+      vcol, m = 16, probs = Seq(0.5, 0.9))
+    for (mod <- Seq(2, 3)) {
+      val halves = (0 until mod).map(r =>
+        Sketches.sampleSketch(docs.filter(col("doc_id") % mod === r),
+          "source", "doc_id", vcol, m = 16))
+      val merged = Sketches.kmvMerge(halves.reduce(_ unionByName _),
+        "source", k = 16)
+      val viaMerge = Sketches.sampleQuantilesFromSketches(merged, docs,
+        "source", vcol, probs = Seq(0.5, 0.9))
+      assert(viaMerge.exceptAll(oneShot).count() == 0 &&
+        oneShot.exceptAll(viaMerge).count() == 0,
+        s"merge of $mod batches diverged from the one-shot sample")
+    }
+  }
+
   test("kmvOverlap: a group absent from the sketch frame (typo'd name, " +
       "all-null keys) fails loudly instead of emitting an empty frame") {
     val s = spark
