@@ -1619,6 +1619,32 @@ private[graft] object OracleSql {
         |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
         |  END""".stripMargin,
 
+    // token-budget mix (r15): the inclusive per-source running token
+    // total in md5-hash-rank order, filtered by the same literal
+    // budgets the Scala side bakes in. Integer token counts sum
+    // exactly, so the running totals — and the kept prefix — are
+    // bit-identical across engines. SUM(BIGINT) is HUGEINT in this
+    // dialect: cast back so the dtype matches Spark's long.
+    "llm_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |  FROM documents
+        |  WHERE source IN ('src0', 'src1', 'src5', 'src7')
+        |), r AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(SUM(n_tokens) OVER (
+        |      PARTITION BY source ORDER BY shuffle_key, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tokens_through
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, tokens_through
+        |FROM r
+        |WHERE tokens_through <= CASE source
+        |  WHEN 'src0' THEN 800 WHEN 'src1' THEN 1200
+        |  WHEN 'src5' THEN 100000 ELSE 0 END""".stripMargin,
+
     // contrastive-pairs oracle: planted-chain edges via the
     // dedup_components shingle/Jaccard restatement, then the full
     // negative-sampler chain — md5 doc buckets, salted target bucket,

@@ -1004,6 +1004,21 @@ object SparkEntry {
       Curate.mixCorpus(documents(s, dir),
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .select("doc_id", "source")),
+
+    // Per-source TOKEN-budget mix (round 15): pretraining mixes are
+    // specified in tokens, not row fractions — each budgeted source
+    // keeps its md5-hash-rank prefix while the inclusive running token
+    // total stays within budget (never exceeded; a too-large doc is
+    // skipped-by-drop, a 0 budget and unlisted sources drop entirely).
+    // No RNG, so the kept prefix is reproducible across engines; the
+    // per-source running sum uses the two-phase 16-bit-bucket prefix
+    // recipe (llm_shuffle_pack's), never a one-partition-per-source
+    // window. src0/src1 cut mid-source, src5's budget swallows it
+    // whole, src7 is the zero-budget edge.
+    "llm_token_budget_mix" -> ((s, dir) =>
+      Curate.tokenBudgetMix(documents(s, dir),
+        Map("src0" -> 800L, "src1" -> 1200L, "src5" -> 100000L,
+          "src7" -> 0L))),
     // Repeat-factor up-sampling (round 11): the multi-epoch treatment
     // of rare sources in a pretraining mix — integer replication with
     // a dense copy_idx, factor 0 dropping a source, unlisted sources

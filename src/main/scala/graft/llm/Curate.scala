@@ -671,6 +671,71 @@ object Curate {
         col("tokens_before"), col("bin_id"), col("bin_offset"))
   }
 
+  /** Per-source TOKEN-budget sampling (r15) — the actual pretraining
+    * mix knob: mixes are specified as "B tokens of source s", not row
+    * fractions ([[mixCorpus]]) or row caps ([[sourceQuota]]). Each
+    * budgeted source keeps a deterministic uniform prefix of its docs
+    * in md5-hash-rank order while the source's running token total
+    * (INCLUSIVE of the current doc) stays within its budget — the
+    * budget is never exceeded, a doc larger than the remaining budget
+    * (or the whole budget) is dropped, and sources absent from
+    * `budgets` are dropped entirely. Hash-rank ordering makes the kept
+    * prefix an unbiased without-replacement sample AND reproducible
+    * across engines/partitionings (no RNG — the [[mixCorpus]]
+    * determinism contract).
+    *
+    * Output: the budgeted rows as (idCol, sourceCol, n_tokens,
+    * tokens_through) where `tokens_through` is the source's inclusive
+    * running total at this doc (≤ the source budget by construction).
+    *
+    * Scale shape: the per-source running sum reuses
+    * [[globalShuffleOrder]]'s two-phase 16-bit-bucket recipe — without
+    * it the window is one partition per SOURCE, a cliff when a source
+    * is half the corpus. Per-(source, bucket) subtotals (≤ 65536 ×
+    * sources rows, broadcast) cumulate into offsets; each row adds its
+    * within-bucket inclusive running sum. One corpus shuffle on
+    * (source, bucket); the budget filter is a literal CASE fused into
+    * the final projection. Equals `SUM(n_tokens) OVER (PARTITION BY
+    * source ORDER BY md5(id), id)` exactly — the oracle. */
+  def tokenBudgetMix(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      sourceCol: String = "source"): DataFrame = {
+    require(budgets.nonEmpty, "tokenBudgetMix needs at least one budget")
+    require(budgets.values.forall(_ >= 0),
+      s"budgets must be non-negative, got $budgets")
+    val budgetCol = budgets.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, b)) => when(col(sourceCol) === s, lit(b)).otherwise(acc)
+    }
+    val withKey = docs
+      .withColumn("__budget", budgetCol)
+      .filter(col("__budget").isNotNull)
+      .withColumn("shuffle_key", md5(col(idCol).cast("string")))
+      .withColumn("bkt",
+        conv(substring(col("shuffle_key"), 1, 4), 16, 10).cast("long"))
+      .withColumn("n_tokens",
+        size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0)))
+          .cast("long"))
+    val offsets = withKey.groupBy(col(sourceCol), col("bkt"))
+      .agg(sum("n_tokens").as("bucket_toks"))
+      .withColumn("offset",
+        coalesce(sum("bucket_toks").over(
+          Window.partitionBy(col(sourceCol)).orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col(sourceCol), col("bkt"), col("offset"))
+    val w = Window.partitionBy(col(sourceCol), col("bkt"))
+      .orderBy(col("shuffle_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, 0) // inclusive
+    withKey.join(broadcast(offsets), Seq(sourceCol, "bkt"))
+      .withColumn("tokens_through",
+        col("offset") + sum(col("n_tokens")).over(w))
+      .filter(col("tokens_through") <= col("__budget"))
+      .select(col(idCol), col(sourceCol), col("n_tokens"),
+        col("tokens_through"))
+  }
+
   /** [[apply]] plus fuzzy near-dup suppression (minhash) — the full
     * at-scale recipe; not SQL-expressible (seeded banding), verified by
     * invariants on the component operators. */

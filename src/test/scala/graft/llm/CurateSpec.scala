@@ -491,6 +491,47 @@ class CurateSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("tokenBudgetMix: hash-rank prefix within budget; never exceeds; " +
+      "zero-budget and unlisted sources dropped; repartition-invariant") {
+    val s = spark
+    import s.implicits._
+    val fix = Seq(
+      (1L, "a", "one two three"),          // 3 tokens
+      (2L, "a", "four five"),              // 2
+      (3L, "a", "six seven eight nine"),   // 4
+      (4L, "a", "ten"),                    // 1
+      (5L, "b", "alpha beta"),             // 2 — budget 0
+      (6L, "c", "gamma delta")             // 2 — unlisted
+    ).toDF("doc_id", "source", "text")
+    // brute-force reference: md5 hash-rank order, inclusive prefix sum
+    def md5hex(v: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = Map(1L -> 3L, 2L -> 2L, 3L -> 4L, 4L -> 1L)
+    val ordered = toks.keys.toSeq.sortBy(id => (md5hex(id.toString), id))
+    val running = ordered.scanLeft(0L)((acc, id) => acc + toks(id)).tail
+    val budget = 6L
+    val expectKept = ordered.zip(running)
+      .filter(_._2 <= budget).map { case (id, t) => id -> t }.toMap
+    assert(expectKept.nonEmpty && expectKept.size < 4,
+      s"fixture must cut mid-source, got $expectKept") // non-vacuous
+    val out = Curate.tokenBudgetMix(fix,
+      Map("a" -> budget, "b" -> 0L)).collect()
+    val got = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == expectKept, s"got $got, expect $expectKept")
+    assert(out.forall(_.getString(1) == "a"),
+      "zero-budget and unlisted sources must drop entirely")
+    // whole-source budget keeps everything, totals = cumulative sums
+    val all = Curate.tokenBudgetMix(fix, Map("a" -> 1000L)).collect()
+    assert(all.length == 4 &&
+      all.map(_.getLong(3)).max == toks.values.sum)
+    // partitioning must not change the kept set
+    val re = Curate.tokenBudgetMix(fix.repartition(5),
+      Map("a" -> budget, "b" -> 0L)).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(re == got)
+  }
+
   test("contrastivePairs: deterministic bucketed negatives — correct " +
       "counts and ranks, never the anchor or an excluded partner, " +
       "repartition-invariant, locality under corpus growth") {
