@@ -1619,6 +1619,37 @@ private[graft] object OracleSql {
         |              WHEN 'src2' THEN '4000' WHEN 'src3' THEN '199a'
         |  END""".stripMargin,
 
+    // snapshot diff (r15): both sides' fingerprints re-derived with
+    // the same planted refresh arithmetic; chr(1) == the Scala side's
+    // U+0001 separator, and both engines' concat_ws skips NULLs, so
+    // the md5s agree byte-for-byte. concat_ws never returns NULL ⇒ a
+    // NULL fingerprint marks a full-outer join miss, exactly like the
+    // Spark side.
+    "llm_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT doc_id,
+        |    md5(concat_ws(chr(1), CAST(text AS VARCHAR),
+        |                  CAST(source AS VARCHAR))) AS fp
+        |  FROM documents
+        |), curr AS (
+        |  SELECT doc_id,
+        |    md5(concat_ws(chr(1),
+        |      CASE WHEN doc_id % 13 = 0 THEN text || ' v2' ELSE text END,
+        |      CAST(source AS VARCHAR))) AS fp
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 900000,
+        |    md5(concat_ws(chr(1), CAST(text AS VARCHAR),
+        |                  CAST(source AS VARCHAR)))
+        |  FROM documents WHERE doc_id % 23 = 0
+        |)
+        |SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.fp IS NULL THEN 'added'
+        |       WHEN c.fp IS NULL THEN 'removed'
+        |       WHEN p.fp = c.fp THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM prev p FULL OUTER JOIN curr c ON p.doc_id = c.doc_id""".stripMargin,
+
     // token-budget mix (r15): the inclusive per-source running token
     // total in md5-hash-rank order, filtered by the same literal
     // budgets the Scala side bakes in. Integer token counts sum

@@ -1005,6 +1005,27 @@ object SparkEntry {
         Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
         .select("doc_id", "source")),
 
+    // Snapshot diff report (round 15): the audit a versioned corpus
+    // runs after a refresh, before committing it — every key
+    // classified added/removed/changed/unchanged by comparing md5
+    // fingerprints of (text, source). Planted refresh: doc_id % 17
+    // removed, % 13 text-modified, % 23 re-inserted under +900000 ids
+    // (the fixture has no natural churn). Each side projects to
+    // (key, fingerprint) BEFORE the one full-outer join, so the
+    // shuffle carries hashes, never document payloads.
+    "llm_snapshot_diff" -> ((s, dir) => {
+      val prev = documents(s, dir).select("doc_id", "text", "source")
+      val kept = prev.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      val added = prev.filter(col("doc_id") % 23 === 0)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
+          col("source"))
+      operators.Merge.snapshotDiff(prev, kept.unionByName(added),
+        "doc_id", Seq("text", "source"))
+    }),
+
     // Per-source TOKEN-budget mix (round 15): pretraining mixes are
     // specified in tokens, not row fractions — each budgeted source
     // keeps its md5-hash-rank prefix while the inclusive running token

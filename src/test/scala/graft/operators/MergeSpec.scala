@@ -160,4 +160,34 @@ class MergeSpec extends SparkSpec {
     assert("\\bWindow\\b".r.findAllIn(plan).size >= 2,
       s"expected the lag and lead Window operators in:\n$plan")
   }
+
+  test("snapshotDiff: added/removed/changed/unchanged classified; " +
+      "fingerprints shuffle, not payloads") {
+    val s = spark
+    import s.implicits._
+    val prev = Seq(
+      (1L, "same text", "a"),
+      (2L, "old text", "a"),
+      (3L, "to remove", "b"),
+      (4L, "src change", "a")
+    ).toDF("id", "text", "src")
+    val curr = Seq(
+      (1L, "same text", "a"),   // unchanged
+      (2L, "new text", "a"),    // changed (text)
+      (4L, "src change", "b"),  // changed (non-text compare col)
+      (5L, "brand new", "c")    // added
+    ).toDF("id", "text", "src")
+    val out = Merge.snapshotDiff(prev, curr, "id", Seq("text", "src"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "changed", 5L -> "added"), out.toString)
+    // the join inputs are (key, fingerprint) projections: no text/src
+    // attribute crosses the Exchange
+    val plan = Merge.snapshotDiff(prev, curr, "id", Seq("text", "src"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange[^\\n]*".r.findAllIn(plan).toSeq
+    assert(exchanges.nonEmpty &&
+      exchanges.forall(e => !e.contains("text") && !e.contains("src")),
+      s"payload columns crossed a shuffle:\n$plan")
+  }
 }
