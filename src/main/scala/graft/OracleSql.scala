@@ -967,6 +967,153 @@ private[graft] object OracleSql {
       |  p50_sample, p50_exact, p90_sample, p90_exact
       |FROM qe JOIN qs USING (source)""".stripMargin
 
+  /** Weighted PageRank (GraphX staticPageRank semantics) with the 3
+    * iterations UNROLLED as CTE pairs (mass, rank): each step's rank
+    * vector is floor6-rounded before the next consumes it, so both
+    * engines iterate on bit-identical doubles. Literals 0.15/0.85 are
+    * spelled as decimal literals on both sides (their double
+    * conversions agree; `1.0 - 0.85` would differ in the last ulp). */
+  private val pageRankOracle: String = {
+    val base =
+      """WITH seq AS (
+        |  SELECT event_type,
+        |    lead(event_type) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        |  FROM events
+        |), edges AS (
+        |  SELECT event_type AS src, next_type AS dst, COUNT(*) AS n
+        |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+        |), outw AS (
+        |  SELECT src, CAST(SUM(n) AS BIGINT) AS w_out FROM edges GROUP BY 1
+        |), we AS (
+        |  SELECT e.src, e.dst, e.n, o.w_out
+        |  FROM edges e JOIN outw o USING (src)
+        |), nodes AS (
+        |  SELECT DISTINCT event_type AS node FROM events
+        |), pr0 AS (
+        |  SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+        |)""".stripMargin
+    val steps = (1 to 3).map { t =>
+      s""", m$t AS (
+         |  SELECT we.dst AS node, SUM(p.pr * we.n / we.w_out) AS mass
+         |  FROM pr${t - 1} p JOIN we ON p.node = we.src GROUP BY 1
+         |), pr$t AS (
+         |  SELECT n.node,
+         |    floor((0.15 + 0.85 * COALESCE(m.mass, 0.0)) * 1000000.0 + 0.5)
+         |      / 1000000.0 AS pr
+         |  FROM nodes n LEFT JOIN m$t m USING (node)
+         |)""".stripMargin
+    }.mkString
+    val tail =
+      """
+        |SELECT p0.node AS event_type, p0.pr AS pr_0, p1.pr AS pr_1,
+        |  p2.pr AS pr_2, p3.pr AS pr_3
+        |FROM pr0 p0 JOIN pr1 p1 USING (node) JOIN pr2 p2 USING (node)
+        |  JOIN pr3 p3 USING (node)""".stripMargin
+    base + steps + tail
+  }
+
+  /** Count-Min sketch re-derived end-to-end: same tokenization as
+    * text_tfidf_exact, the d=4 hash rows from the shared 60-bit md5
+    * recipe ("i:term") mod w=128, counters by (depth, bucket) GROUP
+    * BY, probes = top-20 exact terms, estimate = MIN over the 4
+    * counters with absent cells reading 0. Shared VERBATIM by
+    * text_count_min_merged: counter matrices add and group-sums of a
+    * disjoint split equal the total sums, so the persist/merge
+    * lifecycle must reproduce the one-shot build exactly. */
+  private val countMinOracle: String =
+    """WITH toks AS (
+      |  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+      |                     t -> length(t) > 0) AS tokens
+      |  FROM documents
+      |), terms AS (
+      |  SELECT unnest(tokens) AS term FROM toks
+      |), exact AS (
+      |  SELECT term, COUNT(*) AS n_exact FROM terms GROUP BY 1
+      |), probes AS (
+      |  SELECT term, n_exact FROM exact ORDER BY n_exact DESC, term LIMIT 20
+      |), sk AS (
+      |  SELECT r.d AS depth,
+      |    ('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || term), 1, 15))::BIGINT
+      |      % 128 AS bucket,
+      |    COUNT(*) AS cnt
+      |  FROM terms CROSS JOIN (SELECT unnest(range(4)) AS d) r
+      |  GROUP BY 1, 2
+      |), pb AS (
+      |  SELECT p.term, p.n_exact, r.d AS depth,
+      |    ('0x' || substr(md5(CAST(r.d AS VARCHAR) || ':' || p.term), 1, 15))::BIGINT
+      |      % 128 AS bucket
+      |  FROM probes p CROSS JOIN (SELECT unnest(range(4)) AS d) r
+      |)
+      |SELECT pb.term, pb.n_exact,
+      |  MIN(COALESCE(sk.cnt, 0)) AS cm_est,
+      |  MIN(COALESCE(sk.cnt, 0)) - pb.n_exact AS overcount
+      |FROM pb LEFT JOIN sk USING (depth, bucket)
+      |GROUP BY 1, 2""".stripMargin
+
+  /** JL ±1 sign projection 64→8 re-derived in SQL: signs from the
+    * shared 60-bit md5 recipe on "i:j" (odd → +1), the same
+    * unnest(range)+unnest(list) lockstep dims as the PQ oracle, sums
+    * 6dp-rounded per the similarity-family float contract; l2_proj
+    * folds the UNROUNDED projected coordinates like the Spark side. */
+  private val randomProjectionOracle: String = {
+    val projCols = (0 until 8).map(j =>
+      s"  ROUND(MAX(CASE WHEN p.j = $j THEN p.y END), 6) AS proj_$j,")
+      .mkString("\n")
+    s"""WITH wf AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE len(embedding) = 64
+       |), vals AS MATERIALIZED (
+       |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+       |  FROM wf
+       |), signs AS (
+       |  SELECT d.i, r.j,
+       |    CASE WHEN ('0x' || substr(md5(CAST(d.i AS VARCHAR) || ':' ||
+       |        CAST(r.j AS VARCHAR)), 1, 15))::BIGINT % 2 = 1
+       |      THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+       |  FROM (SELECT DISTINCT i FROM vals) d
+       |    CROSS JOIN (SELECT unnest(range(8)) AS j) r
+       |), proj AS (
+       |  SELECT v.vec_id, sg.j,
+       |    SUM(v.x * sg.s) / sqrt(CAST(8.0 AS DOUBLE)) AS y
+       |  FROM vals v JOIN signs sg USING (i) GROUP BY 1, 2
+       |), norms AS (
+       |  SELECT vec_id, sqrt(SUM(x * x)) AS l2o FROM vals GROUP BY 1
+       |), pnorm AS (
+       |  SELECT vec_id, sqrt(SUM(y * y)) AS l2p FROM proj GROUP BY 1
+       |)
+       |SELECT p.vec_id,
+       |$projCols
+       |  ROUND(MIN(n.l2o), 6) AS l2_orig,
+       |  ROUND(MIN(q.l2p), 6) AS l2_proj
+       |FROM proj p JOIN norms n USING (vec_id) JOIN pnorm q USING (vec_id)
+       |GROUP BY 1""".stripMargin
+  }
+
+  /** The REGR_-family select tail over an `s` CTE carrying (group
+    * col, n_rows BIGINT, n DOUBLE, sx, sy, sxy, sxx, syy) — every
+    * formula spelled operand-for-operand like
+    * [[graft.operators.Regression.linearFit]], degenerate variance
+    * cases NULL via the same guards. */
+  private def olsTailSql(groupCol: String): String =
+    s"""SELECT $groupCol, n_rows,
+       |  ROUND(CASE WHEN (n * sxx - sx * sx) > 0.0
+       |    THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+       |  ROUND(CASE WHEN (n * sxx - sx * sx) > 0.0
+       |    THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+       |    END, 6) AS intercept,
+       |  ROUND(CASE WHEN (n * sxx - sx * sx) > 0.0
+       |      AND (n * syy - sy * sy) > 0.0
+       |    THEN (n * sxy - sx * sy)
+       |      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS corr,
+       |  ROUND(CASE WHEN (n * sxx - sx * sx) > 0.0
+       |      AND (n * syy - sy * sy) > 0.0
+       |    THEN ((n * sxy - sx * sy)
+       |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+       |      * ((n * sxy - sx * sy)
+       |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) END, 6) AS r2
+       |FROM s""".stripMargin
+
   val all: Map[String, String] = Map(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2332,6 +2479,8 @@ private[graft] object OracleSql {
     // distance rounded 6dp, per-label quantile_cont(0.95) over the
     // ROUNDED distances (== Spark's exact percentile on bit-identical
     // inputs), strict > flag.
+    "embedding_random_projection" -> randomProjectionOracle,
+
     "embedding_label_outliers" ->
       """WITH vals AS (
         |  SELECT vec_id, label,
@@ -3566,6 +3715,23 @@ private[graft] object OracleSql {
         |    - 1 AS pos
         |FROM documents""".stripMargin,
 
+    // Per-returnflag OLS of extendedprice on quantity through the
+    // shared REGR_ tail; null-free fixture, so the Spark side's
+    // pairwise-complete guards reduce to these plain sums.
+    "lineitem_price_regression" ->
+      ("""WITH xy AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS x,
+        |    CAST(l_extendedprice AS DOUBLE) AS y
+        |  FROM lineitem
+        |), s AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM xy GROUP BY 1
+        |)
+        |""".stripMargin + olsTailSql("l_returnflag")),
+
     "lineitem_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -3609,6 +3775,15 @@ private[graft] object OracleSql {
         |      AS next_type
         |  FROM events
         |) GROUP BY 1, 2""".stripMargin,
+
+    // Weighted PageRank, 3 iterations unrolled (the kmeans_lloyd
+    // treatment): edges/out-weights re-derived from the same lead()
+    // window, each step = mass join + floor6 — the rank vector is
+    // floor-rounded to 6dp BEFORE the next step in BOTH engines, so
+    // the trajectory iterates on bit-identical doubles. Literals are
+    // spelled 0.15 / 0.85 on both sides (decimal→double conversion
+    // agrees; 1.0−0.85 would NOT — last-ulp difference).
+    "events_pagerank" -> pageRankOracle,
 
     // volume-anomaly oracle: same two-level aggregate; stddev_samp ==
     // DuckDB stddev_samp, z rounded 6dp before the |z| > 3 compare.
@@ -3901,6 +4076,43 @@ private[graft] object OracleSql {
     "text_heavy_hitters_incremental" -> heavyHittersOracle,
 
     "text_heavy_hitters_sketch" -> heavyHittersOracle,
+
+    // Count-Min build row and its persist/merge lifecycle twin share
+    // one oracle — see [[countMinOracle]] for why the merge is the
+    // identity.
+    "text_count_min" -> countMinOracle,
+    "text_count_min_merged" -> countMinOracle,
+    // ... and the streaming twin: counter addition is
+    // batch-split-invariant, so the streamed sketch IS the batch
+    // sketch and the same oracle adjudicates all three.
+    "stream_count_min" -> countMinOracle,
+
+    // Zipf head fit: top-500 by (cnt DESC, term), ln/ln OLS through
+    // the shared REGR_ tail.
+    "text_zipf_fit" ->
+      ("""WITH toks AS (
+        |  SELECT list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                     t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), terms AS (
+        |  SELECT unnest(tokens) AS term FROM toks
+        |), cnts AS (
+        |  SELECT term, COUNT(*) AS cnt FROM terms GROUP BY 1
+        |), head AS (
+        |  SELECT term, cnt FROM cnts ORDER BY cnt DESC, term LIMIT 500
+        |), ranked AS (
+        |  SELECT
+        |    ln(CAST(row_number() OVER (ORDER BY cnt DESC, term) AS DOUBLE)) AS x,
+        |    ln(CAST(cnt AS DOUBLE)) AS y
+        |  FROM head
+        |), s AS (
+        |  SELECT 'all' AS group_key,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy
+        |  FROM ranked
+        |)
+        |""".stripMargin + olsTailSql("group_key")),
 
     // The streaming MG aggregate's final COMPLETE-mode sketch equals
     // the batch sketch (exact regime ⇒ merge-order-independent), so it

@@ -39,6 +39,15 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     Sources.eventsTable(spark, dir)
 
+  /** One (term) row per token of the corpus — the repo-standard
+    * tokenization (lowercase, split on non-alphanumeric, drop
+    * empties; the text_tfidf_exact recipe) shared by the Count-Min
+    * rows and their oracles. */
+  private def tokenTerms(docs: DataFrame): DataFrame =
+    docs.select(explode(
+      filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
+        w => length(w) > 0)).as("term"))
+
   /** documents plus three in-flight planted PII rows (the corpus has
     * none naturally — same planting trick as llm_decontaminate). The
     * appended sentence and id offset are mirrored literally in the
@@ -1249,6 +1258,16 @@ object SparkEntry {
     // engines, so the flag can't flip on a summation-order ulp).
     "embedding_label_outliers" -> ((s, dir) =>
       Similarity.labelOutliers(embeddings(s, dir))),
+    // Johnson–Lindenstrauss ±1 sign projection 64→8 dims (Achlioptas
+    // 2003), signs drawn by the cross-engine md5 recipe instead of an
+    // RNG — the hash-init quantizer trick applied to projections, so
+    // the matrix, every projected coordinate, and the JL norm
+    // evidence (l2_proj vs l2_orig) are all hash-exact under an
+    // oracle that re-derives the signs in SQL. Narrow, shuffle-free,
+    // codegen'd per-row fold — the vector-compression stage that cuts
+    // downstream ANN/cluster bytes 8× at 100 TB.
+    "embedding_random_projection" -> ((s, dir) =>
+      Similarity.randomProjection(embeddings(s, dir), k = 8, dim = 64)),
     // IVF-Flat ANN, registered with the HASH-INIT coarse quantizer
     // (round 10): centroids = unit-normalized hash-drawn rows, so cell
     // assignment (cosine argmax, largest-cell ties), top-4 probe-cell
@@ -1849,6 +1868,26 @@ object SparkEntry {
         _.select(col("event_type"), col("n_events"),
           graft.functions.BottomK.estimateDistinct(col("sk"),
             graft.functions.BottomK.DefaultK).as("n_users_est")))),
+    // Count-Min as streaming aggregation state (the CMS leg of the
+    // stream-twin set): the document stream's (depth, bucket)
+    // counters maintained in complete mode — state bounded at d×w
+    // counters FOREVER, no TTL or eviction rule needed (counters only
+    // add). Counter addition is batch-split-invariant, so the
+    // streamed sketch equals the batch build bit-for-bit and the
+    // point-query tail answers text_count_min's oracle VERBATIM.
+    "stream_count_min" -> ((s, dir) =>
+      runAvailableNow(s,
+        StreamOps.countMinStream(Sources.documentsStream(s, dir)),
+        outputMode = "complete", sinkWriteMode = "overwrite") { sk =>
+        val exact = tokenTerms(documents(s, dir))
+          .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        val probes = exact.orderBy(col("n_exact").desc, col("term"))
+          .limit(20)
+        graft.operators.CountMin.estimate(sk, probes, "term",
+            depth = 4, width = 128)
+          .withColumn("overcount", col("cm_est") - col("n_exact"))
+          .orderBy(col("n_exact").desc, col("term"))
+      }),
     // Third streaming oracle row (round 11): the CDC merge snapshot,
     // continuously maintained by mergeStream's keyed
     // flatMapGroupsWithState — events read as a change stream
@@ -2317,6 +2356,19 @@ object SparkEntry {
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(documents(s, dir))),
 
+    // Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over the
+    // top-500 vocabulary head (TakeOrderedAndProject — the
+    // distributed partial top-k, never a global sort; rank window
+    // runs over ≤ 500 rows). The corpus-mix drift diagnostic: slope
+    // ≈ −1 on healthy natural text; boilerplate floods flatten the
+    // head, dedup losses fatten it. On THIS synthetic fixture it
+    // reads ≈ −0.2 — the near-uniform generator vocabulary flagged
+    // exactly as designed (spec pins a planted power law at ≈ −1).
+    // Regression mechanics shared with lineitem_price_regression via
+    // operators.Regression.
+    "text_zipf_fit" -> ((s, dir) =>
+      graft.operators.Regression.zipfFit(documents(s, dir))),
+
     // Persisted-quantile artifact (round 14): the bottom-k sketch's
     // SECOND face — hash a row-unique id, carry the measure as
     // payload, and the ≤ m smallest-hash rows are a mergeable uniform
@@ -2436,6 +2488,16 @@ object SparkEntry {
     "lineitem_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(lineitem(s, dir))),
 
+    // Closed-form per-group OLS (the SQL-standard REGR_ family) —
+    // model fitting as ONE partial-aggregated pass of six sufficient
+    // sums, the cheapest fit shape at 100 TB. Formulas spelled
+    // operand-for-operand in both engines (no built-in regr_slope:
+    // its internal update order is engine-private), 6dp-rounded.
+    "lineitem_price_regression" -> ((s, dir) =>
+      graft.operators.Regression.linearFit(lineitem(s, dir),
+        Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
+        .orderBy(col("l_returnflag"))),
+
     // Conversion funnel: first click → first purchase at-or-after it,
     // converted within 1h. One Exchange end to end (the groupBy reuses
     // the window's user_id partitioning). Timestamps as micro strings
@@ -2451,6 +2513,17 @@ object SparkEntry {
     // one partial-aggregated count.
     "events_transitions" -> ((s, dir) =>
       Events.transitions(events(s, dir))),
+    // Weighted PageRank over the transition graph (GraphX
+    // staticPageRank semantics, edge weight = observed next-step
+    // share), 3 iterations UNROLLED with 6dp floor-rounding between
+    // steps — the kmeans_lloyd treatment applied to the canonical
+    // iterative GRAPH algorithm: both engines iterate on
+    // bit-identical rank vectors, so the whole trajectory
+    // (pr_0..pr_3) is hash-exact. floor(x·1e6+0.5)/1e6 is the
+    // half-boundary-safe rounding (ranks are short rationals —
+    // exactly the regime where round() can disagree cross-engine).
+    "events_pagerank" -> ((s, dir) =>
+      Events.pageRank(events(s, dir), damping = 0.85, iters = 3)),
     // Daily ingest-volume anomaly screen: per-type day counts scored
     // by the type's across-days z (6dp-rounded pre-threshold).
     "events_volume_anomaly" -> ((s, dir) =>
@@ -2605,6 +2678,61 @@ object SparkEntry {
         // bounded states), so nothing here has lineage into tmp — no
         // checkpoint needed before the finally deletes it
         graft.functions.FrequentItems.topK(s, merged, 50)
+      } finally deleteRecursively(tmp.toFile)
+    }),
+
+    // Count-Min sketch point-query estimates (the fourth sketch
+    // family: per-key counts under a FIXED d×w memory bound). Build =
+    // one (depth, bucket) groupBy whose Exchange carries ≤ d×w rows
+    // per map task — never the vocabulary; probes = the top-20 exact
+    // terms (deterministic tie-break), estimate = min over the d
+    // rows' counters. Everything is md5-derived and deterministic, so
+    // est, exact, AND the over-count error are hash-exact under the
+    // oracle (the KMV property: approximate answers, exact
+    // restatement). w=128 is sized BELOW the corpus vocabulary on
+    // purpose so collisions are real and the overcount column shows
+    // CMS behaving like CMS, not an exact count in disguise.
+    "text_count_min" -> ((s, dir) => {
+      val terms = tokenTerms(documents(s, dir))
+      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
+      val sk = graft.operators.CountMin.sketch(terms, col("term"),
+        depth = 4, width = 128)
+      graft.operators.CountMin.estimate(sk, probes, "term",
+          depth = 4, width = 128)
+        .withColumn("overcount", col("cm_est") - col("n_exact"))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+    // The CMS persist/merge lifecycle (the heavy_hitters_incremental
+    // shape): corpus split by doc_id parity, the history half's
+    // sketch round-tripped through a parquet artifact (≤ d×w plain
+    // rows — engine-neutral), merged with the fresh half by cell-wise
+    // summation. Counter matrices add, and group-sums of a disjoint
+    // split equal the total sums, so merge-then-estimate IS
+    // build-then-estimate — the row shares text_count_min's oracle
+    // VERBATIM (the strongest lifecycle claim, per the KMV rows).
+    "text_count_min_merged" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_cms")
+      try {
+        val docs = documents(s, dir)
+        def terms(d: DataFrame) = tokenTerms(d)
+        val hist = graft.operators.CountMin.sketch(
+          terms(docs.filter(col("doc_id") % 2 === 0)), col("term"),
+          depth = 4, width = 128)
+        hist.write.mode("overwrite").parquet(s"$tmp/sk")
+        val fresh = graft.operators.CountMin.sketch(
+          terms(docs.filter(col("doc_id") % 2 === 1)), col("term"),
+          depth = 4, width = 128)
+        val merged = graft.operators.CountMin.merge(
+          s.read.parquet(s"$tmp/sk").unionByName(fresh))
+        val exact = terms(docs).groupBy(col("term"))
+          .agg(count(lit(1)).as("n_exact"))
+        val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
+        graft.operators.CountMin.estimate(merged, probes, "term",
+            depth = 4, width = 128)
+          .withColumn("overcount", col("cm_est") - col("n_exact"))
+          .orderBy(col("n_exact").desc, col("term"))
+          .localCheckpoint(true) // cut lineage into tmp pre-delete
       } finally deleteRecursively(tmp.toFile)
     }),
 

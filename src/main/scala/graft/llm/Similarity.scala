@@ -1274,4 +1274,67 @@ object Similarity {
         min(col("n")).as("min_norm"),
         max(col("n")).as("max_norm"))
   }
+
+  /** Driver-side twin of the repo's cross-engine 60-bit md5 hash
+    * ([[graft.functions.BottomK.hash64]] / DuckDB
+    * `('0x'||substr(md5(s),1,15))::BIGINT`): JVM MD5 of the UTF-8
+    * string, first 15 hex chars as a long. Used to derive the
+    * PROJECTION SIGN MATRIX once on the driver — the oracle re-derives
+    * the same signs in SQL from the same strings, so the matrix never
+    * needs shipping anywhere. */
+  private[llm] def md5Hash60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Long.parseLong(
+      d.map(b => f"$b%02x").mkString.substring(0, 15), 16)
+  }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas, JCSS 2003: database-friendly random projections —
+    * sign entries preserve pairwise distances in expectation like
+    * Gaussian ones): `y_j = (1/√k)·Σᵢ xᵢ·s(i,j)`, where
+    * `s(i,j) = +1` iff the 60-bit md5 hash of "i:j" is odd. The hash
+    * draw replaces an RNG, so the matrix is a pure function of (dim,
+    * k) — deterministic, seed-free, and re-derivable by any engine
+    * (the hash-init quantizer trick applied to projections).
+    *
+    * The k×dim matrix is built ONCE driver-side (k·dim booleans — for
+    * k=8, dim=64 that's a literal in the plan) and folded per row with
+    * codegen'd array expressions: a narrow, shuffle-free, stateless
+    * projection — the cheap first stage before any ANN/cluster pass at
+    * 100 TB, cutting the vector bytes every downstream stage moves by
+    * dim/k. Output: `proj_0..proj_{k-1}` (6dp) plus the original and
+    * projected L2 norms — the JL distortion evidence
+    * (E[‖y‖²] = ‖x‖², spec-bounded in SimilaritySpec). */
+  def randomProjection(
+      df: DataFrame,
+      k: Int = 8,
+      dim: Int = 64,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(k >= 1 && dim >= 1, s"randomProjection: bad shape k=$k dim=$dim")
+    val e = asDouble(col(embCol))
+    val scale = sqrt(lit(k.toDouble))
+    val projCols = (0 until k).map { j =>
+      val signs = array((0 until dim).map { i =>
+        lit(if (md5Hash60(s"$i:$j") % 2 == 1) 1.0 else -1.0)
+      }: _*)
+      val dot = aggregate(zip_with(e, signs, (x, s) => x * s),
+        lit(0.0), (s, x) => s + x)
+      round(dot / scale, 6).as(s"proj_$j")
+    }
+    val l2 = (c: Column) =>
+      sqrt(aggregate(transform(c, x => x * x), lit(0.0), (s, x) => s + x))
+    val projArr = array((0 until k).map { j =>
+      val signs = array((0 until dim).map { i =>
+        lit(if (md5Hash60(s"$i:$j") % 2 == 1) 1.0 else -1.0)
+      }: _*)
+      aggregate(zip_with(e, signs, (x, s) => x * s),
+        lit(0.0), (s, x) => s + x) / scale
+    }: _*)
+    df.filter(size(col(embCol)) === dim)
+      .select(col(idCol) +: projCols :+
+        round(l2(e), 6).as("l2_orig") :+
+        round(l2(projArr), 6).as("l2_proj"): _*)
+  }
 }

@@ -376,4 +376,68 @@ object Events {
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select("event_id", "user_id", "ts", "session_idx")
   }
+
+  /** 6dp half-up rounding spelled as pure IEEE arithmetic —
+    * floor(x·10⁶ + 0.5)/10⁶ — IDENTICALLY restatable in DuckDB.
+    * PageRank iterates on short-rational values (sums of n/W edge
+    * shares), exactly the regime where Spark's BigDecimal `round` and
+    * DuckDB's multiply-then-round can disagree on a half boundary;
+    * this form cannot (Spark `floor` returns long — the division by
+    * the double literal re-widens). */
+  private def floor6(c: org.apache.spark.sql.Column) =
+    floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+
+  /** Weighted PageRank over the event-transition graph — the
+    * crawl-prioritization / canonical-source ranking shape (Page et
+    * al., 1999), in GraphX `staticPageRank` semantics (public,
+    * org.apache.spark.graphx.lib.PageRank): unnormalized ranks,
+    * `pr₀(v) = 1`, `prₜ₊₁(v) = 0.15 + d·Σ_{u→v} prₜ(u)·w(u,v)/W(u)`,
+    * no dangling-mass redistribution — which keeps every iteration a
+    * pure edge-list join with NO driver-side scalar in the loop.
+    * Edges are [[transitions]] counts with the `__end__` sink dropped;
+    * edge weight share w/W is the observed next-step probability.
+    *
+    * The fixed `iters` steps are UNROLLED (the kmeans_lloyd / BPE
+    * oracle treatment): each step's ranks are 6dp-floor-rounded before
+    * feeding the next, so both engines iterate on bit-identical
+    * inputs and the full trajectory (pr_1..pr_iters columns) is
+    * hash-exact under the oracle.
+    *
+    * Scale shape: deriving edges is the corpus-scale work (one
+    * user-keyed window + one partial-aggregated count); each iteration
+    * is one rank⋈edge join + one partial-aggregated groupBy on the
+    * GRAPH (edges/nodes), never the raw events — the Pregel shape, and
+    * at web-graph scale the join key is the vertex id on both sides so
+    * a shared pre-partitioning serves all iterations. */
+  def pageRank(events: DataFrame, damping: Double = 0.85,
+      resetProb: Double = 0.15, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"pageRank: iters must be >= 1, got $iters")
+    // resetProb is a SEPARATE literal, not 1−damping: the SQL oracle
+    // spells `0.15 + 0.85·mass`, and double(0.15) ≠ 1.0−double(0.85)
+    // (they differ in the last ulp) — both engines must start from
+    // the same decimal-literal-converted doubles.
+    require(math.abs(damping + resetProb - 1.0) < 1e-9,
+      s"pageRank: damping $damping + resetProb $resetProb must sum to 1")
+    val edges = transitions(events)
+      .filter(col("next_type") =!= "__end__")
+      .withColumnRenamed("event_type", "src")
+      .withColumnRenamed("next_type", "dst")
+    val outW = edges.groupBy(col("src")).agg(sum(col("n")).as("w_out"))
+    val weighted = edges.join(outW, "src")
+    val nodes = events.select(col("event_type").as("node")).distinct()
+    val start = nodes.withColumn("pr_0", lit(1.0))
+    (1 to iters).foldLeft(start) { (acc, t) =>
+      val prev = col(s"pr_${t - 1}")
+      val contrib = acc.join(weighted, acc("node") === weighted("src"))
+        .groupBy(col("dst").as("node_in"))
+        // operand order pr * n / w_out is mirrored verbatim in SQL
+        .agg(sum(prev * col("n") / col("w_out")).as("mass"))
+      acc.join(contrib, acc("node") === contrib("node_in"), "left")
+        .withColumn(s"pr_$t",
+          floor6(lit(resetProb) +
+            lit(damping) * coalesce(col("mass"), lit(0.0))))
+        .drop("node_in", "mass")
+    }.select(col("node") +: (0 to iters).map(t => col(s"pr_$t")): _*)
+      .withColumnRenamed("node", "event_type")
+  }
 }

@@ -183,6 +183,28 @@ object StreamOps {
         count(lit(1)).as("n_events"))
   }
 
+  /** Count-Min AS the streaming aggregation state (the CMS leg of the
+    * stream-twin set: MG heavy hitters, KMV cardinality, and now
+    * per-key counts): tokenize the document stream and maintain the
+    * (depth, bucket) counter matrix as a complete-mode groupBy —
+    * state is capacity-bounded FOREVER at d×w counters regardless of
+    * stream length or vocabulary growth (the MG property, without
+    * even an eviction rule: counters only add). Counter addition is
+    * batch-split-invariant, so the streamed sketch equals the batch
+    * [[graft.operators.CountMin.sketch]] bit-for-bit at any
+    * micro-batch split — which is why the registered row shares the
+    * batch build's oracle VERBATIM. */
+  def countMinStream(
+      docs: DataFrame,
+      depth: Int = 4,
+      width: Int = 128,
+      textCol: String = "text"): DataFrame =
+    graft.operators.CountMin.sketch(
+      docs.select(explode(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)).as("term")),
+      col("term"), depth, width)
+
   /** Live retention: an event STREAM joined against a STATIC cohort
     * table (user_id → cohort_ts, e.g. the landed output of
     * `operators.Events.retention`'s cohort stage), counting distinct

@@ -52,7 +52,11 @@ class PlanAuditSpec extends SparkSpec {
       // round 15: the power-iteration SCORING plan is a literal-vector
       // projection (the draw + Gram-vector aggregation are bounded
       // plan-build jobs, like kmeans_hashinit's TakeOrdered)
-      "dim_reduction_pca_power")
+      "dim_reduction_pca_power",
+      // round 15: the JL sign projection is the vector-compression
+      // stage — a literal-matrix per-row fold; an Exchange here means
+      // it stopped being scan-speed
+      "embedding_random_projection")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")
@@ -372,6 +376,30 @@ class PlanAuditSpec extends SparkSpec {
     assert(shuffles(p) == 0, p.take(800))
   }
 
+  test("count-min: the sketch Exchange carries partial-aggregated " +
+      "(depth, bucket) cells, and the estimate broadcasts the sketch") {
+    import graft.operators.CountMin
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val terms = docs.select(org.apache.spark.sql.functions.explode(
+      org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.lower(
+          org.apache.spark.sql.functions.col("text")), "[^\\p{L}\\p{N}]+"))
+      .as("term"))
+    val sk = CountMin.sketch(terms, org.apache.spark.sql.functions.col("term"))
+    val skPlan = sk.queryExecution.executedPlan.toString
+    // ONE shuffle, keyed by the d×w cell — and a partial HashAggregate
+    // below it, so each map task ships ≤ d×w rows, never the vocabulary
+    assert(shuffles(skPlan) == 1, skPlan.take(600))
+    assert(skPlan.contains("partial_count") ||
+      skPlan.contains("Partial"), skPlan.take(600))
+    val probes = terms.distinct()
+    val est = CountMin.estimate(sk, probes, "term")
+    val estPlan = est.queryExecution.executedPlan.toString
+    assert(estPlan.contains("BroadcastHashJoin") ||
+      estPlan.contains("BroadcastExchange"),
+      s"sketch side not broadcast:\n${estPlan.take(800)}")
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work
@@ -401,7 +429,11 @@ class PlanAuditSpec extends SparkSpec {
       // gain nothing from re-execution here
       "text_bm25_write", "evaluator_accuracy",
       "dim_reduction_kmeans_lloyd", "dim_reduction_kmeans_lloyd2",
-      "text_heavy_hitters_incremental")
+      "text_heavy_hitters_incremental",
+      // round 15: same side-effect policy — construction writes the
+      // CMS parquet artifact and localCheckpoints; its join shapes
+      // (broadcast sketch) are asserted in the CountMin plan test
+      "text_count_min_merged")
     (SparkEntry.queries.keySet -- fits).foreach { q =>
       // BroadcastNestedLoopJoin over a broadcast query set is the
       // declared topk shape; an unbounded CartesianProduct never is

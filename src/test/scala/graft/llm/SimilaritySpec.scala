@@ -543,4 +543,48 @@ class SimilaritySpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_ivf_cells")
   }
+
+  test("randomProjection: basis-vector rows read the sign matrix " +
+      "directly; the matrix matches the md5 recipe") {
+    val s = spark
+    import s.implicits._
+    // e_i (1 at dim i) projects to s(i, j)/√8 exactly
+    val basis = Seq(0, 5, 63).map { i =>
+      (i.toLong, Array.tabulate(64)(d => if (d == i) 1.0f else 0.0f))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.randomProjection(basis).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    for (i <- Seq(0, 5, 63); j <- 0 until 8) {
+      val sign = if (Similarity.md5Hash60(s"$i:$j") % 2 == 1) 1.0 else -1.0
+      val want = math.floor(sign / math.sqrt(8.0) * 1e6 + 0.5) / 1e6
+      val got = out(i.toLong).getAs[Double](s"proj_$j")
+      // Spark round() is BigDecimal HALF_UP — same answer here since
+      // ±1/√8 is nowhere near a 6dp half boundary
+      assert(math.abs(got - want) < 1e-9, s"e_$i proj_$j: $got vs $want")
+    }
+    // unit inputs: projected norm == 1 exactly (one nonzero coordinate)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("l2_orig") == 1.0)
+      assert(r.getAs[Double]("l2_proj") == 1.0)
+    }
+  }
+
+  test("randomProjection: JL norm preservation within loose bounds " +
+      "on real embeddings; deterministic across runs") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val out = Similarity.randomProjection(emb)
+    val rows = out.collect()
+    assert(rows.length == emb.count())
+    // E[l2_proj²] = l2_orig² — individual rows concentrate well inside
+    // [1/4, 4]× for k=8 (loose enough to never flake, tight enough to
+    // catch a dropped 1/√k or a sign-matrix bug)
+    rows.foreach { r =>
+      val (o, p) = (r.getAs[Double]("l2_orig"), r.getAs[Double]("l2_proj"))
+      assert(o > 0.0)
+      assert(p / o > 0.25 && p / o < 4.0, s"vec ${r.get(0)}: ratio ${p / o}")
+    }
+    val again = Similarity.randomProjection(emb).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
 }

@@ -389,4 +389,58 @@ class EventsSpec extends SparkSpec {
     // inflate the artifact past the register ceiling
     assert(bytes.length <= 4096 + 64, s"sketch ${bytes.length} bytes")
   }
+
+  /** Crafted journey stream: user 7 A,B,A,C; user 9 A,B; user 11 a
+    * lone D. Edges A→B(2), B→A(1), A→C(1); W(A)=3, W(B)=1; C and D
+    * have no out-edges, D no in-edges either. */
+  private def prFixture = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "2024-01-01 00:00:00", 7L, "A"),
+      (2L, "2024-01-01 00:01:00", 7L, "B"),
+      (3L, "2024-01-01 00:02:00", 7L, "A"),
+      (4L, "2024-01-01 00:03:00", 7L, "C"),
+      (5L, "2024-01-01 00:00:00", 9L, "A"),
+      (6L, "2024-01-01 00:01:00", 9L, "B"),
+      (7L, "2024-01-01 00:00:00", 11L, "D")
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+  }
+
+  test("pageRank: 3 unrolled iterations match a serial reference on " +
+      "the crafted graph; sourceless node pins to the reset mass") {
+    val out = Events.pageRank(prFixture).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (1 to 3).map(t => r.getAs[Double](s"pr_$t")))
+      .toMap
+    // serial reference: same formula, same floor6, plain Scala doubles
+    def fl6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    val edges = Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "C") -> 1L)
+    val w = Map("A" -> 3L, "B" -> 1L)
+    var pr = Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0, "D" -> 1.0)
+    val trace = (1 to 3).map { _ =>
+      pr = pr.keys.map { v =>
+        val mass = edges.collect {
+          case ((u, d), n) if d == v => pr(u) * n / w(u)
+        }.sum
+        v -> fl6(0.15 + 0.85 * mass)
+      }.toMap
+      pr
+    }
+    for (node <- Seq("A", "B", "C", "D"); t <- 1 to 3)
+      assert(out(node)(t - 1) == trace(t - 1)(node),
+        s"$node pr_$t: got ${out(node)(t - 1)}, want ${trace(t - 1)(node)}")
+    // D receives nothing ever: rank == reset mass at every step
+    assert(out("D") == Seq(0.15, 0.15, 0.15))
+    // B keeps receiving A's dominant share: strictly above reset
+    assert(out("B").forall(_ > 0.15))
+  }
+
+  test("pageRank: rank vector is partitioning-invariant") {
+    val a = Events.pageRank(prFixture).orderBy("event_type").collect().toSeq
+    val b = Events.pageRank(prFixture.repartition(7, col("event_id")))
+      .orderBy("event_type").collect().toSeq
+    assert(a == b)
+  }
 }

@@ -227,6 +227,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("countMinStream: forced multi-batch counters == one-shot batch " +
+      "sketch cell-for-cell (counter addition ignores micro-batch " +
+      "boundaries); state bounded at d×w") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = (0 until 120).map { i =>
+      (i.toLong, s"alpha beta ${if (i % 3 == 0) "gamma" else "delta"} " +
+        s"tok${i % 7}")
+    }
+    val batch = graft.operators.CountMin.sketch(
+        docs.toDF("doc_id", "text").select(explode(split(lower(col("text")),
+          "[^\\p{L}\\p{N}]+")).as("term")).filter(length(col("term")) > 0),
+        col("term"), depth = 4, width = 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+    val stream = MemoryStream[(Long, String)]
+    val q = StreamOps.countMinStream(
+        stream.toDF.toDF("doc_id", "text"), depth = 4, width = 32)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode("complete").start()
+    try {
+      docs.grouped(35).foreach { chunk =>
+        stream.addData(chunk: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("cms").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      // the state/result bound: never more than d×w cells
+      assert(streamed.size <= 4 * 32)
+    } finally q.stop()
+  }
+
   test("retentionStream: stream-static cohort join matches batch retention") {
     val s = spark
     import s.implicits._
