@@ -111,7 +111,23 @@ object Bench {
       if (v < 0) None else Some(v)
     }
     val loadStart = loadAvg()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_QUERIES=a,b,c runs a comma-separated subset — the
+    // drift-triage tool: re-run a flagged query SOLO (README rule)
+    // without paying the full registry. Subset runs still print the
+    // same JSON shape; the drift compare stays meaningful per-query.
+    val only = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"SPARK_GRAFT_QUERIES names not in the registry: " +
+          s"${unknown.toSeq.sorted.mkString(", ")}")
+    }
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val nRuns = if (baselineSet(name)) 3 else 2
       val runs = (1 to nRuns).map { _ =>
         // per-query isolation: cached fold/CV blocks from one query must

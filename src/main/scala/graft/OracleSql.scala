@@ -1114,6 +1114,215 @@ private[graft] object OracleSql {
        |        / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))) END, 6) AS r2
        |FROM s""".stripMargin
 
+  /** The curation scoring chain (quality score + lang-id ratios +
+    * argmax pick) re-derived in SQL — WITH d, s, scored — shared by
+    * the llm_curate pipeline oracle and the r15 attrition-report
+    * oracle so the stage definitions are stated exactly once. */
+  private val curateScoredCtesSql: String =
+    """WITH d AS (
+        |  SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    GREATEST(length(text), 1) AS n_chars,
+        |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS nw
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(words) AS INT) AS n_words,
+        |    CAST(len(list_filter(words, w -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE) / nw AS stop_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS p_ratio,
+        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS d_ratio,
+        |    CAST(len(list_filter(words, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], x))) AS DOUBLE) / nw AS s_en,
+        |    CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','auf','im','dem','zu'], x))) AS DOUBLE) / nw AS s_de,
+        |    CAST(len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'], x))) AS DOUBLE) / nw AS s_fr,
+        |    CAST(len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','no'], x))) AS DOUBLE) / nw AS s_es,
+        |    CAST(len(list_filter(words, x -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del','le','si','da'], x))) AS DOUBLE) / nw AS s_it
+        |  FROM d
+        |), scored AS (
+        |  SELECT doc_id, text,
+        |    LEAST(1.0, CAST(n_words AS DOUBLE) / 20.0) * LEAST(1.0, stop_ratio * 5.0)
+        |      * (1.0 - LEAST(1.0, p_ratio * 3.0)) * (1.0 - LEAST(1.0, d_ratio * 3.0)) AS quality_score,
+        |    list_reverse_sort([
+        |      struct_pack(score := s_en, lang := 'en'),
+        |      struct_pack(score := s_de, lang := 'de'),
+        |      struct_pack(score := s_fr, lang := 'fr'),
+        |      struct_pack(score := s_es, lang := 'es'),
+        |      struct_pack(score := s_it, lang := 'it')])[1] AS b
+        |  FROM s
+        |)""".stripMargin
+
+  /** The lang-id scoring chain (stopword-ratio scores + argmax +
+    * the und rule) re-derived in SQL — WITH w, s, best — shared by
+    * text_language and the r15 confusion-matrix row. */
+  private val langIdCtesSql: String =
+    """WITH w AS (
+        |  SELECT doc_id, lang,
+        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
+        |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS nw
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(words, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], x))) AS DOUBLE) / nw AS s_en,
+        |    CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','auf','im','dem','zu'], x))) AS DOUBLE) / nw AS s_de,
+        |    CAST(len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'], x))) AS DOUBLE) / nw AS s_fr,
+        |    CAST(len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','no'], x))) AS DOUBLE) / nw AS s_es,
+        |    CAST(len(list_filter(words, x -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del','le','si','da'], x))) AS DOUBLE) / nw AS s_it
+        |  FROM w
+        |), best AS (
+        |  SELECT doc_id, lang,
+        |    list_reverse_sort([
+        |      struct_pack(score := s_en, lang := 'en'),
+        |      struct_pack(score := s_de, lang := 'de'),
+        |      struct_pack(score := s_fr, lang := 'fr'),
+        |      struct_pack(score := s_es, lang := 'es'),
+        |      struct_pack(score := s_it, lang := 'it')])[1] AS b
+        |  FROM s
+        |)""".stripMargin
+
+  /** MMR re-ranking unrolled: the similarity_topk candidate chain,
+    * pairwise candidate sims (both 6dp like the Spark side), then
+    * `select` greedy steps as CTE triples (max-sim vs the selection
+    * so far, score, per-query argmax). Literals 0.7 / 0.3 are spelled
+    * separately on both sides (the pageRank decimal-conversion
+    * lesson). */
+  private val mmrOracle: String = {
+    val base =
+      """WITH q AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 10
+        |), scoredc AS (
+        |  SELECT q.query_id, c.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(q.q_emb, CAST(c.embedding AS DOUBLE[])), 6) AS cosine
+        |  FROM q CROSS JOIN embeddings c
+        |  WHERE c.vec_id <> q.query_id
+        |), cand AS (
+        |  SELECT query_id, neighbor_id, cosine FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM scoredc
+        |  ) WHERE rn <= 10
+        |), ps AS (
+        |  SELECT ca.query_id, ca.neighbor_id AS a, cb.neighbor_id AS b,
+        |    ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+        |      CAST(eb.embedding AS DOUBLE[])), 6) AS sim
+        |  FROM cand ca JOIN cand cb ON ca.query_id = cb.query_id
+        |    AND ca.neighbor_id <> cb.neighbor_id
+        |  JOIN embeddings ea ON ea.vec_id = ca.neighbor_id
+        |  JOIN embeddings eb ON eb.vec_id = cb.neighbor_id
+        |), sel1 AS (
+        |  SELECT query_id, neighbor_id, 1 AS mmr_rank,
+        |    floor((0.7 * cosine - 0.3 * 0.0) * 1000000.0 + 0.5) / 1000000.0 AS mmr_score
+        |  FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY floor((0.7 * cosine - 0.3 * 0.0) * 1000000.0 + 0.5) / 1000000.0 DESC, neighbor_id
+        |    ) AS rn FROM cand
+        |  ) WHERE rn = 1
+        |), prev1 AS (
+        |  SELECT query_id, neighbor_id FROM sel1
+        |)""".stripMargin
+    val steps = (2 to 5).map { t =>
+      s""", m$t AS (
+         |  SELECT c.query_id, c.neighbor_id, c.cosine, MAX(p.sim) AS maxsim
+         |  FROM cand c
+         |  JOIN ps p ON p.query_id = c.query_id AND p.a = c.neighbor_id
+         |  JOIN prev${t - 1} s ON s.query_id = p.query_id
+         |    AND s.neighbor_id = p.b
+         |  WHERE NOT EXISTS (SELECT 1 FROM prev${t - 1} x
+         |    WHERE x.query_id = c.query_id
+         |      AND x.neighbor_id = c.neighbor_id)
+         |  GROUP BY 1, 2, 3
+         |), sel$t AS (
+         |  SELECT query_id, neighbor_id, $t AS mmr_rank, mmr_score FROM (
+         |    SELECT query_id, neighbor_id,
+         |      floor((0.7 * cosine - 0.3 * maxsim) * 1000000.0 + 0.5) / 1000000.0 AS mmr_score,
+         |      row_number() OVER (PARTITION BY query_id
+         |        ORDER BY floor((0.7 * cosine - 0.3 * maxsim) * 1000000.0 + 0.5) / 1000000.0 DESC,
+         |          neighbor_id) AS rn
+         |    FROM m$t
+         |  ) WHERE rn = 1
+         |), prev$t AS (
+         |  SELECT query_id, neighbor_id FROM prev${t - 1}
+         |  UNION ALL SELECT query_id, neighbor_id FROM sel$t
+         |)""".stripMargin
+    }.mkString
+    val tail = "\n" + (1 to 5).map(t =>
+      s"SELECT query_id, neighbor_id, mmr_rank, mmr_score FROM sel$t")
+      .mkString("", "\nUNION ALL ", "")
+    base + steps + tail
+  }
+
+  /** The dHash signature re-derived from the BMP fixture
+    * CONSTRUCTION (the multimodal_bmp_stats recipe at 9×8): grayscale
+    * = channel sum of the three text bytes at the nearest-neighbor
+    * source pixel, one bit per adjacent comparison, row bytes packed
+    * by `SUM(bit · (1 << x))`. Shared by the signature row and the
+    * near-dup pairs row. */
+  private val dhashRowsCtesSql: String = {
+    def px(c: Int): String =
+      "unicode(substr(padded, CAST(((h - 1 - ((y.yy * h) // 8)) * w + " +
+        s"((x.xx * w) // 9)) * 3 + ${c + 1} AS INT), 1))"
+    val dCols = (0 until 8).map(y =>
+      s"    MAX(CASE WHEN gy = $y THEN d END) AS d$y").mkString(",\n")
+    s"""WITH bmp AS (
+       |  SELECT doc_id, CAST(n_chars % 7 + 2 AS INT) AS w,
+       |    CAST(doc_id % 5 + 2 AS INT) AS h,
+       |    rpad(text, 144, 'x') AS padded
+       |  FROM documents
+       |), gq AS (
+       |  SELECT doc_id, w, h, y.yy AS gy, x.xx AS gx,
+       |    ${px(0)}
+       |  + ${px(1)}
+       |  + ${px(2)} AS g
+       |  FROM bmp
+       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS yy) y
+       |  CROSS JOIN (SELECT unnest(range(0, 9)) AS xx) x
+       |), bits AS (
+       |  SELECT a.doc_id, a.gy, a.gx,
+       |    CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+       |  FROM gq a JOIN gq b ON a.doc_id = b.doc_id AND a.gy = b.gy
+       |    AND b.gx = a.gx + 1
+       |  WHERE a.gx < 8
+       |), drows AS (
+       |  SELECT doc_id, gy, CAST(SUM(bit * (1 << gx)) AS INT) AS d
+       |  FROM bits GROUP BY 1, 2
+       |), hashes AS (
+       |  SELECT doc_id,
+       |$dCols
+       |  FROM drows GROUP BY 1
+       |)""".stripMargin
+  }
+
+  private val dhashOracle: String =
+    dhashRowsCtesSql + """
+      |SELECT b.doc_id, CAST(1 AS INT) AS is_bmp, b.w AS width,
+      |  b.h AS height, h.d0, h.d1, h.d2, h.d3, h.d4, h.d5, h.d6, h.d7
+      |FROM hashes h JOIN bmp b USING (doc_id)""".stripMargin
+
+  private val dhashPairsOracle: String = {
+    val ds = (0 until 8).map(y => s"d$y").mkString(", ")
+    val bandV = (0 until 8).map(y => s"WHEN $y THEN d$y").mkString(" ")
+    val ham = (for (y <- 0 until 8; bit <- 0 until 8) yield
+      s"((xor(pa.d$y, pb.d$y) >> $bit) & 1)").mkString(" + ")
+    dhashRowsCtesSql + s"""
+      |, planted AS (
+      |  SELECT doc_id, $ds FROM hashes
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, $ds FROM hashes WHERE doc_id % 29 = 0
+      |), bands AS (
+      |  SELECT doc_id, b.i AS band, CASE b.i $bandV END AS v
+      |  FROM planted CROSS JOIN (SELECT unnest(range(0, 8)) AS i) b
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      |  FROM bands a JOIN bands bb ON a.band = bb.band AND a.v = bb.v
+      |    AND a.doc_id < bb.doc_id
+      |), ham AS (
+      |  SELECT c.id_a, c.id_b,
+      |    $ham AS hamming
+      |  FROM cand c JOIN planted pa ON pa.doc_id = c.id_a
+      |    JOIN planted pb ON pb.doc_id = c.id_b
+      |)
+      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
@@ -2150,36 +2359,8 @@ private[graft] object OracleSql {
     // composed curation oracle: mirrors the proven text_quality,
     // text_language, and dedup_exact pieces stage by stage.
     "llm_curate" ->
-      """WITH d AS (
-        |  SELECT doc_id, text,
-        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
-        |    GREATEST(length(text), 1) AS n_chars,
-        |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS nw
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, text,
-        |    CAST(len(words) AS INT) AS n_words,
-        |    CAST(len(list_filter(words, w -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], w))) AS DOUBLE) / nw AS stop_ratio,
-        |    CAST(length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS DOUBLE) / n_chars AS p_ratio,
-        |    CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / n_chars AS d_ratio,
-        |    CAST(len(list_filter(words, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], x))) AS DOUBLE) / nw AS s_en,
-        |    CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','auf','im','dem','zu'], x))) AS DOUBLE) / nw AS s_de,
-        |    CAST(len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'], x))) AS DOUBLE) / nw AS s_fr,
-        |    CAST(len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','no'], x))) AS DOUBLE) / nw AS s_es,
-        |    CAST(len(list_filter(words, x -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del','le','si','da'], x))) AS DOUBLE) / nw AS s_it
-        |  FROM d
-        |), scored AS (
-        |  SELECT doc_id, text,
-        |    LEAST(1.0, CAST(n_words AS DOUBLE) / 20.0) * LEAST(1.0, stop_ratio * 5.0)
-        |      * (1.0 - LEAST(1.0, p_ratio * 3.0)) * (1.0 - LEAST(1.0, d_ratio * 3.0)) AS quality_score,
-        |    list_reverse_sort([
-        |      struct_pack(score := s_en, lang := 'en'),
-        |      struct_pack(score := s_de, lang := 'de'),
-        |      struct_pack(score := s_fr, lang := 'fr'),
-        |      struct_pack(score := s_es, lang := 'es'),
-        |      struct_pack(score := s_it, lang := 'it')])[1] AS b
-        |  FROM s
-        |), kept AS (
+      (curateScoredCtesSql + """
+        |, kept AS (
         |  SELECT doc_id, text, quality_score,
         |    CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END AS lang_pred
         |  FROM scored
@@ -2192,7 +2373,64 @@ private[graft] object OracleSql {
         |SELECT doc_id, lang_pred, ROUND(quality_score, 6) AS quality_score, content_hash
         |FROM (SELECT *, row_number() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
         |      FROM hashed)
-        |WHERE rn = 1""".stripMargin,
+        |WHERE rn = 1""".stripMargin),
+
+    // The attrition report rides the SAME scoring chain (shared CTE
+    // prefix), so the stage definitions cannot drift from llm_curate:
+    // sequential-funnel conditional counts + a distinct-hash count,
+    // three stage rows unioned out of one stats row.
+    "llm_attrition_report" ->
+      (curateScoredCtesSql + """
+        |, flags AS (
+        |  SELECT quality_score >= 0.1 AS q_ok,
+        |    (CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END) = 'en'
+        |      AS l_ok,
+        |    sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS h
+        |  FROM scored
+        |), stats AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+        |    CAST(COUNT(*) FILTER (WHERE NOT q_ok) AS BIGINT) AS q_drop,
+        |    CAST(COUNT(*) FILTER (WHERE q_ok AND NOT l_ok) AS BIGINT)
+        |      AS l_drop,
+        |    CAST(COUNT(*) FILTER (WHERE q_ok AND l_ok) AS BIGINT) AS n_pre,
+        |    CAST(COUNT(DISTINCT CASE WHEN q_ok AND l_ok THEN h END)
+        |      AS BIGINT) AS n_groups
+        |  FROM flags
+        |), stages AS (
+        |  SELECT 1 AS stage_idx, 'quality' AS stage,
+        |    n_total AS n_in, q_drop AS n_dropped FROM stats
+        |  UNION ALL SELECT 2, 'language', n_total - q_drop, l_drop FROM stats
+        |  UNION ALL SELECT 3, 'exact_dedup', n_pre, n_pre - n_groups
+        |    FROM stats
+        |)
+        |SELECT stage_idx, stage, n_in, n_dropped,
+        |  n_in - n_dropped AS n_out,
+        |  ROUND(CAST(n_dropped AS DOUBLE) / CAST(n_in AS DOUBLE), 6)
+        |    AS drop_share
+        |FROM stages""".stripMargin),
+
+    // Per-doc trigram novelty: distinct (doc, gram), gram df, share
+    // with corpus df = 1. Same WordNgrams tokenization as the
+    // heavy-hitters family; docs under 3 words have no grams and no
+    // row in either engine.
+    "text_gram_novelty" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
+        |    FROM toks WHERE len(w) >= 3)
+        |), dfg AS (
+        |  SELECT gram, COUNT(*) AS df_grams FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(*) FILTER (WHERE dfg.df_grams = 1) AS BIGINT) AS n_novel,
+        |  ROUND(CAST(COUNT(*) FILTER (WHERE dfg.df_grams = 1) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM g JOIN dfg USING (gram)
+        |GROUP BY 1""".stripMargin,
 
     "text_token_stats" ->
       """SELECT doc_id,
@@ -2271,32 +2509,26 @@ private[graft] object OracleSql {
     // argmax over (score, lang) structs: list_reverse_sort = Spark's
     // sort_array(desc) — both compare score first, tie-break lang desc.
     "text_language" ->
-      """WITH w AS (
-        |  SELECT doc_id, lang,
-        |    regexp_extract_all(lower(text), '[\p{L}]+') AS words,
-        |    CAST(GREATEST(len(regexp_extract_all(lower(text), '[\p{L}]+')), 1) AS DOUBLE) AS nw
-        |  FROM documents
-        |), s AS (
-        |  SELECT doc_id, lang,
-        |    CAST(len(list_filter(words, x -> list_contains(['the','of','and','to','in','is','that','it','was','for','on','are','with','as','this'], x))) AS DOUBLE) / nw AS s_en,
-        |    CAST(len(list_filter(words, x -> list_contains(['der','die','das','und','ist','von','mit','den','nicht','ein','eine','auf','im','dem','zu'], x))) AS DOUBLE) / nw AS s_de,
-        |    CAST(len(list_filter(words, x -> list_contains(['le','la','les','de','des','et','est','un','une','dans','que','pour','qui','au','pas'], x))) AS DOUBLE) / nw AS s_fr,
-        |    CAST(len(list_filter(words, x -> list_contains(['el','la','los','las','de','que','y','en','un','una','es','por','con','para','no'], x))) AS DOUBLE) / nw AS s_es,
-        |    CAST(len(list_filter(words, x -> list_contains(['il','la','di','che','e','un','una','per','non','sono','con','del','le','si','da'], x))) AS DOUBLE) / nw AS s_it
-        |  FROM w
-        |), best AS (
-        |  SELECT doc_id, lang,
-        |    list_reverse_sort([
-        |      struct_pack(score := s_en, lang := 'en'),
-        |      struct_pack(score := s_de, lang := 'de'),
-        |      struct_pack(score := s_fr, lang := 'fr'),
-        |      struct_pack(score := s_es, lang := 'es'),
-        |      struct_pack(score := s_it, lang := 'it')])[1] AS b
-        |  FROM s
-        |)
+      (langIdCtesSql + """
         |SELECT doc_id, lang,
         |  CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END AS lang_pred
-        |FROM best""".stripMargin,
+        |FROM best""".stripMargin),
+
+    // Confusion matrix over the same chain: per (label, predicted)
+    // counts + within-label share (the window total is the tiny
+    // |langs|^2 frame).
+    "text_language_confusion" ->
+      (langIdCtesSql + """
+        |, pred AS (
+        |  SELECT lang,
+        |    CASE WHEN b.score >= 0.05 THEN b.lang ELSE 'und' END AS lang_pred
+        |  FROM best
+        |)
+        |SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / CAST(SUM(COUNT(*)) OVER (PARTITION BY lang) AS DOUBLE), 6)
+        |    AS share
+        |FROM pred GROUP BY 1, 2""".stripMargin),
 
     // Gopher repetition twin: per-doc top gram via unnest+count+
     // row_number (count desc, gram asc = the Spark fold's first-max-
@@ -2480,6 +2712,7 @@ private[graft] object OracleSql {
     // ROUNDED distances (== Spark's exact percentile on bit-identical
     // inputs), strict > flag.
     "embedding_random_projection" -> randomProjectionOracle,
+    "similarity_mmr" -> mmrOracle,
 
     "embedding_label_outliers" ->
       """WITH vals AS (
@@ -2649,6 +2882,9 @@ private[graft] object OracleSql {
     // text slice h−1−sy). Output r/g/b = file channels 2/1/0. The
     // Spark side reads LE header fields, data offset, stride and flip
     // from the ACTUAL bytes — two independent paths to one answer.
+    "multimodal_phash" -> dhashOracle,
+    "multimodal_phash_pairs" -> dhashPairsOracle,
+
     "multimodal_bmp_stats" ->
       """WITH bmp AS (
         |  SELECT doc_id,
@@ -4074,6 +4310,119 @@ private[graft] object OracleSql {
     // history-sketch -> persist -> reload -> merge with the new batch
     // must land on the same exact top-50 as one pass over everything.
     "text_heavy_hitters_incremental" -> heavyHittersOracle,
+
+    // PMI collocations re-derived end-to-end: distinct (doc, term),
+    // df, top-30 head, doc-keyed pair self-join with t1 < t2, exact
+    // counts, ln of the all-double ratio (BIGINT c_x·c_y would
+    // overflow at web scale — both engines spell double products),
+    // 6dp pre-rank, (pmi DESC, t1, t2) total order.
+    "text_pmi_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), dt AS (
+        |  SELECT DISTINCT doc, term FROM (
+        |    SELECT doc_id AS doc, unnest(tokens) AS term FROM toks)
+        |), nd AS (
+        |  SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM documents
+        |), dfx AS (
+        |  SELECT term, COUNT(*) AS df_docs FROM dt GROUP BY 1
+        |), head AS (
+        |  SELECT term, df_docs FROM dfx ORDER BY df_docs DESC, term LIMIT 30
+        |), hd AS (
+        |  SELECT dt.doc, dt.term, h.df_docs FROM dt JOIN head h USING (term)
+        |), pairs AS (
+        |  SELECT a.term AS t1, b.term AS t2,
+        |    a.df_docs AS c_x, b.df_docs AS c_y, COUNT(*) AS c_xy
+        |  FROM hd a JOIN hd b ON a.doc = b.doc AND a.term < b.term
+        |  GROUP BY 1, 2, 3, 4
+        |  HAVING COUNT(*) >= 2
+        |), scored AS (
+        |  SELECT t1, t2, c_x, c_y, c_xy,
+        |    ROUND(ln(n.n * c_xy
+        |      / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))), 6) AS pmi
+        |  FROM pairs CROSS JOIN nd n
+        |)
+        |SELECT t1, t2, c_x, c_y, c_xy, pmi, CAST(rnk AS INT) AS rank
+        |FROM (
+        |  SELECT *, row_number() OVER (ORDER BY pmi DESC, t1, t2) AS rnk
+        |  FROM scored
+        |) WHERE rnk <= 50""".stripMargin,
+
+    // PSI drift re-derived end-to-end: integer-µs time split, the
+    // same precomputed-width binning values (a/(b/10.0) divides to
+    // the identical double), spine LEFT JOIN so empty bins surface,
+    // eps-floored shares, (p_a−p_b)·ln(p_a/p_b) terms + the window
+    // total.
+    "events_value_drift" ->
+      """WITH base AS (
+        |  SELECT CAST(value AS DOUBLE) AS v, epoch_us(ts) AS t
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), st AS (
+        |  SELECT MIN(v) AS vmin, MAX(v) AS vmax,
+        |    MIN(t) AS tlo, MAX(t) AS thi FROM base
+        |), binned AS (
+        |  SELECT LEAST(9, CAST(FLOOR(
+        |      (b.v - st.vmin) / ((st.vmax - st.vmin) / 10.0)) AS INT)) AS bin,
+        |    b.t < st.tlo + (st.thi - st.tlo) // 2 AS first_half
+        |  FROM base b CROSS JOIN st
+        |), counts AS (
+        |  SELECT bin,
+        |    CAST(COUNT(*) FILTER (WHERE first_half) AS BIGINT) AS n_a,
+        |    CAST(COUNT(*) FILTER (WHERE NOT first_half) AS BIGINT) AS n_b
+        |  FROM binned GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(10)) AS bin
+        |), filled AS (
+        |  SELECT CAST(s.bin AS INT) AS bin,
+        |    COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b
+        |  FROM spine s LEFT JOIN counts c ON s.bin = c.bin
+        |), tot AS (
+        |  SELECT CAST(SUM(n_a) AS BIGINT) AS tot_a,
+        |    CAST(SUM(n_b) AS BIGINT) AS tot_b FROM filled
+        |), shares AS (
+        |  SELECT bin, n_a, n_b,
+        |    GREATEST(CAST(n_a AS DOUBLE) / CAST(tot_a AS DOUBLE), 0.0001)
+        |      AS pa,
+        |    GREATEST(CAST(n_b AS DOUBLE) / CAST(tot_b AS DOUBLE), 0.0001)
+        |      AS pb
+        |  FROM filled CROSS JOIN tot
+        |), terms AS (
+        |  SELECT bin, n_a, n_b, pa, pb, (pa - pb) * ln(pa / pb) AS term
+        |  FROM shares
+        |)
+        |SELECT bin, n_a, n_b, ROUND(pa, 6) AS p_a, ROUND(pb, 6) AS p_b,
+        |  ROUND(term, 6) AS psi_term,
+        |  ROUND(SUM(term) OVER (), 6) AS psi_total
+        |FROM terms""".stripMargin,
+
+    // Key-skew profile: integer count legs (per-key counts, top-10
+    // mass via the same (cnt DESC, key) order, totals) with the three
+    // derived shares divided in the spelled order.
+    "profile_key_skew" ->
+      """WITH counts AS (
+        |  SELECT user_id, COUNT(*) AS cnt FROM events
+        |  WHERE user_id IS NOT NULL GROUP BY 1
+        |), t10 AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS top10_cnt FROM (
+        |    SELECT cnt FROM counts ORDER BY cnt DESC, user_id LIMIT 10)
+        |), s AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+        |    CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |    CAST(MAX(cnt) AS BIGINT) AS max_cnt
+        |  FROM counts
+        |)
+        |SELECT n_rows, n_keys, max_cnt,
+        |  ROUND(CAST(max_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS top1_share,
+        |  ROUND(CAST(top10_cnt AS DOUBLE) / CAST(n_rows AS DOUBLE), 6)
+        |    AS top10_share,
+        |  ROUND(CAST(max_cnt AS DOUBLE)
+        |    / (CAST(n_rows AS DOUBLE) / CAST(n_keys AS DOUBLE)), 6)
+        |    AS skew_ratio
+        |FROM s CROSS JOIN t10""".stripMargin,
 
     "text_heavy_hitters_sketch" -> heavyHittersOracle,
 

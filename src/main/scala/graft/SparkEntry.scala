@@ -1005,6 +1005,14 @@ object SparkEntry {
     // llm counterpart of demo_all_features: quality → lang filter →
     // exact dedup composed in one plan, oracle-checked END-TO-END.
     "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
+    // The curation observability deliverable: per-stage attrition
+    // (quality → language → exact-dedup) with sequential-funnel
+    // charging, computed from ONE conditional-count aggregate over
+    // the same shared scoring expressions the pipeline runs — the
+    // report can never disagree with llm_curate (shared oracle CTE
+    // prefix pins that on the SQL side too).
+    "llm_attrition_report" -> ((s, dir) =>
+      Curate.attritionReport(documents(s, dir))),
 
     // Deterministic per-source mixture sampling: md5-bucket thresholds
     // are plan literals the DuckDB oracle states as a CASE expression —
@@ -1268,6 +1276,17 @@ object SparkEntry {
     // downstream ANN/cluster bytes 8× at 100 TB.
     "embedding_random_projection" -> ((s, dir) =>
       Similarity.randomProjection(embeddings(s, dir), k = 8, dim = 64)),
+    // MMR diversity re-ranking of the exact top-10 (Carbonell &
+    // Goldstein 1998 — the RAG context-window re-ranker): 5 greedy
+    // steps UNROLLED, relevance and pairwise sims 6dp-rounded before
+    // every argmax, λ/1−λ as separate literals — the whole selection
+    // trajectory hash-exact. Everything past the topk scan is
+    // |queries|·k-bounded.
+    "similarity_mmr" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
+        k = 10, select = 5)
+    }),
     // IVF-Flat ANN, registered with the HASH-INIT coarse quantizer
     // (round 10): centroids = unit-normalized hash-drawn rows, so cell
     // assignment (cosine argmax, largest-cell ties), top-4 probe-cell
@@ -1551,6 +1570,27 @@ object SparkEntry {
     // rule is byte-exact.
     "multimodal_bmp_stats" -> ((s, dir) =>
       Multimodal.bmpChannelStats(bmpFixture(documents(s, dir)), "payload")),
+    // dHash perceptual signature over the same planted BMPs — the
+    // image-near-dup fingerprint (difference hash: DCT-free, so
+    // exact-integer and construction-restatable). One codegen'd call
+    // per row; the oracle re-derives the 9×8 grayscale grid and all
+    // 64 comparison bits from the fixture construction.
+    "multimodal_phash" -> ((s, dir) =>
+      Multimodal.bmpDHash(bmpFixture(documents(s, dir)), "payload")),
+    // ... and the image near-dup pairs: byte-banded candidates
+    // (recall EXACT for hamming ≤ 7 by pigeonhole over the 8 bands),
+    // full-hamming verify spelled as 64 shift-and-mask terms both
+    // engines state. Clones planted at +3M payload-identically (the
+    // decontaminate planting recipe) must surface at hamming 0.
+    "multimodal_phash_pairs" -> ((s, dir) => {
+      val base = bmpFixture(documents(s, dir))
+      val planted = base.unionByName(
+        base.filter(col("doc_id") % 29 === 0)
+          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+            col("payload")))
+      Multimodal.dHashPairs(Multimodal.bmpDHash(planted, "payload"),
+        maxHamming = 2)
+    }),
     // Round 13: the third real-decode codec, and the second MODALITY —
     // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
     // doc-dependent junk chunk, so the data offset varies and the
@@ -2607,12 +2647,49 @@ object SparkEntry {
           round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
         "cents", nBins = 8)),
 
+    // PSI distribution drift between the first and second time halves
+    // of events.value: 10 equi-width bins, eps-floored shares,
+    // (p_a−p_b)·ln(p_a/p_b) per bin + the total — the ingest-QA
+    // drift monitor (Σ < 0.1 stable, > 0.25 drifted).
+    "events_value_drift" -> ((s, dir) =>
+      Profile.psiDrift(events(s, dir), "value")),
+
+    // Join-key skew profile: the salting decision's input (max/avg
+    // ratio + top-1/top-10 mass shares) from one partial-aggregated
+    // key count + a TakeOrdered top-10 leg — measured BEFORE a
+    // 100 TB shuffle, not inferred from its stragglers.
+    "profile_key_skew" -> ((s, dir) =>
+      Profile.keySkew(events(s, dir), "user_id")),
+
     // Corpus-level heavy hitters: exact top-50 word bigrams.
     // TakeOrderedAndProject after one partial+final count — never a
     // global sort. Count-desc/gram-asc total order makes the rank-50
     // cut deterministic in both engines.
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
+
+    // Language-ID confusion matrix vs the fixture's lang label — the
+    // classifier-evaluation row (per (label, predicted) counts +
+    // within-label share); shares text_language's oracle CTE chain.
+    "text_language_confusion" -> ((s, dir) =>
+      TextAnalysis.languageConfusion(documents(s, dir))),
+
+    // Per-doc trigram novelty (the Lee et al. 2022 corpus metric):
+    // share of a doc's distinct trigrams occurring in no other doc —
+    // the gram-level boilerplate/near-dup-residue signal and the
+    // before/after evidence a dedup pass is graded on. One distinct
+    // shuffle + a vocabulary-scale df fold + one gram-keyed join.
+    "text_gram_novelty" -> ((s, dir) =>
+      TextAnalysis.gramNovelty(documents(s, dir), n = 3)),
+
+    // Document-level PMI collocations over the df-top-30 head:
+    // explode→distinct (doc, term), head via TakeOrdered + BROADCAST
+    // semi-join, pair fan-out bounded at C(30,2) per doc and joined
+    // doc-keyed — never vocabulary × vocabulary. The template-flood /
+    // phrase-mining signal; all counts exact integers, only the final
+    // ln floats (6dp pre-rank).
+    "text_pmi_collocations" -> ((s, dir) =>
+      TextAnalysis.pmiCollocations(documents(s, dir))),
 
     // Bounded-state sibling of text_top_ngrams: Misra-Gries sketch at
     // FrequentItems.DefaultCapacity (4096) >= the bigram vocabulary (916 at sf0.01, 1210 on

@@ -43,6 +43,56 @@ object Curate {
       .filter(col("quality_score") >= minQuality &&
         col("lang_pred").isin(langs: _*))
 
+  /** Per-stage attrition report for the [[apply]] pipeline — the
+    * curation observability deliverable (what did each rule COST?):
+    * one row per stage with (n_in, n_dropped, n_out, drop_share),
+    * sequential-funnel semantics (a doc is charged to the FIRST rule
+    * that drops it, exactly as the pipeline applies them):
+    * quality → language → exact-dedup.
+    *
+    * One corpus pass: every stage's flag is a projection column
+    * (quality score, lang-id, content hash — the same shared
+    * expressions the pipeline itself uses, so the report can never
+    * disagree with [[apply]]), folded into ONE aggregate of
+    * conditional counts + a distinct-hash count; the three stage rows
+    * explode out of the single stats row. drop_share divides exact
+    * integer counts (6dp, spelled order). */
+  def attritionReport(
+      docs: DataFrame,
+      minQuality: Double = 0.1,
+      langs: Seq[String] = Seq("en"),
+      textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis.languageId(
+      TextAnalysis.qualityScore(docs, textCol), textCol)
+    val qOk = col("quality_score") >= minQuality
+    val lOk = col("lang_pred").isin(langs: _*)
+    val stats = scored
+      .select(qOk.as("q_ok"), lOk.as("l_ok"),
+        Dedup.contentHash(col(textCol)).as("h"))
+      .agg(
+        count(lit(1)).as("n_total"),
+        count(when(!col("q_ok"), lit(1))).as("q_drop"),
+        count(when(col("q_ok") && !col("l_ok"), lit(1))).as("l_drop"),
+        count(when(col("q_ok") && col("l_ok"), lit(1))).as("n_pre_dedup"),
+        countDistinct(when(col("q_ok") && col("l_ok"), col("h")))
+          .as("n_groups"))
+    val stages = array(
+      struct(lit(1).as("stage_idx"), lit("quality").as("stage"),
+        col("n_total").as("n_in"), col("q_drop").as("n_dropped")),
+      struct(lit(2).as("stage_idx"), lit("language").as("stage"),
+        (col("n_total") - col("q_drop")).as("n_in"),
+        col("l_drop").as("n_dropped")),
+      struct(lit(3).as("stage_idx"), lit("exact_dedup").as("stage"),
+        col("n_pre_dedup").as("n_in"),
+        (col("n_pre_dedup") - col("n_groups")).as("n_dropped")))
+    stats.select(explode(stages).as("s"))
+      .select(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"),
+        col("s.n_in").as("n_in"), col("s.n_dropped").as("n_dropped"),
+        (col("s.n_in") - col("s.n_dropped")).as("n_out"),
+        round(col("s.n_dropped").cast("double") /
+          col("s.n_in").cast("double"), 6).as("drop_share"))
+  }
+
   /** Deterministic per-source corpus mixing (data-mixture sampling):
     * keeps a stable `fractions(source)` share of each source's docs by
     * comparing a 16-bit md5 bucket of the doc id (first four hex chars

@@ -291,6 +291,72 @@ object Multimodal {
         stats: _*)
   }
 
+  /** dHash perceptual signature per image — see
+    * [[graft.functions.BmpDHash]] for the grid/bit contract. One
+    * codegen'd call fused into the payload scan (zero shuffles,
+    * 9·8·3 byte reads per row); the eight per-row hash bytes come out
+    * as plain INT columns `d0..d7` so banding, hamming arithmetic,
+    * and the oracle all work on ordinary integers. */
+  def bmpDHash(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), graft.functions.BmpDHash(col(binCol)).as("m"))
+      .select(col(idCol) +:
+        coalesce(col("m.is_bmp"), lit(0)).as("is_bmp") +:
+        col("m.width").as("width") +: col("m.height").as("height") +:
+        (0 until graft.functions.BmpDHash.GridH)
+          .map(y => col(s"m.d$y").as(s"d$y")): _*)
+
+  /** Image near-dup candidate pairs over [[bmpDHash]] signatures —
+    * the SIMHASH BANDING recipe applied to the image modality: each
+    * of the 8 hash bytes is a band; a pair is a candidate iff some
+    * band matches exactly. Recall is EXACT for maxHamming ≤ 7 by
+    * pigeonhole: ≤ 7 differing bits cannot touch all 8 bands, so some
+    * band is identical. Survivors verify by the full 64-bit hamming
+    * distance, spelled as 64 shift-and-mask terms both engines state
+    * identically (no reliance on engine bit_count built-ins).
+    *
+    * Scale: banding keeps the join keyed (band, value) — never
+    * all-pairs; at production scale identical-hash cliques should
+    * collapse through the star-first recipe
+    * ([[graft.llm.Dedup]]'s discipline) before any pair relation is
+    * materialized. */
+  def dHashPairs(
+      hashes: DataFrame,
+      maxHamming: Int = 6,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"dHashPairs: banding guarantees recall only for maxHamming <= 7, " +
+        s"got $maxHamming")
+    val gh = graft.functions.BmpDHash.GridH
+    val valid = hashes.filter(col("d0").isNotNull)
+    val bands = valid.select(col(idCol),
+      posexplode(array((0 until gh).map(y => col(s"d$y")): _*))
+        .as(Seq("band", "v")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
+      .distinct()
+    val ha = valid.select(col(idCol).as("id_a") +:
+      (0 until gh).map(y => col(s"d$y").as(s"a$y")): _*)
+    val hb = valid.select(col(idCol).as("id_b") +:
+      (0 until gh).map(y => col(s"d$y").as(s"b$y")): _*)
+    // Σ_{y,bit} ((a_y XOR b_y) >> bit) & 1 — portable popcount
+    val hamming = (0 until gh).flatMap { y =>
+      (0 until 8).map { bit =>
+        shiftright(col(s"a$y").bitwiseXOR(col(s"b$y")), bit)
+          .bitwiseAND(lit(1))
+      }
+    }.reduce(_ + _)
+    cand.join(ha, "id_a").join(hb, "id_b")
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** REAL pixel path, third codec and second MODALITY (round 13):
     * 16-bit PCM WAV sample statistics — raw audio the way PPM/BMP are
     * raw rasters; see [[graft.functions.WavSampleStats]] for the

@@ -522,6 +522,98 @@ object Similarity {
     * aggregate. The exact percentile is per-LABEL over scalar
     * distances — at extreme scale swap in `approx_percentile` exactly
     * like RobustScaling's GK path. */
+  /** Maximal-Marginal-Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — the standard RAG diversity re-ranker: from each
+    * query's exact top-`k` candidates, greedily select `select` docs
+    * by `score = λ·rel(d) − (1−λ)·max_{s∈S} sim(d, s)`, so near-
+    * duplicate hits stop crowding the context window. The greedy loop
+    * is UNROLLED (`select` is small and fixed — the kmeans_lloyd
+    * treatment): every step is a join + window over per-query frames
+    * bounded at k rows, with relevance and pairwise sims 6dp-rounded
+    * BEFORE any argmax, so the whole selection trajectory is
+    * hash-exact under an oracle that restates the same steps.
+    *
+    * λ and 1−λ are SEPARATE literals (the pageRank lesson: both
+    * engines must start from the same decimal-converted doubles).
+    * Step 1's score is λ·rel (max over an empty set = 0, spelled as
+    * the same formula with maxsim 0).
+    *
+    * Scale: candidates come from [[cosineTopK]] (broadcast query
+    * side); everything after is |queries|·k-bounded — the pairwise
+    * sim relation is ≤ k² per query, never corpus-sized, and the
+    * `select` plan-unrolled joins are all on the query key. */
+  def mmrRerank(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int = 10,
+      select: Int = 5,
+      lambda: Double = 0.7,
+      oneMinusLambda: Double = 0.3,
+      embCol: String = "embedding",
+      idCol: String = "vec_id"): DataFrame = {
+    require(select >= 1 && select <= k,
+      s"mmrRerank: need 1 <= select <= k, got select=$select k=$k")
+    require(math.abs(lambda + oneMinusLambda - 1.0) < 1e-9,
+      s"mmrRerank: lambda $lambda + oneMinusLambda $oneMinusLambda != 1")
+    val top = cosineTopK(corpus, queries, k, embCol, idCol, roundAt = 6)
+    // re-attach candidate vectors for the pairwise leg (k rows/query)
+    val cands = top.join(
+        corpus.select(col(idCol).as("neighbor_id"),
+          asDouble(col(embCol)).as("c_emb")),
+        "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("cosine"))
+      .localCheckpoint(false)
+    val vecs = corpus.select(col(idCol).as("vid"),
+      asDouble(col(embCol)).as("e"))
+    val pairSim = cands.select(col("query_id"), col("neighbor_id").as("a"))
+      .join(cands.select(col("query_id"), col("neighbor_id").as("b")),
+        "query_id")
+      .filter(col("a") =!= col("b"))
+      .join(vecs.select(col("vid").as("a"), col("e").as("ea")), "a")
+      .join(vecs.select(col("vid").as("b"), col("e").as("eb")), "b")
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")), 6).as("sim"))
+      .localCheckpoint(false)
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("mmr_score").desc, col("neighbor_id"))
+    // step 1: maxsim over the empty selection is 0 — same formula
+    // λ·(6dp) − (1−λ)·(6dp) is an EXACT 7-decimal value — the 6dp
+    // half-boundary regime where BigDecimal HALF_UP and DuckDB's
+    // multiply-then-round disagree; floor(x·1e6+0.5)/1e6 is identical
+    // IEEE arithmetic in both engines (the pca_power lesson)
+    def floor6(c: Column): Column =
+      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
+    val sel1 = cands
+      .withColumn("mmr_score",
+        floor6(lit(lambda) * col("cosine") -
+          lit(oneMinusLambda) * lit(0.0)))
+      .withColumn("rn", row_number().over(wq))
+      .filter(col("rn") === 1)
+      .select(col("query_id"), col("neighbor_id"),
+        lit(1).as("mmr_rank"), col("mmr_score"))
+    (2 to select).foldLeft(sel1) { (selected, t) =>
+      val rem = cands.join(selected
+          .select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val withMax = rem
+        .join(pairSim.withColumnRenamed("a", "neighbor_id"),
+          Seq("query_id", "neighbor_id"))
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
+        .agg(max(col("sim")).as("maxsim"))
+      val pick = withMax
+        .withColumn("mmr_score",
+          floor6(lit(lambda) * col("cosine") -
+            lit(oneMinusLambda) * col("maxsim")))
+        .withColumn("rn", row_number().over(wq))
+        .filter(col("rn") === 1)
+        .select(col("query_id"), col("neighbor_id"),
+          lit(t).as("mmr_rank"), col("mmr_score"))
+      selected.unionByName(pick)
+    }
+  }
+
   def labelOutliers(
       emb: DataFrame,
       pct: Double = 0.95,

@@ -522,6 +522,124 @@ object TextAnalysis {
       .orderBy(col("cnt").desc, col("gram"))
       .limit(k)
   }
+
+  /** Language-ID confusion matrix against a labeled column — the
+    * evaluation row for [[languageId]] (every classifier the engine
+    * ships needs its quality measured IN the engine): per (label,
+    * predicted) counts plus the within-label share. One narrow
+    * scoring projection + one partial-aggregated groupBy at
+    * |langs|²-bounded output; the share window runs over that tiny
+    * frame. */
+  def languageConfusion(
+      df: DataFrame,
+      labelCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    languageId(df, textCol)
+      .groupBy(col(labelCol), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share",
+        round(col("n").cast("double") /
+          sum(col("n")).over(Window.partitionBy(col(labelCol)))
+            .cast("double"), 6))
+  }
+
+  /** Per-document n-gram novelty — the gram-level memorization /
+    * boilerplate metric (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better", measures corpora exactly
+    * this way): the share of a doc's DISTINCT n-grams that occur in
+    * no other document (corpus df = 1). Low novelty = the doc is
+    * assembled from corpus-common spans (template/boilerplate flood
+    * or near-dup residue the pair-level dedup family missed); the
+    * corpus-wide novelty distribution is the before/after evidence a
+    * dedup pass is graded on.
+    *
+    * Scale shape: explode → per-doc DISTINCT grams (one shuffle —
+    * the same first stage every gram row pays), df folds off at gram-
+    * vocabulary scale, one gram-keyed join back (co-partitioned with
+    * the df fold's output partitioning), one doc-keyed count. Docs
+    * shorter than `n` words have no grams and no row — the honest
+    * contract, mirrored by the oracle. */
+  def gramNovelty(
+      df: DataFrame,
+      n: Int = 3,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = df.select(col(idCol), explode(
+        graft.functions.WordNgrams(col(textCol), n, strictFallback = false))
+        .as("gram"))
+      .filter(size(split(col("gram"), " ")) === n)
+      .distinct()
+    val dfg = grams.groupBy(col("gram")).agg(count(lit(1)).as("df_grams"))
+    grams.join(dfg, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("df_grams") === 1, lit(1))).as("n_novel"))
+      .withColumn("novelty",
+        round(col("n_novel").cast("double") / col("n_grams").cast("double"),
+          6))
+  }
+
+  /** Document-level PMI collocations over the vocabulary head (Church
+    * & Hanks, 1990): for the `headK` terms with the highest document
+    * frequency, score every co-occurring pair by
+    * `pmi = ln(n·c_xy / (c_x·c_y))` on DOCUMENT counts (c_x = docs
+    * containing x, c_xy = docs containing both) and keep the global
+    * top `topK` by (pmi DESC, t1, t2) — the collocation / topicality
+    * signal corpus curation uses to spot template floods (a pair at
+    * pmi ≈ ln n occurs only together: boilerplate), and embedding
+    * prep uses for phrase mining.
+    *
+    * Scale shape: one explode→distinct shuffle for (doc, term) — the
+    * same first stage every text row pays; df folds off it at
+    * vocabulary scale; the head is TakeOrderedAndProject and then
+    * BROADCAST, so restricting the pair stage to head terms is a
+    * broadcast semi-join, and the self-join fan-out is bounded at
+    * C(headK, 2) pairs per doc, joined doc-keyed (co-partitioned,
+    * one shuffle) — never a vocabulary × vocabulary relation. All
+    * counts are exact integers; only the final ln is floating (6dp,
+    * pre-rank — the repo float contract). `minPairCount` drops
+    * single-doc accidents. */
+  def pmiCollocations(
+      df: DataFrame,
+      headK: Int = 30,
+      topK: Int = 50,
+      minPairCount: Long = 2L,
+      textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerms = df.select(col(idCol).as("doc"), explode(
+        filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
+          w => length(w) > 0)).as("term"))
+      .distinct()
+    val nDocs = df.select(col(idCol)).distinct().count()
+    val head = docTerms.groupBy(col("term"))
+      .agg(count(lit(1)).as("df_docs"))
+      .orderBy(col("df_docs").desc, col("term"))
+      .limit(headK)
+    val headDocs = docTerms.join(broadcast(head), "term")
+    val pairs = headDocs.select(col("doc"), col("term").as("t1"),
+        col("df_docs").as("c_x"))
+      .join(headDocs.select(col("doc"), col("term").as("t2"),
+        col("df_docs").as("c_y")), "doc")
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"), col("c_x"), col("c_y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minPairCount)
+    // doubles throughout the ratio: BIGINT c_x·c_y would overflow at
+    // web-corpus df scales (DuckDB errors on BIGINT overflow, Spark
+    // wraps — both wrong); double products stay finite and the two
+    // engines spell the same operand order
+    val pmi = round(log(lit(nDocs.toDouble) * col("c_xy") /
+      (col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+    val w = Window.orderBy(col("pmi").desc, col("t1"), col("t2"))
+    pairs.withColumn("pmi", pmi)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("t1"), col("t2"), col("c_x"), col("c_y"), col("c_xy"),
+        col("pmi"), col("rank"))
+  }
 }
 
 /** High-frequency function words per language (public linguistic

@@ -316,4 +316,102 @@ object Profile {
     }
     one.select(explode(array(perCol: _*)).as("p")).select("p.*")
   }
+
+  /** Population-stability-index drift between the FIRST and SECOND
+    * time halves of a measure column — the distribution-drift monitor
+    * (the credit-scoring PSI applied to ingest QA): 10 equi-width
+    * bins over the global [min, max], per-half shares, and
+    * `psi_term = (p_a' − p_b')·ln(p_a'/p_b')` with both shares
+    * floored at `eps` so an empty bin contributes a large-but-finite
+    * term instead of ±∞ (the standard PSI smoothing). Rule of thumb:
+    * Σ < 0.1 stable, > 0.25 drifted — `psi_total` rides on every row.
+    *
+    * Determinism: the time split is integer epoch-µs arithmetic
+    * (`lo + (hi−lo)/2`, exact in both engines); bin edges divide
+    * exact min/max doubles in a spelled order; every bin 0..9 emits a
+    * row even when empty (a literal bin spine LEFT JOINs the counts).
+    * Two fixed-size aggregates (global stats, then per-(half, bin)
+    * counts at ≤ 20 cells) — nothing driver-side scales with data. */
+  def psiDrift(
+      df: DataFrame,
+      valueCol: String,
+      tsCol: String = "ts",
+      nBins: Int = 10,
+      eps: Double = 0.0001): DataFrame = {
+    require(nBins >= 2, s"psiDrift needs >= 2 bins, got $nBins")
+    val base = df.select(col(valueCol).cast("double").as("v"),
+        unix_micros(col(tsCol)).as("t"))
+      .filter(col("v").isNotNull && col("t").isNotNull)
+    val stats = base.agg(min(col("v")), max(col("v")),
+      min(col("t")), max(col("t"))).head()
+    val (vMin, vMax) = (stats.getDouble(0), stats.getDouble(1))
+    val (tLo, tHi) = (stats.getLong(2), stats.getLong(3))
+    val tMid = tLo + (tHi - tLo) / 2
+    val width = (vMax - vMin) / nBins.toDouble
+    require(width > 0.0, s"psiDrift: constant '$valueCol' has no bins")
+    val bin = least(lit(nBins - 1),
+      floor((col("v") - lit(vMin)) / lit(width)).cast("int"))
+    val counts = base
+      .select(bin.as("bin"), (col("t") < lit(tMid)).as("first_half"))
+      .groupBy(col("bin"))
+      .agg(count(when(col("first_half"), lit(1))).as("n_a"),
+        count(when(!col("first_half"), lit(1))).as("n_b"))
+    val spark = df.sparkSession
+    val spine = spark.range(nBins).select(col("id").cast("int").as("bin"))
+    val full = spine.join(counts, Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    // totals via a 1×nBins cross of the fixed-size sums row — the
+    // Sketches 1×1 pattern, and the shape the oracle restates
+    val totals = full.agg(sum(col("n_a")).as("tot_a"),
+      sum(col("n_b")).as("tot_b"))
+    val pA = greatest(col("n_a").cast("double") / col("tot_a").cast("double"),
+      lit(eps))
+    val pB = greatest(col("n_b").cast("double") / col("tot_b").cast("double"),
+      lit(eps))
+    import org.apache.spark.sql.expressions.Window
+    full.crossJoin(totals)
+      .withColumn("term", (pA - pB) * log(pA / pB))
+      .withColumn("p_a", round(pA, 6))
+      .withColumn("p_b", round(pB, 6))
+      .withColumn("psi_term", round(col("term"), 6))
+      .withColumn("psi_total",
+        round(sum(col("term")).over(Window.partitionBy()), 6))
+      .select("bin", "n_a", "n_b", "p_a", "p_b", "psi_term", "psi_total")
+  }
+
+  /** Join/aggregation-key skew profile — the number the salting
+    * decision is made from BEFORE a 100 TB shuffle, not after it
+    * stragglers: per-key counts (one partial-aggregated shuffle over
+    * the key domain), then `skew_ratio = max/avg` plus the top-1 /
+    * top-10 mass shares. A ratio near 1 says hash partitioning will
+    * balance; 100× says the hot keys need salt (operators.Skew) or
+    * AQE skew-join. The top-10 leg plans TakeOrderedAndProject
+    * (distributed partial top-k); everything else folds to one
+    * fixed-size stats row. NULL keys are excluded (they never join).
+    *
+    * All inputs are exact integer counts; the three derived doubles
+    * divide them in a spelled order the oracle mirrors, 6dp. */
+  def keySkew(df: DataFrame, keyCol: String): DataFrame = {
+    val counts = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val top10 = counts
+      .orderBy(col("cnt").desc, col(keyCol)).limit(10)
+      .agg(sum(col("cnt")).as("top10_cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).as("n_rows"),
+      count(lit(1)).as("n_keys"),
+      max(col("cnt")).as("max_cnt"))
+    stats.crossJoin(top10) // 1×1 of fixed-size stats rows
+      .select(
+        col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("max_cnt").cast("double") / col("n_rows").cast("double"),
+          6).as("top1_share"),
+        round(col("top10_cnt").cast("double") / col("n_rows").cast("double"),
+          6).as("top10_share"),
+        round(col("max_cnt").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")),
+          6).as("skew_ratio"))
+  }
 }

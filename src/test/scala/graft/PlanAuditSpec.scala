@@ -56,7 +56,10 @@ class PlanAuditSpec extends SparkSpec {
       // round 15: the JL sign projection is the vector-compression
       // stage — a literal-matrix per-row fold; an Exchange here means
       // it stopped being scan-speed
-      "embedding_random_projection")
+      "embedding_random_projection",
+      // round 15: the dHash signature is one codegen'd call fused
+      // into the payload scan (the BMP-decode contract)
+      "multimodal_phash")
       .foreach { q =>
         val p = plan(q)
         assert(shuffles(p) == 0, s"$q has a shuffle:\n${p.take(600)}")

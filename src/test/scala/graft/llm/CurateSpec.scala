@@ -580,4 +580,44 @@ class CurateSpec extends SparkSpec {
       "anchor 1 negatives moved although its target bucket gained " +
         "no documents")
   }
+
+  test("attritionReport: funnel arithmetic chains and the final n_out " +
+      "equals the pipeline's kept count") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val rows = Curate.attritionReport(docs).orderBy("stage_idx").collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("quality", "language", "exact_dedup"))
+    assert(rows.head.getAs[Long]("n_in") == docs.count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped"))
+      assert(r.getAs[Long]("n_dropped") >= 0L)
+    }
+    assert(rows(0).getAs[Long]("n_out") == rows(1).getAs[Long]("n_in"))
+    assert(rows(1).getAs[Long]("n_out") == rows(2).getAs[Long]("n_in"))
+    assert(rows(2).getAs[Long]("n_out") == Curate(docs).count())
+  }
+
+  test("attritionReport: planted junk / foreign / duplicate docs are " +
+      "charged to the right stages") {
+    val s = spark
+    import s.implicits._
+    val good = "the cat sat on the mat and it was warm for this day " +
+      "and that is all of it"
+    val docs = Seq(
+      (1L, good),                        // kept
+      (2L, good),                        // exact duplicate -> dedup drop
+      // German, salted with EN-stoplist collisions ("in", "was") so it
+      // PASSES the quality gate and reaches — and fails — language-id
+      (3L, "der hund war in dem haus und das war gut in der nacht " +
+        "was ein zeichen in dem wald und das war alles in dem tag"),
+      (4L, "1234 5678 9999 0000 !!!! ####")        // junk -> quality
+    ).toDF("doc_id", "text")
+    val rows = Curate.attritionReport(docs).orderBy("stage_idx").collect()
+      .map(r => r.getAs[String]("stage") ->
+        (r.getAs[Long]("n_in"), r.getAs[Long]("n_dropped"))).toMap
+    assert(rows("quality") == ((4L, 1L)))
+    assert(rows("language") == ((3L, 1L)))
+    assert(rows("exact_dedup") == ((2L, 1L)))
+  }
 }

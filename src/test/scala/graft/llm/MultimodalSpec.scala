@@ -318,4 +318,52 @@ class MultimodalSpec extends SparkSpec {
     assert(zr.getInt(1) == 1 && zr.getInt(2) == 0 && zr.getInt(3) == 0)
     assert(zr.isNullAt(4) && zr.isNullAt(7) && zr.isNullAt(10))
   }
+
+  test("bmpDHash: gradient rows read all-ones bytes, constants all " +
+      "zeros; a one-pixel bump flips exactly one bit; clone pairs " +
+      "verify at hamming 0 and survive banding") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def bmp(fileRows: Seq[Seq[Int]], w: Int, h: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val header =
+        Seq('B'.toByte, 'M'.toByte) ++ le(54 + stride * h, 4) ++
+          le(0, 4) ++ le(54, 4) ++
+          le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+          le(0, 4) ++ le(stride * h, 4) ++ le(0, 4) ++ le(0, 4) ++
+          le(0, 4) ++ le(0, 4)
+      (header ++ fileRows.flatten.map(_.toByte)).toArray
+    }
+    // 9×8, pixel x = RGB(x,x,x): gray strictly increases along x —
+    // every comparison bit set. stride 28 ⇒ one pad byte per row.
+    val gradRow = (0 until 9).flatMap(x => Seq(x, x, x)) :+ 0
+    val grad = bmp(Seq.fill(8)(gradRow), 9, 8)
+    // same, but image row 0 (the LAST file row — bottom-up) gets a
+    // bright pixel at x=4: bit 4 of d0 flips off, nothing else moves
+    val bumpRow = (0 until 9).flatMap(x =>
+      if (x == 4) Seq(200, 200, 200) else Seq(x, x, x)) :+ 0
+    val bumped = bmp(Seq.fill(7)(gradRow) :+ bumpRow, 9, 8)
+    val const = bmp(Seq.fill(8)((0 until 9).flatMap(_ =>
+      Seq(7, 7, 7)) :+ 0), 9, 8)
+    val df = Seq(
+      (1L, grad), (2L, grad), (3L, bumped), (4L, const),
+      (5L, "not a bitmap at all, just bytes......................"
+        .getBytes("US-ASCII"))).toDF("doc_id", "payload")
+    val hashes = Multimodal.bmpDHash(df, "payload")
+    val h = hashes.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 8).foreach { y =>
+      assert(h(1L).getAs[Int](s"d$y") == 255, s"grad d$y")
+      assert(h(4L).getAs[Int](s"d$y") == 0, s"const d$y")
+    }
+    assert(h(3L).getAs[Int]("d0") == 255 - 16) // bit 4 cleared
+    (1 until 8).foreach(y => assert(h(3L).getAs[Int](s"d$y") == 255))
+    assert(h(5L).getAs[Int]("is_bmp") == 0 && h(5L).isNullAt(4))
+    val pairs = Multimodal.dHashPairs(hashes, maxHamming = 6)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
+  }
 }

@@ -544,6 +544,52 @@ class SimilaritySpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_ivf_cells")
   }
 
+  test("mmrRerank: a cloned top hit is skipped for the diverse " +
+      "candidate at lambda = 0.5; greedy steps never repeat") {
+    val s = spark
+    import s.implicits._
+    // q = e0; d1/d2 identical (rel .90, mutual sim 1); d3 mirrored
+    // across e0 (rel .90, sim to d1 ≈ .62) — plain topk ranks the
+    // clone 2nd, MMR must not
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (100L, Array(0.9f, 0.436f, 0.0f, 0.0f)),
+      (101L, Array(0.9f, 0.436f, 0.0f, 0.0f)),
+      (102L, Array(0.9f, -0.436f, 0.0f, 0.0f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Similarity.mmrRerank(emb, emb.filter(col("vec_id") === 1L),
+        k = 3, select = 2, lambda = 0.5, oneMinusLambda = 0.5)
+      .orderBy("mmr_rank").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(100L, 102L))
+    // plain topk WOULD return the clone second (ties by id)
+    val topk = Similarity.cosineTopK(emb,
+        emb.filter(col("vec_id") === 1L), k = 2, roundAt = 6)
+      .orderBy("rank").collect().map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(topk == Seq(100L, 101L))
+  }
+
+  test("mmrRerank: 5 distinct picks per query on real embeddings; " +
+      "step 1 equals the relevance argmax") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 5)
+    val out = Similarity.mmrRerank(emb, q, k = 10, select = 5).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == 5)
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 5, s"query $qid")
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 5)
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.toSeq ==
+        Seq(1, 2, 3, 4, 5))
+    }
+    val top1 = Similarity.cosineTopK(emb, q, k = 1, roundAt = 6)
+      .collect().map(r =>
+        r.getAs[Long]("query_id") -> r.getAs[Long]("neighbor_id")).toMap
+    out.filter(_.getAs[Int]("mmr_rank") == 1).foreach { r =>
+      assert(top1(r.getAs[Long]("query_id")) ==
+        r.getAs[Long]("neighbor_id"))
+    }
+  }
+
   test("randomProjection: basis-vector rows read the sign matrix " +
       "directly; the matrix matches the md5 recipe") {
     val s = spark

@@ -308,4 +308,101 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pairs.sliding(2).forall { case Array((c1, g1), (c2, g2)) =>
       c1 > c2 || (c1 == c2 && g1 < g2) })
   }
+
+  test("pmiCollocations: an always-together pair tops a planted corpus " +
+      "at pmi = ln(n/c); independent pairs score near zero") {
+    val s = spark
+    import s.implicits._
+    // 40 docs: every doc draws filler; docs 0..9 contain BOTH xx and
+    // yy (never apart) -> pmi(xx, yy) = ln(40*10/(10*10)) = ln 4.
+    // Filler terms appear in nearly every doc -> pmi ~ 0.
+    val docs = (0 until 40).map { i =>
+      val base = s"alpha beta gamma delta w$i"
+      (i.toLong, if (i < 10) s"$base xx yy" else base)
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, headK = 10, topK = 20)
+      .collect()
+    val top = out.head
+    assert(top.getAs[String]("t1") == "xx" && top.getAs[String]("t2") == "yy")
+    assert(math.abs(top.getAs[Double]("pmi") - math.log(4.0)) < 1e-6)
+    assert(top.getAs[Long]("c_xy") == 10L)
+    // the filler-filler pairs co-occur by volume, not association
+    val fill = out.find(r => r.getAs[String]("t1") == "alpha" &&
+      r.getAs[String]("t2") == "beta").get
+    assert(math.abs(fill.getAs[Double]("pmi")) < 0.05)
+  }
+
+  test("pmiCollocations: head restriction drops off-head terms; " +
+      "deterministic under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"common1 common2 common3 rare$i onceonly$i")
+    }.toDF("doc_id", "text")
+    val out = TextAnalysis.pmiCollocations(docs, headK = 3, topK = 50)
+      .collect()
+    // only C(3,2) = 3 head pairs can exist; the rare/once terms are out
+    assert(out.length <= 3)
+    assert(out.forall(r => Set("common1", "common2", "common3")(
+      r.getAs[String]("t1"))))
+    val again = TextAnalysis.pmiCollocations(
+      docs.repartition(7, col("doc_id")), headK = 3, topK = 50).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("gramNovelty: cloned docs read 0, a unique doc reads 1, " +
+      "short docs emit no row") {
+    val s = spark
+    import s.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, shared), (2L, shared),       // every trigram df = 2 -> 0.0
+      (3L, "omega psi chi phi upsilon"),// all trigrams unique -> 1.0
+      (4L, "too short")                 // < 3 words -> no row
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(4L))
+    assert(out(1L).getAs[Double]("novelty") == 0.0)
+    assert(out(2L).getAs[Double]("novelty") == 0.0)
+    assert(out(3L).getAs[Double]("novelty") == 1.0)
+    // counts: 6 words -> 4 trigrams
+    assert(out(1L).getAs[Long]("n_grams") == 4L)
+  }
+
+  test("gramNovelty: partial overlap computes the exact share") {
+    val s = spark
+    import s.implicits._
+    // doc 2 shares doc 1's first three words (one shared trigram),
+    // then diverges -> doc 2: 1 shared of its 4 trigrams = 0.75 novel
+    val docs = Seq(
+      (1L, "one two three four five six"),
+      (2L, "one two three nine ten eleven")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gramNovelty(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Long]("n_grams") == 4L)
+    assert(out(2L).getAs[Long]("n_novel") == 3L)
+    assert(out(2L).getAs[Double]("novelty") == 0.75)
+  }
+
+  test("languageConfusion: shares sum to 1 per label and the matrix " +
+      "agrees with row-level languageId") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val m = TextAnalysis.languageConfusion(docs).collect()
+    val byLabel = m.groupBy(_.getAs[String]("lang"))
+    byLabel.foreach { case (l, rows) =>
+      val su = rows.map(_.getAs[Double]("share")).sum
+      assert(math.abs(su - 1.0) < 1e-4, s"$l shares sum $su")
+    }
+    val manual = TextAnalysis.languageId(docs)
+      .groupBy(col("lang"), col("lang_pred")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    m.foreach { r =>
+      assert(manual(
+        (r.getAs[String]("lang"), r.getAs[String]("lang_pred"))) ==
+        r.getAs[Long]("n"))
+    }
+    assert(m.map(_.getAs[Long]("n")).sum == docs.count())
+  }
 }

@@ -215,4 +215,74 @@ class ProfileSpec extends SparkSpec {
     (1 to 8).foreach(i => assert(math.abs(a(i) - 125L) <= 2,
       s"approx bin $i depth ${a(i)} drifted from 125"))
   }
+
+  test("keySkew: hand-computed skew metrics on a planted hot key; " +
+      "nulls excluded") {
+    val s = spark
+    import s.implicits._
+    // "hot" x80, k1..k20 x1 each, plus null keys that must not count
+    val keys: Seq[Option[String]] =
+      Seq.fill(80)(Some("hot")) ++ (1 to 20).map(i => Some(s"k$i")) ++
+        Seq.fill(5)(Option.empty[String])
+    val df = keys.toDF("k")
+    val r = Profile.keySkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_rows") == 100L)
+    assert(r.getAs[Long]("n_keys") == 21L)
+    assert(r.getAs[Long]("max_cnt") == 80L)
+    assert(math.abs(r.getAs[Double]("top1_share") - 0.8) < 1e-9)
+    // top-10 = hot(80) + nine singletons = 89
+    assert(math.abs(r.getAs[Double]("top10_share") - 0.89) < 1e-9)
+    // 80 / (100/21) = 16.8
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 16.8) < 1e-6)
+  }
+
+  test("keySkew: uniform keys read ratio ~= 1 and shares ~= k/n") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 300).map(i => s"u${i % 30}").toDF("k")
+    val r = Profile.keySkew(df, "k").collect().head
+    assert(r.getAs[Long]("n_keys") == 30L)
+    assert(math.abs(r.getAs[Double]("skew_ratio") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("top10_share") - (100.0 / 300.0)) < 1e-5)
+  }
+
+  test("psiDrift: identical half distributions read psi = 0 exactly; " +
+      "all bins emit") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 200).map { i =>
+      val t = if (i < 100) i else 1000 + i // two time clusters
+      (t.toLong, (i % 10).toDouble)
+    }
+    val df = rows.toDF("sec", "value")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val out = Profile.psiDrift(df, "value").orderBy("bin").collect()
+    assert(out.length == 10)
+    out.foreach { r =>
+      assert(r.getAs[Double]("psi_term") == 0.0)
+      assert(r.getAs[Double]("psi_total") == 0.0)
+      assert(r.getAs[Long]("n_a") == r.getAs[Long]("n_b"))
+    }
+  }
+
+  test("psiDrift: a shifted second half crosses the 0.25 drift bar; " +
+      "empty bins stay finite via the eps floor") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 200).map { i =>
+      val t = if (i < 100) i else 1000 + i
+      val v = if (i < 100) (i % 5).toDouble else 20.0 + (i % 5)
+      (t.toLong, v)
+    }
+    val df = rows.toDF("sec", "value")
+      .withColumn("ts", col("sec").cast("timestamp")).drop("sec")
+    val out = Profile.psiDrift(df, "value").collect()
+    val total = out.head.getAs[Double]("psi_total")
+    assert(total > 0.25, s"psi_total $total")
+    assert(out.forall(r => !r.getAs[Double]("psi_term").isNaN &&
+      !r.getAs[Double]("psi_term").isInfinite))
+    // disjoint supports: every populated bin is one-sided
+    assert(out.forall(r =>
+      r.getAs[Long]("n_a") == 0L || r.getAs[Long]("n_b") == 0L))
+  }
 }
