@@ -1302,14 +1302,26 @@ private[graft] object OracleSql {
     val bandV = (0 until 8).map(y => s"WHEN $y THEN d$y").mkString(" ")
     val ham = (for (y <- 0 until 8; bit <- 0 until 8) yield
       s"((xor(pa.d$y, pb.d$y) >> $bit) & 1)").mkString(" + ")
+    // star-first like the Spark side: identical-hash members star to
+    // their min-id keeper at hamming 0; only DISTINCT hashes (the
+    // keepers) enter the band join
     dhashRowsCtesSql + s"""
       |, planted AS (
       |  SELECT doc_id, $ds FROM hashes
       |  UNION ALL
       |  SELECT doc_id + 3000000, $ds FROM hashes WHERE doc_id % 29 = 0
+      |), keyed AS (
+      |  SELECT doc_id, $ds,
+      |    MIN(doc_id) OVER (PARTITION BY $ds) AS keeper
+      |  FROM planted
+      |), star AS (
+      |  SELECT keeper AS id_a, doc_id AS id_b, 0 AS hamming
+      |  FROM keyed WHERE doc_id <> keeper
+      |), reps AS (
+      |  SELECT doc_id, $ds FROM keyed WHERE doc_id = keeper
       |), bands AS (
       |  SELECT doc_id, b.i AS band, CASE b.i $bandV END AS v
-      |  FROM planted CROSS JOIN (SELECT unnest(range(0, 8)) AS i) b
+      |  FROM reps CROSS JOIN (SELECT unnest(range(0, 8)) AS i) b
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
       |  FROM bands a JOIN bands bb ON a.band = bb.band AND a.v = bb.v
@@ -1317,9 +1329,11 @@ private[graft] object OracleSql {
       |), ham AS (
       |  SELECT c.id_a, c.id_b,
       |    $ham AS hamming
-      |  FROM cand c JOIN planted pa ON pa.doc_id = c.id_a
-      |    JOIN planted pb ON pb.doc_id = c.id_b
+      |  FROM cand c JOIN reps pa ON pa.doc_id = c.id_a
+      |    JOIN reps pb ON pb.doc_id = c.id_b
       |)
+      |SELECT id_a, id_b, hamming FROM star
+      |UNION ALL
       |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""".stripMargin
   }
 

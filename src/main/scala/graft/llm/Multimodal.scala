@@ -308,20 +308,25 @@ object Multimodal {
         (0 until graft.functions.BmpDHash.GridH)
           .map(y => col(s"m.d$y").as(s"d$y")): _*)
 
-  /** Image near-dup candidate pairs over [[bmpDHash]] signatures —
-    * the SIMHASH BANDING recipe applied to the image modality: each
-    * of the 8 hash bytes is a band; a pair is a candidate iff some
-    * band matches exactly. Recall is EXACT for maxHamming ≤ 7 by
-    * pigeonhole: ≤ 7 differing bits cannot touch all 8 bands, so some
-    * band is identical. Survivors verify by the full 64-bit hamming
-    * distance, spelled as 64 shift-and-mask terms both engines state
-    * identically (no reliance on engine bit_count built-ins).
+  /** Image near-dup pairs over [[bmpDHash]] signatures, STAR-FIRST
+    * (the [[graft.llm.Dedup]] discipline, learned the hard way: a
+    * naive band self-join on a ~90 %-duplicated corpus put every
+    * clone clique into the same (band, value) buckets and went
+    * quadratic — 2 GiB page-allocation failures at the 10× rehearsal):
     *
-    * Scale: banding keeps the join keyed (band, value) — never
-    * all-pairs; at production scale identical-hash cliques should
-    * collapse through the star-first recipe
-    * ([[graft.llm.Dedup]]'s discipline) before any pair relation is
-    * materialized. */
+    *  1. identical-hash members attach to their group KEEPER
+    *     (min id) as hamming-0 star edges — clique output stays
+    *     linear in members, and clones never enter the band join;
+    *  2. only DISTINCT hashes (the keepers) band-join — each of the
+    *     8 hash bytes is a band; recall is EXACT for maxHamming ≤ 7
+    *     by pigeonhole (≤ 7 differing bits cannot touch all 8
+    *     bands) — then verify by the full 64-bit hamming distance,
+    *     spelled as 64 shift-and-mask terms both engines state
+    *     identically (no engine bit_count built-ins).
+    *
+    * Cross-clique nearness is therefore reported between KEEPERS
+    * (members reach it transitively through their star edge) — the
+    * dedup_simhash_star contract applied to the image modality. */
   def dHashPairs(
       hashes: DataFrame,
       maxHamming: Int = 6,
@@ -330,19 +335,27 @@ object Multimodal {
       s"dHashPairs: banding guarantees recall only for maxHamming <= 7, " +
         s"got $maxHamming")
     val gh = graft.functions.BmpDHash.GridH
+    val dCols = (0 until gh).map(y => col(s"d$y"))
     val valid = hashes.filter(col("d0").isNotNull)
-    val bands = valid.select(col(idCol),
-      posexplode(array((0 until gh).map(y => col(s"d$y")): _*))
-        .as(Seq("band", "v")))
+    val wHash = org.apache.spark.sql.expressions.Window
+      .partitionBy(dCols: _*)
+    val keyed = valid.withColumn("keeper", min(col(idCol)).over(wHash))
+    val star = keyed.filter(col(idCol) =!= col("keeper"))
+      .select(col("keeper").as("id_a"), col(idCol).as("id_b"),
+        lit(0).as("hamming"))
+    val reps = keyed.filter(col(idCol) === col("keeper"))
+      .select(col(idCol) +: dCols: _*)
+    val bands = reps.select(col(idCol),
+      posexplode(array(dCols: _*)).as(Seq("band", "v")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
       .distinct()
-    val ha = valid.select(col(idCol).as("id_a") +:
+    val ha = reps.select(col(idCol).as("id_a") +:
       (0 until gh).map(y => col(s"d$y").as(s"a$y")): _*)
-    val hb = valid.select(col(idCol).as("id_b") +:
+    val hb = reps.select(col(idCol).as("id_b") +:
       (0 until gh).map(y => col(s"d$y").as(s"b$y")): _*)
     // Σ_{y,bit} ((a_y XOR b_y) >> bit) & 1 — portable popcount
     val hamming = (0 until gh).flatMap { y =>
@@ -351,10 +364,11 @@ object Multimodal {
           .bitwiseAND(lit(1))
       }
     }.reduce(_ + _)
-    cand.join(ha, "id_a").join(hb, "id_b")
+    val near = cand.join(ha, "id_a").join(hb, "id_b")
       .withColumn("hamming", hamming)
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+    star.unionByName(near)
   }
 
   /** REAL pixel path, third codec and second MODALITY (round 13):

@@ -364,6 +364,9 @@ class MultimodalSpec extends SparkSpec {
       .collect()
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
         r.getAs[Int]("hamming")).toMap
-    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (2L, 3L) -> 1))
+    // star-first: the clone (2) stars to its keeper (1) at hamming 0;
+    // cross-clique nearness is keeper-to-keeper only (2-3 is reached
+    // transitively through the star edge, never materialized)
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1))
   }
 }
