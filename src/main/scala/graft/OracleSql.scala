@@ -1297,7 +1297,7 @@ private[graft] object OracleSql {
       |  b.h AS height, h.d0, h.d1, h.d2, h.d3, h.d4, h.d5, h.d6, h.d7
       |FROM hashes h JOIN bmp b USING (doc_id)""".stripMargin
 
-  private val dhashPairsOracle: String = {
+  private val dhashPairsCtesSql: String = {
     val ds = (0 until 8).map(y => s"d$y").mkString(", ")
     val bandV = (0 until 8).map(y => s"WHEN $y THEN d$y").mkString(" ")
     val ham = (for (y <- 0 until 8; bit <- 0 until 8) yield
@@ -1331,11 +1331,32 @@ private[graft] object OracleSql {
       |    $ham AS hamming
       |  FROM cand c JOIN reps pa ON pa.doc_id = c.id_a
       |    JOIN reps pb ON pb.doc_id = c.id_b
-      |)
-      |SELECT id_a, id_b, hamming FROM star
-      |UNION ALL
-      |SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2""".stripMargin
+      |), phpairs AS (
+      |  SELECT id_a, id_b, hamming FROM star
+      |  UNION ALL
+      |  SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 2
+      |)""".stripMargin
   }
+
+  private val dhashPairsOracle: String =
+    dhashPairsCtesSql + """
+      |SELECT id_a, id_b, hamming FROM phpairs""".stripMargin
+
+  /** Components over the star+near edge set: the dedup_components
+    * recursive-closure recipe (min label over transitive reach) on
+    * the image modality. */
+  private val dhashClustersOracle: String =
+    dhashPairsCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+      |, sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM phpairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM phpairs
+      |), reach AS (
+      |  SELECT DISTINCT src AS id, src AS comp FROM sym
+      |  UNION
+      |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+      |)
+      |SELECT id, min(comp) AS component FROM reach GROUP BY id""".stripMargin
 
   val all: Map[String, String] = Map(
     "robust_scaling" ->
@@ -2898,6 +2919,18 @@ private[graft] object OracleSql {
     // from the ACTUAL bytes — two independent paths to one answer.
     "multimodal_phash" -> dhashOracle,
     "multimodal_phash_pairs" -> dhashPairsOracle,
+    "multimodal_phash_clusters" -> dhashClustersOracle,
+
+    // Trailing 1-hour RANGE frame on the integer epoch-µs key — both
+    // engines share RANGE peer semantics on an exact key, so frames
+    // are identical; COUNT exact, value sum 6dp.
+    "events_rolling_window" ->
+      """SELECT event_id, event_type, epoch_us(ts) AS t,
+        |  COUNT(*) OVER w AS n_window,
+        |  ROUND(SUM(value) OVER w, 6) AS sum_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "multimodal_bmp_stats" ->
       """WITH bmp AS (

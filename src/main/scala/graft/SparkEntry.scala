@@ -153,6 +153,18 @@ object SparkEntry {
     concat((0 until nBytes).reverse.map(i => be.substr(i * 2 + 1, 2)): _*)
   }
 
+  /** [[bmpFixture]] plus payload-identical clones at +3M for every
+    * 29th doc (the decontaminate planting recipe) — shared by the
+    * phash pairs and clusters rows, whose oracles restate the same
+    * union. */
+  private def phashFixture(docs: DataFrame): DataFrame = {
+    val base = bmpFixture(docs)
+    base.unionByName(
+      base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          col("payload")))
+  }
+
   private def bmpFixture(docs: DataFrame): DataFrame = {
     val w = (pmod(col("n_chars"), lit(7L)) + 2).cast("int") // 2..8
     val h = (pmod(col("doc_id"), lit(5L)) + 2).cast("int")  // 2..6
@@ -1583,13 +1595,22 @@ object SparkEntry {
     // engines state. Clones planted at +3M payload-identically (the
     // decontaminate planting recipe) must surface at hamming 0.
     "multimodal_phash_pairs" -> ((s, dir) => {
-      val base = bmpFixture(documents(s, dir))
-      val planted = base.unionByName(
-        base.filter(col("doc_id") % 29 === 0)
-          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
-            col("payload")))
-      Multimodal.dHashPairs(Multimodal.bmpDHash(planted, "payload"),
+      Multimodal.dHashPairs(
+        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
         maxHamming = 2)
+    }),
+    // ... and image clusters: the text family's connected-components
+    // machinery over the star + keeper-near edge set — the STAR
+    // variant (large-star/small-star alternation, O(log n) rounds):
+    // low-entropy hash graphs chain, and label propagation's
+    // O(diameter) rounds cost 11 s where the alternation's few rounds
+    // don't. Oracle = the dedup_components recursive min-label
+    // closure on the same edges.
+    "multimodal_phash_clusters" -> ((s, dir) => {
+      Dedup.connectedComponentsStar(
+        Multimodal.dHashPairs(
+          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
+          maxHamming = 2))
     }),
     // Round 13: the third real-decode codec, and the second MODALITY —
     // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
@@ -2553,6 +2574,11 @@ object SparkEntry {
     // one partial-aggregated count.
     "events_transitions" -> ((s, dir) =>
       Events.transitions(events(s, dir))),
+    // Trailing 1-hour RANGE-frame rolling volume/value per type — the
+    // registry's RANGE-frame coverage (exact integer epoch-µs key, so
+    // frames and peer groups are engine-identical).
+    "events_rolling_window" -> ((s, dir) =>
+      Events.rollingWindow(events(s, dir))),
     // Weighted PageRank over the transition graph (GraphX
     // staticPageRank semantics, edge weight = observed next-step
     // share), 3 iterations UNROLLED with 6dp floor-rounding between

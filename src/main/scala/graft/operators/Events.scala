@@ -377,6 +377,26 @@ object Events {
       .select("event_id", "user_id", "ts", "session_idx")
   }
 
+  /** Trailing time-RANGE rolling aggregates per event — the moving
+    * 1-hour volume/value monitor, and the registry's RANGE-frame
+    * coverage (every other window row is ROWS/growing-frame): for
+    * each event, the count and 6dp value sum of its type's events in
+    * the preceding `windowSec` (inclusive, peers included — RANGE
+    * semantics both engines share on the integer epoch-µs key, so
+    * frames are exact). One window shuffle keyed by type; the frame
+    * slides in event-time order with no second pass. */
+  def rollingWindow(events: DataFrame, windowSec: Long = 3600L): DataFrame = {
+    require(windowSec > 0, s"rollingWindow: windowSec must be > 0")
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("t"))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    events.select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("t"), col("value"))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", round(sum(col("value")).over(w), 6))
+      .select("event_id", "event_type", "t", "n_window", "sum_window")
+  }
+
   /** 6dp half-up rounding spelled as pure IEEE arithmetic —
     * floor(x·10⁶ + 0.5)/10⁶ — IDENTICALLY restatable in DuckDB.
     * PageRank iterates on short-rational values (sums of n/W edge

@@ -369,4 +369,36 @@ class MultimodalSpec extends SparkSpec {
     // transitively through the star edge, never materialized)
     assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1))
   }
+
+  test("dHash clusters: star + near edges merge into one component " +
+      "with the min id as label; isolated images emit no row") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def bmp(fileRows: Seq[Seq[Int]], w: Int, h: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val header =
+        Seq('B'.toByte, 'M'.toByte) ++ le(54 + stride * h, 4) ++
+          le(0, 4) ++ le(54, 4) ++
+          le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+          le(0, 4) ++ le(stride * h, 4) ++ le(0, 4) ++ le(0, 4) ++
+          le(0, 4) ++ le(0, 4)
+      (header ++ fileRows.flatten.map(_.toByte)).toArray
+    }
+    val gradRow = (0 until 9).flatMap(x => Seq(x, x, x)) :+ 0
+    val grad = bmp(Seq.fill(8)(gradRow), 9, 8)
+    val bumpRow = (0 until 9).flatMap(x =>
+      if (x == 4) Seq(200, 200, 200) else Seq(x, x, x)) :+ 0
+    val bumped = bmp(Seq.fill(7)(gradRow) :+ bumpRow, 9, 8)
+    val const = bmp(Seq.fill(8)((0 until 9).flatMap(_ =>
+      Seq(7, 7, 7)) :+ 0), 9, 8)
+    val df = Seq((1L, grad), (2L, grad), (3L, bumped), (4L, const))
+      .toDF("doc_id", "payload")
+    val comps = graft.llm.Dedup.connectedComponents(
+        Multimodal.dHashPairs(Multimodal.bmpDHash(df, "payload"),
+          maxHamming = 6))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 isolated
+  }
 }

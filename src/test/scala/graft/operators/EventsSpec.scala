@@ -443,4 +443,29 @@ class EventsSpec extends SparkSpec {
       .orderBy("event_type").collect().toSeq
     assert(a == b)
   }
+
+  test("rollingWindow: trailing 1h RANGE frame counts peers and " +
+      "hand-checked sums; types never mix") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", "a", 1.0),
+      (2L, "2024-01-01 00:30:00", "a", 2.0),
+      (3L, "2024-01-01 01:00:00", "a", 4.0),  // 00:00 still in frame
+      (4L, "2024-01-01 01:00:00", "a", 8.0),  // peer of 3 — RANGE ties
+      (5L, "2024-01-01 02:30:00", "a", 16.0), // everything expired
+      (6L, "2024-01-01 00:45:00", "b", 100.0)
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Events.rollingWindow(df).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("n_window"), r.getAs[Double]("sum_window"))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((2L, 3.0)))
+    // RANGE peers: both 01:00 rows see each other plus 00:00/00:30
+    assert(out(3L) == ((4L, 15.0)))
+    assert(out(4L) == ((4L, 15.0)))
+    assert(out(5L) == ((1L, 16.0)))
+    assert(out(6L) == ((1L, 100.0)))
+  }
 }
