@@ -2453,18 +2453,20 @@ private[graft] object OracleSql {
         |  SELECT doc_id, regexp_extract_all(lower(text), '[\p{L}\p{N}]+') AS w
         |  FROM documents
         |), g AS (
-        |  SELECT DISTINCT doc_id, gram FROM (
+        |  SELECT DISTINCT doc_id,
+        |    ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+        |  FROM (
         |    SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
         |      i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS gram
         |    FROM toks WHERE len(w) >= 3)
         |), dfg AS (
-        |  SELECT gram, COUNT(*) AS df_grams FROM g GROUP BY 1
+        |  SELECT gh, COUNT(*) AS df_grams FROM g GROUP BY 1
         |)
         |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |  CAST(COUNT(*) FILTER (WHERE dfg.df_grams = 1) AS BIGINT) AS n_novel,
         |  ROUND(CAST(COUNT(*) FILTER (WHERE dfg.df_grams = 1) AS DOUBLE)
         |    / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
-        |FROM g JOIN dfg USING (gram)
+        |FROM g JOIN dfg USING (gh)
         |GROUP BY 1""".stripMargin,
 
     "text_token_stats" ->

@@ -554,12 +554,18 @@ object TextAnalysis {
     * corpus-wide novelty distribution is the before/after evidence a
     * dedup pass is graded on.
     *
-    * Scale shape: explode → per-doc DISTINCT grams (one shuffle —
-    * the same first stage every gram row pays), df folds off at gram-
-    * vocabulary scale, one gram-keyed join back (co-partitioned with
-    * the df fold's output partitioning), one doc-keyed count. Docs
-    * shorter than `n` words have no grams and no row — the honest
-    * contract, mirrored by the oracle. */
+    * Scale shape (r15, tuned on the LOW-dup rehearsal where the
+    * mutation-minted trigram vocabulary blew the string-keyed plan to
+    * 9.7× at 10× data): grams travel as the shared 60-bit md5 hash,
+    * not strings (8 bytes vs 20-40 through every Exchange; the oracle
+    * hashes identically, so even the negligible collision mass is
+    * bit-identical cross-engine), and ONE gram-hash repartition
+    * serves the per-doc dedup (partial-aggregated under it — gh is a
+    * subset of the (doc, gh) keys), the df fold, AND the join back —
+    * two big Exchanges total (gh, then the doc-keyed count) where the
+    * string-keyed first cut paid four. Docs shorter than `n` words
+    * have no grams and no row — the honest contract, mirrored by the
+    * oracle. */
   def gramNovelty(
       df: DataFrame,
       n: Int = 3,
@@ -570,9 +576,11 @@ object TextAnalysis {
         graft.functions.WordNgrams(col(textCol), n, strictFallback = false))
         .as("gram"))
       .filter(size(split(col("gram"), " ")) === n)
-      .distinct()
-    val dfg = grams.groupBy(col("gram")).agg(count(lit(1)).as("df_grams"))
-    grams.join(dfg, "gram")
+      .select(col(idCol), graft.functions.BottomK.hash64(col("gram")).as("gh"))
+      .repartition(col("gh"))
+      .dropDuplicates(idCol, "gh")
+    val dfg = grams.groupBy(col("gh")).agg(count(lit(1)).as("df_grams"))
+    grams.join(dfg, "gh")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("df_grams") === 1, lit(1))).as("n_novel"))
