@@ -182,15 +182,36 @@ object Bench {
     // rule (README): re-run flagged queries solo before chasing a
     // regression — contention (high load_avg) flags broadly, a real
     // regression flags the same query reproducibly.
-    val priorFile = Option(new java.io.File(".").listFiles())
+    // Baseline selection (r15 verdict item 3): the newest
+    // BENCH_LOCAL_r*.json may be the CURRENT round's own committed
+    // artifact — once it's written mid-round, later runs would
+    // self-compare and the drift field turns vacuous (r15 shipped
+    // "vs":"BENCH_LOCAL_r15.json"). Derive the current round from
+    // SPARK_GRAFT_ROUND or, failing that, the newest driver-written
+    // CORRECTNESS_r{N}.json (present for round N, so current = N+1),
+    // and compare only against files from STRICTLY EARLIER rounds.
+    val files = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty[java.io.File])
+    def roundNum(f: java.io.File): Int =
+      f.getName.replaceAll("\\D", "").toInt
+    val currentRound: Option[Int] =
+      sys.env.get("SPARK_GRAFT_ROUND")
+        .flatMap(s => scala.util.Try(s.toInt).toOption)
+        .orElse(files
+          .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
+          .map(roundNum).sorted.lastOption.map(_ + 1))
+    val priorFile = files
       .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
-      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      .filter(f => currentRound.forall(roundNum(f) < _))
+      .sortBy(roundNum)
       .lastOption
     val priorQueries: Map[String, Double] = priorFile.map { f =>
       val txt = scala.io.Source.fromFile(f)
       val s = try txt.mkString finally txt.close()
-      // machine-written single-line JSON; pull the "queries" object
+      // Machine-written single-line JSON; pull the "queries" object.
+      // ASSUMES the flat {"name":sec,...} shape Bench itself writes —
+      // a nested value inside "queries" would cut the match short
+      // (the [^}]* stops at the first '}').
       val qsRe = """"queries":\{([^}]*)\}""".r
       qsRe.findFirstMatchIn(s).map { mm =>
         mm.group(1).split(",").flatMap { kv =>

@@ -158,6 +158,10 @@ object TextFeatures {
       .agg(count(lit(1)).as("tf"))
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    // Empty-corpus guard (ADVICE r15): avg over zero rows is SQL NULL
+    // and getDouble would NPE with no hint at the cause.
+    require(statsRow.getLong(0) > 0,
+      "bm25Index: corpus holds no documents")
     Bm25Index(tf, docLen, dft, statsRow.getLong(0), statsRow.getDouble(1))
   }
 
@@ -252,6 +256,11 @@ object TextFeatures {
         termed.groupBy(col("term")).agg(count(lit(1)).as("df_docs")))
       .groupBy(col("term")).agg(sum(col("df_docs")).as("df_docs"))
     val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    // Empty-index guard (ADVICE r15): avg over zero rows is SQL NULL
+    // and getDouble would NPE with no hint at the cause.
+    require(statsRow.getLong(0) > 0,
+      "bm25MergePostings: merged index holds no documents (both the " +
+        "standing index and the delta are empty)")
     Bm25Index(tf, docLen, dft, statsRow.getLong(0), statsRow.getDouble(1))
   }
 

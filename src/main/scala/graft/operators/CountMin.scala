@@ -70,10 +70,19 @@ object CountMin {
   /** Point-query estimates for `probeCol` of `probes`: min over the d
     * rows of the counter at that row's bucket, absent cells reading 0.
     * The SKETCH side is broadcast (≤ d×w rows by construction); the
-    * probe side streams at any scale. */
+    * probe side streams at any scale.
+    *
+    * Probe contract (ADVICE r15): NULL probe keys are DROPPED here —
+    * [[sketch]] never counted them (its isNotNull filter), so a null
+    * probe has no defined estimate and would otherwise hash to null
+    * buckets whose join misses coalesce to a misleading cm_est = 0.
+    * Duplicate probe rows collapse to ONE output row (the groupBy is
+    * over all probe columns) — dedupe upstream if per-occurrence rows
+    * matter. */
   def estimate(sk: DataFrame, probes: DataFrame, probeCol: String,
       depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame =
     probes
+      .filter(col(probeCol).isNotNull)
       .select(col("*"),
         posexplode(bucketsFor(col(probeCol), depth, width))
           .as(Seq("depth", "bucket")))

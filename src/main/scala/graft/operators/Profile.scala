@@ -347,6 +347,14 @@ object Profile {
     val (vMin, vMax) = (stats.getDouble(0), stats.getDouble(1))
     val (tLo, tHi) = (stats.getLong(2), stats.getLong(3))
     val tMid = tLo + (tHi - tLo) / 2
+    // Degenerate-time guard (ADVICE r15): if every row shares one
+    // timestamp, tMid == tLo and the first half is EMPTY — tot_a = 0
+    // and n/0.0 yields NaN, which greatest(NaN, eps) propagates (NaN
+    // wins) into psi_total, a silent cross-engine divergence. tHi > tLo
+    // guarantees both halves non-empty: min(t) = tLo < tMid fills the
+    // first, max(t) = tHi >= tMid the second.
+    require(tLo < tHi,
+      s"psiDrift: '$tsCol' is constant — cannot split halves for drift")
     val width = (vMax - vMin) / nBins.toDouble
     require(width > 0.0, s"psiDrift: constant '$valueCol' has no bins")
     val bin = least(lit(nBins - 1),
