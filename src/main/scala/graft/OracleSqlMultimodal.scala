@@ -1,0 +1,222 @@
+package graft
+
+/** Oracle SQL for the multimodal family (payload profiling, PPM/BMP/WAV decode stats, dHash near-dup).
+  * Split from the single-file registry (r15 verdict item 7); every key
+  * mirrors a [[SparkEntry.queries]] registration with IDENTICAL column
+  * names/aliases. Shared CTE derivations live in [[OracleSqlShared]]. */
+private[graft] object OracleSqlMultimodal {
+  import OracleSqlShared._
+  import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
+  import graft.features.DimReduction
+
+  val all: Map[String, String] = Map(
+    "multimodal_profile" ->
+      """SELECT d.doc_id, d.lang, d.source,
+        |  CAST(length(d.text) AS INT) AS n_chars_calc,
+        |  CAST(len(regexp_extract_all(d.text, '\S+')) AS INT) AS ws_token_count,
+        |  CAST(len(regexp_extract_all(d.text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS INT) AS bpe_token_count,
+        |  e.label,
+        |  CAST(len(e.embedding) AS INT) AS emb_dim,
+        |  ROUND(sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x * x))), 6) AS emb_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id""".stripMargin,
+
+    "multimodal_binary_stats" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+
+    // byte slicing via the hex string (2 chars/byte): frame i covers
+    // bytes [i*stride, i*stride+16) with stride = floor(len/4) bytes,
+    // exactly Spark's substring-on-binary offsets.
+    "multimodal_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    GREATEST(octet_length(encode(text)) // 4, 1) AS stride
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  substring(h, 0 * stride * 2 + 1, 32) AS frame_0,
+        |  substring(h, 1 * stride * 2 + 1, 32) AS frame_1,
+        |  substring(h, 2 * stride * 2 + 1, 32) AS frame_2,
+        |  substring(h, 3 * stride * 2 + 1, 32) AS frame_3
+        |FROM b""".stripMargin,
+
+    // nearest-neighbor twin: same integer index formula, char-based
+    // substr/rpad semantics identical across engines on the ASCII
+    // fixture (p: x = p%8, y = p//8; src = (y*8//4)*16 + x*16//8).
+    "multimodal_resize" ->
+      """WITH r AS (
+        |  SELECT doc_id, rpad(substr(text, 1, 128), 128, 'x') AS raster
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(range(0, 32),
+        |    p -> substr(raster,
+        |      ((p // 8) * 8 // 4) * 16 + ((p % 8) * 16 // 8) + 1, 1)),
+        |    '') AS resized
+        |FROM r""".stripMargin,
+
+    "multimodal_payload_meta" ->
+      """WITH b AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |    substring(hex(encode(text)), 1, 8) AS head_hex
+        |  FROM documents
+        |)
+        |SELECT doc_id, head_hex,
+        |  CASE WHEN starts_with(head_hex, '89504E47') THEN 'image/png'
+        |       WHEN starts_with(head_hex, 'FFD8FF') THEN 'image/jpeg'
+        |       WHEN starts_with(head_hex, '52494646') THEN 'audio/wav'
+        |       ELSE 'application/octet-stream' END AS mime,
+        |  CAST(octet_length(payload) AS INT) AS bytes
+        |FROM b""".stripMargin,
+
+    // The oracle recomputes the PLANTED values from the source columns
+    // (mediaFixture's arithmetic), never touching bytes — the Spark
+    // side must recover the same numbers by parsing the headers it
+    // built, so agreement proves the byte-level decode.
+    "multimodal_decode" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 4 AS INT) AS kind,
+        |    CAST(doc_id % 797 + 1 AS INT) AS w,
+        |    CAST(n_chars % 613 + 1 AS INT) AS h,
+        |    CAST(doc_id % 5 AS INT) AS m5
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |    WHEN 2 THEN 'wav' ELSE 'unknown' END AS format,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN w END AS INT) AS width,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN h END AS INT) AS height,
+        |  CAST(CASE WHEN kind IN (0, 1) THEN 8
+        |    WHEN kind = 2 THEN 16 END AS INT) AS bit_depth,
+        |  CAST(CASE
+        |    WHEN kind = 0 THEN
+        |      CASE m5 WHEN 0 THEN 1 WHEN 1 THEN 3 WHEN 2 THEN 1
+        |        WHEN 3 THEN 2 ELSE 4 END
+        |    WHEN kind = 1 THEN CASE WHEN doc_id % 8 = 1 THEN 1 ELSE 3 END
+        |    WHEN kind = 2 THEN CASE WHEN doc_id % 16 = 2 THEN 1 ELSE 2 END
+        |  END AS INT) AS channels
+        |FROM m""".stripMargin,
+
+    // PPM pixel-path oracle (round 12): recompute the 4×4 thumbnail
+    // channel stats from the fixture CONSTRUCTION — geometry from
+    // (doc_id, n_chars), pixel bytes from the ASCII text (unicode(ch)
+    // == byte, the pinned charset) padded with 'x', thumbnail source
+    // index ⌊y·h/4⌋·w + ⌊x·w/4⌋, channel byte at src·3 + c. The Spark
+    // side reads geometry and bytes from the ACTUAL payload, so the
+    // hash proves the header parse and byte-offset arithmetic.
+    "multimodal_ppm_stats" ->
+      """WITH ppm AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 7 + 2 AS INT) AS w,
+        |    CAST(n_chars % 5 + 2 AS INT) AS h,
+        |    rpad(text, 144, 'x') AS padded
+        |  FROM documents
+        |), pix AS (
+        |  SELECT doc_id, w, h, c.cc,
+        |    unicode(substr(padded,
+        |      CAST((((y.yy * h) // 4) * w + ((x.xx * w) // 4)) * 3
+        |        + c.cc + 1 AS INT), 1)) AS v
+        |  FROM ppm
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS yy) y
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS xx) x
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS cc) c
+        |)
+        |SELECT doc_id, CAST(1 AS INT) AS is_ppm, w AS width, h AS height,
+        |  ROUND(AVG(CASE WHEN cc = 0 THEN v END), 6) AS r_mean,
+        |  CAST(MIN(CASE WHEN cc = 0 THEN v END) AS INT) AS r_min,
+        |  CAST(MAX(CASE WHEN cc = 0 THEN v END) AS INT) AS r_max,
+        |  ROUND(AVG(CASE WHEN cc = 1 THEN v END), 6) AS g_mean,
+        |  CAST(MIN(CASE WHEN cc = 1 THEN v END) AS INT) AS g_min,
+        |  CAST(MAX(CASE WHEN cc = 1 THEN v END) AS INT) AS g_max,
+        |  ROUND(AVG(CASE WHEN cc = 2 THEN v END), 6) AS b_mean,
+        |  CAST(MIN(CASE WHEN cc = 2 THEN v END) AS INT) AS b_min,
+        |  CAST(MAX(CASE WHEN cc = 2 THEN v END) AS INT) AS b_max
+        |FROM pix GROUP BY doc_id, w, h""".stripMargin,
+
+    // BMP pixel-path oracle (round 13): recompute the 4×4 thumbnail
+    // stats from the fixture CONSTRUCTION — geometry from (n_chars,
+    // doc_id), and the bottom-up + BGR layout folded into the TEXT
+    // index formula: image pixel (sx, sy) file-channel fc lives at
+    // text byte ((h−1−sy)·w + sx)·3 + fc (file row h−1−sy carries
+    // text slice h−1−sy). Output r/g/b = file channels 2/1/0. The
+    // Spark side reads LE header fields, data offset, stride and flip
+    // from the ACTUAL bytes — two independent paths to one answer.
+    "multimodal_phash" -> dhashOracle,
+
+    "multimodal_phash_pairs" -> dhashPairsOracle,
+
+    "multimodal_phash_clusters" -> dhashClustersOracle,
+
+    "multimodal_bmp_stats" ->
+      """WITH bmp AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars % 7 + 2 AS INT) AS w,
+        |    CAST(doc_id % 5 + 2 AS INT) AS h,
+        |    rpad(text, 144, 'x') AS padded
+        |  FROM documents
+        |), pix AS (
+        |  SELECT doc_id, w, h, c.fc,
+        |    unicode(substr(padded,
+        |      CAST(((h - 1 - ((y.yy * h) // 4)) * w + ((x.xx * w) // 4)) * 3
+        |        + c.fc + 1 AS INT), 1)) AS v
+        |  FROM bmp
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS yy) y
+        |  CROSS JOIN (SELECT unnest(range(0, 4)) AS xx) x
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS fc) c
+        |)
+        |SELECT doc_id, CAST(1 AS INT) AS is_bmp, w AS width, h AS height,
+        |  ROUND(AVG(CASE WHEN fc = 2 THEN v END), 6) AS r_mean,
+        |  CAST(MIN(CASE WHEN fc = 2 THEN v END) AS INT) AS r_min,
+        |  CAST(MAX(CASE WHEN fc = 2 THEN v END) AS INT) AS r_max,
+        |  ROUND(AVG(CASE WHEN fc = 1 THEN v END), 6) AS g_mean,
+        |  CAST(MIN(CASE WHEN fc = 1 THEN v END) AS INT) AS g_min,
+        |  CAST(MAX(CASE WHEN fc = 1 THEN v END) AS INT) AS g_max,
+        |  ROUND(AVG(CASE WHEN fc = 0 THEN v END), 6) AS b_mean,
+        |  CAST(MIN(CASE WHEN fc = 0 THEN v END) AS INT) AS b_min,
+        |  CAST(MAX(CASE WHEN fc = 0 THEN v END) AS INT) AS b_max
+        |FROM pix GROUP BY doc_id, w, h""".stripMargin,
+
+    // WAV sample-path oracle (round 13): recompute the k=8 sampled
+    // per-channel stats from the fixture CONSTRUCTION — geometry from
+    // (doc_id, n_chars), sample i of channel cc at text bytes
+    // ((⌊i·nf/8⌋·ch + cc)·2, +1) as signed LE int16. The Spark side
+    // chunk-walks the ACTUAL bytes (junk chunk ⇒ variable data
+    // offset) — two independent paths to one answer. A mono doc's
+    // channel-2 aggregates run over zero rows ⇒ NULL, matching the
+    // operator's null c2 contract.
+    "multimodal_wav_stats" ->
+      """WITH wav AS (
+        |  SELECT doc_id,
+        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+        |    CAST(n_chars % 9 + 4 AS INT) AS nf,
+        |    CAST(doc_id % 1000 + 8000 AS INT) AS sr,
+        |    rpad(text, 48, 'x') AS padded
+        |  FROM documents
+        |), smp AS (
+        |  SELECT doc_id, ch, nf, sr, c.cc,
+        |    unicode(substr(padded,
+        |      CAST((((i.ii * nf) // 8) * ch + c.cc) * 2 + 1 AS INT), 1))
+        |    + 256 * unicode(substr(padded,
+        |      CAST((((i.ii * nf) // 8) * ch + c.cc) * 2 + 2 AS INT), 1)) AS u
+        |  FROM wav
+        |  CROSS JOIN (SELECT unnest(range(0, 8)) AS ii) i
+        |  CROSS JOIN (SELECT unnest(range(0, 2)) AS cc) c
+        |  WHERE c.cc < ch
+        |), sgn AS (
+        |  SELECT doc_id, ch, nf, sr, cc,
+        |    CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+        |  FROM smp
+        |)
+        |SELECT doc_id, CAST(1 AS INT) AS is_wav, ch AS channels,
+        |  sr AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+        |  ROUND(AVG(CASE WHEN cc = 0 THEN s END), 6) AS c1_mean,
+        |  CAST(MIN(CASE WHEN cc = 0 THEN s END) AS INT) AS c1_min,
+        |  CAST(MAX(CASE WHEN cc = 0 THEN s END) AS INT) AS c1_max,
+        |  ROUND(AVG(CASE WHEN cc = 1 THEN s END), 6) AS c2_mean,
+        |  CAST(MIN(CASE WHEN cc = 1 THEN s END) AS INT) AS c2_min,
+        |  CAST(MAX(CASE WHEN cc = 1 THEN s END) AS INT) AS c2_max
+        |FROM sgn GROUP BY doc_id, ch, nf, sr""".stripMargin,
+  )
+}

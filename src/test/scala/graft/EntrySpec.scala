@@ -33,6 +33,14 @@ class EntrySpec extends SparkSpec {
     assert(missing.isEmpty, s"oracleSql without query: $missing")
   }
 
+  test("oracle family maps are key-disjoint (concatenation drops nothing)") {
+    // The r16 family split assembles OracleSql.all with ++, which would
+    // silently LAST-WINS a key registered in two families — the sum of
+    // family sizes equals the merged size iff no key is duplicated.
+    assert(OracleSql.familySizeSum === OracleSql.all.size,
+      "a query key is registered in more than one OracleSql* family")
+  }
+
   test("registered queries emit no array/vector columns except declared") {
     // Driver pandas diff crashes on array columns (round-1 lesson):
     // oracle-checked queries must be scalar-only.
