@@ -308,6 +308,14 @@ object Multimodal {
         (0 until graft.functions.BmpDHash.GridH)
           .map(y => col(s"m.d$y").as(s"d$y")): _*)
 
+  /** The eight per-row dHash byte columns packed into ONE 64-bit
+    * signature — the column the simhash banding machinery operates on
+    * (byte y occupies bits 8y..8y+7, so 64-bit hamming == the summed
+    * per-byte hamming exactly). */
+  private def packedDHash(gh: Int): Column =
+    (0 until gh).map(y => shiftleft(col(s"d$y").cast("long"), 8 * y))
+      .reduce(_.bitwiseOR(_))
+
   /** Image near-dup pairs over [[bmpDHash]] signatures, STAR-FIRST
     * (the [[graft.llm.Dedup]] discipline, learned the hard way: a
     * naive band self-join on a ~90 %-duplicated corpus put every
@@ -317,12 +325,19 @@ object Multimodal {
     *  1. identical-hash members attach to their group KEEPER
     *     (min id) as hamming-0 star edges — clique output stays
     *     linear in members, and clones never enter the band join;
-    *  2. only DISTINCT hashes (the keepers) band-join — each of the
-    *     8 hash bytes is a band; recall is EXACT for maxHamming ≤ 7
-    *     by pigeonhole (≤ 7 differing bits cannot touch all 8
-    *     bands) — then verify by the full 64-bit hamming distance,
-    *     spelled as 64 shift-and-mask terms both engines state
-    *     identically (no engine bit_count built-ins).
+    *  2. only DISTINCT hashes (the keepers) enter the candidate join,
+    *     as ONE packed 64-bit signature through the text family's
+    *     MULTIPROBE banding (r16, retiring the r15 weak mark: the
+    *     first cut banded on the 8 single hash bytes — 256 buckets
+    *     per band, so on n distinct hashes every bucket held ~n/256
+    *     keepers and candidates grew ~n²/256, the exact cliff simhash
+    *     hit in r13. The 4×16-bit + one-bit-flip probe layout keeps
+    *     buckets 65,536-key selective with the SAME exact-recall
+    *     guarantee to hamming ≤ 7: four blocks ≥ 2 differing bits
+    *     would sum to 8, so some block differs in ≤ 1 bit and one
+    *     side's exact key meets the other's probed key) — survivors
+    *     verify by full 64-bit `bit_count` hamming, an exact integer
+    *     either engine can restate.
     *
     * Cross-clique nearness is therefore reported between KEEPERS
     * (members reach it transitively through their star edge) — the
@@ -344,30 +359,10 @@ object Multimodal {
       .select(col("keeper").as("id_a"), col(idCol).as("id_b"),
         lit(0).as("hamming"))
     val reps = keyed.filter(col(idCol) === col("keeper"))
-      .select(col(idCol) +: dCols: _*)
-    val bands = reps.select(col(idCol),
-      posexplode(array(dCols: _*)).as(Seq("band", "v")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"))
-      .distinct()
-    val ha = reps.select(col(idCol).as("id_a") +:
-      (0 until gh).map(y => col(s"d$y").as(s"a$y")): _*)
-    val hb = reps.select(col(idCol).as("id_b") +:
-      (0 until gh).map(y => col(s"d$y").as(s"b$y")): _*)
-    // Σ_{y,bit} ((a_y XOR b_y) >> bit) & 1 — portable popcount
-    val hamming = (0 until gh).flatMap { y =>
-      (0 until 8).map { bit =>
-        shiftright(col(s"a$y").bitwiseXOR(col(s"b$y")), bit)
-          .bitwiseAND(lit(1))
-      }
-    }.reduce(_ + _)
-    val near = cand.join(ha, "id_a").join(hb, "id_b")
-      .withColumn("hamming", hamming)
+      .select(col(idCol), packedDHash(gh).as("simhash"))
+    val near = Dedup.simhashCandidatesMultiprobe(reps, idCol, None)
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .distinct()
     star.unionByName(near)
   }
 

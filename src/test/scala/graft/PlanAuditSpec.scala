@@ -343,6 +343,22 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("multimodal_phash_pairs: candidates flow through the 16-bit " +
+      "multiprobe banding, bucket-keyed (r16, the r15 weak-mark fix)") {
+    // The first cut banded on the 8 single dHash bytes — 256 buckets
+    // per band, so candidates grew ~n²/256 on distinct hashes (the r13
+    // simhash cliff replayed on images). The production shape packs
+    // the bytes into one 64-bit signature and reuses the simhash
+    // 4×16-bit one-bit-flip multiprobe layout: the plan must carry the
+    // 16-bit block mask (65535) and the explicit bucket-keyed Exchange
+    // the 17× probe explode hides from size estimates.
+    val p = plan("multimodal_phash_pairs")
+    assert(p.contains("65535"),
+      s"phash pairs lost the 16-bit multiprobe block key:\n${p.take(600)}")
+    assert("Exchange hashpartitioning\\(bk#\\d+".r.findFirstIn(p).nonEmpty,
+      s"phash pairs lost the bucket-keyed Exchange:\n${p.take(600)}")
+  }
+
   test("production minhash pairs: the banded pair self-join runs over " +
       "star-collapse survivors, never the raw corpus (r13, the minhash " +
       "twin of the r12 simhash retirement)") {
