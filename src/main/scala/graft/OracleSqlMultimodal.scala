@@ -9,6 +9,40 @@ private[graft] object OracleSqlMultimodal {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
+  /** The incremental twin's survivor rules: a batch image survives iff
+    * NO history image and NO smaller-id batch image sits within
+    * hamming ≤ 2 — the brute-force restatement of the banded candidate
+    * joins, exact by the multiprobe recall guarantee. The planted
+    * frame extends the pairs fixture with width/height (clones reuse
+    * their original's BMP geometry — payloads are byte-identical). */
+  private val dhashIncrementalOracle: String = {
+    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
+    def ham(a: String, b: String): String =
+      (for (y <- 0 until 8; bit <- 0 until 8) yield
+        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
+    dhashRowsCtesSql + s"""
+      |, pall AS (
+      |  SELECT h.doc_id, b.w, b.h, $hds
+      |  FROM hashes h JOIN bmp b USING (doc_id)
+      |  UNION ALL
+      |  SELECT h.doc_id + 3000000, b.w, b.h, $hds
+      |  FROM hashes h JOIN bmp b USING (doc_id) WHERE h.doc_id % 29 = 0
+      |), batch AS (
+      |  SELECT * FROM pall WHERE doc_id % 10 >= 8 OR doc_id >= 3000000
+      |), hist AS (
+      |  SELECT * FROM pall WHERE doc_id % 10 < 8 AND doc_id < 3000000
+      |)
+      |SELECT bt.doc_id, CAST(1 AS INT) AS is_bmp, bt.w AS width,
+      |  bt.h AS height, bt.d0, bt.d1, bt.d2, bt.d3, bt.d4, bt.d5,
+      |  bt.d6, bt.d7
+      |FROM batch bt
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM hist hh WHERE ${ham("bt", "hh")} <= 2)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM batch b2 WHERE b2.doc_id < bt.doc_id
+      |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
+  }
+
   val all: Map[String, String] = Map(
     "multimodal_profile" ->
       """SELECT d.doc_id, d.lang, d.source,
@@ -148,6 +182,14 @@ private[graft] object OracleSqlMultimodal {
     "multimodal_phash_pairs" -> dhashPairsOracle,
 
     "multimodal_phash_clusters" -> dhashClustersOracle,
+
+    // Incremental image dedup (r16): brute-force all-pairs NOT EXISTS
+    // restatement — exact because the Spark side's multiprobe banding
+    // has guaranteed recall to hamming <= 7 (maxHamming = 2 here) and
+    // its within-batch drop set is exactly keep-min (clones star to
+    // their keeper, keeper pairs recall-complete). Hamming spelled as
+    // the shared 64 shift-and-mask terms.
+    "multimodal_phash_incremental" -> dhashIncrementalOracle,
 
     "multimodal_bmp_stats" ->
       """WITH bmp AS (

@@ -165,7 +165,7 @@ object SparkEntry {
           col("payload")))
   }
 
-  private def bmpFixture(docs: DataFrame): DataFrame = {
+  private[graft] def bmpFixture(docs: DataFrame): DataFrame = {
     val w = (pmod(col("n_chars"), lit(7L)) + 2).cast("int") // 2..8
     val h = (pmod(col("doc_id"), lit(5L)) + 2).cast("int")  // 2..6
     val pad = pmod(lit(4) - pmod(w * lit(3), lit(4)), lit(4))
@@ -1611,6 +1611,28 @@ object SparkEntry {
         Multimodal.dHashPairs(
           Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
           maxHamming = 2))
+    }),
+    // ... and the image dedup INCREMENTAL twin (r16, verdict item 4):
+    // history's exact 16-bit block keys persisted BUCKETED by bk (the
+    // production nightly shape — candidate join plans no history-side
+    // Exchange, payloads never re-read), the batch probing exact+flip
+    // keys against it. Planted clones of history images (+3M ids with
+    // orig % 10 < 8) drop cross at hamming 0; clones of batch images
+    // drop within (larger id); natural near-dups drop per the same
+    // <= 2 bar. Oracle = brute-force all-pairs NOT EXISTS rules —
+    // exact because multiprobe recall is guaranteed to hamming <= 7.
+    "multimodal_phash_incremental" -> ((s, dir) => {
+      val all =
+        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+      val batch = all.filter(
+        col("doc_id") % 10 >= 8 || col("doc_id") >= 3000000L)
+      val hist = all.filter(
+        col("doc_id") % 10 < 8 && col("doc_id") < 3000000L)
+      withBucketedBands(s, "graft_ph_hist", Multimodal.dHashBandKeys(hist)) {
+        tbl =>
+          Multimodal.dHashIncremental(batch, s.table(tbl), maxHamming = 2)
+            .localCheckpoint(true)
+      }
     }),
     // Round 13: the third real-decode codec, and the second MODALITY —
     // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a

@@ -366,6 +366,114 @@ object Multimodal {
     star.unionByName(near)
   }
 
+  private val MultiprobeBands = 4
+  private val MultiprobeBits = 16
+  private val MultiprobeMask = (1L << MultiprobeBits) - 1L
+
+  /** EXACT multiprobe block keys for a [[bmpDHash]] frame — the
+    * PERSISTABLE banding seam of the image near-dup family (the
+    * [[graft.llm.Dedup.minhashBandKeys]] shape on the image modality):
+    * 4 rows per image, one per 16-bit block of the packed 64-bit
+    * signature, the (band, key) pair flattened to a single
+    * `xxhash64(band, key)` LONG so the frame buckets/persists on a
+    * plain column. Non-BMP rows (null hash) emit nothing — they have
+    * no signature to collide on.
+    *
+    * Recall rides the BATCH side: [[dHashIncremental]] probes exact
+    * keys PLUS all 16 one-bit flips per band (the
+    * [[graft.llm.Dedup]] multiprobe layout), so a pair within
+    * hamming ≤ 7 has a block differing in ≤ 1 bit and the batch's
+    * probe set contains the history's exact key — history stores only
+    * 4n rows, 17× less than a probes-on-both-sides layout. A 64-bit
+    * hash collision between different (band, key) pairs can only ADD
+    * a candidate (every candidate verifies by full hamming), never
+    * lose one. Carries `simhash` so the candidate join verifies
+    * in-place and history payloads are NEVER re-read.
+    *
+    * Nightly pipeline: compute on the standing corpus ONCE, persist
+    * bucketed by `bk` ([[graft.sources.Sources.writeBucketed]]) — the
+    * incremental candidate join then plans with no history-side
+    * Exchange (PlanAuditSpec pins the shape). */
+  def dHashBandKeys(hashes: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val gh = graft.functions.BmpDHash.GridH
+    hashes.filter(col("d0").isNotNull)
+      .select(col(idCol), packedDHash(gh).as("simhash"))
+      .select(col(idCol), col("simhash"),
+        explode(array((0 until MultiprobeBands).map { b =>
+          xxhash64(lit(b), shiftright(col("simhash"), b * MultiprobeBits)
+            .bitwiseAND(lit(MultiprobeMask)))
+        }: _*)).as("bk"))
+  }
+
+  /** Batch-side probe rows: exact block keys plus all 16 one-bit
+    * flips per band (68 rows per image), flattened with the SAME
+    * `xxhash64(band, key)` recipe as [[dHashBandKeys]] — package
+    * visible so PlanAuditSpec asserts the bucketed candidate join on
+    * the exact production frames. The explicit exchange on `bk` is
+    * the multiprobe discipline: the 68× explode hides row growth from
+    * size estimates, and the bucketed history join wants the batch
+    * side hash-partitioned on the join key. */
+  private[graft] def dHashProbes(hashes: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val gh = graft.functions.BmpDHash.GridH
+    val probeKeys =
+      for { b <- 0 until MultiprobeBands; v <- 0 to MultiprobeBits } yield {
+        val block = shiftright(col("simhash"), b * MultiprobeBits)
+          .bitwiseAND(lit(MultiprobeMask))
+        val key =
+          if (v == 0) block else block.bitwiseXOR(lit(1L << (v - 1)))
+        xxhash64(lit(b), key)
+      }
+    hashes.filter(col("d0").isNotNull)
+      .select(col(idCol), packedDHash(gh).as("simhash"))
+      .select(col(idCol), col("simhash"),
+        explode(array(probeKeys: _*)).as("bk"))
+      .repartition(col("bk"))
+  }
+
+  /** Incremental image near-dup dedup — the image twin of
+    * [[graft.llm.Dedup.minhashIncremental]] (r15 verdict item 4):
+    * returns the rows of `newHashes` (a [[bmpDHash]] frame) that
+    * survive dropping (a) every batch image within `maxHamming` of
+    * ANY historical image — candidates from the batch's multiprobe
+    * PROBES ([[dHashProbes]]) equi-joined against the history's
+    * persisted exact block keys (`histBands`, a [[dHashBandKeys]]
+    * frame, bucketed by `bk` in production so the corpus-sized side
+    * plans NO Exchange), verified in-place by full 64-bit `bit_count`
+    * hamming on the carried signatures — and (b) the larger-id member
+    * of every within-batch near pair, via the star-first
+    * [[dHashPairs]] drop set (its id_b side is exactly keep-min:
+    * clones star to their keeper and keeper pairs are
+    * recall-complete, so a doc drops iff a SMALLER batch doc sits
+    * within `maxHamming`). History images are touched only through
+    * their 4-rows-per-image band table — payloads never re-read, the
+    * continuous-ingest contract. Non-BMP rows (null hash) survive
+    * untouched: they have no signature to compare.
+    *
+    * Ids must be globally unique across batch and history (true of
+    * any append-only pipeline). `histBands` must have been built by
+    * [[dHashBandKeys]] — keys from any other recipe never collide,
+    * so a mismatch silently finds nothing. */
+  def dHashIncremental(
+      newHashes: DataFrame,
+      histBands: DataFrame,
+      maxHamming: Int = 2,
+      idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"dHashIncremental: multiprobe banding guarantees recall only " +
+        s"for maxHamming <= 7, got $maxHamming")
+    val crossLosers = dHashProbes(newHashes, idCol)
+      .join(histBands.select(col(idCol).as("hist_id"),
+        col("simhash").as("hist_simhash"), col("bk")), "bk")
+      .filter(bit_count(col("simhash").bitwiseXOR(col("hist_simhash")))
+        <= maxHamming)
+      .select(col(idCol))
+    val withinLosers = dHashPairs(newHashes, maxHamming, idCol)
+      .select(col("id_b").as(idCol))
+    newHashes.join(crossLosers.unionByName(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** REAL pixel path, third codec and second MODALITY (round 13):
     * 16-bit PCM WAV sample statistics — raw audio the way PPM/BMP are
     * raw rasters; see [[graft.functions.WavSampleStats]] for the

@@ -479,7 +479,14 @@ class PlanAuditSpec extends SparkSpec {
           bitsPerTable = 12, seed = 42L),
         graft.llm.Dedup.embeddingBandKeys(
           emb.filter(col("vec_id") % 10 >= 8), numTables = 4,
-          bitsPerTable = 12, seed = 42L)))
+          bitsPerTable = 12, seed = 42L)),
+      // r16: the image twin — history stores exact 16-bit block keys
+      // (4 rows/image), the batch side probes exact+flip keys
+      ("graft_plan_ph",
+        graft.llm.Multimodal.dHashBandKeys(graft.llm.Multimodal.bmpDHash(
+          SparkEntry.bmpFixture(hist), "payload")),
+        graft.llm.Multimodal.dHashProbes(graft.llm.Multimodal.bmpDHash(
+          SparkEntry.bmpFixture(batch), "payload"))))
     val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try cases.foreach { case (tbl, histBands, batchBands) =>

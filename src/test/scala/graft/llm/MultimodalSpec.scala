@@ -401,4 +401,50 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L)) // 4 isolated
   }
+
+  test("dHashIncremental: history clones drop cross, within-batch " +
+      "near pairs drop their larger id, novel and non-BMP rows " +
+      "survive; bucketed history join verifies from carried hashes") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def bmp(fileRows: Seq[Seq[Int]], w: Int, h: Int): Array[Byte] = {
+      val stride = ((w * 3 + 3) / 4) * 4
+      val header =
+        Seq('B'.toByte, 'M'.toByte) ++ le(54 + stride * h, 4) ++
+          le(0, 4) ++ le(54, 4) ++
+          le(40, 4) ++ le(w, 4) ++ le(h, 4) ++ le(1, 2) ++ le(24, 2) ++
+          le(0, 4) ++ le(stride * h, 4) ++ le(0, 4) ++ le(0, 4) ++
+          le(0, 4) ++ le(0, 4)
+      (header ++ fileRows.flatten.map(_.toByte)).toArray
+    }
+    val gradRow = (0 until 9).flatMap(x => Seq(x, x, x)) :+ 0
+    val grad = bmp(Seq.fill(8)(gradRow), 9, 8)
+    // one flipped bit vs grad (the pairs-test construction)
+    val bumpRow = (0 until 9).flatMap(x =>
+      if (x == 4) Seq(200, 200, 200) else Seq(x, x, x)) :+ 0
+    val bumped = bmp(Seq.fill(7)(gradRow) :+ bumpRow, 9, 8)
+    val const = bmp(Seq.fill(8)((0 until 9).flatMap(_ =>
+      Seq(7, 7, 7)) :+ 0), 9, 8)
+    val hist = Multimodal.bmpDHash(
+      Seq((1L, grad)).toDF("doc_id", "payload"), "payload")
+    val batch = Multimodal.bmpDHash(Seq(
+      (10L, grad),    // clone of history 1 — cross loser at hamming 0
+      (11L, bumped),  // hamming 1 from history 1 — cross loser
+      (12L, const),   // novel — survives
+      (13L, const),   // clone of 12 WITHIN the batch — within loser
+      (14L, "not a bitmap, just bytes.........................."
+        .getBytes("US-ASCII"))) // non-BMP: no signature, survives
+      .toDF("doc_id", "payload"), "payload")
+    graft.sources.Sources.writeBucketed(
+      Multimodal.dHashBandKeys(hist), "graft_test_ph_hist", "bk",
+      numBuckets = 4)
+    try {
+      val surv = Multimodal.dHashIncremental(
+          batch, spark.table("graft_test_ph_hist"), maxHamming = 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv == Set(12L, 14L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_ph_hist")
+  }
 }
