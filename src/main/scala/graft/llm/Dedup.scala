@@ -1356,7 +1356,13 @@ object Dedup {
       idCol: String = "doc_id", maxHamming: Int = 3,
       bands: Int = 4, salted: Boolean = true,
       collapseHamming: Int = 3, collapseBands: Int = 4): DataFrame = {
+    // ONE tokenization for all three consumers (r16, the minhash
+    // treatment): the star window, the anti-join left side and the
+    // survivor self-join each re-derived the fingerprint pipeline —
+    // ~3 corpus scans; the lazy checkpoint replays compact
+    // (id, simhash, len_bucket) blocks instead
     val fps = simhashFingerprints(df, textCol, idCol)
+      .localCheckpoint(false)
     val salt = if (salted) Some("len_bucket") else None
     val drops = simhashStarFromFingerprints(fps, idCol, collapseHamming,
         collapseBands, salt)
@@ -1407,11 +1413,10 @@ object Dedup {
       maxHamming: Int = 6,
       salted: Boolean = true): DataFrame = {
     val docs = df.select(col(idCol), col(textCol))
-    val (verifiedLinks, candidates) = simhashStarFirstFrames(docs,
+    val (verifiedLinks, candidates, sh) = simhashStarFirstFrames(docs,
       textCol, idCol, minJaccard, maxHamming, salted)
-    val survPairs = ngramJaccard(docs, candidates.localCheckpoint(false),
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    val survPairs = verifiedAtLeast(sh, candidates.localCheckpoint(false),
+      idCol, minJaccard)
     // branches are disjoint (a verified link's id_b never survives),
     // but the same pair can arrive via several links/buckets — distinct
     verifiedLinks.unionByName(survPairs).distinct()
@@ -1427,27 +1432,39 @@ object Dedup {
     * shape behind an RDD leaf).
     *
     * Lineage cuts at every id-pair boundary
-    * ([[minhashPairsStarFirst]]'s discipline): ngramJaccard references
-    * its pair argument THREE times, so an un-cut link/candidate
-    * pipeline — a multiprobe window resp. self-join — re-plans and
-    * re-executes per reference (measured: 51 s vs 11 s at the 10×
-    * rehearsal). Each checkpoint holds only compact id pairs. */
+    * ([[minhashPairsStarFirst]]'s discipline): the verify stages
+    * reference their pair arguments repeatedly, so an un-cut
+    * link/candidate pipeline — a multiprobe window resp. self-join —
+    * re-plans and re-executes per reference (measured: 51 s vs 11 s at
+    * the 10× rehearsal). Each checkpoint holds only compact id pairs.
+    *
+    * r16 (the minhash treatment, verdict item 2): ONE tokenization
+    * pass ([[simhashBase]]) feeds the fingerprint (banding + star +
+    * survivor self-join) AND the sorted-distinct shingle sets both
+    * verify stages read — the previous shape re-tokenized the corpus
+    * per ngramJaccard call (links + survivors ≈ 2 extra corpus passes
+    * on a high-duplication fixture where candidates approach the
+    * corpus). Verification itself gains [[verifiedAtLeast]]'s exact
+    * size prescreen (a pair with `min < τ·max` set sizes cannot reach
+    * τ and skips the merge scan). Arithmetic is unchanged — same
+    * WordNgrams streams, same SortedIntersectCount counts — so every
+    * oracle row is bit-identical. */
   private[graft] def simhashStarFirstFrames(
       docs: DataFrame,
       textCol: String,
       idCol: String,
       minJaccard: Double,
       maxHamming: Int,
-      salted: Boolean): (DataFrame, DataFrame) = {
-    val fps = simhashFingerprints(docs, textCol, idCol)
+      salted: Boolean): (DataFrame, DataFrame, DataFrame) = {
+    val base = simhashBase(docs, textCol, idCol)
+    val fps = base.select(col(idCol), col("simhash"), col("len_bucket"))
+    val sh = base.select(col(idCol), col("sh"))
     val salt = if (salted) Some("len_bucket") else None
     val links = simhashStarFromFingerprintsMultiprobe(fps, idCol,
         maxHamming, salt)
       .select("id_a", "id_b")
       .localCheckpoint(false)
-    val verifiedLinks = ngramJaccard(docs, links,
-        textCol = textCol, idCol = idCol)
-      .filter(col("jaccard") >= minJaccard)
+    val verifiedLinks = verifiedAtLeast(sh, links, idCol, minJaccard)
       .localCheckpoint(false)
     val drops = verifiedLinks.select(col("id_b").as(idCol)).distinct()
     val surv = fps.join(drops, Seq(idCol), "left_anti")
@@ -1455,7 +1472,37 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
       .select("id_a", "id_b")
-    (verifiedLinks, candidates)
+    (verifiedLinks, candidates, sh)
+  }
+
+  /** One-pass per-doc simhash BASE (r16, the [[minhashBase]] shape on
+    * the simhash family): the 64-bit fingerprint + length bucket (the
+    * banding inputs) and the sorted-distinct shingle set (the
+    * verification payload) from a SINGLE corpus scan, lazily
+    * localCheckpoint'ed so banding, the link verify and the survivor
+    * verify all read the same materialized blocks. Token stream and
+    * shingle stream are the same [[graft.functions.WordNgrams]] calls
+    * [[simhashFingerprints]] and [[shingled]] make, so fingerprints,
+    * band keys and Jaccard counts — and every oracle row — are
+    * bit-identical. Token-less docs drop, matching both constituents.
+    * Blocks are corpus-token-scale: MEMORY_AND_DISK spill bounds them,
+    * and the alternative is paying the tokenization per stage. */
+  private def simhashBase(
+      docs: DataFrame,
+      textCol: String,
+      idCol: String): DataFrame = {
+    val toks = graft.functions.WordNgrams(col(textCol), 1,
+      strictFallback = false)
+    val shingles = graft.functions.WordNgrams(col(textCol), 3,
+      strictFallback = false)
+    docs.select(col(idCol), toks.as("toks"),
+        array_sort(array_distinct(shingles)).as("sh"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol),
+        graft.functions.SimhashSignature(col("toks")).as("simhash"),
+        floor(log(2.0, size(col("toks")))).cast("int").as("len_bucket"),
+        col("sh"))
+      .localCheckpoint(false)
   }
 
   /** Banded candidate pairs with exact Hamming distance, BEFORE the
