@@ -374,9 +374,14 @@ object Dedup {
     require(numHashes % bands == 0,
       s"bands ($bands) must divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
+    // sh is SORTED-distinct (r16): the streaming keeper's per-pair
+    // verification is then a zero-allocation merge scan (the
+    // SortedIntersectCount kernel) instead of a per-pair hash set —
+    // Jaccard is set arithmetic, so sorting changes nothing the
+    // oracle sees
     val sigs = shingled(docs.select(col(idCol), col(textCol)), textCol, idCol)
       .select(col(idCol),
-        array_distinct(col("shingles")).as("sh"),
+        array_sort(array_distinct(col("shingles"))).as("sh"),
         MinhashSignature(col("shingles"), numHashes, seed).as("sig"))
     sigs.select(col(idCol), col("sh"),
       explode(array((0 until bands).map { b =>
