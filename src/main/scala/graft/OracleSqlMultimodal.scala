@@ -43,7 +43,34 @@ private[graft] object OracleSqlMultimodal {
       |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
   }
 
+  /** Corpus PageRank over the symmetrized phash pair relation: the
+    * shared phpairs CTE feeding the events_pagerank iteration SQL
+    * verbatim (1-weight edges, w_out = degree, 3 steps each
+    * 6dp-floor-rounded before the next). */
+  private val dhashPageRankOracle: String = {
+    val base = dhashPairsCtesSql + """
+      |, sym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM phpairs
+      |  UNION ALL
+      |  SELECT id_b AS src, id_a AS dst FROM phpairs
+      |), edges AS (
+      |  SELECT src, dst, CAST(1 AS BIGINT) AS n FROM sym
+      |), outw AS (
+      |  SELECT src, CAST(SUM(n) AS BIGINT) AS w_out FROM edges GROUP BY 1
+      |), we AS (
+      |  SELECT e.src, e.dst, e.n, o.w_out
+      |  FROM edges e JOIN outw o USING (src)
+      |), nodes AS (
+      |  SELECT DISTINCT src AS node FROM sym
+      |), pr0 AS (
+      |  SELECT node, CAST(1000000 AS BIGINT) AS pri FROM nodes
+      |)""".stripMargin
+    base + pageRankStepsSql + pageRankTailSql("doc_id")
+  }
+
   val all: Map[String, String] = Map(
+    "multimodal_phash_pagerank" -> dhashPageRankOracle,
+
     "multimodal_profile" ->
       """SELECT d.doc_id, d.lang, d.source,
         |  CAST(length(d.text) AS INT) AS n_chars_calc,

@@ -990,27 +990,41 @@ private[graft] object OracleSqlShared {
         |), nodes AS (
         |  SELECT DISTINCT event_type AS node FROM events
         |), pr0 AS (
-        |  SELECT node, CAST(1.0 AS DOUBLE) AS pr FROM nodes
+        |  SELECT node, CAST(1000000 AS BIGINT) AS pri FROM nodes
         |)""".stripMargin
-    val steps = (1 to 3).map { t =>
+    base + pageRankStepsSql + pageRankTailSql("event_type")
+  }
+
+  /** The FIXED-POINT PageRank iteration (r16, shared by the events
+    * and corpus rows): micro-rank BIGINTs, per-edge floor
+    * contributions, INTEGER mass sums (associative — summation order
+    * cannot move them), and one spelled double expression per step
+    * over bit-identical integer inputs. The double-mass recipe broke
+    * at corpus scale: multi-term sums of 6dp short decimals sit ON
+    * the 6dp half boundary where cross-engine summation order flips
+    * the round. */
+  private[graft] def pageRankStepsSql: String =
+    (1 to 3).map { t =>
       s""", m$t AS (
-         |  SELECT we.dst AS node, SUM(p.pr * we.n / we.w_out) AS mass
+         |  SELECT we.dst AS node,
+         |    CAST(SUM(CAST(floor(p.pri * we.n / we.w_out) AS BIGINT))
+         |      AS BIGINT) AS mass
          |  FROM pr${t - 1} p JOIN we ON p.node = we.src GROUP BY 1
          |), pr$t AS (
          |  SELECT n.node,
-         |    floor((0.15 + 0.85 * COALESCE(m.mass, 0.0)) * 1000000.0 + 0.5)
-         |      / 1000000.0 AS pr
+         |    CAST(floor((0.15 + 0.85 * (COALESCE(m.mass, 0) / 1000000.0))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS pri
          |  FROM nodes n LEFT JOIN m$t m USING (node)
          |)""".stripMargin
     }.mkString
-    val tail =
-      """
-        |SELECT p0.node AS event_type, p0.pr AS pr_0, p1.pr AS pr_1,
-        |  p2.pr AS pr_2, p3.pr AS pr_3
-        |FROM pr0 p0 JOIN pr1 p1 USING (node) JOIN pr2 p2 USING (node)
-        |  JOIN pr3 p3 USING (node)""".stripMargin
-    base + steps + tail
-  }
+
+  private[graft] def pageRankTailSql(nodeAlias: String): String =
+    s"""
+       |SELECT p0.node AS $nodeAlias,
+       |  p0.pri / 1000000.0 AS pr_0, p1.pri / 1000000.0 AS pr_1,
+       |  p2.pri / 1000000.0 AS pr_2, p3.pri / 1000000.0 AS pr_3
+       |FROM pr0 p0 JOIN pr1 p1 USING (node) JOIN pr2 p2 USING (node)
+       |  JOIN pr3 p3 USING (node)""".stripMargin
 
   /** Count-Min sketch re-derived end-to-end: same tokenization as
     * text_tfidf_exact, the d=4 hash rows from the shared 60-bit md5

@@ -1612,6 +1612,32 @@ object SparkEntry {
           Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
           maxHamming = 2))
     }),
+    // Corpus-scale PageRank evidence (r16, verdict item 5): the SAME
+    // unrolled iteration as events_pagerank, but over the image
+    // near-dup relation — thousands of vertices at sf0.1+ (vs the
+    // ~5-type transition graph), so the Pregel shape's scale claim is
+    // a measured row, not scaladoc. Edges = the verified phash pair
+    // relation symmetrized at weight 1 (w_out = degree); ranks answer
+    // "which image is the canonical copy of its near-dup
+    // neighborhood". Oracle composes the exact phpairs CTE with the
+    // same 3-step 6dp-floored trajectory.
+    "multimodal_phash_pagerank" -> ((s, dir) => {
+      val pairs = Multimodal.dHashPairs(
+          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
+          maxHamming = 2)
+        .select("id_a", "id_b")
+        // three consumers (two sym directions + nodes): replay compact
+        // id pairs instead of re-running the banded join per reference
+        .localCheckpoint(false)
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(
+          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        .withColumn("n", lit(1L))
+      val nodes = edges.select(col("src").as("node")).distinct()
+      Events.pageRankOnEdges(edges, nodes, damping = 0.85,
+          resetProb = 0.15, iters = 3)
+        .withColumnRenamed("node", "doc_id")
+    }),
     // ... and the image dedup INCREMENTAL twin (r16, verdict item 4):
     // history's exact 16-bit block keys persisted BUCKETED by bk (the
     // production nightly shape — candidate join plans no history-side

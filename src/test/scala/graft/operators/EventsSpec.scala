@@ -414,19 +414,23 @@ class EventsSpec extends SparkSpec {
       .map(r => r.getAs[String]("event_type") ->
         (1 to 3).map(t => r.getAs[Double](s"pr_$t")))
       .toMap
-    // serial reference: same formula, same floor6, plain Scala doubles
-    def fl6(x: Double): Double = math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    // serial reference: the r16 FIXED-POINT formula — micro-rank
+    // longs, per-edge floor contributions, integer mass — in plain
+    // Scala
     val edges = Map(("A", "B") -> 2L, ("B", "A") -> 1L, ("A", "C") -> 1L)
     val w = Map("A" -> 3L, "B" -> 1L)
-    var pr = Map("A" -> 1.0, "B" -> 1.0, "C" -> 1.0, "D" -> 1.0)
+    var pri = Map("A" -> 1000000L, "B" -> 1000000L,
+      "C" -> 1000000L, "D" -> 1000000L)
     val trace = (1 to 3).map { _ =>
-      pr = pr.keys.map { v =>
+      pri = pri.keys.map { v =>
         val mass = edges.collect {
-          case ((u, d), n) if d == v => pr(u) * n / w(u)
+          case ((u, d), n) if d == v =>
+            math.floor(pri(u) * n / w(u).toDouble).toLong
         }.sum
-        v -> fl6(0.15 + 0.85 * mass)
+        v -> math.floor(
+          (0.15 + 0.85 * (mass / 1000000.0)) * 1000000.0 + 0.5).toLong
       }.toMap
-      pr
+      pri.map { case (k, v) => k -> v / 1000000.0 }
     }
     for (node <- Seq("A", "B", "C", "D"); t <- 1 to 3)
       assert(out(node)(t - 1) == trace(t - 1)(node),
