@@ -211,8 +211,13 @@ object Bench {
       // Machine-written single-line JSON; pull the "queries" object.
       // ASSUMES the flat {"name":sec,...} shape Bench itself writes —
       // a nested value inside "queries" would cut the match short
-      // (the [^}]* stops at the first '}').
-      val qsRe = """"queries":\{([^}]*)\}""".r
+      // (the [^}]* stops at the first '}'). \s* tolerates the
+      // pretty-printed `"queries": {` python's json.dump emits — the
+      // r15 committed artifact used that form and the compact-only
+      // regex silently parsed an EMPTY prior map, making the drift
+      // field vacuous a second way (caught r16: a real 1.5× row went
+      // unflagged against a parse-failed baseline).
+      val qsRe = """"queries":\s*\{([^}]*)\}""".r
       qsRe.findFirstMatchIn(s).map { mm =>
         mm.group(1).split(",").flatMap { kv =>
           kv.split(":") match {
