@@ -267,6 +267,26 @@ private[graft] object OracleSqlDedup {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin,
 
+    // Incremental simhash dedup (r16): brute-force NOT EXISTS rules
+    // over the re-derived fingerprints — a batch doc survives iff no
+    // history doc and no smaller-id batch doc sits within hamming 3.
+    // Exact because the Spark side's unsalted multiprobe banding has
+    // guaranteed recall to hamming <= 7. Output carries the
+    // fingerprint itself, so the row also re-proves the fp arithmetic.
+    "dedup_simhash_incremental" -> (simhashFpCtesSql + """
+      |, batch AS (
+      |  SELECT doc_id, fp FROM fpl WHERE doc_id % 10 >= 8
+      |), hist AS (
+      |  SELECT doc_id, fp FROM fpl WHERE doc_id % 10 < 8
+      |)
+      |SELECT b.doc_id, b.fp AS simhash
+      |FROM batch b
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM hist h WHERE bit_count(xor(b.fp, h.fp)) <= 3)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM batch b2 WHERE b2.doc_id < b.doc_id
+      |      AND bit_count(xor(b.fp, b2.fp)) <= 3)""".stripMargin),
+
     "dedup_minhash_incremental" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -876,6 +876,25 @@ object SparkEntry {
     // star coverage is complete on this fixture, so the brute-force
     // oracle is unchanged; raw minhashIncremental stays the ground
     // truth in DedupSpec.
+    // ... and the SIMHASH incremental twin (r16, the incremental
+    // family's last modality gap — exact/minhash/embedding/phash all
+    // had one): history persists only its exact 16-bit block keys
+    // (4 rows/doc, xxhash64(band,key) longs bucketed by bk — zero
+    // history-side Exchange, history text never re-tokenized), the
+    // batch probes exact+16-flip keys and verifies by bit_count on
+    // carried fingerprints. Unsalted multiprobe = pure Hamming
+    // semantics, so the oracle is the brute-force NOT EXISTS rules
+    // over the fpl fingerprint CTE — exact recall to hamming <= 7.
+    "dedup_simhash_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      withBucketedBands(s, "graft_sh_hist",
+        Dedup.simhashBandKeysExact(hist)) { tbl =>
+        Dedup.simhashIncremental(batch, s.table(tbl), maxHamming = 3)
+          .localCheckpoint(true)
+      }
+    }),
     "dedup_minhash_incremental" -> ((s, dir) => {
       val docs = documents(s, dir)
       val batch = docs.filter(col("doc_id") % 10 >= 8)

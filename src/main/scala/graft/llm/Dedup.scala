@@ -1619,6 +1619,115 @@ object Dedup {
       .repartition(col("bk"))
   }
 
+  /** EXACT multiprobe block keys over a `(idCol, simhash)` frame — the
+    * PERSISTABLE banding seam shared by the incremental twins (text
+    * simhash here, the packed dHash in [[Multimodal]]): 4 rows per
+    * doc, one per 16-bit block, the (band, key) pair flattened to a
+    * single `xxhash64(band, key)` LONG so the frame buckets/persists
+    * on a plain column. Recall rides the BATCH side's probes
+    * ([[multiprobeProbeKeys]]): a pair within hamming ≤ 7 has a block
+    * differing in ≤ 1 bit, so the batch's probe set contains the
+    * history's exact key — history stores only 4n rows, 17× less than
+    * probes-on-both-sides. A 64-bit hash collision between different
+    * (band, key) pairs can only ADD a candidate (every candidate
+    * verifies by full hamming), never lose one. Carries `simhash` so
+    * candidate joins verify in-place — history text is NEVER
+    * re-tokenized. */
+  private[graft] def exactBlockKeys(fps: DataFrame,
+      idCol: String): DataFrame = {
+    val bands = 4
+    val bits = 16
+    val mask = (1L << bits) - 1L
+    fps.select(col(idCol), col("simhash"),
+      explode(array((0 until bands).map { b =>
+        xxhash64(lit(b),
+          shiftright(col("simhash"), b * bits).bitwiseAND(mask))
+      }: _*)).as("bk"))
+  }
+
+  /** Batch-side probe rows for [[exactBlockKeys]] histories: exact
+    * block keys plus all 16 one-bit flips per band (68 rows per doc),
+    * flattened with the SAME `xxhash64(band, key)` recipe. The
+    * explicit exchange on `bk` is the multiprobe discipline (the 68×
+    * explode hides row growth from size estimates) and hash-aligns
+    * the batch side with the bucketed history table. */
+  private[graft] def multiprobeProbeKeys(fps: DataFrame,
+      idCol: String): DataFrame = {
+    val bands = 4
+    val bits = 16
+    val mask = (1L << bits) - 1L
+    val probeKeys = for { b <- 0 until bands; v <- 0 to bits } yield {
+      val block = shiftright(col("simhash"), b * bits).bitwiseAND(mask)
+      val key =
+        if (v == 0) block else block.bitwiseXOR(lit(1L << (v - 1)))
+      xxhash64(lit(b), key)
+    }
+    fps.select(col(idCol), col("simhash"),
+        explode(array(probeKeys: _*)).as("bk"))
+      .repartition(col("bk"))
+  }
+
+  /** Persistable history band keys for [[simhashIncremental]] —
+    * [[exactBlockKeys]] over the corpus fingerprints. Compute ONCE on
+    * the standing corpus, persist bucketed by `bk`
+    * ([[graft.sources.Sources.writeBucketed]]); the incremental
+    * candidate join then plans with no history-side Exchange
+    * (PlanAuditSpec pins the shape). Tokenless docs emit nothing
+    * (they have no fingerprint to collide on). */
+  def simhashBandKeysExact(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame =
+    exactBlockKeys(
+      simhashFingerprints(df, textCol, idCol).select(col(idCol),
+        col("simhash")),
+      idCol)
+
+  /** Incremental simhash near-dup dedup — the Hamming twin of
+    * [[minhashIncremental]], closing the incremental family's last
+    * modality gap (exact/minhash/embedding/phash all have one):
+    * returns the (idCol, simhash) fingerprint rows of `newDocs` that
+    * survive dropping (a) every batch doc within `maxHamming` of ANY
+    * historical doc — candidates from the batch's multiprobe probes
+    * against the persisted exact block keys, verified in-place by
+    * `bit_count` on the carried fingerprints (history text is never
+    * re-tokenized) — and (b) the larger-id member of every
+    * within-batch pair at `maxHamming` (greedy smaller-id-wins, the
+    * [[minhashIncremental]] rule; the multiprobe candidate join is
+    * recall-complete to hamming ≤ 7, so the within relation is the
+    * FULL pair relation and the drop set is exactly keep-min).
+    * UNSALTED banding deliberately: the incremental contract is pure
+    * Hamming semantics an oracle can brute-force restate — the salt's
+    * fan-out bound matters for corpus×corpus self-joins, not for a
+    * (small batch) × (bucketed history) probe join. Tokenless docs
+    * have no fingerprint and emit no row (union them back upstream if
+    * passthrough is wanted). Ids must be globally unique across batch
+    * and history. `histBands` must come from [[simhashBandKeysExact]]
+    * — keys from any other recipe never collide, so a mismatch
+    * silently finds nothing. */
+  def simhashIncremental(
+      newDocs: DataFrame,
+      histBands: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"simhashIncremental: multiprobe banding guarantees recall only " +
+        s"for maxHamming <= 7, got $maxHamming")
+    val fps = simhashFingerprints(newDocs, textCol, idCol)
+      .select(col(idCol), col("simhash"))
+      .localCheckpoint(false)
+    val crossLosers = multiprobeProbeKeys(fps, idCol)
+      .join(histBands.select(col(idCol).as("hist_id"),
+        col("simhash").as("hist_simhash"), col("bk")), "bk")
+      .filter(bit_count(col("simhash").bitwiseXOR(col("hist_simhash")))
+        <= maxHamming)
+      .select(col(idCol))
+    val withinLosers = simhashCandidatesMultiprobe(fps, idCol, None)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_b").as(idCol))
+    fps.join(crossLosers.unionByName(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** [[simhashCandidates]] over multiprobe buckets: bucket-mates where
     * at least ONE side is an exact row (two flips meeting proves only
     * block distance ≤ 2 — outside the guarantee, pure noise) —

@@ -366,10 +366,6 @@ object Multimodal {
     star.unionByName(near)
   }
 
-  private val MultiprobeBands = 4
-  private val MultiprobeBits = 16
-  private val MultiprobeMask = (1L << MultiprobeBits) - 1L
-
   /** EXACT multiprobe block keys for a [[bmpDHash]] frame — the
     * PERSISTABLE banding seam of the image near-dup family (the
     * [[graft.llm.Dedup.minhashBandKeys]] shape on the image modality):
@@ -394,42 +390,26 @@ object Multimodal {
     * bucketed by `bk` ([[graft.sources.Sources.writeBucketed]]) — the
     * incremental candidate join then plans with no history-side
     * Exchange (PlanAuditSpec pins the shape). */
-  def dHashBandKeys(hashes: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val gh = graft.functions.BmpDHash.GridH
-    hashes.filter(col("d0").isNotNull)
-      .select(col(idCol), packedDHash(gh).as("simhash"))
-      .select(col(idCol), col("simhash"),
-        explode(array((0 until MultiprobeBands).map { b =>
-          xxhash64(lit(b), shiftright(col("simhash"), b * MultiprobeBits)
-            .bitwiseAND(lit(MultiprobeMask)))
-        }: _*)).as("bk"))
-  }
+  def dHashBandKeys(hashes: DataFrame, idCol: String = "doc_id"): DataFrame =
+    Dedup.exactBlockKeys(packedFps(hashes, idCol), idCol)
 
   /** Batch-side probe rows: exact block keys plus all 16 one-bit
     * flips per band (68 rows per image), flattened with the SAME
     * `xxhash64(band, key)` recipe as [[dHashBandKeys]] — package
     * visible so PlanAuditSpec asserts the bucketed candidate join on
-    * the exact production frames. The explicit exchange on `bk` is
-    * the multiprobe discipline: the 68× explode hides row growth from
-    * size estimates, and the bucketed history join wants the batch
-    * side hash-partitioned on the join key. */
+    * the exact production frames. Delegates to the shared
+    * [[graft.llm.Dedup.multiprobeProbeKeys]] (r16: one multiprobe
+    * key recipe serves the text and image incremental twins). */
   private[graft] def dHashProbes(hashes: DataFrame,
-      idCol: String = "doc_id"): DataFrame = {
-    val gh = graft.functions.BmpDHash.GridH
-    val probeKeys =
-      for { b <- 0 until MultiprobeBands; v <- 0 to MultiprobeBits } yield {
-        val block = shiftright(col("simhash"), b * MultiprobeBits)
-          .bitwiseAND(lit(MultiprobeMask))
-        val key =
-          if (v == 0) block else block.bitwiseXOR(lit(1L << (v - 1)))
-        xxhash64(lit(b), key)
-      }
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.multiprobeProbeKeys(packedFps(hashes, idCol), idCol)
+
+  /** Valid (non-null-hash) rows as a `(idCol, simhash)` fingerprint
+    * frame — the shape the shared multiprobe machinery operates on. */
+  private def packedFps(hashes: DataFrame, idCol: String): DataFrame =
     hashes.filter(col("d0").isNotNull)
-      .select(col(idCol), packedDHash(gh).as("simhash"))
-      .select(col(idCol), col("simhash"),
-        explode(array(probeKeys: _*)).as("bk"))
-      .repartition(col("bk"))
-  }
+      .select(col(idCol),
+        packedDHash(graft.functions.BmpDHash.GridH).as("simhash"))
 
   /** Incremental image near-dup dedup — the image twin of
     * [[graft.llm.Dedup.minhashIncremental]] (r15 verdict item 4):

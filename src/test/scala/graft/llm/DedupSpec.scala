@@ -916,4 +916,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
+
+  test("simhashIncremental: history near-dups drop cross (verified " +
+      "from carried fingerprints, text never re-tokenized), " +
+      "within-batch pairs drop their larger id, novel docs survive") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      // token-identical to history 1 — hamming 0, cross loser
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      // novel — survives
+      (11L, "the quick brown fox jumps over the lazy dog tonight"),
+      // token-identical to 11 WITHIN the batch — within loser
+      (12L, "the quick brown fox jumps over the lazy dog tonight"),
+      // tokenless: no fingerprint, emits no row
+      (13L, "   ")).toDF("doc_id", "text")
+    graft.sources.Sources.writeBucketed(
+      Dedup.simhashBandKeysExact(hist), "graft_test_sh_hist", "bk",
+      numBuckets = 4)
+    try {
+      val surv = Dedup.simhashIncremental(
+          batch, spark.table("graft_test_sh_hist"), maxHamming = 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(surv == Set(11L))
+    } finally spark.sql("DROP TABLE IF EXISTS graft_test_sh_hist")
+  }
 }
