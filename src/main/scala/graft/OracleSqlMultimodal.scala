@@ -43,6 +43,34 @@ private[graft] object OracleSqlMultimodal {
       |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
   }
 
+  /** The streaming keeper's survivor rules — brute-force keep-min
+    * over the planted fixture: a row survives iff NO smaller-id row
+    * sits within hamming ≤ 2. Exact by CONSTRUCTION of the keeper
+    * machine (pigeonhole recall to hamming ≤ 7 + full-Hamming verify
+    * against registered entries — no keeper-chain escapes), not a
+    * fixture property. */
+  private val dhashStreamNearOracle: String = {
+    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
+    def ham(a: String, b: String): String =
+      (for (y <- 0 until 8; bit <- 0 until 8) yield
+        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
+    dhashRowsCtesSql + s"""
+      |, pall AS (
+      |  SELECT h.doc_id, b.w, b.h, $hds
+      |  FROM hashes h JOIN bmp b USING (doc_id)
+      |  UNION ALL
+      |  SELECT h.doc_id + 3000000, b.w, b.h, $hds
+      |  FROM hashes h JOIN bmp b USING (doc_id) WHERE h.doc_id % 29 = 0
+      |), drops AS (
+      |  SELECT DISTINCT b2.doc_id
+      |  FROM pall a JOIN pall b2 ON a.doc_id < b2.doc_id
+      |  WHERE ${ham("a", "b2")} <= 2
+      |)
+      |SELECT doc_id, CAST(1 AS INT) AS is_bmp, w AS width, h AS height,
+      |  d0, d1, d2, d3, d4, d5, d6, d7
+      |FROM pall WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+  }
+
   /** Corpus PageRank over the symmetrized phash pair relation: the
     * shared phpairs CTE feeding the events_pagerank iteration SQL
     * verbatim (1-weight edges, w_out = degree, 3 steps each
@@ -217,6 +245,8 @@ private[graft] object OracleSqlMultimodal {
     // their keeper, keeper pairs recall-complete). Hamming spelled as
     // the shared 64 shift-and-mask terms.
     "multimodal_phash_incremental" -> dhashIncrementalOracle,
+
+    "stream_phash_near" -> dhashStreamNearOracle,
 
     "multimodal_bmp_stats" ->
       """WITH bmp AS (

@@ -180,6 +180,15 @@ private[graft] object OracleSqlRelational {
         |)
         |""".stripMargin + olsTailSql("l_returnflag")),
 
+    // Co-located bucketed join: the oracle is the PLAIN join+group-by
+    // — physical bucketing changes the plan, never the result.
+    "layout_bucketed_join" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1""".stripMargin,
+
     "lineitem_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  ROUND(SUM(l_quantity), 2) AS sum_qty,

@@ -328,6 +328,24 @@ object SparkEntry {
     } finally s.sql(s"DROP TABLE IF EXISTS `$table`")
   }
 
+  /** [[withBucketedBands]] generalized to several (frame, bucket key)
+    * pairs — the co-located-join demonstration needs BOTH fact sides
+    * ingest-bucketed on their join key. Same re-entrancy contract:
+    * unique names per invocation, tables dropped before returning,
+    * `body` must materialize its result. */
+  private def withBucketedTables(s: SparkSession, prefix: String,
+      tables: Seq[(DataFrame, String)])(
+      body: Seq[String] => DataFrame): DataFrame = {
+    val names = tables.map(_ =>
+      prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "_"))
+    try {
+      tables.zip(names).foreach { case ((df, key), n) =>
+        Sources.writeBucketed(df, n, key)
+      }
+      body(names)
+    } finally names.foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
+  }
+
   /** Project ML Vector columns to scalar element columns `name_0..name_{n-1}`
     * so the verify dump contains no array-typed columns (driver pandas
     * diff requirement). Sizes are static per query — the assembled
@@ -1679,6 +1697,30 @@ object SparkEntry {
             .localCheckpoint(true)
       }
     }),
+    // ... and the image dedup STREAMING twin (r16): the planted-clone
+    // fixture arrives as a file stream, per-row dHash + multiprobe
+    // banding are stateless projections, and the Hamming keeper
+    // machine (StreamOps.nearDedupHashStream — per bucket, EXACT
+    // presences register fingerprint→min-id entries, every probe row
+    // verifies by bit_count) emits the drop links. Unlike the Jaccard
+    // keeper, the drop set equals brute-force keep-min BY CONSTRUCTION
+    // (pigeonhole recall + full-Hamming verify, no chain escapes), so
+    // the oracle is the all-pairs keep-min survivor SQL — exact on any
+    // fixture, not just this one. Survivors read back in phash shape,
+    // re-proving the fingerprint arithmetic.
+    "stream_phash_near" -> ((s, dir) => {
+      import s.implicits._
+      val banded = Multimodal.dHashStreamBanded(
+          Multimodal.bmpDHash(
+            phashFixture(Sources.documentsStream(s, dir)), "payload"))
+        .as[graft.streaming.BandedHashRow]
+      runAvailableNow(s,
+        StreamOps.nearDedupHashStream(banded, maxHamming = 2).toDF(),
+        outputMode = "append", sinkWriteMode = "append")(links =>
+        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+          .join(links.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
+    }),
     // Round 13: the third real-decode codec, and the second MODALITY —
     // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
     // doc-dependent junk chunk, so the data offset varies and the
@@ -1809,6 +1851,27 @@ object SparkEntry {
         operators.ZOrder.quantize16(col("value"), 0.0, 500.0).as("y"))
       operators.ZOrder.layout(ev, "x", "y", numFiles = 8)
         .select("event_id", "x", "y", "zval")
+    }),
+
+    // Co-located fact-fact join over ingest-time bucketing: lineitem
+    // and orders both written bucketed on their order key, then the
+    // forced sort-merge join plans ZERO Exchange on either side — the
+    // per-query join shuffle (the dominant cost of a repeated fact-
+    // fact join at 100 TB) is paid once at ingest. PlanAuditSpec pins
+    // the shape; the oracle is the plain join+group-by, bucketing-
+    // invisible by construction. The registered row's cost is honest:
+    // it INCLUDES the two bucketed writes (the ingest-side price).
+    "layout_bucketed_join" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+      val ord = Sources.parquetTable(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+      withBucketedTables(s, "graft_bjoin",
+        Seq((li, "l_orderkey"), (ord, "o_orderkey"))) { names =>
+        operators.Relational.orderPrioritySummary(
+          s.table(names(0)), s.table(names(1)))
+          .localCheckpoint(true)
+      }
     }),
 
     // ------------------------------------- §7 perplexity quality signal

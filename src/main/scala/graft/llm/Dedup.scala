@@ -1652,18 +1652,30 @@ object Dedup {
     * explode hides row growth from size estimates) and hash-aligns
     * the batch side with the bucketed history table. */
   private[graft] def multiprobeProbeKeys(fps: DataFrame,
+      idCol: String): DataFrame =
+    multiprobeProbeKeysFlagged(fps, idCol).drop("exact")
+
+  /** [[multiprobeProbeKeys]] keeping the per-row `exact` flag (true on
+    * the 4 unflipped block-key rows). The STREAMING near-dup keeper
+    * needs it: per bucket only EXACT presences register in state (the
+    * [[exactBlockKeys]] history layout — 4 state entries per doc, not
+    * 68) while every probe row still checks the bucket's entries, so
+    * the pigeonhole recall argument carries over unchanged. */
+  private[graft] def multiprobeProbeKeysFlagged(fps: DataFrame,
       idCol: String): DataFrame = {
     val bands = 4
     val bits = 16
     val mask = (1L << bits) - 1L
-    val probeKeys = for { b <- 0 until bands; v <- 0 to bits } yield {
+    val probeStructs = for { b <- 0 until bands; v <- 0 to bits } yield {
       val block = shiftright(col("simhash"), b * bits).bitwiseAND(mask)
       val key =
         if (v == 0) block else block.bitwiseXOR(lit(1L << (v - 1)))
-      xxhash64(lit(b), key)
+      struct(xxhash64(lit(b), key).as("bk"), lit(v == 0).as("exact"))
     }
     fps.select(col(idCol), col("simhash"),
-        explode(array(probeKeys: _*)).as("bk"))
+        explode(array(probeStructs: _*)).as("p"))
+      .select(col(idCol), col("simhash"),
+        col("p.bk").as("bk"), col("p.exact").as("exact"))
       .repartition(col("bk"))
   }
 

@@ -404,6 +404,18 @@ object Multimodal {
       idCol: String = "doc_id"): DataFrame =
     Dedup.multiprobeProbeKeys(packedFps(hashes, idCol), idCol)
 
+  /** Full flagged multiprobe rows over a [[bmpDHash]] frame —
+    * `(idCol, simhash, bk, exact)`, the input shape of
+    * [[graft.streaming.StreamOps.nearDedupHashStream]] (the STREAMING
+    * image near-dup keeper). Pure stateless projection + explode, so
+    * it runs on a `readStream` frame unchanged; non-BMP rows (null
+    * hash) emit nothing. Same `xxhash64(band, key)` recipe as
+    * [[dHashBandKeys]]/[[dHashProbes]] — one key recipe, batch,
+    * incremental, and streaming. */
+  def dHashStreamBanded(hashes: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    Dedup.multiprobeProbeKeysFlagged(packedFps(hashes, idCol), idCol)
+
   /** Valid (non-null-hash) rows as a `(idCol, simhash)` fingerprint
     * frame — the shape the shared multiprobe machinery operates on. */
   private def packedFps(hashes: DataFrame, idCol: String): DataFrame =

@@ -224,4 +224,35 @@ object Relational {
       parentKey: String): DataFrame =
     child.join(parent.select(col(parentKey)),
       col(childKey) === col(parentKey), "left_anti")
+
+  /** Order-priority summary over the lineitem ⋈ orders equi-join —
+    * the registered demonstration of the CO-LOCATED fact-fact join:
+    * when BOTH inputs are ingest-time bucketed on their join key
+    * ([[graft.sources.Sources.writeBucketed]], same bucket count),
+    * the forced sort-merge join (`hint("merge")` — broadcast would
+    * hide the point at test SF, and at 100 TB neither fact side fits
+    * a broadcast anyway) plans with ZERO Exchange on either side:
+    * each scan reports `HashPartitioning(key, buckets)` and the SMJ's
+    * distribution requirement is already met, so the only shuffle in
+    * the whole query is the final low-cardinality group-by. The join
+    * shuffle — at 100 TB the single largest cost of a repeated
+    * fact-fact join — is paid ONCE at ingest instead of per query.
+    * PlanAuditSpec pins exactly that shape (one hash Exchange total,
+    * SMJ present, no Exchange below it); the correctness oracle is
+    * the plain join+group-by, bucketing-invisible by construction.
+    *
+    * Aggregate recipe is [[pricingSummary]]'s: integer count, 2dp
+    * rounding on the dollar sums (group sums ~1e9, cross-engine
+    * summation-order noise ~1e-5 — far inside 2dp). */
+  def orderPrioritySummary(
+      lineitem: DataFrame,
+      orders: DataFrame): DataFrame =
+    lineitem.hint("merge")
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+          2).as("revenue"))
 }

@@ -55,6 +55,26 @@ final case class NearDupLink(doc_id: Long, kept_id: Long, jaccard: Double)
   * two ways to bound it. */
 final case class BucketKeeper(id: Long, sh: Seq[String])
 
+/** One multiprobe row of a 64-bit Hamming fingerprint —
+  * [[graft.llm.Dedup]]'s `multiprobeProbeKeysFlagged` shape and the
+  * input of [[StreamOps.nearDedupHashStream]]: `bk` is the
+  * `xxhash64(band, key)` bucket (exact 16-bit block key or a one-bit
+  * flip of it), `exact` marks the 4 unflipped rows per doc. */
+final case class BandedHashRow(
+    doc_id: Long, simhash: Long, bk: Long, exact: Boolean)
+
+/** A verified near-duplicate link from
+  * [[StreamOps.nearDedupHashStream]]: `doc_id` sits within `hamming`
+  * bits of the earlier/smaller `kept_id`'s fingerprint. */
+final case class HashNearLink(doc_id: Long, kept_id: Long, hamming: Int)
+
+/** Per-bucket state for [[StreamOps.nearDedupHashStream]]: the
+  * DISTINCT fingerprints whose EXACT block key maps here, each with
+  * the smallest doc id seen carrying it — the `exactBlockKeys`
+  * history layout held as stream state (4 entries per distinct
+  * fingerprint corpus-wide; clones collapse into one entry). */
+final case class HashBucketEntries(entries: Map[Long, Long])
+
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
   * (driver verify/bench, DuckDB-oracle-checkable) and `readStream`
@@ -586,6 +606,97 @@ object StreamOps {
             }
             keeper.foreach { k =>
               state.update(k)
+              // any batch touching the bucket renews its horizon
+              ttl.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** STREAMING Hamming near-duplicate dedup — the image/simhash
+    * modality's keeper machine ([[nearDedupStream]] is the Jaccard
+    * twin): multiprobe rows group by bucket, EXACT presences register
+    * `fingerprint → min doc id` entries in the bucket's state, and
+    * every row (exact or flipped probe) verifies against the
+    * registered entries by full 64-bit `bit_count` Hamming. Emits
+    * verified (doc_id, kept_id, hamming) links, append mode;
+    * survivors = corpus minus the distinct link doc_ids.
+    *
+    * Unlike the Jaccard keeper (keeper + predecessor chain, drop-set
+    * equality with brute-force keep-min is a FIXTURE property there),
+    * this machine's drop set equals brute-force keep-min EXACTLY, by
+    * construction: a pair c < d within `maxHamming` ≤ 7 has a 16-bit
+    * block differing in ≤ 1 bit (pigeonhole), so some bucket holds
+    * c's EXACT key met by d's probe set — c's entry (min id ≤ c < d)
+    * is registered when d arrives (state from an earlier batch, or
+    * earlier in id order within the batch), and the full-Hamming
+    * check admits exactly the true pairs. Conversely every emitted
+    * link re-verified against real fingerprints, so no false drops.
+    * `xxhash64` bucket collisions only ADD verification work, never
+    * lose a pair.
+    *
+    * Scale contract: per-row WORK is the bucket's distinct-entry
+    * count (the same candidate volume the batch multiprobe join
+    * enumerates — 65,536-key buckets keep it ~n/2¹⁶ per band on n
+    * distinct fingerprints); per-bucket STATE holds one (long, long)
+    * entry per distinct fingerprint exact-keyed here — 4 entries per
+    * distinct image corpus-wide, 17× less than registering probe
+    * rows, and clones collapse into their entry instead of growing
+    * it (the heavier Jaccard keeper carries full shingle sets).
+    * Run-forever options are [[nearDedupStream]]'s verbatim: `ttl`
+    * evicts idle buckets (a later near-dup of an evicted fingerprint
+    * re-enters as a fresh keeper), or the RocksDB state store
+    * provider for full-corpus history (StreamingSpec runs both).
+    *
+    * Ids must be globally unique; docs must emit their full probe set
+    * ([[graft.llm.Dedup.multiprobeProbeKeysFlagged]] /
+    * [[graft.llm.Multimodal.dHashStreamBanded]]) — exact-only rows
+    * would silently halve recall to per-block equality. */
+  def nearDedupHashStream(
+      banded: Dataset[BandedHashRow],
+      maxHamming: Int = 2,
+      ttl: Option[String] = None): Dataset[HashNearLink] = {
+    import banded.sparkSession.implicits._
+    require(maxHamming >= 0 && maxHamming <= 7,
+      s"nearDedupHashStream: multiprobe banding guarantees recall only " +
+        s"for maxHamming <= 7, got $maxHamming")
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_.bk)
+      .flatMapGroupsWithState[HashBucketEntries, HashNearLink](
+        OutputMode.Append, timeoutConf) {
+        case (_, it: Iterator[BandedHashRow],
+            state: GroupState[HashBucketEntries]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // one logical presence per doc in this bucket: a doc's
+            // exact key and a flip of another block can hash-collide
+            // into the same bucket — fold to (fingerprint, any exact)
+            val docs = it.toArray.groupBy(_.doc_id).iterator
+              .map { case (id, rows) =>
+                (id, rows.head.simhash, rows.exists(_.exact))
+              }
+              .toArray.sortBy(_._1)
+            var entries = state.getOption
+              .map(_.entries).getOrElse(Map.empty[Long, Long])
+            val out =
+              scala.collection.mutable.ArrayBuffer.empty[HashNearLink]
+            docs.foreach { case (id, sim, isExact) =>
+              entries.foreach { case (h, minId) =>
+                if (minId < id) {
+                  val ham = java.lang.Long.bitCount(sim ^ h)
+                  if (ham <= maxHamming) out += HashNearLink(id, minId, ham)
+                }
+              }
+              if (isExact && entries.getOrElse(sim, Long.MaxValue) > id)
+                entries = entries.updated(sim, id)
+            }
+            if (entries.nonEmpty) {
+              state.update(HashBucketEntries(entries))
               // any batch touching the bucket renews its horizon
               ttl.foreach(state.setTimeoutDuration)
             }

@@ -510,6 +510,40 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("layout_bucketed_join: both fact scans bucket-read, sort-merge " +
+      "join with ZERO join-side Exchange — the only shuffle in the " +
+      "query is the final low-cardinality group-by (r16)") {
+    // The at-scale claim of the co-located join row: ingest-time
+    // bucketing on the join key makes the repeated fact-fact join
+    // shuffle-free — the per-query Exchange both sides would
+    // otherwise pay (the dominant cost at 100 TB) is paid once at
+    // write time.
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
+    val ord = spark.read.parquet(s"$sf0001/orders.parquet")
+      .select("o_orderkey", "o_orderpriority")
+    try {
+      graft.sources.Sources.writeBucketed(li, "graft_plan_bj_l",
+        "l_orderkey", numBuckets = 4)
+      graft.sources.Sources.writeBucketed(ord, "graft_plan_bj_o",
+        "o_orderkey", numBuckets = 4)
+      val q = graft.operators.Relational.orderPrioritySummary(
+        spark.table("graft_plan_bj_l"), spark.table("graft_plan_bj_o"))
+      q.count()
+      val plan = q.queryExecution.executedPlan.toString
+      val exchanges = shuffles(plan)
+      assert(exchanges == 1,
+        s"want exactly the group-by Exchange, got $exchanges:\n${plan.take(1500)}")
+      assert(plan.contains("SortMergeJoin"),
+        s"merge hint not honored:\n${plan.take(1500)}")
+      assert("Bucketed: true".r.findAllIn(plan).length == 2,
+        s"a fact scan is not bucket-read:\n${plan.take(1500)}")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_plan_bj_l")
+      spark.sql("DROP TABLE IF EXISTS graft_plan_bj_o")
+    }
+  }
+
   test("scans are column-pruned: lineitem reads only what robust_scaling needs") {
     val p = plan("robust_scaling")
     assert(p.contains("ReadSchema"), p.take(400))

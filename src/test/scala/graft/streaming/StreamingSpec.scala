@@ -435,6 +435,128 @@ class StreamingSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("nearDedupHashStream: drop set == brute-force keep-min BY " +
+      "construction (exact at the hamming-7 pigeonhole bound, a " +
+      "hamming-8 pair survives); cross-batch keep-first (r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def bits(bs: Int*): Long = bs.map(b => 1L << b).reduce(_ | _)
+    // mutually-far bases, exact clones, hamming-2 near-dups, a
+    // hamming-3 pair (must survive at maxHamming=2), a hamming-7 pair
+    // split 2+2+2+1 over the blocks (the pigeonhole bound — MUST drop
+    // at maxHamming=7), and a hamming-8 pair 2+2+2+2 (must survive:
+    // no block with <= 1 differing bit, and verify rejects 8 anyway)
+    val far = Seq(0L, 0x00FF00FF00FF00FFL, 0x0F0F0F0F0F0F0F0FL,
+      java.lang.Long.parseUnsignedLong("AAAAAAAAAAAAAAAA", 16))
+    val fps: Seq[(Long, Long)] = Seq(
+      (0L, far(0)), (1L, far(1)), (2L, far(2)), (3L, far(3)),
+      (100L, far(0)),                      // clone of 0
+      (101L, far(1)),                      // clone of 1
+      (200L, far(0) ^ bits(5, 40)),        // hamming 2 of 0 -> drops
+      (201L, far(1) ^ bits(0, 1, 2)),      // hamming 3 of 1 -> survives
+      (300L, far(2) ^ bits(0, 1, 16, 17, 32, 33, 48)), // ham 7 of 2
+      (301L, far(3) ^ bits(0, 1, 16, 17, 32, 33, 48, 49))) // ham 8 of 3
+    def bruteDrops(maxHam: Int): Set[Long] =
+      (for {
+        (ida, fa) <- fps; (idb, fb) <- fps
+        if ida < idb && java.lang.Long.bitCount(fa ^ fb) <= maxHam
+      } yield idb).toSet
+    for ((maxHam, expect) <- Seq(
+        (2, Set(100L, 101L, 200L)),
+        (7, Set(100L, 101L, 200L, 201L, 300L)))) {
+      assert(bruteDrops(maxHam) == expect, s"fixture drift at $maxHam")
+      val stream = MemoryStream[(Long, Long)]
+      val banded = graft.llm.Dedup.multiprobeProbeKeysFlagged(
+          stream.toDS.toDF("doc_id", "simhash"), "doc_id")
+        .as[BandedHashRow]
+      val q = StreamOps.nearDedupHashStream(banded, maxHamming = maxHam)
+        .writeStream.format("memory").queryName(s"hashdup$maxHam")
+        .outputMode("append").start()
+      try {
+        stream.addData(fps: _*)
+        q.processAllAvailable()
+        val links = spark.table(s"hashdup$maxHam").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        links.foreach { case (d, kept, ham) =>
+          assert(kept < d && ham <= maxHam, s"bad link ($d, $kept, $ham)")
+        }
+        assert(links.map(_._1).toSet == expect,
+          s"maxHam=$maxHam drop set ${links.map(_._1).toSet} != $expect")
+      } finally q.stop()
+    }
+    // cross-batch: entries persist (batch-2 clone drops against the
+    // batch-1 keeper), keep-first (a later smaller id survives and
+    // takes over the entry's min id for later arrivals)
+    val stream2 = MemoryStream[(Long, Long)]
+    val banded2 = graft.llm.Dedup.multiprobeProbeKeysFlagged(
+        stream2.toDS.toDF("doc_id", "simhash"), "doc_id")
+      .as[BandedHashRow]
+    val q2 = StreamOps.nearDedupHashStream(banded2, maxHamming = 2)
+      .writeStream.format("memory").queryName("hashdup_x")
+      .outputMode("append").start()
+    try {
+      stream2.addData((50L, far(0)))
+      q2.processAllAvailable()
+      stream2.addData((60L, far(0)))
+      q2.processAllAvailable()
+      val links2 = spark.table("hashdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links2.contains((60L, 50L)), s"got $links2")
+      stream2.addData((40L, far(0)))
+      q2.processAllAvailable()
+      val links3 = spark.table("hashdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!links3.exists(_._1 == 40L), s"keep-first violated: $links3")
+      stream2.addData((70L, far(0)))
+      q2.processAllAvailable()
+      val links4 = spark.table("hashdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links4.exists(p => p._1 == 70L && p._2 == 40L), s"got $links4")
+    } finally q2.stop()
+  }
+
+  test("nearDedupHashStream under the RocksDB state store provider: " +
+      "the Map-typed entry state survives a cross-batch RocksDB " +
+      "round-trip (r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")
+    try {
+      val stream = MemoryStream[(Long, Long)]
+      val banded = graft.llm.Dedup.multiprobeProbeKeysFlagged(
+          stream.toDS.toDF("doc_id", "simhash"), "doc_id")
+        .as[BandedHashRow]
+      val q = StreamOps.nearDedupHashStream(banded, maxHamming = 2)
+        .writeStream.format("memory").queryName("hashdup_rocks")
+        .outputMode("append").start()
+      try {
+        stream.addData((10L, 0L))
+        q.processAllAvailable()
+        val op = q.lastProgress.stateOperators(0)
+        assert(op.customMetrics.containsKey("rocksdbGetLatency"),
+          s"RocksDB provider not engaged: ${op.customMetrics.keySet()}")
+        // batch 2: a hamming-1 neighbor must drop against the entry
+        // RELOADED from RocksDB
+        stream.addData((20L, 1L))
+        q.processAllAvailable()
+        val links = spark.table("hashdup_rocks").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(links == Set((20L, 10L)),
+          s"entry lost across RocksDB reload: $links")
+      } finally q.stop()
+    } finally prev match {
+      case Some(p) => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset(
+        "spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("nearDedupStream: TTL horizon evicts idle bucket keepers — a late " +
       "near-dup of an evicted keeper re-emits as a NEW keeper, not a " +
       "drop (r14)") {
