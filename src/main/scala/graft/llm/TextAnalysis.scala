@@ -35,14 +35,21 @@ object TextAnalysis {
   def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
     val nChars = greatest(length(t), lit(1)).cast("double")
-    val words = filter(split(lower(t), "[^\\p{L}]+"), w => length(w) > 0)
+    // languageId's r16 recipe, same two wins: the regex tokenization
+    // is materialized once per row in its own projection (inlined,
+    // n_words / mean_word_len / stopword_ratio would each re-run
+    // split+filter), and the stopword probe is an InSet hash lookup
+    // (isin over literals), not an array scan. Bit-identical results.
+    val tmpWords = "__graft_quality_words"
+    val words = col(tmpWords)
     val nWords = greatest(size(words), lit(1)).cast("double")
-    val stop = array(Stopwords.En.map(lit): _*)
-    val stopHits = size(filter(words, w => array_contains(stop, w)))
+    val stopHits = size(filter(words, w => w.isin(Stopwords.En: _*)))
     val punct = length(t) - length(regexp_replace(t, "[\\p{Punct}]", ""))
     val digits = length(t) - length(regexp_replace(t, "[0-9]", ""))
     val upper = length(t) - length(regexp_replace(t, "[A-Z]", ""))
     df
+      .withColumn(tmpWords,
+        filter(split(lower(t), "[^\\p{L}]+"), w => length(w) > 0))
       .withColumn("n_words", size(words))
       .withColumn("mean_word_len",
         (length(regexp_replace(lower(t), "[^\\p{L}]", "")).cast("double") / nWords))
@@ -57,6 +64,7 @@ object TextAnalysis {
         least(lit(1.0), col("stopword_ratio") * lit(5.0)) *
         (lit(1.0) - least(lit(1.0), col("punct_ratio") * lit(3.0))) *
         (lit(1.0) - least(lit(1.0), col("digit_ratio") * lit(3.0))))
+      .drop(tmpWords)
   }
 
   /** Per-source corpus-quality rollup — the curation-monitoring query
