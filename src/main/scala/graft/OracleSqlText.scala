@@ -343,6 +343,11 @@ private[graft] object OracleSqlText {
     // one expression, exactly perplexityAgainst's coalesce chain.
     "text_perplexity_persisted" -> crossPerplexityOracle,
 
+    // the streaming scorer leg answers the same oracle verbatim: the
+    // streamed stream-static joins + complete-mode aggregate compose
+    // the identical frames as the batch train-then-score path
+    "stream_perplexity" -> crossPerplexityOracle,
+
     "text_perplexity_cross" -> crossPerplexityOracle,
 
     // boilerplate oracle: same planted fixture (banner on doc_id%3=0,

@@ -1914,6 +1914,34 @@ object SparkEntry {
           .localCheckpoint(true)
       } finally deleteRecursively(tmp.toFile)
     }),
+    // ... and the STREAMING leg of the frozen perplexity scorer (r16):
+    // the corpus arrives as a file stream and scores against the
+    // RELOADED model artifact — bigram explode stateless, model/context
+    // joins stream-static, the per-doc aggregate in complete mode
+    // (state = one row per doc, the merge-snapshot contract). The
+    // read-back applies the shared output shaping, so the streamed
+    // scores answer text_perplexity_cross's oracle VERBATIM — the
+    // scorer-artifact families (IVF, BM25, CMS, now the LM) each have
+    // a hash-verified streaming ingest leg.
+    "stream_perplexity" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val train = docs.filter(col("lang") === "en")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_lm_stream")
+      try {
+        val model = LanguageModel.bigramModel(train)
+        val v = train
+          .select(explode(regexp_extract_all(lower(col("text")),
+            lit("[\\p{L}]+"), lit(0))).as("w"))
+          .agg(countDistinct(col("w"))).head().getLong(0)
+        LanguageModel.writeModel(model, v, tmp.toString)
+        val (loaded, lv) = LanguageModel.readModel(s, tmp.toString)
+        runAvailableNow(s,
+          LanguageModel.perplexityAggregates(
+            Sources.documentsStream(s, dir), loaded, lv),
+          outputMode = "complete", sinkWriteMode = "overwrite")(aggs =>
+          LanguageModel.perplexityShape(documents(s, dir), aggs))
+      } finally deleteRecursively(tmp.toFile)
+    }),
 
     // ------------------------------------ §7 boilerplate line removal
     // C4-style frequent-line filter on a planted multi-line fixture:

@@ -86,26 +86,53 @@ object LanguageModel {
       vocabSize: Long,
       textCol: String = "text",
       idCol: String = "doc_id",
+      k: Double = 0.5): DataFrame =
+    perplexityShape(docs,
+      perplexityAggregates(docs, model, vocabSize, textCol, idCol, k),
+      idCol)
+
+  /** The per-doc scoring aggregates of [[perplexityAgainst]], split
+    * out (r16) so the STREAMING leg can run them: every stage is
+    * stream-composable — the bigram explode is stateless, the model
+    * and context joins are stream-static left joins against the
+    * RELOADED artifact, and the per-doc aggregate runs in complete
+    * mode (state = one row per doc seen, the same linear-in-corpus
+    * contract as the merge-snapshot keeper). The batch leg composes
+    * the identical frames, so the streamed scores answer the SAME
+    * oracle as train-then-score ([[crossPerplexity]]). */
+  private[graft] def perplexityAggregates(
+      docs: DataFrame,
+      model: DataFrame,
+      vocabSize: Long,
+      textCol: String = "text",
+      idCol: String = "doc_id",
       k: Double = 0.5): DataFrame = {
     val contexts = model.groupBy(col("w1"))
       .agg(first(col("c1")).as("c1"))
-    val scored = docBigrams(docs, textCol, idCol)
+    docBigrams(docs, textCol, idCol)
       .join(model.select(col("w1"), col("w2"), col("p")),
         Seq("w1", "w2"), "left")
       .join(contexts, Seq("w1"), "left")
       .withColumn("lp", log(coalesce(
         col("p"),
         lit(k) / (coalesce(col("c1"), lit(0L)) + lit(k) * lit(vocabSize.toDouble)))))
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("n_bigrams"),
+        exp(-avg(col("lp"))).as("ppl"))
+  }
+
+  /** Output shaping shared by the batch and streaming legs: docs with
+    * fewer than 2 tokens score no bigrams and surface as (0, null) —
+    * the left join back to the full corpus makes that explicit. */
+  private[graft] def perplexityShape(
+      docs: DataFrame,
+      aggs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
     docs.select(col(idCol))
-      .join(
-        scored.groupBy(col(idCol)).agg(
-          count(lit(1)).as("n_bigrams"),
-          exp(-avg(col("lp"))).as("ppl")),
-        Seq(idCol), "left")
+      .join(aggs, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         round(col("ppl"), 6).as("ppl"))
-  }
 
   /** Train-on-A score-B: fit the bigram model (and its vocab size) on
     * `trainDocs`, score `scoreDocs` — the CCNet deployment shape (a

@@ -105,6 +105,34 @@ class LanguageModelSpec extends SparkSpec {
     }
   }
 
+  test("streaming scorer leg: complete-mode aggregates over TWO " +
+      "micro-batches + shared shaping == batch perplexityAgainst (r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val model = LanguageModel.bigramModel(corpus)
+    val expected = LanguageModel.perplexityAgainst(corpus, model, 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+    val stream = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = LanguageModel.perplexityAggregates(
+        stream.toDS.toDF("doc_id", "text"), model, 3L)
+      .writeStream.format("memory").queryName("ppl_stream")
+      .outputMode("complete").start()
+    try {
+      stream.addData((1L, "a b a b"), (3L, "c"))
+      q.processAllAvailable()
+      stream.addData((2L, "a b")) // second batch re-emits the snapshot
+      q.processAllAvailable()
+      val got = LanguageModel.perplexityShape(
+          corpus, spark.table("ppl_stream"))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+      assert(got == expected, s"streamed $got != batch $expected")
+    } finally q.stop()
+  }
+
   test("perplexityFilter keeps low-ppl and unscorable docs") {
     val kept = LanguageModel.perplexityFilter(corpus, maxPpl = 1.3)
       .select("doc_id").collect().map(_.getLong(0)).toSet
