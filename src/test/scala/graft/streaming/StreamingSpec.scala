@@ -623,6 +623,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupHashStream: TTL horizon evicts idle bucket entries — " +
+      "a late clone of an evicted fingerprint re-enters as a fresh " +
+      "keeper, not a drop (r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // same two ProcessingTimeTimeout facts as the Jaccard twin's TTL
+    // test: a real trigger interval is load-bearing, and
+    // processAllAvailable() never returns on a TTL'd query — await
+    // committed source offsets instead
+    val stream = MemoryStream[(Long, Long)]
+    val banded = graft.llm.Dedup.multiprobeProbeKeysFlagged(
+        stream.toDS.toDF("doc_id", "simhash"), "doc_id")
+      .as[BandedHashRow]
+    val q = StreamOps.nearDedupHashStream(banded, maxHamming = 2,
+        ttl = Some("2 seconds"))
+      .writeStream.format("memory").queryName("hashdup_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("200 milliseconds"))
+      .start()
+    def awaitOffset(target: String): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (System.currentTimeMillis < deadline &&
+          !Option(q.lastProgress).exists(p =>
+            p.sources.headOption.exists(s =>
+              Option(s.endOffset).contains(target))))
+        Thread.sleep(100)
+      assert(Option(q.lastProgress).exists(p =>
+          p.sources.headOption.exists(s =>
+            Option(s.endOffset).contains(target))),
+        s"timed out awaiting source offset $target; " +
+          s"lastProgress=${Option(q.lastProgress).map(_.json)}")
+    }
+    try {
+      awaitOffset(stream.addData((50L, 0L)).json)
+      Thread.sleep(3500) // horizon lapses; 50's bucket entries evict
+      // 60 (clone of evicted 50) re-enters as a fresh keeper, not a
+      // drop; 70 links to the NEW keeper 60 within the same batch
+      awaitOffset(stream.addData((60L, 0L), (70L, 0L)).json)
+      val links = spark.table("hashdup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!links.exists(_._1 == 60L),
+        s"evicted entry still dropping: $links")
+      assert(links.exists(p => p._1 == 70L && p._2 == 60L), s"got $links")
+      assert(!links.exists(_._2 == 50L), s"evicted entry cited: $links")
+      // inside the renewed horizon, the persisted entry IS 60
+      awaitOffset(stream.addData((80L, 0L)).json)
+      val links2 = spark.table("hashdup_ttl").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links2.exists(p => p._1 == 80L && p._2 == 60L), s"got $links2")
+    } finally q.stop()
+  }
+
   test("nearDedupStream under the RocksDB state store provider: the " +
       "documented at-scale provider runs the same keeper machine — " +
       "single-batch drops equal brute-force keep-min, and the " +
