@@ -9,6 +9,16 @@ private[graft] object OracleSqlRelational {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
+  // Co-located bucketed join (ingest + steady-state twins): the
+  // oracle is the PLAIN join+group-by — physical bucketing changes
+  // the plan, never the result.
+  private val bucketedJoinOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
+
   val all: Map[String, String] = Map(
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events
@@ -182,12 +192,11 @@ private[graft] object OracleSqlRelational {
 
     // Co-located bucketed join: the oracle is the PLAIN join+group-by
     // — physical bucketing changes the plan, never the result.
-    "layout_bucketed_join" ->
-      """SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  ROUND(SUM(l_quantity), 2) AS sum_qty,
-        |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1""".stripMargin,
+    "layout_bucketed_join" -> bucketedJoinOracle,
+
+    // steady-state twin: identical result — only the plan differs
+    // (pre-built bucketed tables, no ingest writes in the row)
+    "layout_bucketed_join_steady" -> bucketedJoinOracle,
 
     "lineitem_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

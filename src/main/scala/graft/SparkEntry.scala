@@ -346,6 +346,31 @@ object SparkEntry {
     } finally names.foreach(n => s.sql(s"DROP TABLE IF EXISTS `$n`"))
   }
 
+  // Co-located join STEADY-STATE tables: write the bucketed lineitem +
+  // orders pair once per (dir) per JVM, so the registered steady row
+  // measures the repeated query (the Exchange-free join) and not the
+  // one-time ingest the _ingest twin prices — the text_bm25_write /
+  // text_bm25_persisted split applied to physical layout. The JVM-exit
+  // hook drops the catalog entries.
+  private val bucketedJoinTableCache =
+    new scala.collection.concurrent.TrieMap[String, (String, String)]
+  private def cachedBucketedJoinTables(
+      s: SparkSession, dir: String): (String, String) =
+    bucketedJoinTableCache.getOrElseUpdate(dir, {
+      val suffix = java.util.UUID.randomUUID.toString.replace("-", "_")
+      val (tl, to) = (s"graft_bjs_l_$suffix", s"graft_bjs_o_$suffix")
+      Sources.writeBucketed(lineitem(s, dir)
+        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount"),
+        tl, "l_orderkey")
+      Sources.writeBucketed(Sources.parquetTable(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority"), to, "o_orderkey")
+      sys.addShutdownHook {
+        s.sql(s"DROP TABLE IF EXISTS `$tl`")
+        s.sql(s"DROP TABLE IF EXISTS `$to`")
+      }
+      (tl, to)
+    })
+
   /** Project ML Vector columns to scalar element columns `name_0..name_{n-1}`
     * so the verify dump contains no array-typed columns (driver pandas
     * diff requirement). Sizes are static per query — the assembled
@@ -1872,6 +1897,15 @@ object SparkEntry {
           s.table(names(0)), s.table(names(1)))
           .localCheckpoint(true)
       }
+    }),
+    // ... and the STEADY-STATE twin: same join, but over bucketed
+    // tables written once per (dir) — the cost a 100 TB deployment
+    // actually pays per query once ingest has bucketed the facts
+    // (the text_bm25_write / text_bm25_persisted split applied to
+    // layout). Shares layout_bucketed_join's oracle verbatim.
+    "layout_bucketed_join_steady" -> ((s, dir) => {
+      val (tl, to) = cachedBucketedJoinTables(s, dir)
+      operators.Relational.orderPrioritySummary(s.table(tl), s.table(to))
     }),
 
     // ------------------------------------- §7 perplexity quality signal
