@@ -408,6 +408,33 @@ private[graft] object OracleSqlDedup {
         |FROM base a JOIN base b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.e, b.e) >= 0.99""".stripMargin,
 
+    // Streaming cosine keeper (r16): brute-force keep-min survivors
+    // at cosine >= 0.99 over the corpus + the three in-flight planted
+    // vectors — exact on this fixture for the dedup_embedding_pairs
+    // reasons (seeded LSH recall, thresholds far from every cosine).
+    "stream_embed_near" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+        |), planted AS (
+        |  SELECT vec_id, e FROM base
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), list_prepend(e[1] + 1e-4, e[2:])
+        |  FROM base WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT CAST(900002 AS BIGINT), list_transform(e, x -> -x)
+        |  FROM base WHERE vec_id = 5
+        |  UNION ALL
+        |  SELECT CAST(900003 AS BIGINT),
+        |    list_prepend(-e[1] + 1e-4, list_transform(e[2:], x -> -x))
+        |  FROM base WHERE vec_id = 5
+        |), drops AS (
+        |  SELECT DISTINCT b.vec_id FROM planted a JOIN planted b
+        |  ON a.vec_id < b.vec_id
+        |    AND list_cosine_similarity(a.e, b.e) >= 0.99
+        |)
+        |SELECT vec_id FROM planted
+        |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin,
+
     "dedup_embedding_incremental" ->
       """WITH base AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings

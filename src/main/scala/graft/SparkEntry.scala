@@ -989,6 +989,52 @@ object SparkEntry {
             .localCheckpoint(true)
       }
     }),
+    // ... and the embedding STREAMING twin (r16), completing the
+    // streaming dedup quartet (exact / Jaccard / Hamming / cosine):
+    // the corpus + the same three in-flight planted vectors arrive as
+    // a file stream (planted rows derived FROM the stream — union of
+    // streaming frames), LSH banding is a stateless projection, and
+    // the cosine keeper machine emits drop links verified by exact
+    // cosine in-state. Oracle = brute-force keep-min survivor rules —
+    // exact on this fixture for the dedup_embedding_pairs reasons
+    // (seeded 4×12-bit recall ~1-1e-8 per pair, thresholds far from
+    // every pair's cosine so JVM/DuckDB summation ulps cannot flip a
+    // classification).
+    "stream_embed_near" -> ((s, dir) => {
+      import s.implicits._
+      val base = Sources.embeddingsStream(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val e0 = base.filter(col("vec_id") === 0L)
+      val e5 = base.filter(col("vec_id") === 5L)
+      val planted = base
+        .unionByName(e0.select(lit(900001L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+            .as("embedding")))
+        .unionByName(e5.select(lit(900002L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(e5.select(lit(900003L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
+            .as("embedding")))
+      val banded = Dedup.embeddingBandedVecs(planted,
+          numTables = 4, bitsPerTable = 12)
+        .as[graft.streaming.BandedVecRow]
+      runAvailableNow(s,
+        StreamOps.nearDedupCosineStream(banded, minCosine = 0.99).toDF(),
+        outputMode = "append", sinkWriteMode = "append") { links =>
+        val b = embeddings(s, dir).select(col("vec_id"))
+        val ids = b
+          .unionByName(b.filter(col("vec_id") === 0L)
+            .select(lit(900001L).as("vec_id")))
+          .unionByName(b.filter(col("vec_id") === 5L)
+            .select(lit(900002L).as("vec_id")))
+          .unionByName(b.filter(col("vec_id") === 5L)
+            .select(lit(900003L).as("vec_id")))
+        ids.join(links.select(col("vec_id")).distinct(),
+          Seq("vec_id"), "left_anti")
+      }
+    }),
     // Copied-passage candidates, hash-EXACT since r9: the gear-hash
     // CDC arithmetic is re-implemented in DuckDB SQL (splitmix64 gear
     // table + recursive per-byte scan — see the oracleSql entry), so

@@ -2167,6 +2167,28 @@ object Dedup {
       // runs once
       .repartition(col("bk"))
 
+  /** [[embeddingBandKeys]] with the vector riding along —
+    * `(idCol, e, bk)`, the input shape of
+    * [[graft.streaming.StreamOps.nearDedupCosineStream]] (the
+    * STREAMING embedding near-dup keeper, whose in-state verification
+    * needs the vectors, the way [[minhashBandedShingles]] carries the
+    * shingle sets for the Jaccard keeper). Pure stateless projection +
+    * explode, so it runs on a `readStream` frame unchanged; null
+    * embeddings emit nothing. Keys are comparable only between frames
+    * built with identical (tables, bits, seed). */
+  def embeddingBandedVecs(
+      df: DataFrame,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      numTables: Int = 8,
+      bitsPerTable: Int = 16,
+      seed: Long = 42L): DataFrame =
+    cleanVecs(df, embCol, idCol)
+      .select(col(idCol), col("e"),
+        explode(HyperplaneSignature(col("e"), numTables, bitsPerTable, seed))
+          .as("bk"))
+      .repartition(col("bk"))
+
   /** Incremental embedding near-dup dedup — the cosine member of the
     * incremental trio ([[exactIncremental]], [[minhashIncremental]]):
     * returns the rows of `newVecs` that survive dropping (a) every

@@ -75,6 +75,23 @@ final case class HashNearLink(doc_id: Long, kept_id: Long, hamming: Int)
   * fingerprint corpus-wide; clones collapse into one entry). */
 final case class HashBucketEntries(entries: Map[Long, Long])
 
+/** One (vector, LSH band) row — [[graft.llm.Dedup.embeddingBandedVecs]]'s
+  * shape, the input of [[StreamOps.nearDedupCosineStream]]: `bk` is
+  * one of the vector's hyperplane-signature table keys and `e` is the
+  * vector itself, carried so in-state verification never re-reads the
+  * corpus. */
+final case class BandedVecRow(vec_id: Long, e: Seq[Double], bk: Long)
+
+/** A verified near-duplicate link from
+  * [[StreamOps.nearDedupCosineStream]]: `vec_id` is attributed to the
+  * earlier/smaller `kept_id` at exact cosine ≥ the threshold. */
+final case class VecNearLink(vec_id: Long, kept_id: Long)
+
+/** Per-bucket keeper state for [[StreamOps.nearDedupCosineStream]]:
+  * the smallest vec id seen in the bucket so far, with its vector —
+  * [[BucketKeeper]]'s shape on the cosine modality. */
+final case class VecBucketKeeper(id: Long, e: Seq[Double])
+
 /** Structured-Streaming-first transforms. Each function is written
   * against the unified DataFrame API so the SAME code path serves batch
   * (driver verify/bench, DuckDB-oracle-checkable) and `readStream`
@@ -698,6 +715,88 @@ object StreamOps {
             if (entries.nonEmpty) {
               state.update(HashBucketEntries(entries))
               // any batch touching the bucket renews its horizon
+              ttl.foreach(state.setTimeoutDuration)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** STREAMING cosine near-duplicate dedup — the EMBEDDING modality's
+    * keeper machine, completing the streaming dedup quartet (exact
+    * [[dedupStream]], Jaccard [[nearDedupStream]], Hamming
+    * [[nearDedupHashStream]], cosine here): hyperplane-LSH banded
+    * rows group by bucket, each vector verifies by EXACT cosine
+    * against the bucket's KEEPER (min id seen, vector carried in
+    * state) and its in-batch PREDECESSOR — the [[nearDedupStream]]
+    * keeper+predecessor chain verbatim, with a dot-product loop where
+    * the Jaccard twin runs a merge scan. Emits verified
+    * (vec_id, kept_id) links, append mode; survivors = corpus minus
+    * the distinct link vec_ids.
+    *
+    * Semantics are the Jaccard keeper's verbatim: KEEP-FIRST by
+    * arrival, keep-min within a batch; run under Trigger.AvailableNow
+    * the drop set equals the batch star-link drop set, which equals
+    * brute-force keep-min on fixtures where LSH recall is complete at
+    * the threshold (the dedup_embedding_pairs precedent: at
+    * cosine ≥ 0.99 and 4×12-bit seeded tables the per-pair miss
+    * probability is ~1e-8, and every pair's cosine sits far from the
+    * threshold so a JVM dot-product loop and the oracle's
+    * list_cosine_similarity classify identically despite summation-
+    * order ulps). Scale contract: per-row WORK is ≤ 2 verifications
+    * (each one O(dim)); per-bucket STATE is one keeper row carrying a
+    * dim-double vector, ~`numTables` buckets per distinct vector —
+    * linear in distinct vectors seen, the [[nearDedupStream]] growth
+    * law with a fixed-size payload instead of a shingle set. The same
+    * two run-forever options apply (`ttl` horizon / RocksDB provider). */
+  def nearDedupCosineStream(
+      banded: Dataset[BandedVecRow],
+      minCosine: Double = 0.99,
+      ttl: Option[String] = None): Dataset[VecNearLink] = {
+    import banded.sparkSession.implicits._
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val av = a.toArray
+      val bv = b.toArray
+      if (av.length != bv.length) return -1.0
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < av.length) {
+        dot += av(i) * bv(i); na += av(i) * av(i); nb += bv(i) * bv(i)
+        i += 1
+      }
+      val d = math.sqrt(na) * math.sqrt(nb)
+      if (d == 0.0) -1.0 else dot / d
+    }
+    val timeoutConf =
+      if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    banded.groupByKey(_.bk)
+      .flatMapGroupsWithState[VecBucketKeeper, VecNearLink](
+        OutputMode.Append, timeoutConf) {
+        case (_, it: Iterator[BandedVecRow],
+            state: GroupState[VecBucketKeeper]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toArray.sortBy(_.vec_id)
+            val out = scala.collection.mutable.ArrayBuffer.empty[VecNearLink]
+            var keeper = state.getOption
+            var prev: Option[BandedVecRow] = None
+            sorted.foreach { v =>
+              val candidates =
+                (keeper.map(k => (k.id, k.e)).toSeq ++
+                  prev.map(p => (p.vec_id, p.e)).toSeq)
+                  .filter(_._1 < v.vec_id)
+                  .distinctBy(_._1)
+              candidates.foreach { case (cid, ce) =>
+                if (cos(v.e, ce) >= minCosine) out += VecNearLink(v.vec_id, cid)
+              }
+              if (keeper.forall(_.id > v.vec_id))
+                keeper = Some(VecBucketKeeper(v.vec_id, v.e))
+              prev = Some(v)
+            }
+            keeper.foreach { k =>
+              state.update(k)
               ttl.foreach(state.setTimeoutDuration)
             }
             out.iterator

@@ -623,6 +623,79 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("nearDedupCosineStream: one-batch drop set == brute-force " +
+      "keep-min at cosine 0.99; cross-batch keeper keeps first-arrived " +
+      "(r16)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // four mutually-far unit-ish vectors; clones and a nudged near-dup
+    // must collapse, a negation must survive
+    val d = 8
+    def unit(i: Int): Seq[Double] =
+      Seq.tabulate(d)(j => if (j == i) 1.0 else 0.0)
+    val vecs: Seq[(Long, Seq[Double])] = Seq(
+      (0L, unit(0)), (1L, unit(1)), (2L, unit(2)), (3L, unit(3)),
+      (100L, unit(0)),                                 // clone of 0
+      (200L, unit(1).updated(0, 1e-4)),                // near-dup of 1
+      (300L, unit(2).map(-_)))                         // negation: far
+    def cosine(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expect = (for {
+      (ida, va) <- vecs; (idb, vb) <- vecs
+      if ida < idb && cosine(va, vb) >= 0.99
+    } yield idb).toSet
+    assert(expect == Set(100L, 200L), s"fixture drift: $expect")
+    val stream = MemoryStream[(Long, Seq[Double])]
+    val banded = graft.llm.Dedup.embeddingBandedVecs(
+        stream.toDS.toDF("vec_id", "embedding"),
+        numTables = 4, bitsPerTable = 12)
+      .as[BandedVecRow]
+    val q = StreamOps.nearDedupCosineStream(banded, minCosine = 0.99)
+      .writeStream.format("memory").queryName("cosdup")
+      .outputMode("append").start()
+    try {
+      stream.addData(vecs: _*)
+      q.processAllAvailable()
+      val links = spark.table("cosdup").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      links.foreach { case (v, kept) => assert(kept < v) }
+      assert(links.map(_._1).toSet == expect,
+        s"drop set ${links.map(_._1).toSet} != $expect")
+    } finally q.stop()
+    // cross-batch: keeper persists; keep-first (a later smaller id
+    // survives and becomes the keeper for later arrivals)
+    val stream2 = MemoryStream[(Long, Seq[Double])]
+    val banded2 = graft.llm.Dedup.embeddingBandedVecs(
+        stream2.toDS.toDF("vec_id", "embedding"),
+        numTables = 4, bitsPerTable = 12)
+      .as[BandedVecRow]
+    val q2 = StreamOps.nearDedupCosineStream(banded2, minCosine = 0.99)
+      .writeStream.format("memory").queryName("cosdup_x")
+      .outputMode("append").start()
+    try {
+      stream2.addData((50L, unit(0)))
+      q2.processAllAvailable()
+      stream2.addData((60L, unit(0)))
+      q2.processAllAvailable()
+      val links2 = spark.table("cosdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links2.contains((60L, 50L)), s"got $links2")
+      stream2.addData((40L, unit(0)))
+      q2.processAllAvailable()
+      val links3 = spark.table("cosdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!links3.exists(_._1 == 40L), s"keep-first violated: $links3")
+      stream2.addData((70L, unit(0)))
+      q2.processAllAvailable()
+      val links4 = spark.table("cosdup_x").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(links4.exists(p => p._1 == 70L && p._2 == 40L), s"got $links4")
+    } finally q2.stop()
+  }
+
   test("nearDedupHashStream: TTL horizon evicts idle bucket entries — " +
       "a late clone of an evicted fingerprint re-enters as a fresh " +
       "keeper, not a drop (r16)") {
