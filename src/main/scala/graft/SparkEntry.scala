@@ -364,9 +364,18 @@ object SparkEntry {
         tl, "l_orderkey")
       Sources.writeBucketed(Sources.parquetTable(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority"), to, "o_orderkey")
+      // capture the managed locations NOW: at JVM exit the session may
+      // already be stopped, and a failed DROP would otherwise leak the
+      // UUID-named warehouse dirs across JVMs (file delete as fallback)
+      val locs = Seq(tl, to).map(t => new java.io.File(
+        s.sessionState.catalog.defaultTablePath(
+          s.sessionState.sqlParser.parseTableIdentifier(t))))
       sys.addShutdownHook {
-        s.sql(s"DROP TABLE IF EXISTS `$tl`")
-        s.sql(s"DROP TABLE IF EXISTS `$to`")
+        Seq(tl, to).foreach { t =>
+          try s.sql(s"DROP TABLE IF EXISTS `$t`")
+          catch { case _: Throwable => () }
+        }
+        locs.foreach(f => if (f.exists()) deleteRecursively(f))
       }
       (tl, to)
     })
