@@ -319,14 +319,8 @@ object SparkEntry {
     * `body` must materialize its result (localCheckpoint) — the frame
     * it returns may not reference the dropped table lazily. */
   private def withBucketedBands(s: SparkSession, prefix: String,
-      bands: DataFrame)(body: String => DataFrame): DataFrame = {
-    val table =
-      prefix + "_" + java.util.UUID.randomUUID.toString.replace("-", "_")
-    try {
-      Sources.writeBucketed(bands, table, "bk")
-      body(table)
-    } finally s.sql(s"DROP TABLE IF EXISTS `$table`")
-  }
+      bands: DataFrame)(body: String => DataFrame): DataFrame =
+    withBucketedTables(s, prefix, Seq((bands, "bk")))(ns => body(ns.head))
 
   /** [[withBucketedBands]] generalized to several (frame, bucket key)
     * pairs — the co-located-join demonstration needs BOTH fact sides
@@ -347,16 +341,21 @@ object SparkEntry {
   }
 
   // Co-located join STEADY-STATE tables: write the bucketed lineitem +
-  // orders pair once per (dir) per JVM, so the registered steady row
-  // measures the repeated query (the Exchange-free join) and not the
-  // one-time ingest the _ingest twin prices — the text_bm25_write /
-  // text_bm25_persisted split applied to physical layout. The JVM-exit
-  // hook drops the catalog entries.
+  // orders pair once per (dir) per session, so the registered steady
+  // row measures the repeated query (the Exchange-free join) and not
+  // the one-time ingest the _ingest twin prices — the text_bm25_write /
+  // text_bm25_persisted split applied to physical layout. Keyed by
+  // (SparkContext, dir) like the ANN caches: managed tables live in the
+  // session's in-memory catalog, so a dir-only key would serve dead
+  // table names to a second SparkSession in the same JVM (Verify then
+  // Bench in one sbt shell). The JVM-exit hook drops the catalog
+  // entries with a file-delete fallback.
   private val bucketedJoinTableCache =
     new scala.collection.concurrent.TrieMap[String, (String, String)]
   private def cachedBucketedJoinTables(
-      s: SparkSession, dir: String): (String, String) =
-    bucketedJoinTableCache.getOrElseUpdate(dir, {
+      s: SparkSession, dir: String): (String, String) = {
+    pruneStale(bucketedJoinTableCache, s.sparkContext.applicationId)
+    bucketedJoinTableCache.getOrElseUpdate(annCacheKey(s, dir), {
       val suffix = java.util.UUID.randomUUID.toString.replace("-", "_")
       val (tl, to) = (s"graft_bjs_l_$suffix", s"graft_bjs_o_$suffix")
       Sources.writeBucketed(lineitem(s, dir)
@@ -379,6 +378,29 @@ object SparkEntry {
       }
       (tl, to)
     })
+  }
+
+  /** Train the bigram LM on the English slice, persist the artifact,
+    * reload it, and run `body` against the (model, vocabSize) pair —
+    * the shared train/persist/reload preamble of
+    * text_perplexity_persisted and its streaming leg (one copy, so the
+    * vocab tokenizer and artifact layout can never desynchronize
+    * between the two rows that share an oracle). */
+  private def withReloadedLm(s: SparkSession, dir: String)(
+      body: (DataFrame, Long) => DataFrame): DataFrame = {
+    val train = documents(s, dir).filter(col("lang") === "en")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lm")
+    try {
+      val model = LanguageModel.bigramModel(train)
+      val v = train
+        .select(explode(regexp_extract_all(lower(col("text")),
+          lit("[\\p{L}]+"), lit(0))).as("w"))
+        .agg(countDistinct(col("w"))).head().getLong(0)
+      LanguageModel.writeModel(model, v, tmp.toString)
+      val (loaded, lv) = LanguageModel.readModel(s, tmp.toString)
+      body(loaded, lv)
+    } finally deleteRecursively(tmp.toFile)
+  }
 
   /** Project ML Vector columns to scalar element columns `name_0..name_{n-1}`
     * so the verify dump contains no array-typed columns (driver pandas
@@ -1784,10 +1806,13 @@ object SparkEntry {
     // presences register fingerprint→min-id entries, every probe row
     // verifies by bit_count) emits the drop links. Unlike the Jaccard
     // keeper, the drop set equals brute-force keep-min BY CONSTRUCTION
-    // (pigeonhole recall + full-Hamming verify, no chain escapes), so
+    // under AvailableNow's id-sorted single batch (pigeonhole recall +
+    // full-Hamming verify in-state, no predecessor-chain escapes), so
     // the oracle is the all-pairs keep-min survivor SQL — exact on any
-    // fixture, not just this one. Survivors read back in phash shape,
-    // re-proving the fingerprint arithmetic.
+    // FIXTURE run this way, with the usual keep-first contract across
+    // live out-of-order micro-batches (see the operator scaladoc).
+    // Survivors read back in phash shape, re-proving the fingerprint
+    // arithmetic.
     "stream_phash_near" -> ((s, dir) => {
       import s.implicits._
       val banded = Multimodal.dHashStreamBanded(
@@ -1987,22 +2012,11 @@ object SparkEntry {
     // nightly-scoring deployment. Shares text_perplexity_cross's
     // oracle verbatim (the round-trip must be the identity), so model
     // persistence is hash-verified like the IVF/BM25 index round-trips.
-    "text_perplexity_persisted" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val train = docs.filter(col("lang") === "en")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lm")
-      try {
-        val model = LanguageModel.bigramModel(train)
-        val v = train
-          .select(explode(regexp_extract_all(lower(col("text")),
-            lit("[\\p{L}]+"), lit(0))).as("w"))
-          .agg(countDistinct(col("w"))).head().getLong(0)
-        LanguageModel.writeModel(model, v, tmp.toString)
-        val (loaded, lv) = LanguageModel.readModel(s, tmp.toString)
-        LanguageModel.perplexityAgainst(docs, loaded, lv)
+    "text_perplexity_persisted" -> ((s, dir) =>
+      withReloadedLm(s, dir) { (loaded, lv) =>
+        LanguageModel.perplexityAgainst(documents(s, dir), loaded, lv)
           .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
-    }),
+      }),
     // ... and the STREAMING leg of the frozen perplexity scorer (r16):
     // the corpus arrives as a file stream and scores against the
     // RELOADED model artifact — bigram explode stateless, model/context
@@ -2012,25 +2026,14 @@ object SparkEntry {
     // scores answer text_perplexity_cross's oracle VERBATIM — the
     // scorer-artifact families (IVF, BM25, CMS, now the LM) each have
     // a hash-verified streaming ingest leg.
-    "stream_perplexity" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val train = docs.filter(col("lang") === "en")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_lm_stream")
-      try {
-        val model = LanguageModel.bigramModel(train)
-        val v = train
-          .select(explode(regexp_extract_all(lower(col("text")),
-            lit("[\\p{L}]+"), lit(0))).as("w"))
-          .agg(countDistinct(col("w"))).head().getLong(0)
-        LanguageModel.writeModel(model, v, tmp.toString)
-        val (loaded, lv) = LanguageModel.readModel(s, tmp.toString)
+    "stream_perplexity" -> ((s, dir) =>
+      withReloadedLm(s, dir) { (loaded, lv) =>
         runAvailableNow(s,
           LanguageModel.perplexityAggregates(
             Sources.documentsStream(s, dir), loaded, lv),
           outputMode = "complete", sinkWriteMode = "overwrite")(aggs =>
           LanguageModel.perplexityShape(documents(s, dir), aggs))
-      } finally deleteRecursively(tmp.toFile)
-    }),
+      }),
 
     // ------------------------------------ §7 boilerplate line removal
     // C4-style frequent-line filter on a planted multi-line fixture:

@@ -1653,14 +1653,22 @@ object Dedup {
     * the batch side with the bucketed history table. */
   private[graft] def multiprobeProbeKeys(fps: DataFrame,
       idCol: String): DataFrame =
+    // the explicit exchange is the batch callers' (history equi-join)
+    // discipline; the streaming keeper path skips it — groupByKey
+    // shuffles on its own extracted key anyway, so a repartition here
+    // would be a second back-to-back Exchange of the 68× explode
     multiprobeProbeKeysFlagged(fps, idCol).drop("exact")
+      .repartition(col("bk"))
 
   /** [[multiprobeProbeKeys]] keeping the per-row `exact` flag (true on
-    * the 4 unflipped block-key rows). The STREAMING near-dup keeper
-    * needs it: per bucket only EXACT presences register in state (the
-    * [[exactBlockKeys]] history layout — 4 state entries per doc, not
-    * 68) while every probe row still checks the bucket's entries, so
-    * the pigeonhole recall argument carries over unchanged. */
+    * the 4 unflipped block-key rows) and WITHOUT the trailing
+    * exchange. The STREAMING near-dup keeper needs both: per bucket
+    * only EXACT presences register in state (the [[exactBlockKeys]]
+    * history layout — 4 state entries per doc, not 68) while every
+    * probe row still checks the bucket's entries, so the pigeonhole
+    * recall argument carries over unchanged; and its `groupByKey(_.bk)`
+    * plans its own Exchange on the extracted key, which a repartition
+    * by the column cannot satisfy — the minhashBandedShingles rule. */
   private[graft] def multiprobeProbeKeysFlagged(fps: DataFrame,
       idCol: String): DataFrame = {
     val bands = 4
@@ -1676,7 +1684,6 @@ object Dedup {
         explode(array(probeStructs: _*)).as("p"))
       .select(col(idCol), col("simhash"),
         col("p.bk").as("bk"), col("p.exact").as("exact"))
-      .repartition(col("bk"))
   }
 
   /** Persistable history band keys for [[simhashIncremental]] —
@@ -2183,11 +2190,14 @@ object Dedup {
       numTables: Int = 8,
       bitsPerTable: Int = 16,
       seed: Long = 42L): DataFrame =
+    // no repartition: the keeper's groupByKey(_.bk) plans its own
+    // Exchange on the extracted key (the minhashBandedShingles rule) —
+    // a repartition by the column here would be a second back-to-back
+    // shuffle of the heaviest payload (vectors riding every band row)
     cleanVecs(df, embCol, idCol)
       .select(col(idCol), col("e"),
         explode(HyperplaneSignature(col("e"), numTables, bitsPerTable, seed))
           .as("bk"))
-      .repartition(col("bk"))
 
   /** Incremental embedding near-dup dedup — the cosine member of the
     * incremental trio ([[exactIncremental]], [[minhashIncremental]]):

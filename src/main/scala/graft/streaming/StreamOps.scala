@@ -642,16 +642,23 @@ object StreamOps {
     *
     * Unlike the Jaccard keeper (keeper + predecessor chain, drop-set
     * equality with brute-force keep-min is a FIXTURE property there),
-    * this machine's drop set equals brute-force keep-min EXACTLY, by
-    * construction: a pair c < d within `maxHamming` ≤ 7 has a 16-bit
-    * block differing in ≤ 1 bit (pigeonhole), so some bucket holds
-    * c's EXACT key met by d's probe set — c's entry (min id ≤ c < d)
-    * is registered when d arrives (state from an earlier batch, or
-    * earlier in id order within the batch), and the full-Hamming
-    * check admits exactly the true pairs. Conversely every emitted
-    * link re-verified against real fingerprints, so no false drops.
-    * `xxhash64` bucket collisions only ADD verification work, never
-    * lose a pair.
+    * this machine's drop set equals brute-force keep-min EXACTLY —
+    * by construction, PROVIDED ids are seen in order (one batch under
+    * `Trigger.AvailableNow`, where the group iterator is id-sorted,
+    * or any id-ordered arrival): a pair c < d within `maxHamming` ≤ 7
+    * has a 16-bit block differing in ≤ 1 bit (pigeonhole), so some
+    * bucket holds c's EXACT key met by d's probe set — c's entry
+    * (min id ≤ c < d) is registered when d arrives, and the
+    * full-Hamming check admits exactly the true pairs; no chain
+    * escapes, unlike the predecessor-chain twin. Conversely every
+    * emitted link is re-verified against real fingerprints, so no
+    * false drops. Across LIVE micro-batches with out-of-id-order
+    * arrival the contract degrades to the same KEEP-FIRST every
+    * streaming dedup here has ([[dedupStream]], [[nearDedupStream]]):
+    * a later-arriving smaller id takes over the entry without
+    * retroactively dropping the earlier larger one (StreamingSpec
+    * pins exactly this). `xxhash64` bucket collisions only ADD
+    * verification work, never lose a pair.
     *
     * Scale contract: per-row WORK is the bucket's distinct-entry
     * count (the same candidate volume the batch multiprobe join
