@@ -127,24 +127,42 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
+    // One timed execution: (seconds, Some(outputRowCount) | None-on-failure).
+    // The count() it already forces to materialize the plan IS the output
+    // volume — recording it (r16 verdict item 2) lets any later round
+    // compute sec/output-row and separate "query got slower" from "fixture
+    // emits more rows" without trusting hand-written PLANS.md tables.
+    def timedRun(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Option[Long]) = {
+      // per-query isolation: cached fold/CV blocks from one query must
+      // not occupy (or re-register, cf. the r4 "block already exists"
+      // churn) block-manager state while a later query is timed
+      spark.catalog.clearCache()
+      // ... and stale stream metrics must not attribute to a later
+      // stream query whose own run failed before reaching the sink
+      SparkEntry.lastStreamMetrics = None
+      val t0 = System.nanoTime()
+      val cnt = try { Some(fn(spark, sfDir).count()) } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+      ((System.nanoTime() - t0) / 1e9, cnt)
+    }
+    case class QueryResult(name: String, sec: Double, ok: Boolean,
+      runs: Seq[Double], outRows: Option[Long], streamState: Option[String])
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val nRuns = if (baselineSet(name)) 3 else 2
-      val runs = (1 to nRuns).map { _ =>
-        // per-query isolation: cached fold/CV blocks from one query must
-        // not occupy (or re-register, cf. the r4 "block already exists"
-        // churn) block-manager state while a later query is timed
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true } catch {
-          case e: Throwable =>
-            System.err.println(
-              s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-            false
-        }
-        ((System.nanoTime() - t0) / 1e9, ok)
-      }
-      val ok = runs.forall(_._2)
-      (name, runs.map(_._1).min, ok, runs.map(_._1))
+      val runs = (1 to nRuns).map(_ => timedRun(name, fn))
+      // r16 verdict item 4: the state-operator metrics of the query's
+      // last stream run ride into the artifact — state rows vs distinct
+      // docs and commit/update time vs wall time, machine-checkable
+      val streamState =
+        if (name.startsWith("stream_")) SparkEntry.lastStreamMetrics
+        else None
+      QueryResult(name, runs.map(_._1).min, runs.forall(_._2.isDefined),
+        runs.map(_._1), runs.flatMap(_._2).lastOption, streamState)
     }
     // 4-decimal (0.1 ms) precision: full doubles ballooned the JSON
     // line past the driver's tail-capture window (BENCH_r09 landed
@@ -152,26 +170,36 @@ object Bench {
     // noise on a shared box anyway
     def r4(v: Double): String = BigDecimal(v)
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v, ok, _) =>
-      "\"" + k + "\":" + (if (ok) r4(v) else "-1") }.mkString("{", ",", "}")
-    val runsJson = results.map { case (k, _, _, rs) =>
-      "\"" + k + "\":" + rs.map(r4).mkString("[", ",", "]") }
+    val qs = results.map { r =>
+      "\"" + r.name + "\":" + (if (r.ok) r4(r.sec) else "-1") }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (n, _, false, _) => "\"" + n + "\"" }
+    val runsJson = results.map { r =>
+      "\"" + r.name + "\":" + r.runs.map(r4).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    // Per-query output row counts (r16 verdict item 2): the materializing
+    // count() from the last successful run. Failed queries are omitted.
+    val outRowsJson = results.collect {
+      case r if r.ok && r.outRows.isDefined =>
+        "\"" + r.name + "\":" + r.outRows.get }.mkString("{", ",", "}")
+    // State-operator metrics per stream_* row (r16 verdict item 4)
+    val streamStateJson = results.collect {
+      case r if r.streamState.isDefined =>
+        "\"" + r.name + "\":" + r.streamState.get }.mkString("{", ",", "}")
+    val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _) => v }.sum
+    val total = results.collect { case r if r.ok => r.sec }.sum
     // Like-for-like subtotal over the 11 queries the round-1 BASELINE
     // run (36.58s) actually timed — the query set has since grown 6×,
     // so the grand total is not comparable to the baseline total; this
     // field is the apples-to-apples number next to it.
     val baseSub = results.collect {
-      case (n, v, true, _) if baselineSet(n) => v }.sum
+      case r if r.ok && baselineSet(r.name) => r.sec }.sum
     // The stream_* rows carry ~fixed state-store/checkpoint overhead
     // (26.8s of 95.5s at r11) that would drown the batch trend as more
     // streaming rows land — split the subtotal so round-over-round
     // batch comparisons stay readable (r11 verdict item 7).
     val streamSub = results.collect {
-      case (n, v, true, _) if n.startsWith("stream_") => v }.sum
+      case r if r.ok && r.name.startsWith("stream_") => r.sec }.sum
     val batchSub = total - streamSub
     // Per-query drift guard (r14 verdict item 2): compare each query's
     // min against the previous round's committed BENCH_LOCAL_r{N-1}
@@ -200,8 +228,21 @@ object Bench {
         .orElse(files
           .filter(_.getName.matches("CORRECTNESS_r\\d+\\.json"))
           .map(roundNum).sorted.lastOption.map(_ + 1))
+    // Scale-factor-aware family (r16 verdict item 1): an sf1 run compared
+    // against BENCH_LOCAL (sf0.1) ships ~80 vacuous cross-SF flags (the
+    // committed r16 sf1 artifacts did exactly that). Pick the prior file
+    // from the SAME artifact family, derived from the sf dir the same way
+    // the artifacts are named: /tmp/sf1_lowdup → BENCH_SF1_LOWDUP,
+    // /tmp/sf1 → BENCH_SF1, anything else (the driver/local sf0.1 dirs)
+    // → BENCH_LOCAL. No same-family prior → "drift": null, never a
+    // cross-family compare.
+    val sfDirName = new java.io.File(sfDir).getName
+    val family =
+      if (sfDirName.contains("lowdup")) "BENCH_SF1_LOWDUP"
+      else if (sfDirName.matches("sf1(?![\\d.]).*|sf1")) "BENCH_SF1"
+      else "BENCH_LOCAL"
     val priorFile = files
-      .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
+      .filter(_.getName.matches(family + "_r\\d+\\.json"))
       .filter(f => currentRound.forall(roundNum(f) < _))
       .sortBy(roundNum)
       .lastOption
@@ -231,15 +272,36 @@ object Bench {
       }.getOrElse(Map.empty)
     }.getOrElse(Map.empty)
     val drifted = results.collect {
-      case (n, v, true, _) if priorQueries.get(n).exists(p =>
-        p > 0 && v > p * 1.5 && v - p > 0.25) =>
-        (n, v / priorQueries(n))
+      case r if r.ok && priorQueries.get(r.name).exists(p =>
+        p > 0 && r.sec > p * 1.5 && r.sec - p > 0.25) =>
+        (r.name, r.sec / priorQueries(r.name))
     }.sortBy(-_._2)
+    // Automated drift triage (r16 verdict item 3): every flag this far has
+    // traced to box contention via MANUAL solo re-runs (the README rule) —
+    // run that protocol automatically so the committed artifact carries
+    // the evidence itself. After the full pass, each flagged query is
+    // re-timed twice back-to-back with nothing else running in the
+    // session; min of two is reported under "solo". A flag whose solo min
+    // drops back under the 1.5× bar was contention; one that reproduces
+    // solo is a real regression. Capped at 12 queries (a healthy run
+    // flags ≤ a handful; a broad flag-out is contention by definition and
+    // the first 12 solo numbers prove it) — the cap is recorded as
+    // "solo_skipped" so truncation is never silent.
+    val soloCap = 12
+    val soloRuns: Seq[(String, Double)] = drifted.take(soloCap)
+      .flatMap { case (n, _) =>
+        selected.get(n).map { fn =>
+          n -> (1 to 2).map(_ => timedRun(n, fn)._1).min
+        }
+      }
     val driftJson = priorFile match {
       case Some(f) =>
         val flagged = drifted.map { case (n, ratio) =>
           "\"" + n + "\":" + r4(ratio) }.mkString("{", ",", "}")
-        s"""{"vs":"${f.getName}","flagged":$flagged}"""
+        val solo = soloRuns.map { case (n, s) =>
+          "\"" + n + "\":" + r4(s) }.mkString("{", ",", "}")
+        val skipped = math.max(0, drifted.size - soloCap)
+        s"""{"vs":"${f.getName}","flagged":$flagged,"solo":$solo,"solo_skipped":$skipped}"""
       case None => "null"
     }
     // headline fields appear BOTH first and last: the driver's capture
@@ -248,7 +310,7 @@ object Bench {
     // either way
     val loadEnd = loadAvg()
     def la(v: Option[Double]): String = v.map(r4).getOrElse("null")
-    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${la(loadStart)},"load_avg_end":${la(loadEnd)},"drift":$driftJson,"queries":$qs,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_._3)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
+    println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${la(loadStart)},"load_avg_end":${la(loadEnd)},"drift":$driftJson,"queries":$qs,"out_rows":$outRowsJson,"stream_state":$streamStateJson,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_.ok)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
     spark.stop()
   }
 }

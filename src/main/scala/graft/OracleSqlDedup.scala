@@ -529,6 +529,91 @@ private[graft] object OracleSqlDedup {
         |  CASE WHEN b.max_cos >= 0.8 THEN 1 ELSE 0 END AS is_dup
         |FROM assign a LEFT JOIN best b USING (vec_id)""".stripMargin,
 
+    // Incremental SemDeDup oracle (r17): the same hash-init chain with
+    // the centroid draw and cell count frozen on the HISTORY slice,
+    // assignment over hist ∪ batch (+ the three planted in-flight
+    // vectors), and the pair rule split per the incremental contract —
+    // a batch row pairs against every history row in its cell and
+    // every SMALLER-id batch row in its cell.
+    "dedup_semantic_incremental" ->
+      """WITH wf AS MATERIALIZED (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |  FROM embeddings WHERE len(embedding) = 64
+        |), hist AS MATERIALIZED (
+        |  SELECT vec_id, e FROM wf WHERE vec_id % 10 < 8
+        |), batch AS MATERIALIZED (
+        |  SELECT vec_id, e FROM wf WHERE vec_id % 10 >= 8
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT), list_prepend(e[1] + 1e-4, e[2:])
+        |  FROM hist WHERE vec_id = 0
+        |  UNION ALL
+        |  SELECT CAST(900002 AS BIGINT), list_transform(e, x -> -x)
+        |  FROM hist WHERE vec_id = 5
+        |  UNION ALL
+        |  SELECT CAST(900003 AS BIGINT),
+        |    list_prepend(-e[1] + 1e-4, list_transform(e[2:], x -> -x))
+        |  FROM hist WHERE vec_id = 5
+        |), allr AS MATERIALIZED (
+        |  SELECT vec_id, e, 0 AS is_batch FROM hist
+        |  UNION ALL
+        |  SELECT vec_id, e, 1 AS is_batch FROM batch
+        |), vals AS MATERIALIZED (
+        |  SELECT vec_id, unnest(range(0, len(e))) AS i, unnest(e) AS x
+        |  FROM allr
+        |), norms AS MATERIALIZED (
+        |  SELECT vec_id, sqrt(SUM(x * x)) AS nrm FROM vals GROUP BY 1
+        |), ivf_rows AS (
+        |  SELECT vec_id, e, row_number() OVER (
+        |    ORDER BY (vec_id % 1048573) * 2246822519 % 1048573, vec_id
+        |  ) - 1 AS cell
+        |  FROM hist WHERE len(list_filter(e, x -> x IS NULL)) = 0
+        |  QUALIFY cell < (SELECT CAST(CEIL(COUNT(*) / 32.0) AS BIGINT)
+        |                  FROM hist)
+        |), centv AS (
+        |  SELECT cell, unnest(range(0, len(e))) AS i, unnest(e) AS v
+        |  FROM ivf_rows
+        |), cent AS MATERIALIZED (
+        |  SELECT cell, i,
+        |    v / sqrt(SUM(v * v) OVER (PARTITION BY cell)) AS cv
+        |  FROM centv
+        |), centnorm AS (
+        |  SELECT cell, sqrt(SUM(cv * cv)) AS cnrm FROM cent GROUP BY 1
+        |), rowdot AS (
+        |  SELECT v.vec_id, c.cell, SUM(v.x * c.cv) AS dot
+        |  FROM vals v JOIN cent c USING (i)
+        |  GROUP BY 1, 2
+        |), rowcos AS (
+        |  SELECT d.vec_id, d.cell,
+        |    CASE WHEN n.nrm > 0 THEN d.dot / (n.nrm * cn.cnrm)
+        |      ELSE -1 END AS cos
+        |  FROM rowdot d
+        |  JOIN norms n ON n.vec_id = d.vec_id
+        |  JOIN centnorm cn USING (cell)
+        |), assign AS (
+        |  SELECT r.vec_id, r.cell, a.is_batch FROM rowcos r
+        |  JOIN allr a ON a.vec_id = r.vec_id
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY r.vec_id ORDER BY r.cos DESC, r.cell DESC) = 1
+        |), paircos AS (
+        |  SELECT a.vec_id, ROUND(CASE WHEN na.nrm > 0 AND nb.nrm > 0
+        |      THEN SUM(va.x * vb.x) / (na.nrm * nb.nrm)
+        |      ELSE -1 END, 6) AS cos
+        |  FROM assign a
+        |  JOIN assign b ON a.cell = b.cell AND a.is_batch = 1
+        |    AND (b.is_batch = 0 OR b.vec_id < a.vec_id)
+        |  JOIN vals va ON va.vec_id = a.vec_id
+        |  JOIN vals vb ON vb.vec_id = b.vec_id AND vb.i = va.i
+        |  JOIN norms na ON na.vec_id = a.vec_id
+        |  JOIN norms nb ON nb.vec_id = b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id, na.nrm, nb.nrm, a.cell
+        |), best AS (
+        |  SELECT vec_id, MAX(cos) AS max_cos FROM paircos GROUP BY 1
+        |)
+        |SELECT a.vec_id, CAST(a.cell AS INT) AS cell, b.max_cos,
+        |  CASE WHEN b.max_cos >= 0.8 THEN 1 ELSE 0 END AS is_dup
+        |FROM assign a LEFT JOIN best b USING (vec_id)
+        |WHERE a.is_batch = 1""".stripMargin,
+
     "dedup_lines" ->
       """WITH fix AS (
         |  SELECT doc_id,
@@ -710,5 +795,90 @@ private[graft] object OracleSqlDedup {
         |  CAST(COUNT(*) AS INT) AS shared_ngrams
         |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 10""".stripMargin,
+
+    // CDC incremental oracle (r17): the dedup_passage_pairs recursive
+    // gear-hash chunker over hist ∪ batch ∪ the planted lifted-prefix
+    // doc — at the FINE recall knobs the registration uses (min chunk
+    // 8, boundary mod 16; the registration scaladoc explains why) —
+    // then the incremental contract's two loser rules: df pruning
+    // PER SIDE (history at ingest, batch at refresh), cross pairs drop
+    // the batch doc, within pairs drop the larger id. Survivors =
+    // batch docs in neither loser set (chunkless docs survive).
+    "dedup_passage_incremental" ->
+      """WITH RECURSIVE gear AS MATERIALIZED (
+        |  SELECT i, xor(z2, z2 // 2147483648::HUGEINT) AS g FROM (
+        |    SELECT i, (((xor(z1, z1 // 134217728::HUGEINT)) % 4294967296::HUGEINT * (10723151780598845931::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(z1, z1 // 134217728::HUGEINT)) // 4294967296::HUGEINT * (10723151780598845931::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS z2 FROM (
+        |      SELECT i, (((xor(x, x // 1073741824::HUGEINT)) % 4294967296::HUGEINT * (13787848793156543929::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(x, x // 1073741824::HUGEINT)) // 4294967296::HUGEINT * (13787848793156543929::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS z1 FROM (
+        |        SELECT i, ((i + 1) * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS x
+        |        FROM range(256) r(i))))
+        |), docs_all AS MATERIALIZED (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT CAST(900001 AS BIGINT),
+        |    substr(text, 1, 600) ||
+        |    ' entirely novel trailing prose closes the lifted excerpt'
+        |  FROM documents WHERE doc_id = 0
+        |), norm AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+        |  FROM docs_all
+        |), bytes AS MATERIALIZED (
+        |  SELECT doc_id, ip AS pos, unicode(t[ip]) AS b, g.g
+        |  FROM norm, LATERAL (SELECT unnest(range(1, length(t) + 1)) AS ip)
+        |  JOIN gear g ON g.i = unicode(t[ip])
+        |), state(doc_id, pos, gr, chunk, clen, hashes) AS (
+        |  SELECT doc_id, 0, 0::HUGEINT, 14695981039346656037::HUGEINT, 0, []::HUGEINT[]
+        |  FROM norm WHERE length(t) > 0
+        |  UNION ALL
+        |  SELECT doc_id, pos, ng,
+        |    CASE WHEN bnd THEN 14695981039346656037::HUGEINT ELSE nc END,
+        |    CASE WHEN bnd THEN 0 ELSE clen + 1 END,
+        |    CASE WHEN bnd THEN list_append(hashes, nc) ELSE hashes END
+        |  FROM (
+        |    SELECT s.doc_id, b.pos, s.clen, s.hashes,
+        |      ((s.gr * 2) % 18446744073709551616::HUGEINT + b.g) % 18446744073709551616::HUGEINT AS ng,
+        |      (((xor(s.chunk, b.b)) % 4294967296::HUGEINT * (1099511628211::HUGEINT) % 18446744073709551616::HUGEINT + ((xor(s.chunk, b.b)) // 4294967296::HUGEINT * (1099511628211::HUGEINT) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT) AS nc,
+        |      (s.clen + 1 >= 8 AND ((s.gr * 2) % 18446744073709551616::HUGEINT + b.g) % 18446744073709551616::HUGEINT % 16 = 0) AS bnd
+        |    FROM state s
+        |    JOIN bytes b ON b.doc_id = s.doc_id AND b.pos = s.pos + 1
+        |  )
+        |), final AS (
+        |  SELECT s.doc_id,
+        |    CASE WHEN s.clen > 0 THEN list_append(s.hashes, s.chunk)
+        |      ELSE s.hashes END AS hashes
+        |  FROM state s
+        |  JOIN norm n ON n.doc_id = s.doc_id AND s.pos = length(n.t)
+        |), ch AS MATERIALIZED (
+        |  SELECT DISTINCT doc_id, unnest(hashes) AS h FROM final
+        |), hist_ch AS (
+        |  SELECT * FROM ch WHERE doc_id % 10 < 8 AND doc_id <> 900001
+        |), batch_ch AS (
+        |  SELECT * FROM ch WHERE doc_id % 10 >= 8 OR doc_id = 900001
+        |), hist_kept AS (
+        |  SELECT doc_id, h FROM hist_ch
+        |  WHERE h IN (SELECT h FROM hist_ch GROUP BY h
+        |              HAVING COUNT(*) <= 1000)
+        |), batch_kept AS (
+        |  SELECT doc_id, h FROM batch_ch
+        |  WHERE h IN (SELECT h FROM batch_ch GROUP BY h
+        |              HAVING COUNT(*) <= 1000)
+        |), cross_losers AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT b.doc_id, h.doc_id AS hid
+        |    FROM batch_kept b JOIN hist_kept h USING (h)
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |), within_losers AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT y.doc_id, x.doc_id AS xid
+        |    FROM batch_kept x JOIN batch_kept y
+        |      ON x.h = y.h AND x.doc_id < y.doc_id
+        |    GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |), batch_ids AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 10 >= 8
+        |  UNION ALL SELECT CAST(900001 AS BIGINT)
+        |)
+        |SELECT doc_id FROM batch_ids
+        |WHERE doc_id NOT IN (SELECT doc_id FROM cross_losers)
+        |  AND doc_id NOT IN (SELECT doc_id FROM within_losers)""".stripMargin,
   )
 }

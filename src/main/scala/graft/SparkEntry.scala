@@ -350,12 +350,47 @@ object SparkEntry {
   // table names to a second SparkSession in the same JVM (Verify then
   // Bench in one sbt shell). The JVM-exit hook drops the catalog
   // entries with a file-delete fallback.
+  // Each entry carries everything its cleanup needs: the owning session
+  // (for a catalog DROP while it is still alive), the table names, and
+  // the managed warehouse locations captured at CREATE time (file delete
+  // as the fallback once the session is stopped). Cleanup runs in two
+  // places — immediately when a stale entry is pruned on access, and
+  // from ONE JVM-exit hook that drains whatever is left in the map.
+  // (Previously a hook was registered per cache entry, each capturing
+  // its SparkSession: a long-lived multi-session harness accumulated
+  // hooks and retained stopped sessions, and pruned entries' tables
+  // stayed on disk until JVM exit.)
+  private case class BucketedJoinTables(session: SparkSession,
+      tables: Seq[String], locations: Seq[java.io.File])
   private val bucketedJoinTableCache =
-    new scala.collection.concurrent.TrieMap[String, (String, String)]
+    new scala.collection.concurrent.TrieMap[String, BucketedJoinTables]
+  private def cleanupBucketed(e: BucketedJoinTables): Unit = {
+    e.tables.foreach { t =>
+      try {
+        if (!e.session.sparkContext.isStopped)
+          e.session.sql(s"DROP TABLE IF EXISTS `$t`")
+      } catch { case _: Throwable => () }
+    }
+    e.locations.foreach(f => if (f.exists()) deleteRecursively(f))
+  }
+  // lazy val ⇒ registered exactly once per JVM, holds no session itself
+  private lazy val bucketedCleanupHookOnce: Unit = {
+    sys.addShutdownHook {
+      bucketedJoinTableCache.keys.foreach(k =>
+        bucketedJoinTableCache.remove(k).foreach(cleanupBucketed))
+    }
+    ()
+  }
   private def cachedBucketedJoinTables(
       s: SparkSession, dir: String): (String, String) = {
-    pruneStale(bucketedJoinTableCache, s.sparkContext.applicationId)
-    bucketedJoinTableCache.getOrElseUpdate(annCacheKey(s, dir), {
+    // prune stale-appId entries AND reclaim their tables now — a second
+    // session reusing the warehouse dir must not double disk usage
+    // until JVM exit
+    bucketedJoinTableCache.keys
+      .filterNot(_.startsWith(s.sparkContext.applicationId + "|"))
+      .foreach(k => bucketedJoinTableCache.remove(k).foreach(cleanupBucketed))
+    bucketedCleanupHookOnce
+    val e = bucketedJoinTableCache.getOrElseUpdate(annCacheKey(s, dir), {
       val suffix = java.util.UUID.randomUUID.toString.replace("-", "_")
       val (tl, to) = (s"graft_bjs_l_$suffix", s"graft_bjs_o_$suffix")
       Sources.writeBucketed(lineitem(s, dir)
@@ -363,21 +398,12 @@ object SparkEntry {
         tl, "l_orderkey")
       Sources.writeBucketed(Sources.parquetTable(s, dir, "orders")
         .select("o_orderkey", "o_orderpriority"), to, "o_orderkey")
-      // capture the managed locations NOW: at JVM exit the session may
-      // already be stopped, and a failed DROP would otherwise leak the
-      // UUID-named warehouse dirs across JVMs (file delete as fallback)
       val locs = Seq(tl, to).map(t => new java.io.File(
         s.sessionState.catalog.defaultTablePath(
           s.sessionState.sqlParser.parseTableIdentifier(t))))
-      sys.addShutdownHook {
-        Seq(tl, to).foreach { t =>
-          try s.sql(s"DROP TABLE IF EXISTS `$t`")
-          catch { case _: Throwable => () }
-        }
-        locs.foreach(f => if (f.exists()) deleteRecursively(f))
-      }
-      (tl, to)
+      BucketedJoinTables(s, Seq(tl, to), locs)
     })
+    (e.tables(0), e.tables(1))
   }
 
   /** Train the bigram LM on the English slice, persist the artifact,
@@ -498,6 +524,39 @@ object SparkEntry {
     * sink lazily — load-bearing, stated once here instead of five
     * times). `tagBatchId` appends the micro-batch id column the CDC
     * snapshot row resolves last-writer-wins with. */
+  /** State-operator metrics of the LAST [[runAvailableNow]] stream in
+    * this JVM, as one JSON object — the r16 verdict item 4
+    * side-channel: Bench attaches it to each stream_* row so the
+    * committed artifact itself shows whether a keeper is
+    * state-store-bound (state rows ≈ distinct docs, commit + update
+    * time vs wall time) instead of that claim living in prose.
+    * A registered query that runs several streams (e.g. the CDC
+    * snapshot's two-phase ingest) reports its LAST stream's run.
+    * None when no stream has run, or the last run had no progress. */
+  @volatile private[graft] var lastStreamMetrics: Option[String] = None
+  private def recordStreamMetrics(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress.toSeq
+    lastStreamMetrics =
+      if (ps.isEmpty) None
+      else {
+        val ops = ps.flatMap(_.stateOperators.toSeq)
+        val wallMs = ps.map(_.batchDuration).sum
+        val base = s""""batches":${ps.size},"batch_duration_ms":$wallMs"""
+        Some(if (ops.isEmpty) s"{$base}" else {
+          // rows-total from the FINAL batch (it is a gauge, not a
+          // counter); the time fields are per-batch costs, summed
+          val rowsTotal = ps.last.stateOperators.map(_.numRowsTotal).sum
+          s"""{$base,"state_rows_total":$rowsTotal,""" +
+            s""""state_rows_updated":${ops.map(_.numRowsUpdated).sum},""" +
+            s""""commit_ms":${ops.map(_.commitTimeMs).sum},""" +
+            s""""updates_ms":${ops.map(_.allUpdatesTimeMs).sum},""" +
+            s""""removals_ms":${ops.map(_.allRemovalsTimeMs).sum},""" +
+            s""""state_memory_bytes":${ops.map(_.memoryUsedBytes).max}}"""
+        })
+      }
+  }
+
   private def runAvailableNow(
       s: SparkSession,
       stream: DataFrame,
@@ -532,6 +591,7 @@ object SparkEntry {
         .foreachBatch(writeBatch)
         .start()
       q.awaitTermination()
+      recordStreamMetrics(q)
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
       readBack(s.read.parquet(sink)).localCheckpoint(true)
     } finally {
@@ -1092,6 +1152,43 @@ object SparkEntry {
     // (deterministic gear hash, no seed ⇒ stable).
     "dedup_passage_verified" -> ((s, dir) =>
       Dedup.passageVerified(documents(s, dir))),
+    // ... and the CDC INCREMENTAL twin (r17): history chunk
+    // fingerprints persist bucketed by chunk (df-pruned at ingest
+    // against the history corpus), the batch is chunked and probes the
+    // table Exchange-free — history text is never re-normalized or
+    // re-chunked. Fixture plants 900001 = the first 600 chars of
+    // history doc 0 plus a novel tail (the lifted-paragraph shape):
+    // identical normalized prefixes chunk identically under the
+    // content-defined gear hash, so the planted doc shares every
+    // complete chunk inside the prefix with doc 0 and is dropped as a
+    // cross loser. Chunking runs at [[Dedup.passageVerified]]'s FINE
+    // recall knobs (avg 2^4 = 16 chars, min 8): the fixture's docs
+    // run ~150-550 chars, so 64-char-avg chunks would leave short
+    // docs — doc 0 included — with < minShared complete chunks and
+    // the planted lift vacuously surviving. Oracle = the
+    // dedup_passage_pairs recursive-CTE chunker (boundary constants
+    // 8/16) over hist∪batch with the same per-side df pruning and
+    // both loser rules.
+    "dedup_passage_incremental" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val hist = docs.filter(col("doc_id") % 10 < 8)
+      val planted = hist.filter(col("doc_id") === 0L)
+        .select(lit(900001L).as("doc_id"),
+          concat(substring(col("text"), 1, 600),
+            lit(" entirely novel trailing prose closes the lifted excerpt"))
+            .as("text"))
+      val batch = docs.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"), col("text"))
+        .unionByName(planted)
+      withBucketedTables(s, "graft_psg_hist",
+        Seq((Dedup.passageChunkKeys(hist, avgChunkBits = 4, window = 8),
+          "chunk"))) { ns =>
+        Dedup.passageIncremental(batch, s.table(ns.head),
+            avgChunkBits = 4, window = 8)
+          .select("doc_id")
+          .localCheckpoint(true)
+      }
+    }),
     // Embedding near-dup via seeded sign-LSH. The fixture corpus has no
     // natural near pairs (max pairwise cosine 0.51 — documented), so a
     // near-copy of vec 0 is planted IN-FLIGHT (pure column transform,
@@ -1151,6 +1248,48 @@ object SparkEntry {
       Dedup.semantic(base.unionByName(planted), nCells = 0,
         minCosine = 0.8, dim = Some(64))
         .withColumn("cell", col("cell").cast("int"))
+    }),
+    // ... and its INCREMENTAL twin (r17, the last dedup family without
+    // a refresh story): the hash-init centroids are refit-free, so the
+    // history assignment (vec_id, cell, e) persists bucketed by cell,
+    // only the batch is assigned (frozen centroids), and in-cell
+    // comparisons run batch-vs-history + batch-vs-smaller-id-batch —
+    // the whole corpus is never re-assigned or re-paired. Fixture:
+    // batch = %10>=8 plus the three in-flight planted vectors of the
+    // embedding-incremental fixture (900001 = hist vec 0 nudged →
+    // cross dup at cos ~1.0; 900002 = hist vec 5 negated → novel;
+    // 900003 = 900002 nudged → within dup, larger id). nCells derives
+    // from the HISTORY count (the frozen-quantizer contract); the
+    // oracle restates draw, assignment, and both pair rules in SQL.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val base = embeddings(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val histWf = base.filter(col("vec_id") % 10 < 8)
+        .where(col("embedding").isNotNull)
+        .where(size(col("embedding")) === 64)
+      val h0 = histWf.filter(col("vec_id") === 0L)
+      val h5 = histWf.filter(col("vec_id") === 5L)
+      val batch = base.filter(col("vec_id") % 10 >= 8)
+        .unionByName(h0.select(lit(900001L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+            .as("embedding")))
+        .unionByName(h5.select(lit(900002L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(h5.select(lit(900003L).as("vec_id"),
+          transform(col("embedding"),
+            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
+            .as("embedding")))
+        .localCheckpoint(true)
+      val nc = Dedup.semanticKnobs(histWf.count(), nCells = 0)
+      val index = Similarity.ivfIndexHashInit(histWf, nc)
+      withBucketedTables(s, "graft_sem_hist",
+        Seq((Dedup.semanticHistCells(index), "cell"))) { ns =>
+        Dedup.semanticIncremental(batch, index, s.table(ns.head),
+            minCosine = 0.8, dim = Some(64))
+          .withColumn("cell", col("cell").cast("int"))
+          .localCheckpoint(true)
+      }
     }),
 
     // llm counterpart of demo_all_features: quality → lang filter →

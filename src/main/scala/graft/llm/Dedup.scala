@@ -1848,6 +1848,46 @@ object Dedup {
 
   // ------------------------------------------------------ copied passages
 
+  /** The distinct, doc-frequency-pruned `(idCol, chunk)` fingerprint
+    * relation the whole CDC passage family joins on — one row per
+    * (doc, distinct chunk hash) with chunks seen in more than
+    * `maxDocFreq` docs removed (boilerplate). Shared by [[passagePairs]]
+    * (self-join) and [[passageIncremental]] (probe against a persisted
+    * history copy); the nightly writer persists exactly this frame
+    * bucketed by `chunk` so the two can never disagree on the schema
+    * or the pruning.
+    *
+    * Plan notes: explode_OUTER + a post-filter on the generated
+    * attribute, not a plain explode — InferFiltersFromGenerate would
+    * otherwise add `size(chunk_hashes) > 0 AND isnotnull(chunk_hashes)`
+    * UNDER the generate, re-evaluating the (expensive, per-character)
+    * chunk hash 3× per row at the scan. outer generators are exempt
+    * from that rule, and the null/empty placeholder rows the outer
+    * explode emits are dropped by a filter on the already-generated
+    * value. The explicit isnotnull(idCol) makes this subtree IDENTICAL
+    * to what a self-join side infers from `x.id < y.id`, so AQE plans
+    * one scan+chunk pipeline and ReusedExchanges for every consumer
+    * (doc-frequency side included) instead of three. */
+  def passageChunkKeys(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxDocFreq: Int = 1000,
+      avgChunkBits: Int = 6,
+      window: Int = 16): DataFrame = {
+    val chunks = TextAnalysis.chunkFingerprints(df, textCol,
+        avgChunkBits = avgChunkBits, window = window)
+      .filter(col(idCol).isNotNull)
+      .select(col(idCol), explode_outer(col("chunk_hashes")).as("chunk"))
+      .filter(col("chunk").isNotNull)
+      .distinct()
+    val rare = chunks.groupBy("chunk")
+      .agg(count(lit(1)).as("df_count"))
+      .filter(col("df_count") <= maxDocFreq)
+      .select("chunk")
+    chunks.join(rare, "chunk")
+  }
+
   /** Copied-passage pairs: documents sharing at least `minShared`
     * content-defined chunks ([[TextAnalysis.chunkFingerprints]]) —
     * catches partial duplication (a lifted paragraph) that whole-doc
@@ -1866,28 +1906,8 @@ object Dedup {
       maxDocFreq: Int = 1000,
       avgChunkBits: Int = 6,
       window: Int = 16): DataFrame = {
-    // explode_OUTER + a post-filter on the generated attribute, not a
-    // plain explode: InferFiltersFromGenerate would otherwise add
-    // `size(chunk_hashes) > 0 AND isnotnull(chunk_hashes)` UNDER the
-    // generate, re-evaluating the (expensive, per-character) chunk
-    // hash 3× per row at the scan. outer generators are exempt from
-    // that rule, and the null/empty placeholder rows the outer explode
-    // emits are dropped by a filter on the already-generated value.
-    // The explicit isnotnull(idCol) makes this subtree IDENTICAL to
-    // what the self-join sides infer from `x.id < y.id`, so AQE plans
-    // one scan+chunk pipeline and ReusedExchanges for every consumer
-    // (doc-frequency side included) instead of three.
-    val chunks = TextAnalysis.chunkFingerprints(df, textCol,
-        avgChunkBits = avgChunkBits, window = window)
-      .filter(col(idCol).isNotNull)
-      .select(col(idCol), explode_outer(col("chunk_hashes")).as("chunk"))
-      .filter(col("chunk").isNotNull)
-      .distinct()
-    val rare = chunks.groupBy("chunk")
-      .agg(count(lit(1)).as("df_count"))
-      .filter(col("df_count") <= maxDocFreq)
-      .select("chunk")
-    val kept = chunks.join(rare, "chunk")
+    val kept = passageChunkKeys(df, textCol, idCol, maxDocFreq,
+      avgChunkBits, window)
     val x = kept.alias("x")
     val y = kept.alias("y")
     x.join(y, col("x.chunk") === col("y.chunk") &&
@@ -1993,6 +2013,62 @@ object Dedup {
         size(array_intersect(col("g_a"), col("g_b"))))
       .filter(col("shared_ngrams") >= minSharedGrams)
       .select("id_a", "id_b", "shared_ngrams")
+  }
+
+  /** Batch-incremental CDC passage dedup — the refresh story for the
+    * passage family (periodic batch passes were re-chunking the full
+    * corpus per run): returns the rows of `newDocs` that survive
+    * dropping (a) every batch doc sharing ≥ `minShared` pruned chunk
+    * fingerprints with ANY history doc — history is PRIOR, keep-first
+    * by arrival — and (b) the larger-id member of every such pair
+    * WITHIN the batch. Ids must be globally unique across batch and
+    * history.
+    *
+    * `histChunks` is the persisted history relation —
+    * [[passageChunkKeys]] output written bucketed by `chunk`
+    * ([[graft.sources.Sources.writeBucketed]]): the cross candidate
+    * join then reuses the table's ingest-time bucketing and plans NO
+    * history-side Exchange (PlanAuditSpec pins it), and the 100 TB
+    * history text is never re-normalized or re-chunked.
+    *
+    * Doc-frequency pruning is PER SIDE: history chunks were pruned at
+    * ingest against the history corpus; the batch prunes against its
+    * own chunk frequencies here. That is deliberately NOT the
+    * union-corpus df the one-shot [[passagePairs]] computes — at scale
+    * the union df would re-aggregate the full history every refresh,
+    * which is exactly what the incremental shape exists to avoid; a
+    * chunk that crossed the boilerplate threshold only via batch+history
+    * combined mass still pairs (slightly more candidate work, same
+    * verified semantics since `minShared` counts distinct shared
+    * chunks, not rare ones). */
+  def passageIncremental(
+      newDocs: DataFrame,
+      histChunks: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      minShared: Int = 2,
+      maxDocFreq: Int = 1000,
+      avgChunkBits: Int = 6,
+      window: Int = 16): DataFrame = {
+    val batchKept = passageChunkKeys(newDocs, textCol, idCol, maxDocFreq,
+      avgChunkBits, window)
+    val crossLosers = batchKept
+      .join(histChunks.select(col(idCol).as("hist_id"), col("chunk")),
+        "chunk")
+      .groupBy(col(idCol), col("hist_id"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .select(col(idCol))
+    val x = batchKept.alias("x")
+    val y = batchKept.alias("y")
+    val withinLosers = x.join(y, col("x.chunk") === col("y.chunk") &&
+        col(s"x.$idCol") < col(s"y.$idCol"))
+      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"))
+      .filter(col("shared_chunks") >= minShared)
+      .select(col("id_b").as(idCol))
+    newDocs.join(crossLosers.union(withinLosers).distinct(),
+      Seq(idCol), "left_anti")
   }
 
   // ---------------------------------------------------- embedding cosine
@@ -2534,4 +2610,80 @@ object Dedup {
         coalesce((col("max_cos") >= minCosine).cast("int"), lit(0))
           .as("is_dup"))
   }
+
+  /** Batch-incremental [[semantic]] — the refresh story the other dedup
+    * families already have ([[exactIncremental]], [[minhashIncremental]],
+    * [[simhashIncremental]], [[embeddingIncremental]]): score ONLY the
+    * new batch against a PERSISTED history assignment instead of
+    * re-running cell assignment + in-cell pairs over the whole corpus
+    * every night. The quantizer is frozen (hash-init centroids are
+    * refit-free by construction — [[Similarity.ivfIndexHashInit]]; the
+    * fitted variant freezes the same way, the [[Similarity.ivfAppend]]
+    * policy), so batch rows are assigned with the frozen `index`
+    * centroids and compared in-cell against (a) every history row in
+    * the cell — history is PRIOR, keep-first by arrival, id order
+    * irrelevant — and (b) every SMALLER-id batch row in the cell (the
+    * within-batch [[semantic]] rule).
+    *
+    * `histCells` is the persisted history assignment
+    * `(idCol, cell, e)` — [[semanticHistCells]] output written bucketed
+    * by `cell` ([[graft.sources.Sources.writeBucketed]]): the in-cell
+    * candidate join then reuses the table's ingest-time bucketing and
+    * plans NO history-side Exchange (PlanAuditSpec pins it), and the
+    * 100 TB history is never re-embedded, re-assigned, or re-shuffled.
+    * Ids must be globally unique across batch and history.
+    *
+    * Returns [[semantic]]'s shape for BATCH rows only: (idCol, cell,
+    * max_cos, is_dup) with `max_cos` the highest 6dp-rounded in-cell
+    * cosine against any prior row (null when the batch row meets
+    * none). Well-formedness screens (`dim`, nulls) mirror [[semantic]];
+    * the frame handed to the history build must have used the same
+    * screen or assignment geometry diverges. */
+  def semanticIncremental(
+      newVecs: DataFrame,
+      index: Similarity.IvfIndex,
+      histCells: DataFrame,
+      minCosine: Double = 0.8,
+      embCol: String = "embedding",
+      idCol: String = "vec_id",
+      dim: Option[Int] = None): DataFrame = {
+    val wellFormed = dim.foldLeft(newVecs.where(col(embCol).isNotNull))(
+      (d, n) => d.where(size(col(embCol)) === n))
+    val batchCells = Similarity.ivfAssign(index, wellFormed, embCol, idCol)
+      .select(col("neighbor_id").as(idCol), col("c_emb").as("e"),
+        col("cell"))
+    val hist = histCells.select(col(idCol), col("e"), col("cell"))
+    // one 6dp-rounded cosine stream from both pair kinds, then max per
+    // batch row — the [[semantic]] arithmetic with history as the
+    // always-prior side
+    val crossCos = batchCells.alias("a")
+      .join(hist.alias("b"), col("a.cell") === col("b.cell"))
+      .select(col(s"a.$idCol").as(idCol),
+        round(CosineSimilarity(col("a.e"), col("b.e")), 6).as("cos"))
+    val withinCos = batchCells.alias("a")
+      .join(batchCells.alias("b"),
+        col("a.cell") === col("b.cell") &&
+          col(s"b.$idCol") < col(s"a.$idCol"))
+      .select(col(s"a.$idCol").as(idCol),
+        round(CosineSimilarity(col("a.e"), col("b.e")), 6).as("cos"))
+    val best = crossCos.unionByName(withinCos)
+      .groupBy(col(idCol))
+      .agg(max(col("cos")).as("max_cos"))
+    batchCells
+      .join(best, Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("max_cos"),
+        coalesce((col("max_cos") >= minCosine).cast("int"), lit(0))
+          .as("is_dup"))
+  }
+
+  /** The persisted-history side of [[semanticIncremental]]: the
+    * history corpus's cell assignment under `index`, shaped
+    * `(idCol, cell, e)` for bucketed-by-`cell` ingest. Split out so
+    * the nightly writer and the incremental reader can never disagree
+    * on the schema. */
+  def semanticHistCells(
+      index: Similarity.IvfIndex,
+      idCol: String = "vec_id"): DataFrame =
+    index.cells.select(col("neighbor_id").as(idCol),
+      col("c_emb").as("e"), col("cell"))
 }

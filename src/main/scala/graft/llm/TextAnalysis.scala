@@ -11,6 +11,18 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Staging-column name that cannot clobber caller data: `base` when
+    * the frame doesn't already have it, else the first `base_<i>` that
+    * is free. withColumn silently REPLACES an existing column, so a
+    * fixed temp name would drop a caller's same-named column from the
+    * output when the projection `drop`s its staging column.
+    * Deterministic (no UUID) so repeated invocations on the same schema
+    * produce the same plan. */
+  private def freshCol(df: DataFrame, base: String): String =
+    Iterator.from(0)
+      .map(i => if (i == 0) base else s"${base}_$i")
+      .find(n => !df.columns.contains(n)).get
+
   /** Whitespace-token and BPE-ish subword token counts plus basic size
     * stats. `bpe_token_count` approximates a byte-pair-encoded token
     * stream with the common "word-or-punctuation-run" pre-tokenizer
@@ -40,7 +52,7 @@ object TextAnalysis {
     // n_words / mean_word_len / stopword_ratio would each re-run
     // split+filter), and the stopword probe is an InSet hash lookup
     // (isin over literals), not an array scan. Bit-identical results.
-    val tmpWords = "__graft_quality_words"
+    val tmpWords = freshCol(df, "__graft_quality_words")
     val words = col(tmpWords)
     val nWords = greatest(size(words), lit(1)).cast("double")
     val stopHits = size(filter(words, w => w.isin(Stopwords.En: _*)))
@@ -127,7 +139,7 @@ object TextAnalysis {
     //     scan paid |stops| string compares.
     // Same result bit-for-bit; measured ~2× on the sf0.1 corpus
     // (text_language_confusion 0.91 → 0.46 s).
-    val tmpWords = s"__graft_langid_words_$outputCol"
+    val tmpWords = freshCol(df, s"__graft_langid_words_$outputCol")
     val words = col(tmpWords)
     val nWords = greatest(size(words), lit(1)).cast("double")
     val scored: Seq[(String, Column)] = Stopwords.Profiles.map {

@@ -65,7 +65,17 @@ final case class BandedHashRow(
 
 /** A verified near-duplicate link from
   * [[StreamOps.nearDedupHashStream]]: `doc_id` sits within `hamming`
-  * bits of the earlier/smaller `kept_id`'s fingerprint. */
+  * bits of the earlier/smaller `kept_id`'s fingerprint.
+  *
+  * NOT unique per (doc_id, kept_id): the keeper runs independently per
+  * band bucket (that is what makes it shuffle-local and its state
+  * linear), so a pair sharing several buckets emits one link per shared
+  * bucket — an exact clone produces ~4 (one per band, more on probe
+  * collisions), all with the same `hamming`. Consumers that need one
+  * row per pair must `distinct` (or min-by-hamming) on
+  * (doc_id, kept_id) at read-back, as the registered
+  * `stream_phash_near` query does; drop-set consumers only need the
+  * distinct `doc_id`s, which the multiplicity cannot change. */
 final case class HashNearLink(doc_id: Long, kept_id: Long, hamming: Int)
 
 /** Per-bucket state for [[StreamOps.nearDedupHashStream]]: the
@@ -764,7 +774,13 @@ object StreamOps {
     def cos(a: Seq[Double], b: Seq[Double]): Double = {
       val av = a.toArray
       val bv = b.toArray
-      if (av.length != bv.length) return -1.0
+      // a ragged/corrupt embedding is a DATA ERROR, not a far vector —
+      // folding it into "not a near-dup" would let a corrupt duplicate
+      // quietly survive dedup; fail the batch so it surfaces upstream
+      require(av.length == bv.length,
+        s"nearDedupCosineStream: embedding dimension mismatch " +
+          s"(${av.length} vs ${bv.length}) — fix the ragged input " +
+          s"upstream; it cannot be classified as a non-duplicate")
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < av.length) {
         dot += av(i) * bv(i); na += av(i) * av(i); nb += bv(i) * bv(i)

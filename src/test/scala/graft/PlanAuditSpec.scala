@@ -510,6 +510,59 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("r17 incremental twins (semantic cells, passage chunks): candidate " +
+      "join against the persisted history table plans no history-side " +
+      "Exchange") {
+    // Same claim as the band-key test above for the two r17 families:
+    // the history side persists bucketed by its join key (cell /
+    // chunk fingerprint), so the only shuffle in the candidate join is
+    // the batch side's. The batch probe is localCheckpoint'ed first so
+    // the count pins the JOIN's exchanges, not the probe derivation's.
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val histV = emb.filter(col("vec_id") % 10 < 8)
+      .where(col("embedding").isNotNull)
+    val index = graft.llm.Similarity.ivfIndexHashInit(histV, nCells = 4)
+    val batchCells = graft.llm.Similarity
+      .ivfAssign(index, emb.filter(col("vec_id") % 10 >= 8))
+      .select(col("neighbor_id").as("vec_id"), col("c_emb").as("e"),
+        col("cell"))
+      .localCheckpoint(true)
+    val batchChunks = graft.llm.Dedup.passageChunkKeys(
+        docs.filter(col("doc_id") % 10 >= 8),
+        avgChunkBits = 4, window = 8)
+      .localCheckpoint(true)
+    val cases = Seq(
+      ("graft_plan_sem", graft.llm.Dedup.semanticHistCells(index),
+        "cell", batchCells),
+      ("graft_plan_psg", graft.llm.Dedup.passageChunkKeys(
+        docs.filter(col("doc_id") % 10 < 8), avgChunkBits = 4, window = 8),
+        "chunk", batchChunks))
+    val saved = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try cases.foreach { case (tbl, histRel, key, probe) =>
+      try {
+        graft.sources.Sources.writeBucketed(histRel, tbl, key,
+          numBuckets = 4)
+        val cands = probe.join(spark.table(tbl), key)
+        cands.count()
+        val plan = cands.queryExecution.executedPlan.toString
+        val exchanges = "Exchange hashpartitioning".r.findAllIn(
+          plan.replace("ReusedExchange", "")).length
+        assert(exchanges == 1,
+          s"$tbl: want 1 exchange, plan:\n${plan.take(1500)}")
+        assert(plan.contains("Bucketed: true"),
+          s"$tbl scan is not bucket-read:\n${plan.take(1500)}")
+      } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    } finally saved match {
+      case Some(v) => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+      case None => spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("layout_bucketed_join: both fact scans bucket-read, sort-merge " +
       "join with ZERO join-side Exchange — the only shuffle in the " +
       "query is the final low-cardinality group-by (r16)") {

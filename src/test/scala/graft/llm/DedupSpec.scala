@@ -917,6 +917,71 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
   }
 
+  test("semanticIncremental: batch row near a history row flags cross " +
+      "(id order irrelevant — history is prior), within-batch pairs " +
+      "flag their larger id, novel rows unflagged, null rows unindexed") {
+    val s = spark
+    import s.implicits._
+    val hist = Seq(
+      (5L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (6L, Seq(0.0, 1.0, 0.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val index = Similarity.ivfIndexHashInit(hist, nCells = 2)
+    val histCells = Dedup.semanticHistCells(index)
+    val batch = Seq(
+      // near-copy of history 5 with a SMALLER id: must still flag —
+      // history is prior by arrival, not by id
+      (2L, Some(Seq(1.0, 1e-5, 0.0, 0.0))),
+      // 10/11: near-identical pair, both orthogonal to BOTH centroids
+      // so the tie-break (larger cell id) deterministically co-locates
+      // them whatever the hash draw ordered the centroids
+      (10L, Some(Seq(0.0, 0.0, 1.0, 0.0))), // novel — unflagged
+      (11L, Some(Seq(0.0, 0.0, 1.0, 1e-5))), // near 10, larger id — flags
+      (99L, Option.empty[Seq[Double]])) // null → unindexed
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticIncremental(batch, index, histCells,
+        minCosine = 0.95, dim = Some(4))
+      .collect()
+      .map(r => r.getLong(0) -> r.getInt(3))
+      .toMap
+    assert(out.keySet == Set(2L, 10L, 11L),
+      "history rows never re-emitted; null batch rows unindexed")
+    assert(out(2L) === 1, "cross near-dup must flag despite smaller id")
+    assert(out(10L) === 0, "novel batch row must not flag")
+    assert(out(11L) === 1, "within-batch near-dup flags its larger id")
+  }
+
+  test("passageIncremental: lifted passage from history drops cross, " +
+      "within-batch copy drops its larger id, novel and chunkless " +
+      "docs survive") {
+    val s = spark
+    import s.implicits._
+    val histText = ("the archival record describes a long winter voyage " +
+      "across the frozen straits where the crew rationed lamp oil and " +
+      "counted the days by the turning of the tide tables while the " +
+      "navigator kept a meticulous log of soundings bearings and the " +
+      "slow drift of the pack ice under a pale and sunless sky")
+    val novelText = ("completely different subject matter entirely about " +
+      "the cultivation of terraced mountain orchards where growers " +
+      "graft heritage apple varieties onto hardy rootstock and haul " +
+      "the autumn harvest down switchback trails by mule to the " +
+      "cooperative press that bottles the valley's sharp dry cider")
+    val hist = Seq((1L, histText)).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, histText.take(200) + " and then the text turns entirely new"),
+      (11L, novelText), // novel — survives
+      (12L, novelText), // exact copy of 11 within the batch — drops
+      (13L, "x")) // too short to share chunks — survives
+      .toDF("doc_id", "text")
+    val histChunks = Dedup.passageChunkKeys(hist,
+      avgChunkBits = 4, window = 8)
+    val kept = Dedup.passageIncremental(batch, histChunks,
+        avgChunkBits = 4, window = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L, 13L),
+      s"want lifted 10 and within-copy 12 dropped, got $kept")
+  }
+
   test("simhashIncremental: history near-dups drop cross (verified " +
       "from carried fingerprints, text never re-tokenized), " +
       "within-batch pairs drop their larger id, novel docs survive") {

@@ -1143,4 +1143,34 @@ class StreamingSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
   }
+
+  test("stream keeper state metrics ride the run harness into the bench " +
+      "side-channel: state rows bounded by bands x docs, commit/update " +
+      "times recorded (r16 verdict item 4)") {
+    // Runs the REGISTERED stream_dedup_near query end-to-end and reads
+    // the JSON the harness recorded from StreamingQueryProgress — the
+    // same field Bench attaches to every stream_* row. The hard
+    // at-scale numbers live in the committed sf1 artifacts; this pins
+    // the capture contract so the artifact can never silently go empty.
+    graft.SparkEntry.queries("stream_dedup_near")(spark, sf0001).count()
+    val js = graft.SparkEntry.lastStreamMetrics
+      .getOrElse(fail("no stream metrics recorded"))
+    def field(k: String): Long = {
+      val re = ("\"" + k + "\":(-?\\d+)").r
+      re.findFirstMatchIn(js).map(_.group(1).toLong)
+        .getOrElse(fail(s"field $k missing in $js"))
+    }
+    val nDocs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id").distinct().count()
+    assert(field("batches") >= 1)
+    assert(field("batch_duration_ms") > 0)
+    val stateRows = field("state_rows_total")
+    // one keeper per occupied band bucket: > 0, and never more than
+    // bands (<= 64 by minhashKnobs' clamp) per distinct doc
+    assert(stateRows > 0, js)
+    assert(stateRows <= 64L * nDocs, js)
+    assert(field("state_rows_updated") >= stateRows, js)
+    assert(field("commit_ms") >= 0 && field("updates_ms") >= 0, js)
+    assert(field("state_memory_bytes") > 0, js)
+  }
 }
