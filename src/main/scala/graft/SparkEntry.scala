@@ -28,22 +28,22 @@ import graft.streaming.StreamOps
   */
 object SparkEntry {
 
-  private def lineitem(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def lineitem(spark: SparkSession, dir: String): DataFrame =
     Sources.parquetTable(spark, dir, "lineitem")
-  private def customer(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def customer(spark: SparkSession, dir: String): DataFrame =
     Sources.parquetTable(spark, dir, "customer")
-  private def documents(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def documents(spark: SparkSession, dir: String): DataFrame =
     Sources.parquetTable(spark, dir, "documents")
-  private def embeddings(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def embeddings(spark: SparkSession, dir: String): DataFrame =
     Sources.parquetTable(spark, dir, "embeddings")
-  private def events(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame =
     Sources.eventsTable(spark, dir)
 
   /** One (term) row per token of the corpus — the repo-standard
     * tokenization (lowercase, split on non-alphanumeric, drop
     * empties; the text_tfidf_exact recipe) shared by the Count-Min
     * rows and their oracles. */
-  private def tokenTerms(docs: DataFrame): DataFrame =
+  private[graft] def tokenTerms(docs: DataFrame): DataFrame =
     docs.select(explode(
       filter(split(lower(col("text")), "[^\\p{L}\\p{N}]+"),
         w => length(w) > 0)).as("term"))
@@ -52,7 +52,7 @@ object SparkEntry {
     * none naturally — same planting trick as llm_decontaminate). The
     * appended sentence and id offset are mirrored literally in the
     * text_pii / text_redact oracles. */
-  private def piiFixture(docs: DataFrame): DataFrame = {
+  private[graft] def piiFixture(docs: DataFrame): DataFrame = {
     val base = docs.select(col("doc_id"), col("text"))
     base.unionByName(base.filter(col("doc_id") < 3).select(
       (col("doc_id") + lit(2000000L)).as("doc_id"),
@@ -73,7 +73,7 @@ object SparkEntry {
     * RIFF chunk walk), while the DuckDB oracle recomputes the same
     * values from the source columns: two independent paths to one
     * answer. */
-  private def mediaFixture(docs: DataFrame): DataFrame = {
+  private[graft] def mediaFixture(docs: DataFrame): DataFrame = {
     val id = col("doc_id")
     val kind = pmod(id, lit(4L))
     val w = (pmod(id, lit(797L)) + 1).cast("int")
@@ -121,7 +121,7 @@ object SparkEntry {
     * a VALID P6 image; [[graft.llm.Multimodal.ppmChannelStats]] must
     * recover the geometry from the actual header bytes and the pixels
     * from the actual byte offsets for its oracle row to hash. */
-  private def ppmFixture(docs: DataFrame): DataFrame = {
+  private[graft] def ppmFixture(docs: DataFrame): DataFrame = {
     val w = (pmod(col("doc_id"), lit(7L)) + 2).cast("int")  // 2..8
     val h = (pmod(col("n_chars"), lit(5L)) + 2).cast("int") // 2..6
     val n = (w * h * lit(3)).cast("int")
@@ -148,7 +148,7 @@ object SparkEntry {
     * BGR interleave for its oracle row to hash. */
   /** Little-endian hex of an int column, `nBytes` wide — the header
     * field builder shared by the BMP and WAV fixtures. */
-  private def leHex(c: Column, nBytes: Int): Column = {
+  private[graft] def leHex(c: Column, nBytes: Int): Column = {
     val be = lpad(hex(c.cast("long")), nBytes * 2, "0")
     concat((0 until nBytes).reverse.map(i => be.substr(i * 2 + 1, 2)): _*)
   }
@@ -157,7 +157,7 @@ object SparkEntry {
     * 29th doc (the decontaminate planting recipe) — shared by the
     * phash pairs and clusters rows, whose oracles restate the same
     * union. */
-  private def phashFixture(docs: DataFrame): DataFrame = {
+  private[graft] def phashFixture(docs: DataFrame): DataFrame = {
     val base = bmpFixture(docs)
     base.unionByName(
       base.filter(col("doc_id") % 29 === 0)
@@ -200,7 +200,7 @@ object SparkEntry {
     * channel. [[graft.llm.Multimodal.wavSampleStats]] must chunk-walk
     * the ACTUAL bytes for geometry and sample values for its oracle
     * row to hash. */
-  private def wavFixture(docs: DataFrame): DataFrame = {
+  private[graft] def wavFixture(docs: DataFrame): DataFrame = {
     val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")    // 1..2
     val nf = (pmod(col("n_chars"), lit(9L)) + 4).cast("int")   // 4..12
     val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
@@ -223,7 +223,7 @@ object SparkEntry {
 
   /** customer with `(features, label)` — the ML-pipeline input frame
     * (label = c_mktsegment indexed, features = numeric customer cols). */
-  private def customerFeatures(s: SparkSession, dir: String): DataFrame =
+  private[graft] def customerFeatures(s: SparkSession, dir: String): DataFrame =
     PrepareFeatures(customer(s, dir),
       Seq("c_acctbal", "c_nationkey", "c_custkey"), "c_mktsegment")
 
@@ -232,7 +232,7 @@ object SparkEntry {
     * vector — the evaluator_accuracy recipe). The CV fit trains on
     * exactly this frame via foldCol; validation_curves_folds pins the
     * assignment against the oracle. */
-  private def foldedCustomerFeatures(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def foldedCustomerFeatures(s: SparkSession, dir: String): DataFrame = {
     val custkey = org.apache.spark.ml.functions
       .vector_to_array(col("features")).getItem(2).cast("long")
     ValidationCurves.foldAssignments(customerFeatures(s, dir), custkey, 3)
@@ -240,7 +240,7 @@ object SparkEntry {
 
   /** Best-effort recursive delete for the per-invocation artifacts of
     * `similarity_ivf_persisted` (temp centroid dir). */
-  private def deleteRecursively(f: java.io.File): Unit = {
+  private[graft] def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete(): Unit
   }
@@ -264,7 +264,7 @@ object SparkEntry {
   // that built it — a dir-only key would serve dead plans to a second
   // SparkSession in the same JVM (e.g. Verify then Bench in one
   // process, or any probe harness)
-  private def annCacheKey(s: SparkSession, dir: String): String =
+  private[graft] def annCacheKey(s: SparkSession, dir: String): String =
     s"${s.sparkContext.applicationId}|$dir"
   // entries of DEAD contexts are dropped on access (a session-cycling
   // harness would otherwise grow the maps monotonically, each stale
@@ -272,23 +272,23 @@ object SparkEntry {
   // atomic for the expensive build — a racing first probe may build
   // twice and abandon one checkpointed copy; benign (GC'd with the
   // context) and cheaper than locking every steady-state hit.
-  private def pruneStale[T](
+  private[graft] def pruneStale[T](
       cache: scala.collection.concurrent.TrieMap[String, T],
       appId: String): Unit =
     cache.keys.filterNot(_.startsWith(appId + "|"))
       .foreach(cache.remove)
-  private val ivfHashInitCache =
+  private[graft] val ivfHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfIndex]
-  private def cachedIvfHashInit(s: SparkSession, dir: String) = {
+  private[graft] def cachedIvfHashInit(s: SparkSession, dir: String) = {
     pruneStale(ivfHashInitCache, s.sparkContext.applicationId)
     ivfHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfIndexHashInit(embeddings(s, dir))
       idx.copy(cells = idx.cells.localCheckpoint(true))
     })
   }
-  private val ivfPqHashInitCache =
+  private[graft] val ivfPqHashInitCache =
     new scala.collection.concurrent.TrieMap[String, Similarity.IvfPqIndex]
-  private def cachedIvfPqHashInit(s: SparkSession, dir: String) = {
+  private[graft] def cachedIvfPqHashInit(s: SparkSession, dir: String) = {
     pruneStale(ivfPqHashInitCache, s.sparkContext.applicationId)
     ivfPqHashInitCache.getOrElseUpdate(annCacheKey(s, dir), {
       val idx = Similarity.ivfPqIndexHashInit(embeddings(s, dir))
@@ -299,9 +299,9 @@ object SparkEntry {
   // registered text_bm25_persisted then measures the steady-state
   // reload + probe (the nightly-deployment shape), not write+reload+probe.
   // The JVM-exit hook reclaims the temp dirs.
-  private val bm25IndexDirCache =
+  private[graft] val bm25IndexDirCache =
     new scala.collection.concurrent.TrieMap[String, String]
-  private def cachedBm25IndexDir(s: SparkSession, dir: String): String =
+  private[graft] def cachedBm25IndexDir(s: SparkSession, dir: String): String =
     bm25IndexDirCache.getOrElseUpdate(dir, {
       val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_idx")
       TextFeatures.writeBm25Index(
@@ -318,7 +318,7 @@ object SparkEntry {
     * unique name per invocation, no catalog entry survives the call.
     * `body` must materialize its result (localCheckpoint) — the frame
     * it returns may not reference the dropped table lazily. */
-  private def withBucketedBands(s: SparkSession, prefix: String,
+  private[graft] def withBucketedBands(s: SparkSession, prefix: String,
       bands: DataFrame)(body: String => DataFrame): DataFrame =
     withBucketedTables(s, prefix, Seq((bands, "bk")))(ns => body(ns.head))
 
@@ -327,7 +327,7 @@ object SparkEntry {
     * ingest-bucketed on their join key. Same re-entrancy contract:
     * unique names per invocation, tables dropped before returning,
     * `body` must materialize its result. */
-  private def withBucketedTables(s: SparkSession, prefix: String,
+  private[graft] def withBucketedTables(s: SparkSession, prefix: String,
       tables: Seq[(DataFrame, String)])(
       body: Seq[String] => DataFrame): DataFrame = {
     val names = tables.map(_ =>
@@ -360,11 +360,11 @@ object SparkEntry {
   // its SparkSession: a long-lived multi-session harness accumulated
   // hooks and retained stopped sessions, and pruned entries' tables
   // stayed on disk until JVM exit.)
-  private case class BucketedJoinTables(session: SparkSession,
+  private[graft] case class BucketedJoinTables(session: SparkSession,
       tables: Seq[String], locations: Seq[java.io.File])
-  private val bucketedJoinTableCache =
+  private[graft] val bucketedJoinTableCache =
     new scala.collection.concurrent.TrieMap[String, BucketedJoinTables]
-  private def cleanupBucketed(e: BucketedJoinTables): Unit = {
+  private[graft] def cleanupBucketed(e: BucketedJoinTables): Unit = {
     e.tables.foreach { t =>
       try {
         if (!e.session.sparkContext.isStopped)
@@ -374,14 +374,14 @@ object SparkEntry {
     e.locations.foreach(f => if (f.exists()) deleteRecursively(f))
   }
   // lazy val ⇒ registered exactly once per JVM, holds no session itself
-  private lazy val bucketedCleanupHookOnce: Unit = {
+  private[graft] lazy val bucketedCleanupHookOnce: Unit = {
     sys.addShutdownHook {
       bucketedJoinTableCache.keys.foreach(k =>
         bucketedJoinTableCache.remove(k).foreach(cleanupBucketed))
     }
     ()
   }
-  private def cachedBucketedJoinTables(
+  private[graft] def cachedBucketedJoinTables(
       s: SparkSession, dir: String): (String, String) = {
     // prune stale-appId entries AND reclaim their tables now — a second
     // session reusing the warehouse dir must not double disk usage
@@ -412,7 +412,7 @@ object SparkEntry {
     * text_perplexity_persisted and its streaming leg (one copy, so the
     * vocab tokenizer and artifact layout can never desynchronize
     * between the two rows that share an oracle). */
-  private def withReloadedLm(s: SparkSession, dir: String)(
+  private[graft] def withReloadedLm(s: SparkSession, dir: String)(
       body: (DataFrame, Long) => DataFrame): DataFrame = {
     val train = documents(s, dir).filter(col("lang") === "en")
     val tmp = java.nio.file.Files.createTempDirectory("graft_lm")
@@ -432,7 +432,7 @@ object SparkEntry {
     * so the verify dump contains no array-typed columns (driver pandas
     * diff requirement). Sizes are static per query — the assembled
     * feature lists are fixed at registration. */
-  private def vecToScalars(df: DataFrame, cols: (String, Int)*): DataFrame = {
+  private[graft] def vecToScalars(df: DataFrame, cols: (String, Int)*): DataFrame = {
     val names = cols.map(_._1).toSet
     val keep = df.columns.filterNot(names).toSeq.map(col)
     val elems = cols.flatMap { case (c, n) =>
@@ -515,7 +515,6 @@ object SparkEntry {
     probed.crossJoin(broadcast(best)).crossJoin(broadcast(splitScore))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2 + §7. */
   /** The shared streaming-oracle harness: run `stream` to completion
     * under Trigger.AvailableNow with foreachBatch materializing each
     * micro-batch to a temp parquet sink, read the sink back through
@@ -534,7 +533,7 @@ object SparkEntry {
     * snapshot's two-phase ingest) reports its LAST stream's run.
     * None when no stream has run, or the last run had no progress. */
   @volatile private[graft] var lastStreamMetrics: Option[String] = None
-  private def recordStreamMetrics(
+  private[graft] def recordStreamMetrics(
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress.toSeq
     lastStreamMetrics =
@@ -557,7 +556,7 @@ object SparkEntry {
       }
   }
 
-  private def runAvailableNow(
+  private[graft] def runAvailableNow(
       s: SparkSession,
       stream: DataFrame,
       outputMode: String,
@@ -600,2649 +599,24 @@ object SparkEntry {
     }
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // ------------------------------------------------ reference surface
-    // §2.1 #7 robust_scaling — exact-percentile path (oracle parity, Q5).
-    "robust_scaling" -> ((s, dir) =>
-      RobustScaling(
-        lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_discount"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"),
-        exact = true)),
-
-    // §2.1 #7 companion: winsorize — clip to [p05, p95] instead of
-    // re-centering. Same one-job quantile plan; exact path for the
-    // quantile_cont oracle.
-    "feature_winsorize" -> ((s, dir) =>
-      RobustScaling.winsorize(
-        lineitem(s, dir).select("l_orderkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_discount"),
-        Seq("l_quantity", "l_extendedprice", "l_discount"),
-        exact = true)),
-
-    // §2.1 #11 add_split_column — deterministic custom branch (Q4):
-    // everything outside one label value trains.
-    "add_split_column" -> ((s, dir) =>
-      SplitColumn.customByLabel(
-        customer(s, dir).select("c_custkey", "c_mktsegment"),
-        "c_mktsegment", "AUTOMOBILE")),
-
-    // §2.1 #10 predefined_split filters — pushdown-friendly predicates.
-    "predefined_split_train" -> ((s, dir) =>
-      SplitColumn.trainSplit(SplitColumn.customByLabel(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_mktsegment"),
-        "c_mktsegment", "AUTOMOBILE"))),
-    "predefined_split_test" -> ((s, dir) =>
-      SplitColumn.testSplit(SplitColumn.customByLabel(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_mktsegment"),
-        "c_mktsegment", "AUTOMOBILE"))),
-
-    // §2.1 #3 prepare_features — StringIndexer(label) + VectorAssembler;
-    // assembler is identity on the 3 numeric inputs, so the scalar
-    // projection is exactly SQL-expressible (oracle below).
-    "prepare_features" -> ((s, dir) =>
-      vecToScalars(customerFeatures(s, dir), "features" -> 3)),
-
-    // §2.1 #8 feature_union — original ++ z-scored concat. z-scores are
-    // rounded to 6dp (StandardScaler's treeAggregate mean/std vs the
-    // oracle's avg/stddev_samp differ in ulps from summation order).
-    "feature_union" -> ((s, dir) => {
-      val fu = vecToScalars(FeatureUnion(customerFeatures(s, dir)),
-        "features" -> 3, "scaled_features" -> 3, "combined_features" -> 6)
-      (Seq("scaled_features_0", "scaled_features_1", "scaled_features_2",
-        "combined_features_3", "combined_features_4", "combined_features_5"))
-        .foldLeft(fu)((d, c) => d.withColumn(c, round(col(c), 6)))
-    }),
-
-    // §2.1 #9 dimensionality reduction — seeded KMeans / PCA (iterative
-    // fits: ScalaTest-adjudicated, no SQL oracle).
-    "dim_reduction_kmeans" -> ((s, dir) =>
-      vecToScalars(DimReduction(customerFeatures(s, dir), "kmeans", k = 3),
-        "features" -> 3)),
-    "dim_reduction_pca" -> ((s, dir) =>
-      vecToScalars(DimReduction(customerFeatures(s, dir), "pca", k = 2),
-        "features" -> 3, "pca_features" -> 2)),
-
-    // §2.1 #9, round 11 (VERDICT item 1): KMeans with the hash-init
-    // trick — centroids are the 8 hash-drawn customer rows, assignment
-    // is literal-centroid euclidean argmin, so the whole operator is
-    // restatable in DuckDB (hash-EXACT) while the Lloyd fit above keeps
-    // its invariant specs. Same raw features as customerFeatures.
-    "dim_reduction_kmeans_hashinit" -> ((s, dir) =>
-      DimReduction.kmeansHashInit(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
-        idCol = "c_custkey")),
-    // round 11, one step further: the actual Lloyd ITERATION under the
-    // oracle — one unrolled assign + 6dp-rounded re-center + re-assign
-    // (kmeansLloyd steps=1). With this row the full k-means recipe —
-    // init draw (…_hashinit), iteration arithmetic (here), evaluator
-    // (evaluator_accuracy) — is hash-proven; only open-ended
-    // convergence looping remains invariant-adjudicated
-    // (dim_reduction_kmeans).
-    "dim_reduction_kmeans_lloyd" -> ((s, dir) =>
-      DimReduction.kmeansLloyd(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
-        idCol = "c_custkey", steps = 1)),
-    // round 12 (r11 verdict item 5): TWO chained Lloyd steps under the
-    // oracle — the re-centered 6dp centroids from step 1 feed step 2's
-    // assignment, so the iteration COMPOSITION (not just one step's
-    // arithmetic) is hash-proven; the invariant-only surface shrinks
-    // to MLlib's internal termination test. Oracle = the same CTE
-    // chain unrolled twice (kmeansLloydOracle(2)).
-    "dim_reduction_kmeans_lloyd2" -> ((s, dir) =>
-      DimReduction.kmeansLloyd(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        k = 8, featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
-        idCol = "c_custkey", steps = 2)),
-
-    // §2.1 #9, round 11 (VERDICT item 4): the PCA SCORING half under
-    // the oracle — projection onto a FROZEN 2×3 loading matrix (the
-    // literals below; FeaturesSpec ties the same projection applied to
-    // a real fitted model.pc to PCAModel.transform). The iterative SVD
-    // fit stays invariant-adjudicated in dim_reduction_pca.
-    "dim_reduction_pca_scoring" -> ((s, dir) =>
-      DimReduction.pcaProject(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        PcaScoringLoadings,
-        featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"))),
-
-    // Round 15 (r14 verdict item 3): one hash-init POWER-ITERATION
-    // step under the oracle — the kmeans_lloyd treatment applied to
-    // the PCA fit family, which until now had only the frozen-loadings
-    // scoring sibling. v0 = the first idHash-ranked customer row
-    // unit-normalized; one Gram-vector product w = XᵀXv (a single
-    // aggregated corpus pass) + 6dp-rounded normalization; output the
-    // direction and the per-row projection. With this row every fit
-    // family (kmeans / PCA / LR / CV / BPE) has a hash-exact ITERATION
-    // sibling; only MLlib's internal SVD/convergence stays
-    // invariant-only (dim_reduction_pca).
-    "dim_reduction_pca_power" -> ((s, dir) =>
-      DimReduction.pcaPowerIteration(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"),
-        idCol = "c_custkey", steps = 1)),
-
-    // §2.1 #6 probability_prediction — LR fit+transform on same frame
-    // (5 label classes = 5 probability elements).
-    "probability_prediction" -> ((s, dir) =>
-      vecToScalars(ProbabilityPrediction(customerFeatures(s, dir)),
-        "probability" -> 5)),
-
-    // §2.1 #6, round 11 (VERDICT item 2): the LR SCORING half under the
-    // oracle — softmax + argmax against the FROZEN 4×3 coefficient
-    // matrix below (FeaturesSpec ties the same scoring applied to a real
-    // fitted coefficientMatrix/interceptVector to the model's own
-    // probability/prediction columns). The iterative L-BFGS fit stays
-    // invariant-adjudicated in probability_prediction.
-    "probability_scoring" -> ((s, dir) =>
-      ProbabilityPrediction.score(
-        customer(s, dir).select("c_custkey", "c_acctbal", "c_nationkey"),
-        ScoringCoefficients, ScoringIntercepts,
-        featureCols = Seq("c_acctbal", "c_nationkey", "c_custkey"))),
-
-    // Round 11 (VERDICT item 3): the evaluator arithmetic under the
-    // oracle — MulticlassClassificationEvaluator("accuracy") evaluated
-    // over a frozen deterministic predictions frame (label from the
-    // hash-EXACT prepare_features mapping, prediction a pure custkey
-    // expression). accuracy = correct/total is exact-integer division,
-    // so the genuinely-MLlib-computed scalar is itself hash-EXACT —
-    // proving the metric path validation_curves / predefined_split rank
-    // their grids with, even though those fits stay iterative.
-    "evaluator_accuracy" -> ((s, dir) => {
-      import s.implicits._
-      // features_2 is c_custkey (the customerFeatures assembly order):
-      // prediction = custkey mod 5 — deterministic, label-correlated
-      // never, so the accuracy is a pure arithmetic fact of the frame
-      val custkey = org.apache.spark.ml.functions
-        .vector_to_array(col("features")).getItem(2).cast("long")
-      val preds = customerFeatures(s, dir)
-        .withColumn("prediction", (custkey % 5).cast("double"))
-      val acc = new org.apache.spark.ml.evaluation
-          .MulticlassClassificationEvaluator()
-        .setMetricName("accuracy").setLabelCol("label")
-        .setPredictionCol("prediction")
-        .evaluate(preds)
-      Seq(acc).toDF("accuracy")
-    }),
-
-    // §2.1 #4 validation_curves — (param_value, avg_metric) curve
-    // (CV fit metrics: ScalaTest-adjudicated, no SQL oracle). Round 13
-    // (r12 verdict item 8): the fit runs on DETERMINISTIC pre-assigned
-    // folds (foldCol, fold = custkey mod 3) instead of the seeded
-    // random kFold sampling — the fold assignment itself is pinned
-    // hash-EXACT by the validation_curves_folds sibling below, so the
-    // unproven surface of this row shrinks to the LR optimizer
-    // iterations proper (whose metric arithmetic evaluator_accuracy
-    // already proves).
-    "validation_curves" -> ((s, dir) =>
-      ValidationCurves(s, foldedCustomerFeatures(s, dir),
-        paramRange = Seq(0.001, 0.01, 0.1), numFolds = 3,
-        foldCol = Some("fold"))),
-    // The fold assignment + per-fold shape under the oracle: fold ids,
-    // row counts, distinct-label counts — exactly the frame the
-    // CrossValidator above trains on (same foldedCustomerFeatures
-    // call), restated by DuckDB from the raw customer table.
-    "validation_curves_folds" -> ((s, dir) =>
-      foldedCustomerFeatures(s, dir)
-        .groupBy("fold")
-        .agg(count(lit(1)).as("n_rows"),
-          countDistinct(col("label")).as("n_labels"))),
-
-    // §2.1 #10 predefined_split tuning — test-side predictions of the
-    // train-fit model (Q2: which grid point wins is unspecified).
-    "predefined_split_fit" -> ((s, dir) => {
-      val withSplit = SplitColumn.customByLabel(
-        customerFeatures(s, dir), "label", 0.0)
-      val r = PredefinedSplit(withSplit)
-      vecToScalars(r.model.transform(r.test)
-        .select("label", "prediction", "features"), "features" -> 3)
-    }),
-    // The fit's grid artifact (one row per grid point). The grid values
-    // are spec-determined literals and Q2 (trainRatio=1.0 ⇒ empty
-    // validation set) forces every tuner metric to NaN — surfaced as a
-    // boolean so the hash compare never touches NaN, and so the oracle
-    // states the Q2 contract explicitly: the grid SHAPE is pinned, the
-    // winner never is.
-    "predefined_split_grid" -> ((s, dir) => {
-      val withSplit = SplitColumn.customByLabel(
-        customerFeatures(s, dir), "label", 0.0)
-      PredefinedSplit.gridMetrics(PredefinedSplit(withSplit))
-        .select(col("reg_param"),
-          isnan(col("validation_metric")).as("metric_is_empty_nan"))
-    }),
-
-    // --------------------------------------------- §7 LLM-pipeline: dedup
-    // Registered shape is keeper-ids-only, so the groupBy fast path
-    // applies (same rows as the window variant at ~1/5 the cost; the
-    // window path stays oracle-covered end-to-end through llm_curate).
-    "dedup_exact" -> ((s, dir) =>
-      Dedup.exactKeepers(documents(s, dir))),
-    "dedup_exact_groups" -> ((s, dir) =>
-      Dedup.exactGroups(documents(s, dir))),
-    // The exact-Jaccard verification stage over a deterministic
-    // candidate set (all consecutive id pairs) — this oracles the
-    // shingling + set-Jaccard arithmetic that minhash/simhash pairs
-    // rely on, so only their (seeded) CANDIDATE GENERATION is left to
-    // invariant tests.
-    "dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val pairs = docs.select(col("doc_id").as("id_a"),
-        (col("doc_id") + 1).as("id_b"))
-      Dedup.ngramJaccard(docs, pairs)
-        .withColumn("jaccard", round(col("jaccard"), 6))
-    }),
-    // Connected components over a DETERMINISTIC edge set: the
-    // consecutive-id pairs whose (oracle-proven) n-gram Jaccard clears
-    // the threshold. Min-label propagation has an exact DuckDB twin
-    // (recursive reachability + min), so the one iterative-graph
-    // operator family gets an oracle-EXACT row.
-    //
-    // The fixture corpus has no consecutive-id pair with jaccard ≥ 0.5
-    // (checked at sf0.01 — the natural edge set is EMPTY, which made the
-    // r4-r6 row vacuously green on 0 vs 0 rows). So a 3-doc near-dup
-    // CHAIN is planted in-flight (the llm_decontaminate planted-copy
-    // pattern): consecutive planted texts share 3 of 5 distinct
-    // 3-shingles (jaccard 0.6), ids 2000000-2000002 are consecutive so
-    // both chain edges enter the candidate set, and the ends of the
-    // chain are NOT direct candidates — the oracle now proves 2-hop
-    // transitive min-label propagation, not just edge discovery.
-    "dedup_components" -> ((s, dir) => {
-      import s.implicits._
-      val planted = Seq(
-        (2000000L, "alpha beta gamma delta epsilon zeta"),
-        (2000001L, "alpha beta gamma delta epsilon eta"),
-        (2000002L, "alpha beta gamma delta epsilon theta"))
-        .toDF("doc_id", "text")
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-        .unionByName(planted)
-      val pairs = docs.select(col("doc_id").as("id_a"),
-        (col("doc_id") + 1).as("id_b"))
-      val edges = Dedup.ngramJaccard(docs, pairs)
-        .filter(col("jaccard") >= 0.5)
-        .select("id_a", "id_b")
-      Dedup.connectedComponents(edges)
-    }),
-    // LSH sketch paths. minhash gets a BRUTE-FORCE oracle: all-pairs
-    // 3-gram Jaccard ≥ 0.2 in DuckDB — exact because the seeded
-    // banding finds every qualifying pair on this fixture (verified;
-    // deterministic seed ⇒ stable), so the row now also guards RECALL,
-    // not just schema. simhash (r9) gets a FULL-FIDELITY oracle: the
-    // xxhash64 token lanes ARE re-implemented in DuckDB SQL (HUGEINT
-    // mod-2^64 XXH64 + Charikar bit-vote + banded-Hamming join — see
-    // the oracleSql entry), so the row guards the exact fingerprint
-    // arithmetic AND banding recall — necessary because the fixture's
-    // Hamming ≤ 3 set contains two coincidental collisions (Jaccard
-    // 0.0) no text-similarity proxy could reproduce.
-    // Registered in the PRODUCTION star-first shape (round 13, the
-    // minhash analog of r12's simhash retirement — the last registered
-    // quadratic mechanism): verified star links collapse the
-    // near-identical replica mass at Jaccard >= 0.95 first (one sorted
-    // window pass over band keys — linear at any duplication rate),
-    // then the banded pair self-join runs over the replica-free
-    // SURVIVORS only — the C(m,2) expansion per replica group
-    // (measured 12x at 10x data on the r11 rehearsal) can no longer
-    // occur on the full corpus. The raw-corpus Dedup.minhashPairs
-    // stays the exhaustive ground truth, exercised un-benched in
-    // DedupSpec (star-first == it restricted to survivors, and the
-    // star drop set == its keep-min drop set with zero escapes on the
-    // replicated fixture). The collapse is TIGHTER (0.95) than the
-    // enumeration (0.2) — the production split: only near-identical
-    // replicas collapse silently; looser similarity still surfaces as
-    // pair rows (1 row at sf0.01 — the fixture's single sub-0.95
-    // qualifying pair; the other 24 are replica mass the collapse
-    // already attributed).
-    "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairsStarFirst(documents(s, dir), minJaccard = 0.2,
-        collapseJaccard = 0.95)),
-    // The deployment composition end-to-end: banded candidates →
-    // exact-Jaccard verify → connected components → keep the smallest
-    // id per near-dup CLUSTER (transitively: A~B~C drops B and C even
-    // when A≁C directly). The oracle rebuilds the same answer from
-    // brute-force all-pairs Jaccard + a recursive-CTE closure, so
-    // banding recall, the component algebra and the anti-join are all
-    // hash-verified as one unit (dedup_components pins the CC operator
-    // on a planted chain; this row pins the COMPOSITION on the corpus).
-    // Star-first (r13): cluster edges = verified star links UNION the
-    // banded pairs among collapse survivors, both at the cluster
-    // threshold — every edge is still a true pair, so components can
-    // only REFINE the raw relation's (extra keepers on a star escape,
-    // never a wrong merge), and on this fixture the keep set is
-    // IDENTICAL to the raw path's (oracle unchanged — the brute-force
-    // closure still pins banding recall, component algebra and the
-    // anti-join end-to-end). Raw minhashConnected stays the un-benched
-    // ground truth (DedupSpec).
-    "dedup_minhash_clusters" -> ((s, dir) =>
-      Dedup.minhashConnectedStarFirst(documents(s, dir), minJaccard = 0.2)
-        .select("doc_id", "lang", "source", "n_chars")),
-    // Same clusters, production keep rule: the LONGEST member survives
-    // (ties to the smaller id) instead of the smallest id — the
-    // "keep the best copy" policy real dedup ships. The oracle swaps
-    // only the keep rule (argmax over the closure's components).
-    // Same star-first edge set, production keep rule (longest member,
-    // ties to the smaller id). Collapsed docs remain cluster MEMBERS
-    // via their star links, so a high-quality replica can still win —
-    // keep policy identical to the raw path; oracle unchanged.
-    "dedup_minhash_clusters_best" -> ((s, dir) =>
-      Dedup.minhashConnectedBestStarFirst(documents(s, dir),
-        scoreCol = "n_chars", minJaccard = 0.2)
-        .select("doc_id", "lang", "source", "n_chars")),
-    // Registered in the PRODUCTION star-first shape (round 12, retiring
-    // the r11 sf1 weak flag): star-collapse the replica mass first
-    // (linear at any duplication rate), then the banded pair self-join
-    // over the replica-free SURVIVORS only — the C(m,2) pair expansion
-    // that went 32× at 10× data on the ~90%-duplicated rehearsal corpus
-    // can no longer occur on the full corpus (PlanAuditSpec asserts the
-    // collapse anti-join sits below the pair join). The raw-corpus
-    // quadratic form stays available as Dedup.simhashPairs — the
-    // exhaustive ground truth, exercised un-benched in DedupSpec (the
-    // star-first relation == it restricted to survivors). The oracle
-    // restates the full composition: fingerprints → star links → drop
-    // set → brute-force survivor pairs (exact by pigeonhole: Hamming
-    // ≤ 3 < 4 bands, ±1 salt covers len-delta ≤ 1). The collapse is
-    // TIGHTER than the enumeration (Hamming ≤ 2 replicas collapse,
-    // ≤ 3 pairs among survivors are enumerated) — the production
-    // split: pair rows are only worth emitting where they carry
-    // information a keep-min collapse hasn't already consumed, and it
-    // keeps the row non-vacuous on this fixture (4 rows at sf0.01;
-    // equal thresholds leave 1).
-    "dedup_simhash_pairs" -> ((s, dir) =>
-      Dedup.simhashPairsStarFirst(documents(s, dir), maxHamming = 3,
-        collapseHamming = 2)),
-    // Star-reduced simhash linking (round 11, the sf1 rehearsal fix):
-    // on a 10×-replicated sf0.1 corpus the pair self-join is quadratic
-    // in the duplication rate (simhash_verified 3.3 s → 438 s); the
-    // star path replaces it with ONE sorted window pass over banded
-    // rows (prefix-min + predecessor links) — linear at any dup rate —
-    // and drops the same keep-min set as the pair path on the
-    // replicated fixture (DedupSpec). Oracle restates the exact
-    // banding + linking + Hamming mechanics.
-    "dedup_simhash_star" -> ((s, dir) =>
-      Dedup.simhashStar(documents(s, dir), maxHamming = 3)),
-    // simhash candidates + exact-Jaccard verification, registered in
-    // the PRODUCTION star-first shape. Round 13 sharpened the r12
-    // recipe: the r12 collapse ran TIGHTER than the enumeration
-    // (Hamming ≤ 3, Jaccard-unverified), and the sf1 re-rehearsal
-    // caught its failure mode — replicas at Hamming 4-6 half-survived
-    // the collapse and the banded self-join over 23 k semi-replicated
-    // survivors emitted 650 k candidates (101 s, the quadratic
-    // mechanism half-returned). Now: star links at the FULL
-    // enumeration thresholds (8 bands, ≤ 6), each link verified with
-    // exact n-gram Jaccard BEFORE it can drop anyone (drop decisions
-    // are text facts, never sketch guesses), candidates + verify over
-    // the truly replica-free survivors. The oracle composes the exact
-    // 8-band star mechanics with the same Jaccard bar and the
-    // brute-force all-pairs relation over the survivors — exact on
-    // this fixture: every qualifying pair measured Hamming ≤ 5 and
-    // len-bucket delta ≤ 1, inside maxHamming=6 / bands=8 / ±1 salt
-    // replication, and restricting to survivors preserves that margin.
-    // Raw-corpus Dedup.simhashVerified stays the un-benched
-    // brute-force validation baseline (DedupSpec).
-    "dedup_simhash_verified" -> ((s, dir) =>
-      Dedup.simhashVerifiedStarFirst(documents(s, dir), minJaccard = 0.5)),
-    // Incremental dedup: the batch tail (last decimal-digit ids) deduped
-    // against the keeper hashes of the historical 80% — the same split
-    // both engines can compute, so the anti-join is oracle-exact.
-    "dedup_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      Dedup.exactIncremental(
-        docs.filter(col("doc_id") % 10 >= 8),
-        Dedup.exactKeepers(docs.filter(col("doc_id") % 10 < 8)))
-    }),
-    // Incremental near-dup twins, same % 10 batch/history split.
-    // Both now carry BRUTE-FORCE oracles (all-pairs similarity rules in
-    // DuckDB): exact because the seeded candidate generation finds
-    // every qualifying pair on this fixture — the rows guard the full
-    // survivor semantics including recall. Deterministic: seeded
-    // hashes + explicit knobs (no auto-count dependence).
-    // Registered in the PRODUCTION shape: history band keys are
-    // persisted bucketed by `bk` and the candidate join consumes the
-    // table — zero history-side Exchange (the at-scale point of the
-    // incremental twins; the recompute-history convenience path stays
-    // covered by DedupSpec). Same results as the in-query path — the
-    // table holds exactly what minhashBandKeys/embeddingBandKeys emit.
-    // Star-first (r13): the WITHIN-BATCH self-join — the C(m,2)
-    // mechanism when a batch carries replica groups — is replaced by
-    // verified star links over the batch band keys; the cross join
-    // consumes only within-survivors. History mechanics unchanged
-    // (persisted bucketed bands, zero history-side Exchange). Within-
-    // star coverage is complete on this fixture, so the brute-force
-    // oracle is unchanged; raw minhashIncremental stays the ground
-    // truth in DedupSpec.
-    // ... and the SIMHASH incremental twin (r16, the incremental
-    // family's last modality gap — exact/minhash/embedding/phash all
-    // had one): history persists only its exact 16-bit block keys
-    // (4 rows/doc, xxhash64(band,key) longs bucketed by bk — zero
-    // history-side Exchange, history text never re-tokenized), the
-    // batch probes exact+16-flip keys and verifies by bit_count on
-    // carried fingerprints. Unsalted multiprobe = pure Hamming
-    // semantics, so the oracle is the brute-force NOT EXISTS rules
-    // over the fpl fingerprint CTE — exact recall to hamming <= 7.
-    "dedup_simhash_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 10 >= 8)
-      val hist = docs.filter(col("doc_id") % 10 < 8)
-      withBucketedBands(s, "graft_sh_hist",
-        Dedup.simhashBandKeysExact(hist)) { tbl =>
-        Dedup.simhashIncremental(batch, s.table(tbl), maxHamming = 3)
-          .localCheckpoint(true)
-      }
-    }),
-    "dedup_minhash_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val batch = docs.filter(col("doc_id") % 10 >= 8)
-      val hist = docs.filter(col("doc_id") % 10 < 8)
-      withBucketedBands(s, "graft_mh_hist", Dedup.minhashBandKeys(hist)) {
-        tbl =>
-          Dedup.minhashIncrementalStarFirst(batch, hist, minJaccard = 0.5,
-            histBands = Some(s.table(tbl)))
-            .select("doc_id")
-            .localCheckpoint(true)
-      }
-    }),
-    // Planted in-flight near-dup fixture (the fixture corpus has no
-    // natural pair above cosine 0.51, so the row was vacuously "all
-    // batch vectors survive"): 900001 = history vec 0 nudged (cross
-    // loser), 900002 = the NEGATION of history vec 5 (novel — |cosine|
-    // vs everything natural ≤ 0.51), 900003 = 900002 nudged (within
-    // loser, larger id). Oracle = brute-force all-pairs cosine rules —
-    // exact here because the seeded LSH finds every ≥0.99 pair on this
-    // fixture (miss probability ~1e-8 per pair, deterministic seed).
-    "dedup_embedding_incremental" -> ((s, dir) => {
-      val base = embeddings(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val hist = base.filter(col("vec_id") % 10 < 8)
-      val h0 = hist.filter(col("vec_id") === 0L)
-      val h5 = hist.filter(col("vec_id") === 5L)
-      // materialized ONCE: the 4-branch planted union is consumed by
-      // four plan subtrees (two candidate joins, verification, final
-      // anti-join) and would otherwise be re-scanned by each of them
-      val batch = base.filter(col("vec_id") % 10 >= 8)
-        .unionByName(h0.select(lit(900001L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
-            .as("embedding")))
-        .unionByName(h5.select(lit(900002L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-        .unionByName(h5.select(lit(900003L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
-            .as("embedding")))
-        .localCheckpoint(true)
-      withBucketedBands(s, "graft_emb_hist",
-        Dedup.embeddingBandKeys(hist, numTables = 4, bitsPerTable = 12)) {
-        tbl =>
-          Dedup.embeddingIncremental(batch, hist,
-            minCosine = 0.99, numHashTables = 4, bitsPerTable = 12,
-            histBands = Some(s.table(tbl)))
-            .select("vec_id")
-            .localCheckpoint(true)
-      }
-    }),
-    // ... and the embedding STREAMING twin (r16), completing the
-    // streaming dedup quartet (exact / Jaccard / Hamming / cosine):
-    // the corpus + the same three in-flight planted vectors arrive as
-    // a file stream (planted rows derived FROM the stream — union of
-    // streaming frames), LSH banding is a stateless projection, and
-    // the cosine keeper machine emits drop links verified by exact
-    // cosine in-state. Oracle = brute-force keep-min survivor rules —
-    // exact on this fixture for the dedup_embedding_pairs reasons
-    // (seeded 4×12-bit recall ~1-1e-8 per pair, thresholds far from
-    // every pair's cosine so JVM/DuckDB summation ulps cannot flip a
-    // classification).
-    "stream_embed_near" -> ((s, dir) => {
-      import s.implicits._
-      val base = Sources.embeddingsStream(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val e0 = base.filter(col("vec_id") === 0L)
-      val e5 = base.filter(col("vec_id") === 5L)
-      val planted = base
-        .unionByName(e0.select(lit(900001L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
-            .as("embedding")))
-        .unionByName(e5.select(lit(900002L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-        .unionByName(e5.select(lit(900003L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
-            .as("embedding")))
-      val banded = Dedup.embeddingBandedVecs(planted,
-          numTables = 4, bitsPerTable = 12)
-        .as[graft.streaming.BandedVecRow]
-      runAvailableNow(s,
-        StreamOps.nearDedupCosineStream(banded, minCosine = 0.99).toDF(),
-        outputMode = "append", sinkWriteMode = "append") { links =>
-        val b = embeddings(s, dir).select(col("vec_id"))
-        val ids = b
-          .unionByName(b.filter(col("vec_id") === 0L)
-            .select(lit(900001L).as("vec_id")))
-          .unionByName(b.filter(col("vec_id") === 5L)
-            .select(lit(900002L).as("vec_id")))
-          .unionByName(b.filter(col("vec_id") === 5L)
-            .select(lit(900003L).as("vec_id")))
-        ids.join(links.select(col("vec_id")).distinct(),
-          Seq("vec_id"), "left_anti")
-      }
-    }),
-    // Copied-passage candidates, hash-EXACT since r9: the gear-hash
-    // CDC arithmetic is re-implemented in DuckDB SQL (splitmix64 gear
-    // table + recursive per-byte scan — see the oracleSql entry), so
-    // the row pins the exact chunk fingerprints and the full candidate
-    // set, not just run/schema.
-    "dedup_passage_pairs" -> ((s, dir) =>
-      Dedup.passagePairs(documents(s, dir), minShared = 1)),
-    // Edit-distance verification over the same consecutive-id pairs as
-    // dedup_ngram_jaccard: classic Levenshtein on the normalized
-    // 100-char prefix — both engines implement the textbook DP, so the
-    // row is oracle-exact with no rounding hazard on the int distance.
-    "dedup_edit_similarity" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val pairs = docs.select(col("doc_id").as("id_a"),
-        (col("doc_id") + 1).as("id_b"))
-      Dedup.editSimilarity(docs, pairs)
-    }),
-    // CDC candidates + exact shared-8-gram verification — ground-truth
-    // output, so it gets the brute-force oracle (all-pairs shared
-    // distinct 8-grams ≥ 10 in DuckDB). Exact on this fixture: every
-    // qualifying pair shares a passage long enough (≥ 17 tokens) to
-    // contain complete 16-char-avg chunks, so the fine-grained chunker
-    // proposes all of them — the row guards CDC recall end-to-end
-    // (deterministic gear hash, no seed ⇒ stable).
-    "dedup_passage_verified" -> ((s, dir) =>
-      Dedup.passageVerified(documents(s, dir))),
-    // ... and the CDC INCREMENTAL twin (r17): history chunk
-    // fingerprints persist bucketed by chunk (df-pruned at ingest
-    // against the history corpus), the batch is chunked and probes the
-    // table Exchange-free — history text is never re-normalized or
-    // re-chunked. Fixture plants 900001 = the first 600 chars of
-    // history doc 0 plus a novel tail (the lifted-paragraph shape):
-    // identical normalized prefixes chunk identically under the
-    // content-defined gear hash, so the planted doc shares every
-    // complete chunk inside the prefix with doc 0 and is dropped as a
-    // cross loser. Chunking runs at [[Dedup.passageVerified]]'s FINE
-    // recall knobs (avg 2^4 = 16 chars, min 8): the fixture's docs
-    // run ~150-550 chars, so 64-char-avg chunks would leave short
-    // docs — doc 0 included — with < minShared complete chunks and
-    // the planted lift vacuously surviving. Oracle = the
-    // dedup_passage_pairs recursive-CTE chunker (boundary constants
-    // 8/16) over hist∪batch with the same per-side df pruning and
-    // both loser rules.
-    "dedup_passage_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val hist = docs.filter(col("doc_id") % 10 < 8)
-      val planted = hist.filter(col("doc_id") === 0L)
-        .select(lit(900001L).as("doc_id"),
-          concat(substring(col("text"), 1, 600),
-            lit(" entirely novel trailing prose closes the lifted excerpt"))
-            .as("text"))
-      val batch = docs.filter(col("doc_id") % 10 >= 8)
-        .select(col("doc_id"), col("text"))
-        .unionByName(planted)
-      withBucketedTables(s, "graft_psg_hist",
-        Seq((Dedup.passageChunkKeys(hist, avgChunkBits = 4, window = 8),
-          "chunk"))) { ns =>
-        Dedup.passageIncremental(batch, s.table(ns.head),
-            avgChunkBits = 4, window = 8)
-          .select("doc_id")
-          .localCheckpoint(true)
-      }
-    }),
-    // Embedding near-dup via seeded sign-LSH. The fixture corpus has no
-    // natural near pairs (max pairwise cosine 0.51 — documented), so a
-    // near-copy of vec 0 is planted IN-FLIGHT (pure column transform,
-    // no collect): the registered row then deterministically contains
-    // the planted pair. Oracle = brute-force all-pairs cosine ≥ 0.99
-    // in DuckDB (exactly the planted pair) — exact recall on this
-    // fixture under the fixed seed.
-    // Round 14 (VERDICT item 6): registered in the PRODUCTION
-    // star-first shape, closing the discipline across all three sketch
-    // families (minhash r13, simhash r12/13, cosine now) — star links
-    // verified with exact cosine before anyone drops, the banded pair
-    // self-join over collapse survivors only, so the C(m,2) bucket
-    // expansion cannot occur on replica mass under a 90 %-dup corpus
-    // (the r12 sf1 cliff simhash hit). Output here = the same single
-    // planted pair (a star link at cosine ~1.0); oracle unchanged.
-    // Raw Dedup.embeddingPairs stays the un-benched brute-force ground
-    // truth (DedupSpec pins star-first equality on a replicated
-    // fixture).
-    "dedup_embedding_pairs" -> ((s, dir) => {
-      val base = embeddings(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val planted = base.filter(col("vec_id") === 0L)
-        .select(lit(900000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
-            .as("embedding"))
-      Dedup.embeddingPairsStarFirst(base.unionByName(planted),
-          minCosine = 0.99, collapseCosine = 0.99)
-        .select(col("id_a"), col("id_b"),
-          round(col("cosine"), 6).as("cosine"))
-    }),
-    // SemDeDup semantic dedup (round 11): hash-init cell assignment +
-    // in-cell pairwise cosine + keep-smallest-id, all engine-portable
-    // arithmetic — the WHOLE pipeline (centroid draw, argmax
-    // assignment, 6dp pair cosines, dup flag) shares one DuckDB twin.
-    // The fixture corpus has no natural near pairs (max pairwise
-    // cosine 0.51), so the same in-flight near-copy of vec 0 is
-    // planted as in dedup_embedding_pairs: the planted row lands in
-    // vec 0's cell at cosine ~1.0 and is the ONE flagged dup at the
-    // realistic τ = 0.8, while vec 0 itself (the smaller id) is kept
-    // — the paper's keep-lowest-index rule, non-vacuously exercised.
-    "dedup_semantic" -> ((s, dir) => {
-      val base = embeddings(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val planted = base.filter(col("vec_id") === 0L)
-        .select(lit(900000L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
-            .as("embedding"))
-      // nCells = 0 → derived: ⌈n/32⌉ = 16 cells on this fixture (501
-      // well-formed rows), IDENTICAL to the previous fixed-16
-      // registration — but the registered shape now scales nCells ∝ N
-      // (the r12 semanticKnobs derivation; within-cell pair work stays
-      // linear at sf1's 20k vectors instead of quadratic), and the
-      // oracle restates the same derivation as a scalar subquery so
-      // the two engines always agree on the cell count.
-      Dedup.semantic(base.unionByName(planted), nCells = 0,
-        minCosine = 0.8, dim = Some(64))
-        .withColumn("cell", col("cell").cast("int"))
-    }),
-    // ... and its INCREMENTAL twin (r17, the last dedup family without
-    // a refresh story): the hash-init centroids are refit-free, so the
-    // history assignment (vec_id, cell, e) persists bucketed by cell,
-    // only the batch is assigned (frozen centroids), and in-cell
-    // comparisons run batch-vs-history + batch-vs-smaller-id-batch —
-    // the whole corpus is never re-assigned or re-paired. Fixture:
-    // batch = %10>=8 plus the three in-flight planted vectors of the
-    // embedding-incremental fixture (900001 = hist vec 0 nudged →
-    // cross dup at cos ~1.0; 900002 = hist vec 5 negated → novel;
-    // 900003 = 900002 nudged → within dup, larger id). nCells derives
-    // from the HISTORY count (the frozen-quantizer contract); the
-    // oracle restates draw, assignment, and both pair rules in SQL.
-    "dedup_semantic_incremental" -> ((s, dir) => {
-      val base = embeddings(s, dir).select(col("vec_id"),
-        col("embedding").cast("array<double>").as("embedding"))
-      val histWf = base.filter(col("vec_id") % 10 < 8)
-        .where(col("embedding").isNotNull)
-        .where(size(col("embedding")) === 64)
-      val h0 = histWf.filter(col("vec_id") === 0L)
-      val h5 = histWf.filter(col("vec_id") === 5L)
-      val batch = base.filter(col("vec_id") % 10 >= 8)
-        .unionByName(h0.select(lit(900001L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
-            .as("embedding")))
-        .unionByName(h5.select(lit(900002L).as("vec_id"),
-          transform(col("embedding"), x => -x).as("embedding")))
-        .unionByName(h5.select(lit(900003L).as("vec_id"),
-          transform(col("embedding"),
-            (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
-            .as("embedding")))
-        .localCheckpoint(true)
-      val nc = Dedup.semanticKnobs(histWf.count(), nCells = 0)
-      val index = Similarity.ivfIndexHashInit(histWf, nc)
-      withBucketedTables(s, "graft_sem_hist",
-        Seq((Dedup.semanticHistCells(index), "cell"))) { ns =>
-        Dedup.semanticIncremental(batch, index, s.table(ns.head),
-            minCosine = 0.8, dim = Some(64))
-          .withColumn("cell", col("cell").cast("int"))
-          .localCheckpoint(true)
-      }
-    }),
-
-    // llm counterpart of demo_all_features: quality → lang filter →
-    // exact dedup composed in one plan, oracle-checked END-TO-END.
-    "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
-    // The curation observability deliverable: per-stage attrition
-    // (quality → language → exact-dedup) with sequential-funnel
-    // charging, computed from ONE conditional-count aggregate over
-    // the same shared scoring expressions the pipeline runs — the
-    // report can never disagree with llm_curate (shared oracle CTE
-    // prefix pins that on the SQL side too).
-    "llm_attrition_report" -> ((s, dir) =>
-      Curate.attritionReport(documents(s, dir))),
-
-    // Deterministic per-source mixture sampling: md5-bucket thresholds
-    // are plan literals the DuckDB oracle states as a CASE expression —
-    // same kept set on both engines by construction (no RNG).
-    "llm_mix_corpus" -> ((s, dir) =>
-      Curate.mixCorpus(documents(s, dir),
-        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25, "src3" -> 0.1))
-        .select("doc_id", "source")),
-
-    // Snapshot diff report (round 15): the audit a versioned corpus
-    // runs after a refresh, before committing it — every key
-    // classified added/removed/changed/unchanged by comparing md5
-    // fingerprints of (text, source). Planted refresh: doc_id % 17
-    // removed, % 13 text-modified, % 23 re-inserted under +900000 ids
-    // (the fixture has no natural churn). Each side projects to
-    // (key, fingerprint) BEFORE the one full-outer join, so the
-    // shuffle carries hashes, never document payloads.
-    "llm_snapshot_diff" -> ((s, dir) => {
-      val prev = documents(s, dir).select("doc_id", "text", "source")
-      val kept = prev.filter(col("doc_id") % 17 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 13 === 0, concat(col("text"), lit(" v2")))
-            .otherwise(col("text")))
-      val added = prev.filter(col("doc_id") % 23 === 0)
-        .select((col("doc_id") + 900000L).as("doc_id"), col("text"),
-          col("source"))
-      operators.Merge.snapshotDiff(prev, kept.unionByName(added),
-        "doc_id", Seq("text", "source"))
-    }),
-
-    // Per-source TOKEN-budget mix (round 15): pretraining mixes are
-    // specified in tokens, not row fractions — each budgeted source
-    // keeps its md5-hash-rank prefix while the inclusive running token
-    // total stays within budget (never exceeded; a too-large doc is
-    // skipped-by-drop, a 0 budget and unlisted sources drop entirely).
-    // No RNG, so the kept prefix is reproducible across engines; the
-    // per-source running sum uses the two-phase 16-bit-bucket prefix
-    // recipe (llm_shuffle_pack's), never a one-partition-per-source
-    // window. src0/src1 cut mid-source, src5's budget swallows it
-    // whole, src7 is the zero-budget edge.
-    "llm_token_budget_mix" -> ((s, dir) =>
-      Curate.tokenBudgetMix(documents(s, dir),
-        Map("src0" -> 800L, "src1" -> 1200L, "src5" -> 100000L,
-          "src7" -> 0L))),
-    // Repeat-factor up-sampling (round 11): the multi-epoch treatment
-    // of rare sources in a pretraining mix — integer replication with
-    // a dense copy_idx, factor 0 dropping a source, unlisted sources
-    // at the default 1. Pure narrow explode; the oracle restates the
-    // CASE → range → unnest chain.
-    "llm_upsample" -> ((s, dir) =>
-      Curate.repeatUpsample(documents(s, dir),
-        Map("src1" -> 2, "src2" -> 3, "src3" -> 0))
-        .select("doc_id", "source", "copy_idx")),
-    // Quality-weighted deterministic sample: Efraimidis-Spirakis keys
-    // from the md5-derived uniform, weight = n_chars, global top-100
-    // via TakeOrdered (zero shuffles at any corpus size).
-    "llm_weighted_sample" -> ((s, dir) =>
-      Curate.weightedSample(documents(s, dir), k = 100)
-        .select("doc_id", "source", "n_chars", "sample_key")),
-
-    // Contrastive training pairs (round 14): positives from the
-    // oracle-proven n-gram-Jaccard edges over the planted near-dup
-    // chain (the dedup_components fixture — the natural consecutive-id
-    // edge set is empty at this SF), negatives drawn by the
-    // deterministic bucketed hash-rank sampler — md5 bucket join +
-    // md5(anchor|cand) row_number, no RNG, no cross join. The full
-    // chain (edge discovery, bucket assignment, target-bucket salt,
-    // pair rank, exclusion, top-k) is restated in SQL — a SAMPLING
-    // operator whose sampled ids are hash-EXACT, like llm_shuffle.
-    "llm_contrastive_pairs" -> ((s, dir) => {
-      import s.implicits._
-      val planted = Seq(
-        (2000000L, "alpha beta gamma delta epsilon zeta"),
-        (2000001L, "alpha beta gamma delta epsilon eta"),
-        (2000002L, "alpha beta gamma delta epsilon theta"))
-        .toDF("doc_id", "text")
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
-        .unionByName(planted)
-      val candidates = docs.select(col("doc_id").as("id_a"),
-        (col("doc_id") + 1).as("id_b"))
-      val positives = Dedup.ngramJaccard(docs, candidates)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("id_a").as("anchor_id"), col("id_b").as("pos_id"))
-      Curate.contrastivePairs(docs, positives,
-        negPerAnchor = 2, nBuckets = 16)
-    }),
-
-    // Temperature-scaled mixing at α = 0.7: keep fractions DERIVED
-    // from per-source counts ((n_min/n)^0.3, 16-bit-quantized), so the
-    // oracle recomputes counts → pow → round → hex threshold → md5
-    // filter — the whole derivation chain is hash-verified, not just
-    // the filter. The driver corpus has perfectly uniform sources
-    // (every fraction would be 1.0 — vacuous), so the registered query
-    // mixes by a DERIVED skewed domain (~5/8, 2/8, 1/8 of docs) that
-    // both engines restate; abundant domains are genuinely subsampled.
-    "llm_temperature_mix" -> ((s, dir) => {
-      val skewed = documents(s, dir).withColumn("domain",
-        when(col("doc_id") % 8 < 5, "web")
-          .when(col("doc_id") % 8 < 7, "books").otherwise("code"))
-      Curate.temperatureMix(skewed, alpha = 0.7, sourceCol = "domain")
-        .select("doc_id", "domain", "lang", "n_chars")
-    }),
-
-    // Per-source quality quota: top-5 docs per source by 6dp-rounded
-    // quality score, id tiebreak — the rounded rank key keeps the
-    // window ordering identical across engines.
-    "llm_source_quota" -> ((s, dir) =>
-      Curate.sourceQuota(documents(s, dir), k = 5)),
-
-    // Benchmark decontamination (8-gram exact overlap). The fixture has
-    // no natural 8-gram overlap across the doc_id % 41 split (checked:
-    // overlap first appears at n=3), so contaminated training docs are
-    // planted IN-FLIGHT as prefixed copies of each benchmark doc — a
-    // pure column transform the oracle SQL replicates verbatim, like
-    // dedup_embedding_pairs' planted vector. Every planted doc must be
-    // flagged with shared_ngrams == its source's distinct-8-gram count;
-    // every real doc must be absent. Oracle-EXACT.
-    "llm_decontaminate" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val bench = base.filter(col("doc_id") % 41 === 0)
-      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
-        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("zz planted contamination prefix "), col("text"))
-            .as("text")))
-      Curate.contamination(train, bench)
-    }),
-    // The keep-side anti-join twin — the artifact a pipeline actually
-    // ships. Same planted fixture; oracle = the contamination CTE
-    // flipped to NOT IN. Every real doc survives, every planted copy
-    // (and short-doc whole-sequence match) is dropped.
-    "llm_decontaminate_kept" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val bench = base.filter(col("doc_id") % 41 === 0)
-      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
-        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("zz planted contamination prefix "), col("text"))
-            .as("text")))
-      Curate.decontaminate(train, bench).select("doc_id")
-    }),
-    // NEAR-duplicate decontamination: banded-minhash candidates between
-    // corpus and benchmark (bench side broadcast), exact shingle-Jaccard
-    // verify at 0.5, anti-join — catches the paraphrase-level leakage
-    // exact 8-grams miss. The fixture plants PREFIX-MANGLED bench
-    // copies (jaccard ≈ 0.9 against their source, NOT exact copies)
-    // into the train side; the oracle is brute-force cross-corpus
-    // Jaccard, so banding recall is under the hash too.
-    "llm_decontaminate_near" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val bench = base.filter(col("doc_id") % 41 === 0)
-      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
-        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("zz planted near copy "), col("text")).as("text")))
-      Curate.decontaminateNear(train, bench).select("doc_id")
-    }),
-
-    // The broadcast-Bloom-prefiltered twin — same planted fixture, same
-    // NOT IN oracle (bloom false positives are re-verified by the exact
-    // gram join, so the output is bit-identical to the exact path; the
-    // prefilter only changes WHERE non-matching grams die: inside the
-    // scan stage instead of at the join).
-    "llm_decontaminate_bloom" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val bench = base.filter(col("doc_id") % 41 === 0)
-      val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
-        bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),
-          concat(lit("zz planted contamination prefix "), col("text"))
-            .as("text")))
-      Curate.decontaminateBloom(train, bench).select("doc_id")
-    }),
-
-    // ------------------------------------------ §7 LLM-pipeline: text ops
-    "text_token_stats" -> ((s, dir) =>
-      TextAnalysis.tokenStats(documents(s, dir))
-        .select("doc_id", "n_chars_calc", "ws_token_count", "bpe_token_count")),
-    "text_normalize" -> ((s, dir) =>
-      documents(s, dir).select(col("doc_id"),
-        TextAnalysis.normalize(col("text")).as("norm_text"))),
-    "text_quality" -> ((s, dir) => {
-      val q = TextAnalysis.qualityScore(documents(s, dir))
-      q.select(col("doc_id"), col("n_words"),
-        round(col("mean_word_len"), 6).as("mean_word_len"),
-        round(col("stopword_ratio"), 6).as("stopword_ratio"),
-        round(col("punct_ratio"), 6).as("punct_ratio"),
-        round(col("digit_ratio"), 6).as("digit_ratio"),
-        round(col("upper_ratio"), 6).as("upper_ratio"),
-        round(col("quality_score"), 6).as("quality_score"))
-    }),
-    "text_language" -> ((s, dir) =>
-      TextAnalysis.languageId(documents(s, dir))
-        .select("doc_id", "lang", "lang_pred")),
-    "text_entropy" -> ((s, dir) =>
-      TextAnalysis.charEntropy(documents(s, dir))
-        .select(col("doc_id"),
-          round(col("char_entropy"), 6).as("char_entropy"))),
-    "text_source_profile" -> ((s, dir) =>
-      TextAnalysis.sourceProfile(documents(s, dir))),
-    // Gopher-style repetition filters. Fractions are ratios of small
-    // exact ints — bit-identical IEEE division on both engines; the
-    // 6dp rounding is belt-and-braces. Top-gram ties break
-    // lexicographically in BOTH engines (fold over the sorted array
-    // here, count-desc/gram-asc row_number in DuckDB).
-    "text_repetition" -> ((s, dir) =>
-      TextAnalysis.repetitionStats(documents(s, dir))
-        .select(col("doc_id"), col("ngram_total"), col("ngram_distinct"),
-          round(col("dup_ngram_frac"), 6).as("dup_ngram_frac"),
-          col("top_ngram"), col("top_ngram_count"),
-          round(col("top_ngram_char_frac"), 6).as("top_ngram_char_frac"))),
-    // PII scan/redact over an in-flight planted fixture: the corpus
-    // has no natural PII, so three docs get an appended PII sentence
-    // (the decontaminate planted-copy pattern) and the oracle mirrors
-    // the same literals — non-vacuous counts and masking.
-    "text_pii" -> ((s, dir) =>
-      TextAnalysis.piiScan(piiFixture(documents(s, dir)))
-        .select("doc_id", "n_emails", "n_phones", "n_ipv4", "n_ids",
-          "has_pii")),
-    "text_redact" -> ((s, dir) =>
-      TextAnalysis.piiRedact(piiFixture(documents(s, dir)))
-        .select("doc_id", "redacted")),
-    // TF-IDF at fixed hash buckets, oracle-EXACT since r9: the murmur3
-    // bucket ids DO have a DuckDB twin now (hashUnsafeBytes2 —
-    // 4-byte-block + folded-tail murmur3_x86_32, seed 42 — re-derived
-    // in SQL; see the oracleSql entry). Sampled buckets are the
-    // fixture-derived literals of real tokens — the r≤8 sample
-    // {0,17,256,511,777} was VACUOUS (31 distinct corpus tokens hit 31
-    // of 1024 buckets; all five samples were zero for every doc).
-    // Bucket 386 = 'dup' (df 25), the others are common tokens; nnz and
-    // the vector l2 norm summarize the whole vector so the row checks
-    // more than 5 points. 1024 buckets keep the projection small.
-    "text_tfidf" -> ((s, dir) => {
-      val v = TextFeatures.tfidf(documents(s, dir), numFeatures = 1024)
-      val arr = org.apache.spark.ml.functions.vector_to_array(col("tfidf"))
-      v.select(col("doc_id") +:
-        (Seq(1, 69, 386, 534, 640).map(i =>
-          round(arr.getItem(i), 6).as(s"tfidf_$i")) ++ Seq(
-          size(filter(arr, x => x =!= 0.0)).as("nnz"),
-          round(sqrt(aggregate(transform(arr, x => x * x),
-            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))): _*)
-    }),
-
-    // ---------------------------------------- §7 LLM-pipeline: similarity
-    "similarity_topk" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
-        k = 10, roundAt = 6)
-    }),
-    "embedding_label_stats" -> ((s, dir) =>
-      Similarity.labelStats(embeddings(s, dir))),
-    // Label-centroid outlier screen: distance from each vector to its
-    // label's mean vector, flagged past the per-label exact P95 of the
-    // 6dp-ROUNDED distances (threshold inputs bit-identical across
-    // engines, so the flag can't flip on a summation-order ulp).
-    "embedding_label_outliers" -> ((s, dir) =>
-      Similarity.labelOutliers(embeddings(s, dir))),
-    // Johnson–Lindenstrauss ±1 sign projection 64→8 dims (Achlioptas
-    // 2003), signs drawn by the cross-engine md5 recipe instead of an
-    // RNG — the hash-init quantizer trick applied to projections, so
-    // the matrix, every projected coordinate, and the JL norm
-    // evidence (l2_proj vs l2_orig) are all hash-exact under an
-    // oracle that re-derives the signs in SQL. Narrow, shuffle-free,
-    // codegen'd per-row fold — the vector-compression stage that cuts
-    // downstream ANN/cluster bytes 8× at 100 TB.
-    "embedding_random_projection" -> ((s, dir) =>
-      Similarity.randomProjection(embeddings(s, dir), k = 8, dim = 64)),
-    // MMR diversity re-ranking of the exact top-10 (Carbonell &
-    // Goldstein 1998 — the RAG context-window re-ranker): 5 greedy
-    // steps UNROLLED, relevance and pairwise sims 6dp-rounded before
-    // every argmax, λ/1−λ as separate literals — the whole selection
-    // trajectory hash-exact. Everything past the topk scan is
-    // |queries|·k-bounded.
-    "similarity_mmr" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      Similarity.mmrRerank(emb, emb.filter(col("vec_id") < 10),
-        k = 10, select = 5)
-    }),
-    // IVF-Flat ANN, registered with the HASH-INIT coarse quantizer
-    // (round 10): centroids = unit-normalized hash-drawn rows, so cell
-    // assignment (cosine argmax, largest-cell ties), top-4 probe-cell
-    // ranking and the in-cell exact-cosine top-k are all restated in
-    // the DuckDB oracle — hash-EXACT. The production Lloyd fit
-    // (ivfIndex, nAssign=2) keeps its recall specs; the exhaustive
-    // Lloyd probe stays oracle-pinned as similarity_ivf_exhaustive.
-    // Round 11 (VERDICT item 5): probes the per-JVM cached index —
-    // steady-state probe cost under the timer; the build cost has its
-    // own oracle row + timer below (similarity_ivf_build). Rows are
-    // identical to a fresh build (hash-init is deterministic).
-    "similarity_ivf" -> ((s, dir) =>
-      Similarity.ivfProbe(cachedIvfHashInit(s, dir),
-        embeddings(s, dir).filter(col("vec_id") < 10),
-        k = 10, nProbe = 4, roundAt = 6)),
-    // The build half under its own named timer (round 11): a FRESH
-    // uncached hash-init build, materialized through its per-cell
-    // occupancy/id-checksum profile — count+sum force the full corpus
-    // assignment pass, and the profile is itself the index-health
-    // artifact an operator inspects before enabling a probe path (empty
-    // or mega cells = bad quantizer draw). Integer aggregates only, so
-    // the row is hash-EXACT against the oracle's re-derived assignment.
-    "similarity_ivf_build" -> ((s, dir) =>
-      Similarity.ivfIndexHashInit(embeddings(s, dir)).cells
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("neighbor_id")).as("id_sum"),
-          min(col("neighbor_id")).as("min_id"),
-          max(col("neighbor_id")).as("max_id"))),
-    // Build → persist (bucketed cells + centroid artifact) → reload →
-    // probe: the cross-session deployment shape. Deterministic (seeded
-    // build), so identical rows to probing the in-memory index —
-    // SimilaritySpec asserts the round-trip equality and the
-    // Exchange-free cells scan. The table name is minted per invocation
-    // (concurrent sessions must not collide on one catalog entry) and
-    // both artifacts are dropped before returning: the probe result is
-    // eagerly localCheckpoint'ed — the real bucketed-scan plan executes
-    // at that point — so the returned frame no longer references the
-    // table and repeated runs leave no orphan dirs or catalog entries.
-    // Round 10: the persisted round-trip now carries the hash-init
-    // index, so "write → reload → probe == in-memory probe" graduates
-    // from a spec-only equality to a hash-EXACT oracle row (same
-    // DuckDB twin as similarity_ivf — persistence must be identity).
-    "similarity_ivf_persisted" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ivf")
-      val table = "graft_ivf_cells_" +
-        tmp.getFileName.toString.replaceAll("[^A-Za-z0-9]", "_")
-      try {
-        Similarity.writeIndex(Similarity.ivfIndexHashInit(emb),
-          table, s"$tmp/centroids")
-        val loaded = Similarity.readIndex(s, table, s"$tmp/centroids")
-        Similarity.ivfProbe(loaded, emb.filter(col("vec_id") < 10),
-          k = 10, nProbe = 4, roundAt = 6)
-          .localCheckpoint(true)
-      } finally {
-        s.sql(s"DROP TABLE IF EXISTS `$table`")
-        deleteRecursively(tmp.toFile)
-      }
-    }),
-    // Driver-visible ANN recall (round 14, VERDICT item 3): recall@10
-    // of the hash-init IVF probe (nProbe=4) against the exact cosine
-    // top-k, per query. Both legs are the deterministic quantizer
-    // pipelines already under oracle (similarity_ivf/similarity_topk),
-    // so the recall NUMBER itself is hash-exact — the quality of the
-    // cell-pruned scan is pinned, not just its shape. The truth leg
-    // broadcasts the 10 query vectors (cosineTopK's contract); the
-    // membership join is per-query top-10 rows on both sides.
-    "similarity_ivf_recall" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.ivfProbe(cachedIvfHashInit(s, dir), qs,
-          k = 10, nProbe = 4, roundAt = 6)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
-          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
-            .as("recall"))
-    }),
-
-    // Product quantization: codes-only ANN scan (the compressed-corpus
-    // complement of IVF's pruned scan). Registered with the HASH-INIT
-    // codebook (pqIndexHashInit: centroids = subvector slices of the
-    // 64 corpus rows drawn by the engine-portable idHash rule) so the
-    // ENTIRE pipeline — codebook derivation, encode argmin, LUT, ADC
-    // scan, ranking — is deterministic arithmetic with a DuckDB twin:
-    // hash-EXACT like similarity_sq8, not just recall-tested.
-    // Registered without refine so the oracle adjudicates the
-    // quantized ordering itself. The production Lloyd-fit codebook
-    // (pqIndex) and the refine=50 stage run the SAME encode/ADC/rank
-    // machinery and keep their recall bounds in SimilaritySpec.
-    "similarity_pq" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      Similarity.pqProbe(
-        Similarity.pqIndexHashInit(emb),
-        emb.filter(col("vec_id") < 10), k = 10, roundAt = 6)
-    }),
-
-    // Round 15 (r14 verdict item 4): the PQ counterpart of
-    // similarity_ivf_recall — with no cell pruning in play, this
-    // number isolates pure ADC QUANTIZATION loss (4-dim subvector
-    // codes reordering true neighbors out of the top-10). Same
-    // deterministic hash-init codebook as similarity_pq, so the
-    // recall is hash-exact against an oracle re-deriving BOTH
-    // rankings.
-    "similarity_pq_recall" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.pqProbe(Similarity.pqIndexHashInit(emb), qs,
-          k = 10, roundAt = 6)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
-          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
-            .as("recall"))
-    }),
-
-    // Scalar quantization (SQ8) — the TRAINLESS quantizer: bounds are
-    // one exact min/max aggregate, so unlike the seeded-fit indexes
-    // (IVF/PQ) the ENTIRE index — encode, reconstruction, ADC scoring,
-    // ranking — is deterministic arithmetic with a DuckDB twin:
-    // hash-EXACT, not just recall-tested. Registered without refine so
-    // the oracle adjudicates the quantized ordering itself; the
-    // refine=50 production path is recall-spec'd in SimilaritySpec.
-    "similarity_sq8" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      Similarity.sqProbe(Similarity.sqIndex(emb),
-        emb.filter(col("vec_id") < 10), k = 10, roundAt = 6)
-    }),
-
-    // Round 15 (r14 verdict item 4): SQ8's recall row — the loss of
-    // 8-bit per-dim reconstruction alone, the gentlest quantizer in
-    // the family (expected near-1 recall; the row makes that a gated
-    // number instead of a spec-only bound). Trainless exact bounds →
-    // hash-exact.
-    "similarity_sq8_recall" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.sqProbe(Similarity.sqIndex(emb), qs,
-          k = 10, roundAt = 6)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
-          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
-            .as("recall"))
-    }),
-
-    // The composed two-level ANN (FAISS IVFPQ): coarse-cell pruning ×
-    // compressed-code scan. Registered with BOTH quantizers hash-init
-    // (ivfPqIndexHashInit: unit-normalized coarse centroids and PQ
-    // codebooks drawn by two decorrelated idHash rules, nAssign=1) so
-    // cell assignment, probe-cell ranking, encode, ADC and top-k are
-    // all restated in the DuckDB oracle — the two-level composition
-    // itself is hash-verified. Production recall shape (Lloyd fits,
-    // nAssign=2, refine) stays ivfPqIndex/ivfPqProbe, recall-spec'd.
-    // Round 11 (VERDICT item 5): cached-index steady-state probe, build
-    // under similarity_ivfpq_build — same amortization as similarity_ivf.
-    "similarity_ivfpq" -> ((s, dir) =>
-      Similarity.ivfPqProbe(
-        cachedIvfPqHashInit(s, dir),
-        embeddings(s, dir).filter(col("vec_id") < 10),
-        k = 10, nProbe = 8, roundAt = 6)),
-    // Fresh uncached two-level build under its own timer (round 11):
-    // per-cell occupancy + id checksum + the PQ code checksum (sum over
-    // every row's m code words) force BOTH the coarse assignment and the
-    // full encode pass; all-integer aggregates keep the row hash-EXACT
-    // against the oracle's re-derived assign/encode.
-    "similarity_ivfpq_build" -> ((s, dir) =>
-      Similarity.ivfPqIndexHashInit(embeddings(s, dir)).cellCodes
-        .groupBy("cell")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("neighbor_id")).as("id_sum"),
-          sum(aggregate(col("codes"), lit(0L),
-            (acc, x) => acc + x.cast("long"))).as("code_sum"))),
-    // The IVFPQ counterpart of similarity_ivf_recall (round 14): IVF's
-    // recall row quantifies what cell PRUNING loses; this one adds the
-    // ADC QUANTIZATION loss on top — approximate scores from 4-dim
-    // subvector codes can reorder true neighbors out of the top-10
-    // even when probing surfaces them, so this recall is the stricter
-    // end-to-end quality number for the compressed-corpus scan. Same
-    // deterministic hash-init legs, so the number is hash-exact.
-    "similarity_ivfpq_recall" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val qs = emb.filter(col("vec_id") < 10)
-      val truth = Similarity.cosineTopK(emb, qs, k = 10, roundAt = 6)
-        .select("query_id", "neighbor_id")
-      val approx = Similarity.ivfPqProbe(cachedIvfPqHashInit(s, dir), qs,
-          k = 10, nProbe = 8, roundAt = 6)
-        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
-      truth.join(approx, Seq("query_id", "neighbor_id"), "left")
-        .groupBy("query_id")
-        .agg(count(lit(1)).as("n_truth"),
-          coalesce(sum(col("hit")), lit(0)).cast("long").as("n_hit"),
-          round(coalesce(sum(col("hit")), lit(0)) / count(lit(1)), 6)
-            .as("recall"))
-    }),
-
-    // ---------------------------------------- §7 LLM-pipeline: multimodal
-    "multimodal_profile" -> ((s, dir) =>
-      Multimodal.profile(documents(s, dir), embeddings(s, dir))),
-    "multimodal_binary_stats" -> ((s, dir) =>
-      Multimodal.binaryStats(
-        documents(s, dir).select(col("doc_id"),
-          col("text").cast("binary").as("payload")), "payload")),
-    // frame slices hex-projected to scalars (driver diff can't hash
-    // binary/array columns); oracle byte-slices via hex-string substring
-    // (2 hex chars per byte — DuckDB has no blob substring).
-    "multimodal_frame_sample" -> ((s, dir) => {
-      val payload = documents(s, dir).select(col("doc_id"),
-        col("text").cast("binary").as("payload"))
-      Multimodal.frameSample(payload, "payload", n = 4, frameBytes = 16)
-        .select(col("doc_id") +:
-          (0 until 4).map(i =>
-            hex(element_at(col("frames"), i + 1)).as(s"frame_$i")): _*)
-    }),
-    // Nearest-neighbor thumbnail resize over a synthesized 16x8 ASCII
-    // raster (text padded/truncated to 128 "pixels" — the family's
-    // payload-synthesis convention): 16x8 -> 8x4, output pixel (x,y)
-    // copies input (floor(x*16/8), floor(y*8/4)). Pure integer index
-    // arithmetic restated verbatim in the DuckDB twin; the plan is a
-    // flat 32-substr codegen concat, zero shuffles (PlanAudit).
-    "multimodal_resize" -> ((s, dir) => {
-      val raster = documents(s, dir).select(col("doc_id"),
-        rpad(substring(col("text"), 1, 128), 128, "x").as("raster"))
-      Multimodal.resizeRaster(raster, "raster", w = 16, h = 8,
-        newW = 8, newH = 4)
-        .select("doc_id", "resized")
-    }),
-
-    "multimodal_payload_meta" -> ((s, dir) => {
-      val meta = Multimodal.payloadMeta(col("payload"))
-      documents(s, dir)
-        .select(col("doc_id"), col("text").cast("binary").as("payload"))
-        .select(col("doc_id"),
-          hex(substring(col("payload"), 1, 4)).as("head_hex"),
-          meta.getField("mime").as("mime"),
-          meta.getField("bytes").as("bytes"))
-    }),
-    // REAL header decode over mediaFixture's planted containers (see
-    // the helper's scaladoc): the parser recovers width/height/depth/
-    // channels from the actual bytes, the oracle recomputes them from
-    // (doc_id, n_chars) arithmetic — hash-EXACT only if the byte-level
-    // parse is right. Runs as a narrow codegen projection (PlanAudit:
-    // zero shuffles).
-    "multimodal_decode" -> ((s, dir) =>
-      Multimodal.decodeMeta(mediaFixture(documents(s, dir)), "payload")),
-    // Round 12 (r11 verdict item 4): REAL pixels end-to-end. Planted
-    // binary-PPM payloads (ppmFixture — valid P6 header + the doc's
-    // text as raw RGB bytes); the operator parses the ACTUAL header
-    // bytes for geometry, hex-walks the ACTUAL pixel offsets for the
-    // 4×4 nearest-neighbor thumbnail, and aggregates per-channel
-    // stats. The oracle recomputes the same stats from the fixture's
-    // construction arithmetic ((doc_id, n_chars, text) → geometry →
-    // resize index formula → unicode(char) bytes), so the row hashes
-    // only if header parse, pixel offsets and thumbnail indexing are
-    // all byte-exact. Completes the decode → resize → stats quartet
-    // with actual pixels; compressed formats keep the documented stub.
-    "multimodal_ppm_stats" -> ((s, dir) =>
-      Multimodal.ppmChannelStats(ppmFixture(documents(s, dir)), "payload")),
-    // Round 13 (r12 verdict item 6): the second real-pixel codec.
-    // Planted uncompressed 24-bpp BMPs (bmpFixture — byte-correct LE
-    // headers, bottom-up stride-padded raster); the operator decodes
-    // geometry from the ACTUAL little-endian header fields and pixels
-    // from the ACTUAL file offsets — honoring data offset, row stride,
-    // vertical flip and BGR interleave, none of which PPM exercises.
-    // The oracle recomputes the thumbnail stats from the fixture
-    // construction in TEXT-index space (flip and channel swap folded
-    // into the index formula), so the row hashes only if every layout
-    // rule is byte-exact.
-    "multimodal_bmp_stats" -> ((s, dir) =>
-      Multimodal.bmpChannelStats(bmpFixture(documents(s, dir)), "payload")),
-    // dHash perceptual signature over the same planted BMPs — the
-    // image-near-dup fingerprint (difference hash: DCT-free, so
-    // exact-integer and construction-restatable). One codegen'd call
-    // per row; the oracle re-derives the 9×8 grayscale grid and all
-    // 64 comparison bits from the fixture construction.
-    "multimodal_phash" -> ((s, dir) =>
-      Multimodal.bmpDHash(bmpFixture(documents(s, dir)), "payload")),
-    // ... and the image near-dup pairs: byte-banded candidates
-    // (recall EXACT for hamming ≤ 7 by pigeonhole over the 8 bands),
-    // full-hamming verify spelled as 64 shift-and-mask terms both
-    // engines state. Clones planted at +3M payload-identically (the
-    // decontaminate planting recipe) must surface at hamming 0.
-    "multimodal_phash_pairs" -> ((s, dir) => {
-      Multimodal.dHashPairs(
-        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
-        maxHamming = 2)
-    }),
-    // ... and image clusters: the text family's connected-components
-    // machinery over the star + keeper-near edge set — the STAR
-    // variant (large-star/small-star alternation, O(log n) rounds):
-    // low-entropy hash graphs chain, and label propagation's
-    // O(diameter) rounds cost 11 s where the alternation's few rounds
-    // don't. Oracle = the dedup_components recursive min-label
-    // closure on the same edges.
-    "multimodal_phash_clusters" -> ((s, dir) => {
-      Dedup.connectedComponentsStar(
-        Multimodal.dHashPairs(
-          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
-          maxHamming = 2))
-    }),
-    // Corpus-scale PageRank evidence (r16, verdict item 5): the SAME
-    // unrolled iteration as events_pagerank, but over the image
-    // near-dup relation — thousands of vertices at sf0.1+ (vs the
-    // ~5-type transition graph), so the Pregel shape's scale claim is
-    // a measured row, not scaladoc. Edges = the verified phash pair
-    // relation symmetrized at weight 1 (w_out = degree); ranks answer
-    // "which image is the canonical copy of its near-dup
-    // neighborhood". Oracle composes the exact phpairs CTE with the
-    // same 3-step 6dp-floored trajectory.
-    "multimodal_phash_pagerank" -> ((s, dir) => {
-      val pairs = Multimodal.dHashPairs(
-          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
-          maxHamming = 2)
-        .select("id_a", "id_b")
-        // three consumers (two sym directions + nodes): replay compact
-        // id pairs instead of re-running the banded join per reference
-        .localCheckpoint(false)
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(
-          pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-        .withColumn("n", lit(1L))
-      val nodes = edges.select(col("src").as("node")).distinct()
-      Events.pageRankOnEdges(edges, nodes, damping = 0.85,
-          resetProb = 0.15, iters = 3)
-        .withColumnRenamed("node", "doc_id")
-    }),
-    // ... and the image dedup INCREMENTAL twin (r16, verdict item 4):
-    // history's exact 16-bit block keys persisted BUCKETED by bk (the
-    // production nightly shape — candidate join plans no history-side
-    // Exchange, payloads never re-read), the batch probing exact+flip
-    // keys against it. Planted clones of history images (+3M ids with
-    // orig % 10 < 8) drop cross at hamming 0; clones of batch images
-    // drop within (larger id); natural near-dups drop per the same
-    // <= 2 bar. Oracle = brute-force all-pairs NOT EXISTS rules —
-    // exact because multiprobe recall is guaranteed to hamming <= 7.
-    "multimodal_phash_incremental" -> ((s, dir) => {
-      val all =
-        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
-      val batch = all.filter(
-        col("doc_id") % 10 >= 8 || col("doc_id") >= 3000000L)
-      val hist = all.filter(
-        col("doc_id") % 10 < 8 && col("doc_id") < 3000000L)
-      withBucketedBands(s, "graft_ph_hist", Multimodal.dHashBandKeys(hist)) {
-        tbl =>
-          Multimodal.dHashIncremental(batch, s.table(tbl), maxHamming = 2)
-            .localCheckpoint(true)
-      }
-    }),
-    // ... and the image dedup STREAMING twin (r16): the planted-clone
-    // fixture arrives as a file stream, per-row dHash + multiprobe
-    // banding are stateless projections, and the Hamming keeper
-    // machine (StreamOps.nearDedupHashStream — per bucket, EXACT
-    // presences register fingerprint→min-id entries, every probe row
-    // verifies by bit_count) emits the drop links. Unlike the Jaccard
-    // keeper, the drop set equals brute-force keep-min BY CONSTRUCTION
-    // under AvailableNow's id-sorted single batch (pigeonhole recall +
-    // full-Hamming verify in-state, no predecessor-chain escapes), so
-    // the oracle is the all-pairs keep-min survivor SQL — exact on any
-    // FIXTURE run this way, with the usual keep-first contract across
-    // live out-of-order micro-batches (see the operator scaladoc).
-    // Survivors read back in phash shape, re-proving the fingerprint
-    // arithmetic.
-    "stream_phash_near" -> ((s, dir) => {
-      import s.implicits._
-      val banded = Multimodal.dHashStreamBanded(
-          Multimodal.bmpDHash(
-            phashFixture(Sources.documentsStream(s, dir)), "payload"))
-        .as[graft.streaming.BandedHashRow]
-      runAvailableNow(s,
-        StreamOps.nearDedupHashStream(banded, maxHamming = 2).toDF(),
-        outputMode = "append", sinkWriteMode = "append")(links =>
-        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
-          .join(links.select(col("doc_id")).distinct(),
-            Seq("doc_id"), "left_anti"))
-    }),
-    // Round 13: the third real-decode codec, and the second MODALITY —
-    // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
-    // doc-dependent junk chunk, so the data offset varies and the
-    // operator must actually chunk-walk). The operator recovers
-    // channels / sample rate / frame count from the ACTUAL LE header
-    // fields and per-channel stats from the ACTUAL signed-int16
-    // samples at nearest-neighbor frame positions; the oracle
-    // recomputes the same stats from the fixture construction in
-    // text-index space (interleave and sign folded into the formula).
-    "multimodal_wav_stats" -> ((s, dir) =>
-      Multimodal.wavSampleStats(wavFixture(documents(s, dir)), "payload")),
-
-    // ------------------------------------------ §2.2 engine primitives
-    // composed at scale: pushed-down date filter, per-order pre-agg,
-    // two key joins, two broadcast dims, low-cardinality rollup.
-    "revenue_by_nation" -> ((s, dir) =>
-      Relational.revenueByNation(
-        lineitem(s, dir),
-        Sources.parquetTable(s, dir, "orders"),
-        customer(s, dir),
-        Sources.parquetTable(s, dir, "nation"),
-        Sources.parquetTable(s, dir, "region"))),
-
-    // ------------------------------------------------- §7 skew handling
-    // The merged result is salt-independent, so DuckDB computes it as a
-    // plain GROUP BY — oracle-exact despite the nondeterministic salt.
-    "skew_salted_agg" -> ((s, dir) =>
-      Skew.saltedAgg(events(s, dir), Seq("event_type"),
-        partial = count(lit(1)), merge = p => sum(p),
-        outputCol = "n_events")),
-    // Salted skew JOIN on a planted hot key: 1/4 of lineitem is remapped
-    // to part key 1 (a power-law fact side), then joined against part
-    // through the composite (key, salt) — the hot key's rows spread
-    // over 8 salt buckets instead of one reducer. The salt is dropped
-    // and results are salt-independent, so DuckDB's oracle is the PLAIN
-    // join on the same remap — oracle-exact despite the
-    // nondeterministic salt routing. At fixture scale Catalyst
-    // correctly BROADCASTS the 8×|part| replicated dim (a broadcast
-    // join is skew-immune, so the salt is a no-op there); the
-    // non-broadcastable-dim shape this operator exists for — both
-    // sides shuffling on the composite (key, salt) — is asserted in
-    // SkewSpec with the broadcast threshold disabled.
-    "skew_salted_join" -> ((s, dir) => {
-      val hot = lineitem(s, dir).select(
-        col("l_orderkey"), col("l_linenumber"),
-        when(col("l_orderkey") % 4 === 0, lit(1L))
-          .otherwise(col("l_partkey")).as("p_partkey"))
-      val dim = Sources.parquetTable(s, dir, "part")
-        .select("p_partkey", "p_brand")
-      Skew.saltedJoin(hot, dim, Seq("p_partkey"), saltBuckets = 8)
-    }),
-
-    // ------------------------------------------- §7 snapshot maintenance
-    // CDC merge (MERGE INTO semantics) on an in-flight fixture: replace
-    // every 7th doc (delete-set excluded so the updates batch honors the
-    // one-row-per-key MERGE contract), insert shifted copies, delete
-    // every 13th-residue-5 doc. Single union + keyed-window plan; the
-    // oracle states the same union + row_number formulation.
-    "llm_merge_upsert" -> ((s, dir) => {
-      val base = documents(s, dir).select(
-        col("doc_id"), col("text"), col("source"))
-      val updates = base
-        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 13 =!= 5)
-        .select(col("doc_id"),
-          concat(lit("v2: "), col("text")).as("text"),
-          col("source"), lit(false).as("del"))
-        .unionByName(base.filter(col("doc_id") % 11 === 3)
-          .select((col("doc_id") + lit(3000000L)).as("doc_id"),
-            concat(lit("new: "), col("text")).as("text"),
-            col("source"), lit(false).as("del")))
-        .unionByName(base.filter(col("doc_id") % 13 === 5)
-          .select(col("doc_id"), col("text"), col("source"),
-            lit(true).as("del")))
-      operators.Merge.upsert(base, updates, "doc_id", Some("del"))
-        .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          col("source"))
-    }),
-    // SCD2 version history (round 11): the events stream read as a
-    // per-user change log of event_type — each run of equal types is
-    // one version with a [valid_from, valid_to) interval, open for the
-    // latest. event_id breaks seq ties so interval bounds are total-
-    // order deterministic; timestamps formatted for the driver diff
-    // like events_sessionize.
-    "merge_scd2" -> ((s, dir) =>
-      operators.Merge.scd2(
-        events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
-          col("event_type")),
-        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"),
-        tieBreak = Seq("event_id"))
-        .withColumn("valid_from",
-          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("valid_to",
-          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-    // Incremental SCD2 maintenance (round 11): history built from the
-    // first ~20 days, the remaining days folded in as the nightly
-    // batch — and the result must equal the FULL-log rebuild, so the
-    // oracle is merge_scd2's twin VERBATIM (the incremental-equals-
-    // batch contract, proven under the gate like the dedup/ANN
-    // incrementals). (user_id, ts) is unique in the fixture at every
-    // SF, so ts alone is a total order and the compacted history
-    // needs no tie column (the scd2Incremental precondition).
-    "merge_scd2_incremental" -> ((s, dir) => {
-      val ev = events(s, dir)
-        .select(col("user_id"), col("ts"), col("event_type"))
-      val cut = lit("2024-01-21 00:00:00").cast("timestamp")
-      val hist = operators.Merge.scd2(ev.filter(col("ts") < cut),
-        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"))
-      operators.Merge.scd2Incremental(hist,
-        ev.filter(col("ts") >= cut),
-        key = "user_id", seqCol = "ts", attrCols = Seq("event_type"))
-        .withColumn("valid_from",
-          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("valid_to",
-          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    }),
-
-    // ------------------------------------------------ §7 data layout
-    // Z-order (Morton) clustering: 16-bit grid over (user_id mod 2^16,
-    // linearly quantized value), bit-interleaved with the 4-step
-    // shift-mask spread, range-partitioned + sorted for write. The
-    // z-value is pure integer/IEEE arithmetic, so DuckDB recomputes it
-    // bit-for-bit with the same masks. Rows are unchanged by the
-    // layout pass — the oracle checks the z math; ZOrderSpec checks
-    // the partition-range property the layout exists for.
-    "layout_zorder" -> ((s, dir) => {
-      val ev = events(s, dir).select(col("event_id"),
-        pmod(col("user_id"), lit(65536L)).as("x"),
-        operators.ZOrder.quantize16(col("value"), 0.0, 500.0).as("y"))
-      operators.ZOrder.layout(ev, "x", "y", numFiles = 8)
-        .select("event_id", "x", "y", "zval")
-    }),
-
-    // Co-located fact-fact join over ingest-time bucketing: lineitem
-    // and orders both written bucketed on their order key, then the
-    // forced sort-merge join plans ZERO Exchange on either side — the
-    // per-query join shuffle (the dominant cost of a repeated fact-
-    // fact join at 100 TB) is paid once at ingest. PlanAuditSpec pins
-    // the shape; the oracle is the plain join+group-by, bucketing-
-    // invisible by construction. The registered row's cost is honest:
-    // it INCLUDES the two bucketed writes (the ingest-side price).
-    "layout_bucketed_join" -> ((s, dir) => {
-      val li = lineitem(s, dir)
-        .select("l_orderkey", "l_quantity", "l_extendedprice", "l_discount")
-      val ord = Sources.parquetTable(s, dir, "orders")
-        .select("o_orderkey", "o_orderpriority")
-      withBucketedTables(s, "graft_bjoin",
-        Seq((li, "l_orderkey"), (ord, "o_orderkey"))) { names =>
-        operators.Relational.orderPrioritySummary(
-          s.table(names(0)), s.table(names(1)))
-          .localCheckpoint(true)
-      }
-    }),
-    // ... and the STEADY-STATE twin: same join, but over bucketed
-    // tables written once per (dir) — the cost a 100 TB deployment
-    // actually pays per query once ingest has bucketed the facts
-    // (the text_bm25_write / text_bm25_persisted split applied to
-    // layout). Shares layout_bucketed_join's oracle verbatim.
-    "layout_bucketed_join_steady" -> ((s, dir) => {
-      val (tl, to) = cachedBucketedJoinTables(s, dir)
-      operators.Relational.orderPrioritySummary(s.table(tl), s.table(to))
-    }),
-
-    // ------------------------------------- §7 perplexity quality signal
-    // CCNet-style bigram-LM perplexity, self-scored on the corpus: the
-    // model (add-0.5 smoothing, context counts over bigrams, corpus
-    // vocab size) and the per-doc exp(−mean log p) score are both
-    // restated by the DuckDB oracle from the same definition — two
-    // engines, one number. Docs with < 2 tokens score NULL.
-    "text_perplexity" -> ((s, dir) =>
-      LanguageModel.perplexity(documents(s, dir))),
-
-    // Cross-corpus form: model trained ONLY on the English slice,
-    // scoring the WHOLE corpus — the CCNet deployment shape. Non-en
-    // docs flow through the unseen-bigram smoothing branches
-    // (known-context k/(c1+kV) and unknown-context k/(kV)), so this
-    // registration puts the fallback arithmetic itself under the
-    // oracle (self-scored text_perplexity can never reach it).
-    "text_perplexity_cross" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      LanguageModel.crossPerplexity(
-        docs.filter(col("lang") === "en"), docs)
-    }),
-    // Train → persist the model artifact → reload → score: the
-    // nightly-scoring deployment. Shares text_perplexity_cross's
-    // oracle verbatim (the round-trip must be the identity), so model
-    // persistence is hash-verified like the IVF/BM25 index round-trips.
-    "text_perplexity_persisted" -> ((s, dir) =>
-      withReloadedLm(s, dir) { (loaded, lv) =>
-        LanguageModel.perplexityAgainst(documents(s, dir), loaded, lv)
-          .localCheckpoint(true)
-      }),
-    // ... and the STREAMING leg of the frozen perplexity scorer (r16):
-    // the corpus arrives as a file stream and scores against the
-    // RELOADED model artifact — bigram explode stateless, model/context
-    // joins stream-static, the per-doc aggregate in complete mode
-    // (state = one row per doc, the merge-snapshot contract). The
-    // read-back applies the shared output shaping, so the streamed
-    // scores answer text_perplexity_cross's oracle VERBATIM — the
-    // scorer-artifact families (IVF, BM25, CMS, now the LM) each have
-    // a hash-verified streaming ingest leg.
-    "stream_perplexity" -> ((s, dir) =>
-      withReloadedLm(s, dir) { (loaded, lv) =>
-        runAvailableNow(s,
-          LanguageModel.perplexityAggregates(
-            Sources.documentsStream(s, dir), loaded, lv),
-          outputMode = "complete", sinkWriteMode = "overwrite")(aggs =>
-          LanguageModel.perplexityShape(documents(s, dir), aggs))
-      }),
-
-    // ------------------------------------ §7 boilerplate line removal
-    // C4-style frequent-line filter on a planted multi-line fixture:
-    // every 3rd doc gets a shared subscribe-banner header, every doc a
-    // per-source copyright footer (df ≈ corpus/20 per source) and a
-    // blank separator line; the unique body and the blank line must
-    // survive, the header and footers (df ≥ 10) must not. The oracle
-    // restates the fixture and the distinct-doc-frequency semantics.
-    "text_boilerplate" -> ((s, dir) => {
-      val docs = documents(s, dir).select(col("doc_id"), col("source"),
-        concat_ws("\n",
-          when(col("doc_id") % 3 === 0,
-            lit("Subscribe to our newsletter today")),
-          col("text"), lit(""),
-          concat(lit("Copyright "), col("source"))).as("text"))
-      TextAnalysis.removeBoilerplate(docs, minDf = 10L)
-        .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          col("n_lines"), col("n_removed"))
-    }),
-
-    // ------------------------------------------- §7 line-level dedup
-    // CCNet-style keep-first line dedup over the SAME planted fixture
-    // as text_boilerplate — the two operators must disagree exactly
-    // where their semantics do: boilerplate removal kills the banner
-    // EVERYWHERE (df ≥ 10), line dedup keeps its single first
-    // occurrence (doc 0) and removes every later repeat (df ≥ 2 —
-    // including cross-doc repeats of document BODY lines that are far
-    // below the boilerplate threshold). Oracle restates the fixture
-    // and the first-occurrence rank semantics.
-    "dedup_lines" -> ((s, dir) => {
-      val docs = documents(s, dir).select(col("doc_id"), col("source"),
-        concat_ws("\n",
-          when(col("doc_id") % 3 === 0,
-            lit("Subscribe to our newsletter today")),
-          col("text"), lit(""),
-          concat(lit("Copyright "), col("source"))).as("text"))
-      Dedup.lineDedup(docs)
-        .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          col("n_lines"), col("n_removed"))
-    }),
-
-    // ------------------------------------- §7 exact-substring dedup
-    // Lee-et-al span removal over a planted lifted passage: docs with
-    // doc_id % 7 == 0 get a 13-token passage appended, so doc 0 keeps
-    // it and every other multiple of 7 has exactly those tokens cut —
-    // plus whatever 8-gram repeats occur naturally in the corpus, which
-    // the oracle recomputes identically. hashKeys = false so the gram
-    // keys are the strings themselves, byte-reproducible in DuckDB
-    // (DedupSpec pins hashed == string-keyed on a fixture).
-    "dedup_substring" -> ((s, dir) => {
-      val docs = documents(s, dir).select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 7 === 0,
-            lit(" Quarterly results were strong across all segments" +
-              " according to the annual report summary"))
-            .otherwise(lit(""))).as("text"))
-      Dedup.substringDedup(docs, k = 8, hashKeys = false)
-        .select(col("doc_id"), md5(col("text")).as("text_md5"),
-          col("n_tokens"), col("n_removed"))
-    }),
-
-    // --------------------------------------------------- event/stream ops
-    // Timestamps are projected to formatted strings in the registered
-    // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
-    // parquet reads back as ns, DuckDB results as us) — equal wall
-    // times would still hash-mismatch. Operators keep native timestamps.
-    "events_window" -> ((s, dir) =>
-      StreamOps.windowedEventCounts(events(s, dir))
-        .withColumn("window_start",
-          date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
-        .withColumn("window_end",
-          date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))),
-    // Round 11 (VERDICT item 6): the FIRST streaming query under the
-    // driver's CORRECTNESS gate — a REAL readStream file source over the
-    // events fixture through the same windowedEventCounts transform,
-    // materialized per micro-batch via foreachBatch in COMPLETE mode
-    // (each batch overwrites the sink with the full updated aggregate,
-    // so the final sink state equals the batch aggregate regardless of
-    // how the source splits micro-batches — the determinism that lets a
-    // stream share its batch twin's DuckDB oracle verbatim). AvailableNow
-    // processes the backlog and stops: the bounded-run mode a backfill
-    // or catch-up deployment uses; an always-on deployment drops the
-    // trigger and keeps the identical plan. StreamingSpec keeps the
-    // MemoryStream multi-batch coverage; this row proves the end-to-end
-    // source → stateful agg → sink path against DuckDB.
-    "stream_window_counts" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.windowedEventCounts(Sources.eventsStream(s, dir),
-          watermark = Some("1 hour")),
-        outputMode = "complete", sinkWriteMode = "overwrite")(
-        _.withColumn("window_start",
-            date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
-          .withColumn("window_end",
-            date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss")))),
-    // Second streaming oracle row (round 11): APPEND-mode stateful
-    // dedup through a real readStream file source —
-    // dropDuplicatesWithinWatermark keyed on (user_id, event_type),
-    // first arrival per key emitted, later arrivals filtered by state.
-    // Only the KEY columns are selected, so the sink equals the
-    // distinct key set regardless of which arrival won — the
-    // arrival-order-free projection that makes append-mode streaming
-    // dedup DuckDB-oracle-able. The 30-day watermark covers the whole
-    // fixture span (no eviction inside the run — and the fixture
-    // arrives as ONE AvailableNow micro-batch anyway); production
-    // tightens it to bound state, the [[StreamOps.dedupStream]]
-    // contract.
-    "stream_dedup_keys" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.dedupStream(Sources.eventsStream(s, dir),
-            keyCols = Seq("user_id", "event_type"),
-            tsCol = "ts", watermark = "30 days")
-          .select("user_id", "event_type"),
-        outputMode = "append", sinkWriteMode = "append")(identity)),
-    // Streaming sketch row (round 14): Misra-Gries AS the streaming
-    // aggregation state — live top-bigrams over the document stream,
-    // state ≤ capacity counters FOREVER (the algebraically-bounded
-    // contrast to keep-first dedup's distinct-keys state; no TTL or
-    // RocksDB contract needed). Exact regime at this SF (maxError 0,
-    // merge-order-independent), so the COMPLETE-mode final sketch
-    // shares the batch row's DuckDB oracle verbatim; StreamingSpec
-    // adds the forced multi-batch MemoryStream equality.
-    "stream_heavy_hitters" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.heavyHittersStream(Sources.documentsStream(s, dir),
-          graft.functions.FrequentItems.DefaultCapacity),
-        outputMode = "complete", sinkWriteMode = "overwrite")(
-        _.select(explode(col("sk.counts")).as(Seq("gram", "cnt")),
-          col("sk.maxError").as("max_error"))
-          .orderBy(col("cnt").desc, col("gram"))
-          .limit(50))),
-    // Streaming KMV distinct-count (round 14): the bottom-k sketch as
-    // streaming aggregation state — ≤ k hashes per event_type FOREVER,
-    // and, stronger than the MG row's exact-regime-only claim, the
-    // COMPLETE-mode final state is micro-batch-split-independent in
-    // the APPROXIMATE regime too (min-k of a set ignores arrival
-    // order). So the streamed approximate estimate is pinned
-    // hash-EXACT by a DuckDB oracle re-deriving the full estimator
-    // from the raw table.
-    "stream_cardinality_kmv" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.cardinalityKmvStream(Sources.eventsStream(s, dir)),
-        outputMode = "complete", sinkWriteMode = "overwrite")(
-        _.select(col("event_type"), col("n_events"),
-          graft.functions.BottomK.estimateDistinct(col("sk"),
-            graft.functions.BottomK.DefaultK).as("n_users_est")))),
-    // Count-Min as streaming aggregation state (the CMS leg of the
-    // stream-twin set): the document stream's (depth, bucket)
-    // counters maintained in complete mode — state bounded at d×w
-    // counters FOREVER, no TTL or eviction rule needed (counters only
-    // add). Counter addition is batch-split-invariant, so the
-    // streamed sketch equals the batch build bit-for-bit and the
-    // point-query tail answers text_count_min's oracle VERBATIM.
-    "stream_count_min" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.countMinStream(Sources.documentsStream(s, dir)),
-        outputMode = "complete", sinkWriteMode = "overwrite") { sk =>
-        val exact = tokenTerms(documents(s, dir))
-          .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
-        val probes = exact.orderBy(col("n_exact").desc, col("term"))
-          .limit(20)
-        graft.operators.CountMin.estimate(sk, probes, "term",
-            depth = 4, width = 128)
-          .withColumn("overcount", col("cm_est") - col("n_exact"))
-          .orderBy(col("n_exact").desc, col("term"))
-      }),
-    // Third streaming oracle row (round 11): the CDC merge snapshot,
-    // continuously maintained by mergeStream's keyed
-    // flatMapGroupsWithState — events read as a change stream
-    // (key = user_id, seq = event-time micros, 'purchase' = tombstone
-    // so the delete path runs under the oracle too). Each batch emits
-    // a changed key's NEW current row (update mode); the sink tags
-    // rows with their micro-batch id and the final snapshot is each
-    // key's row from its LAST emitting batch — correct under ANY
-    // micro-batch split, and equal to the batch rule "latest event
-    // per key by seq" the DuckDB twin states. (user_id, ts) is unique
-    // at every SF, so seq order is total.
-    "stream_merge_snapshot" -> ((s, dir) => {
-      import s.implicits._
-      val changes = Sources.eventsStream(s, dir)
-        .select(col("user_id").as("key"),
-          col("event_type").as("payload"),
-          (col("event_type") === "purchase").as("del"),
-          unix_micros(col("ts")).as("seq"))
-        .as[graft.streaming.MergeEvent]
-      runAvailableNow(s,
-        graft.streaming.StreamOps.mergeStream(changes).toDF(),
-        outputMode = "update", sinkWriteMode = "append",
-        tagBatchId = true) { sinkDf =>
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("key")).orderBy(col("batch_id").desc)
-        sinkDf
-          .withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1)
-          .select(col("key"), col("payload"),
-            col("deleted").cast("int").as("deleted"))
-      }
-    }),
-    // Fourth streaming oracle row: the flatMapGroupsWithState
-    // sessionizer itself under the DuckDB gate — events through a real
-    // readStream file source, per-user session state carried in the
-    // state store, output = the batch sessionize shape, so the oracle
-    // IS the proven events_sessionize SQL. The fixture arrives as one
-    // AvailableNow micro-batch ((user_id, ts) unique => the in-group
-    // ts sort is total), and the 30-day watermark spans the fixture so
-    // no state eviction truncates a session mid-run; production
-    // tightens it to bound state, the sessionizeStream contract.
-    "stream_sessionize" -> ((s, dir) => {
-      import s.implicits._
-      val ev = Sources.eventsStream(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"))
-        .as[graft.streaming.SessionEvent]
-      runAvailableNow(s,
-        StreamOps.sessionizeStream(ev, gapMinutes = 30,
-          watermark = "30 days").toDF(),
-        outputMode = "append", sinkWriteMode = "append")(
-        _.select(col("event_id"), col("user_id"),
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts"),
-          col("session_idx")))
-    }),
-
-    "events_sessionize" -> ((s, dir) =>
-      Events.sessionize(events(s, dir))
-        .withColumn("ts",
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-    // Session summary — the aggregate sessionizeStream maintains live,
-    // batch-driven for the oracle; rides sessionize's single window
-    // shuffle (no second Exchange, PlanAuditSpec-checkable clustering).
-    "events_sessions" -> ((s, dir) =>
-      Events.sessions(events(s, dir))
-        .withColumn("session_start",
-          date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("session_end",
-          date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-    "events_props_agg" -> ((s, dir) =>
-      Events.propsAgg(events(s, dir))),
-    // As-of join: each purchase picks the user's latest click at or
-    // before it. Oracle = DuckDB's native ASOF LEFT JOIN over the
-    // same sides (right ties pre-collapsed to max(value) there — the
-    // Spark side resolves them in the window sort, same winner).
-    "events_asof" -> ((s, dir) => {
-      val ev = events(s, dir)
-      Events.asofJoin(
-        ev.filter(col("event_type") === "purchase")
-          .select("event_id", "user_id", "ts", "value"),
-        ev.filter(col("event_type") === "click"),
-        Seq("user_id"), "ts", Seq("value"))
-        .withColumn("ts",
-          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("asof_time",
-          date_format(col("asof_time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    }),
-    // Bucketed range join: every click within 6h after a purchase by
-    // the same user. Times compared as epoch micros on both engines
-    // (integer domain — no timestamp-unit or truncation hazards);
-    // bucket width = the window span, so each interval lands in ≤ 2
-    // buckets and the plan is a pure equi-join (no nested loop —
-    // PlanAuditSpec asserts it).
-    "events_range_join" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"), col("user_id"),
-          unix_micros(col("ts")).as("click_us"))
-      val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id").as("purchase_id"), col("user_id"),
-          unix_micros(col("ts")).as("lo_us"),
-          (unix_micros(col("ts")) + lit(21600000000L)).as("hi_us"))
-      RangeJoin.pointInInterval(clicks, purchases, Seq("user_id"),
-        "click_us", "lo_us", "hi_us", bucketWidth = 21600000000L)
-        .select("user_id", "click_id", "purchase_id", "click_us", "lo_us")
-    }),
-
-    // Stream-stream interval join, batch-driven for the oracle: every
-    // (click, purchase) pair per user with the purchase inside
-    // [click, click + 60m]. The SAME function runs watermarked on two
-    // unbounded streams (StreamingSpec pins stream == batch and the
-    // watermark bound); here the equi-key makes it a plain hash join
-    // with a residual time filter — no bucketing, no nested loop.
-    "events_attribution" -> ((s, dir) => {
-      val ev = events(s, dir)
-      StreamOps.attributionJoin(
-        ev.filter(col("event_type") === "click"),
-        ev.filter(col("event_type") === "purchase"),
-        horizonMinutes = 60)
-        .withColumn("click_ts",
-          date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("purchase_ts",
-          date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-    }),
-
-    // Fifth streaming oracle row: the STREAM-STREAM interval join
-    // itself under the DuckDB gate — both sides real readStream file
-    // sources with watermarks (mandatory: without them Spark rejects
-    // the unbounded-state append-mode join outright), inner matches
-    // emitted as both sides buffer in the join state store. Same
-    // attributionJoin code as the batch twin, so the oracle IS
-    // events_attribution's inequality-join SQL. The 30-day watermark
-    // spans the fixture so no state eviction drops a late match here;
-    // StreamingSpec pins the eviction semantics (a purchase behind
-    // the watermark is dropped, not matched from evicted state).
-    "stream_attribution" -> ((s, dir) =>
-      runAvailableNow(s,
-        StreamOps.attributionJoin(
-          Sources.eventsStream(s, dir)
-            .filter(col("event_type") === "click"),
-          Sources.eventsStream(s, dir)
-            .filter(col("event_type") === "purchase"),
-          horizonMinutes = 60, watermark = Some("30 days")),
-        outputMode = "append", sinkWriteMode = "append")(
-        _.withColumn("click_ts",
-            date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-          .withColumn("purchase_ts",
-            date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS")))),
-
-    // Sixth streaming oracle row (round 13): STREAMING NEAR-dup dedup —
-    // the minhash star collapse as a stateful stream. One pass derives
-    // band keys + shingles per doc (no stream-stream self-join), band
-    // buckets carry ONE keeper row of state each, every drop is
-    // verified with exact shingle Jaccard in-state. Run to completion
-    // under AvailableNow the drop set equals the batch star-link drop
-    // set, which on this fixture equals brute-force keep-min at 0.95
-    // (the exact equality the dedup_minhash_pairs collapse oracle
-    // already proves green) — so the oracle is the keep-min survivor
-    // SQL, an independent all-pairs restatement.
-    "stream_dedup_near" -> ((s, dir) => {
-      import s.implicits._
-      val banded = Dedup.minhashBandedShingles(
-          Sources.documentsStream(s, dir).select(col("doc_id"), col("text")))
-        .as[graft.streaming.BandedShingleRow]
-      runAvailableNow(s,
-        StreamOps.nearDedupStream(banded, minJaccard = 0.95).toDF(),
-        outputMode = "append", sinkWriteMode = "append")(links =>
-        documents(s, dir).join(
-            links.select(col("doc_id")).distinct(), Seq("doc_id"),
-            "left_anti")
-          .select("doc_id", "lang", "source", "n_chars"))
-    }),
-
-    // Streaming incremental IVF ingest (round 14, VERDICT item 5):
-    // the quantizer is frozen from history (the full-corpus hash-init
-    // centroids), HALF the corpus is already in the persisted cells,
-    // and the other half arrives as a readStream file source pushed
-    // through the stateless ivfAssign projection into an append sink —
-    // the continuous form of nightly ivfAppend. Because assignment is
-    // per-row deterministic against broadcast centroids (no shuffle,
-    // no state), streamed-in cells ∪ batch cells == one-pass batch
-    // assignment, so append-then-probe answers the SAME DuckDB oracle
-    // as build-then-probe (similarity_ivf) — the stream leg is
-    // hash-verified, not just shape-checked.
-    "stream_ivf_append" -> ((s, dir) => {
-      val index = cachedIvfHashInit(s, dir)
-      val base = index.cells.filter(col("neighbor_id") % 2 === 0)
-      val delta = runAvailableNow(s,
-        Similarity.ivfAssign(index,
-          Sources.embeddingsStream(s, dir)
-            .filter(col("vec_id") % 2 === 1)),
-        outputMode = "append", sinkWriteMode = "append")(identity)
-      val qs = embeddings(s, dir).filter(col("vec_id") < 10)
-      Similarity.ivfProbe(index.copy(cells = base.unionByName(delta)),
-        qs, k = 10, nProbe = 4, roundAt = 6)
-    }),
-
-    // Sliding-window chunking for context packing: 32-token windows,
-    // stride 24 (8-token overlap). chunk_idx = start/stride in both
-    // engines; ws tokenization matches text_token_stats.
-    "text_chunk" -> ((s, dir) =>
-      TextAnalysis.chunk(documents(s, dir).select("doc_id", "text"),
-        chunkTokens = 32, stride = 24)
-        .select("doc_id", "chunk_idx", "chunk_tokens", "chunk")),
-
-    // Exact TF-IDF top-3 terms per doc — the un-hashed, oracle-checkable
-    // twin of text_tfidf. Rank key is all-integer (tf desc, df asc,
-    // term asc); the float tfidf value rides along rounded to 6dp.
-    "text_tfidf_exact" -> ((s, dir) =>
-      TextFeatures.tfidfExact(documents(s, dir), topK = 3)),
-
-    // BM25 more-like-this retrieval: the first 5 documents act as
-    // queries over the whole corpus (self-matches excluded pre-rank).
-    // Inverted-index join shape — query terms broadcast with their
-    // idf, postings touched only for query terms — never a doc×query
-    // cross; every constant (k1=1.2, b=0.75, Lucene idf) restated in
-    // the oracle.
-    "text_bm25" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      TextFeatures.bm25(docs,
-        docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
-        topK = 10, excludeSelf = true)
-    }),
-    // Build → persist postings → reload → probe: the retrieval
-    // deployment shape (tokenize the corpus once per ingest, not once
-    // per query batch). Shares text_bm25's oracle — the round-trip
-    // must be the identity, so persistence is hash-verified.
-    // Round 11 (VERDICT item 5): the postings artifact is written once
-    // per JVM (cachedBm25IndexDir); the registered invocation measures
-    // the steady-state reload + probe a nightly deployment pays. The
-    // write half gets its own timer + oracle row (text_bm25_write).
-    // Result rows are unchanged — write → reload is the identity the r10
-    // row proved, now split so each half is separately observable.
-    "text_bm25_persisted" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val loaded = TextFeatures.readBm25Index(s, cachedBm25IndexDir(s, dir))
-      TextFeatures.bm25Probe(loaded,
-        docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
-        topK = 10, excludeSelf = true)
-        .localCheckpoint(true)
-    }),
-    // The build/write half under its own named timer (round 11): fresh
-    // postings build + write to a per-invocation temp dir, summarized by
-    // the all-integer postings profile (distinct terms, postings rows,
-    // total term frequency, corpus doc count) — the aggregates force the
-    // full tokenize+postings job AND the parquet write is timed in-line;
-    // the profile is hash-EXACT against the oracle's re-derived postings.
-    "text_bm25_write" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bm25_w")
-      try {
-        TextFeatures.writeBm25Index(
-          TextFeatures.bm25Index(documents(s, dir)), tmp.toString)
-        val postings = s.read.parquet(s"$tmp/tf")
-        postings.agg(
-          countDistinct(col("term")).as("n_terms"),
-          count(lit(1)).as("n_postings"),
-          sum(col("tf")).as("tf_sum"),
-          countDistinct(col("doc_id")).as("n_docs"))
-          .localCheckpoint(true)
-      } finally deleteRecursively(tmp.toFile)
-    }),
-    // BM25 living index, batch leg (round 15, r14 verdict item 5):
-    // index HALF the corpus, append the other half's postings without
-    // touching the indexed half (bm25Append — tokenizes only the
-    // delta; df and the corpus scalars update from vocabulary-sized
-    // frames; avgdl is exact integer arithmetic so append == rebuild
-    // bit-for-bit), then probe with the standard 5 queries. Shares
-    // text_bm25's oracle: append-then-score must equal
-    // build-then-score — retrieval now has the same incremental story
-    // as the ANN family (ivfAppend/pqAppend).
-    "text_bm25_append" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val base = TextFeatures.bm25Index(docs.filter(col("doc_id") % 2 === 0))
-      val grown = TextFeatures.bm25Append(base,
-        docs.filter(col("doc_id") % 2 === 1))
-      TextFeatures.bm25Probe(grown,
-        docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
-        topK = 10, excludeSelf = true)
-    }),
-
-    // BM25 living index, streaming leg (round 15): the other half
-    // arrives as a readStream file source mapped through the STATELESS
-    // per-row postings projection (bm25PostingsStateless — term counts
-    // from array functions inside the row, no shuffle, no state) into
-    // an append sink; the landed delta merges into the standing index
-    // and the probe answers text_bm25's oracle — the stream_ivf_append
-    // recipe applied to retrieval: append-then-score == build-then-
-    // score, hash-verified.
-    "stream_bm25_append" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val base = TextFeatures.bm25Index(docs.filter(col("doc_id") % 2 === 0))
-      val delta = runAvailableNow(s,
-        TextFeatures.bm25PostingsStateless(
-          Sources.documentsStream(s, dir).filter(col("doc_id") % 2 === 1)),
-        outputMode = "append", sinkWriteMode = "append")(identity)
-      val grown = TextFeatures.bm25MergePostings(base, delta)
-      TextFeatures.bm25Probe(grown,
-        docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
-        topK = 10, excludeSelf = true)
-    }),
-
-    // Hybrid retrieval: reciprocal-rank fusion of the PROVEN bm25 and
-    // cosine top-10 rankings over the same query ids (documents and
-    // embeddings share ids in the testdata). Rank-only arithmetic, so
-    // the fused list is exactly derivable from the parent oracles.
-    "retrieval_hybrid" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      val emb = embeddings(s, dir)
-      val bm = TextFeatures.bm25(docs,
-        docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            col("text").as("query_text")),
-        topK = 10, excludeSelf = true)
-      val cos = Similarity.cosineTopK(emb,
-        emb.filter(col("vec_id") < 5), k = 10, roundAt = 6)
-        .withColumnRenamed("neighbor_id", "doc_id")
-      TextFeatures.rrfFuse(Seq(
-        bm.select("query_id", "doc_id", "rank"),
-        cos.select("query_id", "doc_id", "rank")))
-    }),
-
-    // Exhaustive-probe IVF: nProbe = nCells visits every cell, so the
-    // candidate set is the entire corpus and the probe MUST return
-    // exactly the brute-force top-k — the whole index machinery
-    // (assignment, multi-assign replication, cell equi-join, replica
-    // dedup, ranking) held to the same DuckDB brute-force oracle as
-    // similarity_topk. Rounding before ranking (roundAt) makes the
-    // tie order cross-engine-stable, as in cosineTopK.
-    "similarity_ivf_exhaustive" -> ((s, dir) => {
-      val emb = embeddings(s, dir)
-      val idx = Similarity.ivfIndex(emb, nCells = 16)
-      Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 10),
-        k = 10, nProbe = 16, roundAt = 6)
-    }),
-
-    // Sequence packing: concatenate-and-split bin assignment — each
-    // doc's bin is where its first token lands when the source's docs
-    // are concatenated in doc_id order and cut into 512-token
-    // sequences. One prefix-sum window per source; DuckDB twin is the
-    // identical running-total window.
-    "text_pack_bins" -> ((s, dir) =>
-      TextAnalysis.packBins(
-        documents(s, dir).select("doc_id", "source", "text"),
-        binTokens = 512)
-        .select("doc_id", "source", "n_tokens", "tokens_before",
-          "bin_id", "bin_offset")),
-
-    // TPC-H Q3 shape: top-10 open BUILDING orders by outstanding
-    // revenue. Global top-k plans as TakeOrderedAndProject (per-task
-    // k-row heap + driver merge — no full sort at any scale).
-    "orders_top_revenue" -> ((s, dir) =>
-      Relational.topRevenueOrders(lineitem(s, dir),
-        Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
-
-    // TPC-H Q18 shape: large-volume buyers. The quantity HAVING runs on
-    // the pre-aggregated per-order frame BEFORE any join — the rare
-    // qualifying keys are all the joins ever see.
-    "orders_large_customers" -> ((s, dir) =>
-      Relational.largeOrderCustomers(lineitem(s, dir),
-        Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
-
-    // Cardinality profile: exact countDistinct here (the oracle path);
-    // the registered API's approx=true flips to HyperLogLog++ sketches
-    // for the at-scale shape (EventsSpec pins its error bound).
-    "events_cardinality" -> ((s, dir) =>
-      Events.cardinality(events(s, dir))),
-
-    // Persisted mergeable HLL distinct-count artifact end-to-end
-    // (round 14, the FrequentItems persisted-sketch workflow for
-    // cardinality): events split by event_id parity, the "history"
-    // half sketched per event_type (DataSketches hll_sketch_agg) and
-    // ROUND-TRIPPED through a parquet artifact, the "new batch" half
-    // sketched fresh, both merged by hll_union_agg — and the merged
-    // estimate GATED against the exact distinct over the whole corpus
-    // (|est−exact| ≤ 3 %·exact, ~4σ at lgK=14; these slice sizes sit
-    // in HLL's exact sparse mode). n_events rides the artifact and
-    // must be EXACT. The estimate has no SQL twin (DataSketches), so
-    // the driver-visible row is the gate plus the exactly-checkable
-    // volume — the similarity_ivf_recall gated-number pattern.
-    "events_cardinality_sketch" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_hll")
-      try {
-        val ev = events(s, dir)
-        val hist = Events.cardinalitySketch(
-          ev.filter(col("event_id") % 2 === 0))
-        hist.write.mode("overwrite").parquet(s"$tmp/sk")
-        val reloaded = s.read.parquet(s"$tmp/sk")
-        val fresh = Events.cardinalitySketch(
-          ev.filter(col("event_id") % 2 === 1))
-        val est = Events.cardinalityEstimate(
-          Events.cardinalityMerge(reloaded.unionByName(fresh)))
-        val exact = ev.groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("n_exact"))
-        est.join(exact, Seq("event_type"))
-          .select(col("event_type"), col("n_events"), col("n_exact"),
-            (abs(col("n_users_est") - col("n_exact")) <=
-              col("n_exact") * lit(0.03)).as("within_tol"))
-          .localCheckpoint(true) // cut lineage into tmp pre-delete
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // The SAME persisted split/round-trip/merge workflow on the KMV
-    // bottom-k sketch (round 14) — and the reason both exist: KMV is
-    // deterministic AND merge-order-independent in every regime (min-k
-    // of a set), so unlike the HLL row's tolerance boolean, the
-    // APPROXIMATE estimate itself is in the output, restated
-    // bit-exactly by a DuckDB oracle that re-derives the sketch from
-    // raw rows ((k−1)·2⁶⁰/h₍ₖ₎ over the repo's md5 hash recipe). k=64
-    // keeps sf0.01 (150 users/type) in the approximate regime — the
-    // estimator is what's pinned, not the exact fallback.
-    "events_cardinality_kmv" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv")
-      try {
-        val ev = events(s, dir)
-        val hist = Sketches.kmvSketch(
-          ev.filter(col("event_id") % 2 === 0), "event_type", "user_id")
-        hist.write.mode("overwrite").parquet(s"$tmp/sk")
-        val fresh = Sketches.kmvSketch(
-          ev.filter(col("event_id") % 2 === 1), "event_type", "user_id")
-        val merged = Sketches.kmvMerge(
-          s.read.parquet(s"$tmp/sk").unionByName(fresh), "event_type")
-        val exact = ev.filter(col("user_id").isNotNull)
-          .groupBy(col("event_type"))
-          .agg(countDistinct(col("user_id")).as("n_exact"))
-        Sketches.kmvEstimate(merged, "event_type")
-          .join(exact, Seq("event_type"))
-          .select(col("event_type"), col("n_rows").as("n_events"),
-            col("n_distinct_est").as("n_users_est"), col("n_exact"))
-          .localCheckpoint(true) // cut lineage into tmp pre-delete
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // KMV set algebra (round 14): |click ∩ view| estimated from two
-    // 64-entry sketches alone — the k smallest hashes of a sketch
-    // union are the union's sketch, and the fraction present in both
-    // sides estimates the Jaccard (Beyer et al., SIGMOD'07). Every
-    // estimate (per-side, union, Jaccard, intersection) is a Double
-    // the oracle re-derives bit-exactly; the exact intersection rides
-    // along for the honest-error read. The only join of corpus-sized
-    // data is the exact leg; the sketch legs are a 1×1 of KB rows.
-    "events_overlap_kmv" -> ((s, dir) => {
-      val ev = events(s, dir)
-      val sks = Sketches.kmvSketch(
-        ev.filter(col("event_type").isin("click", "view")),
-        "event_type", "user_id")
-      val exact = ev.filter(col("event_type") === "click" &&
-          col("user_id").isNotNull).select("user_id")
-        .intersect(ev.filter(col("event_type") === "view" &&
-          col("user_id").isNotNull).select("user_id"))
-        .agg(count(lit(1)).as("n_inter_exact"))
-      Sketches.kmvOverlap(sks, "event_type", "click", "view")
-        .crossJoin(exact) // 1×1
-    }),
-
-    // Corpus-shape profiling: per-source token-length quantiles. Exact
-    // sort-based percentile matches DuckDB quantile_cont bit-exactly
-    // (the robust_scaling parity result); approx_percentile is the
-    // documented at-scale twin.
-    "text_length_quantiles" -> ((s, dir) =>
-      TextAnalysis.lengthQuantiles(documents(s, dir))),
-
-    // Zipf rank-frequency fit: OLS of ln(count) on ln(rank) over the
-    // top-500 vocabulary head (TakeOrderedAndProject — the
-    // distributed partial top-k, never a global sort; rank window
-    // runs over ≤ 500 rows). The corpus-mix drift diagnostic: slope
-    // ≈ −1 on healthy natural text; boilerplate floods flatten the
-    // head, dedup losses fatten it. On THIS synthetic fixture it
-    // reads ≈ −0.2 — the near-uniform generator vocabulary flagged
-    // exactly as designed (spec pins a planted power law at ≈ −1).
-    // Regression mechanics shared with lineitem_price_regression via
-    // operators.Regression.
-    "text_zipf_fit" -> ((s, dir) =>
-      graft.operators.Regression.zipfFit(documents(s, dir))),
-
-    // Persisted-quantile artifact (round 14): the bottom-k sketch's
-    // SECOND face — hash a row-unique id, carry the measure as
-    // payload, and the ≤ m smallest-hash rows are a mergeable uniform
-    // sample whose exact percentile answers any probability later
-    // (approx_percentile's GK summary is not exposed as a storable
-    // value; this is the storable, engine-neutral alternative). The
-    // sample quantiles are DETERMINISTIC (hash-rank sampling, no RNG),
-    // so the oracle restates sample AND exact legs bit-identically —
-    // sampling error is a visible, hash-pinned number. m=16 < 25
-    // docs/source at sf0.01 keeps the sample a real subset.
-    "text_sample_quantiles" -> ((s, dir) =>
-      Sketches.sampleQuantiles(documents(s, dir), "source", "doc_id",
-        size(regexp_extract_all(col("text"), lit("\\S+"), lit(0))),
-        m = 16, probs = Seq(0.5, 0.9))),
-
-    // The quantile-artifact LIFECYCLE (round 15): two batch halves
-    // each build a bottom-16 sample sketch, one persists to parquet
-    // and reloads, kmvMerge folds them (payloads ride the two-pointer
-    // merge), and the merged artifact re-answers the quantiles —
-    // min-k of a set union makes merged == one-shot EXACTLY, so this
-    // row shares text_sample_quantiles' oracle verbatim (the
-    // events_cardinality_kmv round-trip applied to the sample face
-    // of the sketch; with it both KMV faces have a persisted-merge
-    // row).
-    "text_sample_quantiles_merged" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_kmv_sq")
-      try {
-        val docs = documents(s, dir)
-        val vcol = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
-        val h1 = Sketches.sampleSketch(
-          docs.filter(col("doc_id") % 2 === 0), "source", "doc_id",
-          vcol, m = 16)
-        h1.write.mode("overwrite").parquet(s"$tmp/sk")
-        val h2 = Sketches.sampleSketch(
-          docs.filter(col("doc_id") % 2 === 1), "source", "doc_id",
-          vcol, m = 16)
-        val merged = Sketches.kmvMerge(
-          s.read.parquet(s"$tmp/sk").unionByName(h2), "source", k = 16)
-        Sketches.sampleQuantilesFromSketches(merged, docs, "source",
-            vcol, probs = Seq(0.5, 0.9))
-          .localCheckpoint(true) // cut lineage into tmp pre-delete
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // BPE vocabulary learning, 3 merge steps unrolled under the
-    // oracle (round 14, the kmeans_lloyd treatment of an iterative
-    // fit): word table → char symbols → repeat [overlapping pair
-    // counts → (count DESC, left, right) argmax → leftmost-nonoverlap
-    // merge]. Every stage is window/aggregate relational algebra both
-    // engines restate — the tokenizer-training analog of the Lloyd
-    // rows. Each step's winner is a one-row driver draw.
-    "text_bpe_merges" -> ((s, dir) =>
-      Bpe.learn(documents(s, dir), steps = 3, topWords = 200)._1),
-    // ... and the merges APPLIED: the top-200 word table segmented by
-    // the 3 learned merges — proves the rewrite, not just the argmax.
-    "text_bpe_segment" -> ((s, dir) =>
-      Bpe.segmentation(
-        Bpe.learn(documents(s, dir), steps = 3, topWords = 200)._2)),
-    // ... and the vocabulary USED at corpus scale: per-doc BPE token
-    // counts via a broadcast vocab join with char fallback for OOV —
-    // the tokenizer-throughput shape of a pretraining pipeline.
-    "text_bpe_encode" -> ((s, dir) => {
-      val docs = documents(s, dir)
-      Bpe.encodeTokenCounts(docs,
-        Bpe.learn(docs, steps = 3, topWords = 200)._2)
-    }),
-    // ... and the production lifecycle: learn ONCE, persist the
-    // symbol table as a plain parquet artifact, encode every later
-    // batch against the reloaded artifact with no relearning — the
-    // FrequentItems/IVF persisted-workflow pattern applied to the
-    // tokenizer. Shares text_bpe_encode's oracle verbatim: a lossless
-    // round-trip is the whole claim.
-    "text_bpe_encode_persisted" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_bpe")
-      try {
-        val docs = documents(s, dir)
-        Bpe.learn(docs, steps = 3, topWords = 200)._2
-          .write.mode("overwrite").parquet(s"$tmp/vocab")
-        Bpe.encodeTokenCounts(docs, s.read.parquet(s"$tmp/vocab"))
-          .localCheckpoint(true) // cut lineage into tmp pre-delete
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // Deterministic held-out split: same doc → same split across
-    // engines/partitionings/reruns (md5-bucket thresholds, the
-    // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
-    "llm_hash_split" -> ((s, dir) =>
-      Curate.hashSplit(documents(s, dir).select("doc_id", "source"))),
-
-    // Deterministic global training order — two-phase bucket index
-    // (single-partition-window-free); equals row_number over md5 order.
-    "llm_global_shuffle" -> ((s, dir) =>
-      Curate.globalShuffleOrder(documents(s, dir))),
-
-    // Global token-budget packing over the md5-shuffled order — the
-    // two-phase bucket prefix sum (no single-partition window).
-    "llm_shuffle_pack" -> ((s, dir) =>
-      Curate.shufflePackBins(documents(s, dir), binTokens = 512)),
-
-    // Cross-split leakage audit over hashSplit. In-flight planted
-    // copies (every 10th doc re-id'd +2000000) guarantee real overlap:
-    // a copy whose md5 bucket lands in val/test while its original (or
-    // any sibling copy) lands in train is a leak BOTH engines must
-    // count identically — no natural 8-gram overlap exists across the
-    // split at this SF (the decontaminate fixture lesson).
-    "llm_split_contamination" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
-      val corpus = base.unionByName(
-        base.filter(col("doc_id") % 10 === 0)
-          .select((col("doc_id") + lit(2000000L)).as("doc_id"),
-            col("text")))
-      Curate.splitContamination(corpus)
-    }),
-
-    // TPC-H Q1 shape: the canonical scan → partial agg → final agg
-    // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
-    "lineitem_pricing_summary" -> ((s, dir) =>
-      Relational.pricingSummary(lineitem(s, dir))),
-
-    // Closed-form per-group OLS (the SQL-standard REGR_ family) —
-    // model fitting as ONE partial-aggregated pass of six sufficient
-    // sums, the cheapest fit shape at 100 TB. Formulas spelled
-    // operand-for-operand in both engines (no built-in regr_slope:
-    // its internal update order is engine-private), 6dp-rounded.
-    "lineitem_price_regression" -> ((s, dir) =>
-      graft.operators.Regression.linearFit(lineitem(s, dir),
-        Seq("l_returnflag"), col("l_quantity"), col("l_extendedprice"))
-        .orderBy(col("l_returnflag"))),
-
-    // Conversion funnel: first click → first purchase at-or-after it,
-    // converted within 1h. One Exchange end to end (the groupBy reuses
-    // the window's user_id partitioning). Timestamps as micro strings
-    // (driver-diff parity); null first_to stays null in both engines.
-    "events_funnel" -> ((s, dir) =>
-      Events.funnel(events(s, dir))
-        .withColumn("first_from",
-          date_format(col("first_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
-        .withColumn("first_to",
-          date_format(col("first_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))),
-    // First-order Markov transition counts over per-user time-ordered
-    // streams; __end__ closes each user's chain. One window shuffle +
-    // one partial-aggregated count.
-    "events_transitions" -> ((s, dir) =>
-      Events.transitions(events(s, dir))),
-    // Trailing 1-hour RANGE-frame rolling volume/value per type — the
-    // registry's RANGE-frame coverage (exact integer epoch-µs key, so
-    // frames and peer groups are engine-identical).
-    "events_rolling_window" -> ((s, dir) =>
-      Events.rollingWindow(events(s, dir))),
-    // Weighted PageRank over the transition graph (GraphX
-    // staticPageRank semantics, edge weight = observed next-step
-    // share), 3 iterations UNROLLED with 6dp floor-rounding between
-    // steps — the kmeans_lloyd treatment applied to the canonical
-    // iterative GRAPH algorithm: both engines iterate on
-    // bit-identical rank vectors, so the whole trajectory
-    // (pr_0..pr_3) is hash-exact. floor(x·1e6+0.5)/1e6 is the
-    // half-boundary-safe rounding (ranks are short rationals —
-    // exactly the regime where round() can disagree cross-engine).
-    "events_pagerank" -> ((s, dir) =>
-      Events.pageRank(events(s, dir), damping = 0.85, iters = 3)),
-    // Daily ingest-volume anomaly screen: per-type day counts scored
-    // by the type's across-days z (6dp-rounded pre-threshold).
-    "events_volume_anomaly" -> ((s, dir) =>
-      Events.volumeAnomaly(events(s, dir))),
-
-    // K-step ordered funnel (view → click → purchase, 1-day horizon):
-    // each step's earliest qualifying time chains off the previous
-    // step's — the oracle restates the chain as K-1 LEFT JOIN + MIN
-    // stages.
-    "events_funnel_steps" -> ((s, dir) => {
-      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
-      Events.sequenceFunnel(events(s, dir),
-        Seq("view", "click", "purchase"), horizonSec = 86400L)
-        .withColumn("t1", date_format(col("t1"), fmt))
-        .withColumn("t2", date_format(col("t2"), fmt))
-        .withColumn("t3", date_format(col("t3"), fmt))
-    }),
-
-    // ROLLUP over the star join: nation rows + region subtotals +
-    // grand total in one Expand-fed aggregate; grouping_id = DuckDB's
-    // 2*GROUPING(r)+GROUPING(n) bit order.
-    "revenue_rollup" -> ((s, dir) =>
-      Relational.revenueRollup(
-        lineitem(s, dir),
-        Sources.parquetTable(s, dir, "orders"),
-        customer(s, dir),
-        Sources.parquetTable(s, dir, "nation"),
-        Sources.parquetTable(s, dir, "region"))),
-
-    // Pivot with an explicit value list = per-type conditional counts,
-    // one aggregate, fixed schema (COUNT FILTER twin in DuckDB).
-    "events_pivot" -> ((s, dir) => Events.typePivot(events(s, dir))),
-
-    // Day-N retention triangle: cohort by first signup day, distinct
-    // active users per (cohort_day, day_offset). Exact countDistinct
-    // here (oracle path); approx=true is the HLL at-scale twin.
-    "events_retention" -> ((s, dir) => Events.retention(events(s, dir))),
-
-    // Within-source quality quartile bins: ntile over the 6dp-rounded
-    // score + id tiebreak (total order identical across engines).
-    "llm_quality_quartiles" -> ((s, dir) =>
-      Curate.qualityQuartiles(documents(s, dir))),
-
-    // Deterministic per-source uniform sample: hash-rank reservoir
-    // (smallest md5 bucket wins) — reproducible across engines and
-    // stable under corpus growth; WindowGroupLimit map-side cap.
-    "llm_sample_by_source" -> ((s, dir) =>
-      Curate.sampleBySource(documents(s, dir), k = 3)),
-
-    // SUMMARIZE-style column profiler, exact path (oracle parity).
-    // o_status_sparse plants nulls in-flight (TPC-H has none) so the
-    // n_nulls column is non-vacuous; the CASE is mirrored literally in
-    // the oracle. profileApprox is the documented at-scale twin
-    // (ProfileSpec pins its rsd bound + Expand-free plan).
-    // Fixed-width 20-bin histogram of l_extendedprice: exact-MIN/MAX
-    // bounds, floor((x−min)/width) assignment (single IEEE ops — no
-    // summation, so bin membership is engine-identical), empty bins
-    // present, max value closed into the last bin.
-    "profile_histogram" -> ((s, dir) =>
-      Profile.histogram(lineitem(s, dir), "l_extendedprice", nBins = 20)),
-
-    "profile_table" -> ((s, dir) =>
-      Profile.profile(
-        Sources.parquetTable(s, dir, "orders").withColumn(
-          "o_status_sparse",
-          when(col("o_orderkey") % 7 === 0, lit(null: String))
-            .otherwise(col("o_orderstatus"))),
-        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-          "o_orderdate", "o_status_sparse"))),
-
-    // Equi-DEPTH histogram: 8 buckets cut at exact octile quantiles of
-    // l_extendedprice in integer CENTS — the integer domain makes every
-    // interpolated cut an exact multiple of 1/8 in IEEE double, so the
-    // (x > cut) bin rule is bit-identical across engines with NO
-    // rounding anywhere in the assignment (Profile.equidepth scaladoc;
-    // the GK approxQuantile scale path sits behind exact=false, the
-    // robust_scaling Q5 convention).
-    "profile_equidepth" -> ((s, dir) =>
-      Profile.equidepth(
-        lineitem(s, dir).select(
-          round(col("l_extendedprice") * 100, 0).cast("long").as("cents")),
-        "cents", nBins = 8)),
-
-    // PSI distribution drift between the first and second time halves
-    // of events.value: 10 equi-width bins, eps-floored shares,
-    // (p_a−p_b)·ln(p_a/p_b) per bin + the total — the ingest-QA
-    // drift monitor (Σ < 0.1 stable, > 0.25 drifted).
-    "events_value_drift" -> ((s, dir) =>
-      Profile.psiDrift(events(s, dir), "value")),
-
-    // Join-key skew profile: the salting decision's input (max/avg
-    // ratio + top-1/top-10 mass shares) from one partial-aggregated
-    // key count + a TakeOrdered top-10 leg — measured BEFORE a
-    // 100 TB shuffle, not inferred from its stragglers.
-    "profile_key_skew" -> ((s, dir) =>
-      Profile.keySkew(events(s, dir), "user_id")),
-
-    // Corpus-level heavy hitters: exact top-50 word bigrams.
-    // TakeOrderedAndProject after one partial+final count — never a
-    // global sort. Count-desc/gram-asc total order makes the rank-50
-    // cut deterministic in both engines.
-    "text_top_ngrams" -> ((s, dir) =>
-      TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
-
-    // Language-ID confusion matrix vs the fixture's lang label — the
-    // classifier-evaluation row (per (label, predicted) counts +
-    // within-label share); shares text_language's oracle CTE chain.
-    "text_language_confusion" -> ((s, dir) =>
-      TextAnalysis.languageConfusion(documents(s, dir))),
-
-    // Per-doc trigram novelty (the Lee et al. 2022 corpus metric):
-    // share of a doc's distinct trigrams occurring in no other doc —
-    // the gram-level boilerplate/near-dup-residue signal and the
-    // before/after evidence a dedup pass is graded on. One distinct
-    // shuffle + a vocabulary-scale df fold + one gram-keyed join.
-    "text_gram_novelty" -> ((s, dir) =>
-      TextAnalysis.gramNovelty(documents(s, dir), n = 3)),
-
-    // Document-level PMI collocations over the df-top-30 head:
-    // explode→distinct (doc, term), head via TakeOrdered + BROADCAST
-    // semi-join, pair fan-out bounded at C(30,2) per doc and joined
-    // doc-keyed — never vocabulary × vocabulary. The template-flood /
-    // phrase-mining signal; all counts exact integers, only the final
-    // ln floats (6dp pre-rank).
-    "text_pmi_collocations" -> ((s, dir) =>
-      TextAnalysis.pmiCollocations(documents(s, dir))),
-
-    // Bounded-state sibling of text_top_ngrams: Misra-Gries sketch at
-    // FrequentItems.DefaultCapacity (4096) >= the bigram vocabulary (916 at sf0.01, 1210 on
-    // the sf1 rehearsal fixture, whose replica suffixes mint new
-    // bigram types — a 1024 cap overflowed there and the oracle
-    // caught it exactly as designed: counts dropped below truth AND
-    // max_error went nonzero), so the sketch stays in its EXACT
-    // regime (max_error = 0 is an output column the oracle pins to 0)
-    // and the top-50 equals the exact GROUP BY twin — while the plan
-    // carries ONE capacity-entry sketch per map task through the
-    // Exchange instead of the keyed vocabulary (ObjectHashAggregate
-    // partial merge; the 100 TB path for billion-key n-gram
-    // vocabularies, where the exact twin's vocabulary shuffle is the
-    // bottleneck). Approximation-regime guarantees (retention above
-    // N/(cap+1), counter undershoot <= maxError) are spec'd in
-    // FrequentItemsSpec.
-    "text_heavy_hitters_sketch" -> ((s, dir) => {
-      val mg = udaf(new graft.functions.MisraGries(
-        graft.functions.FrequentItems.DefaultCapacity),
-        org.apache.spark.sql.Encoders.STRING)
-      documents(s, dir)
-        .select(explode(
-          graft.functions.WordNgrams(col("text"), 2,
-            strictFallback = false)).as("gram"))
-        .filter(size(split(col("gram"), " ")) === 2)
-        .agg(mg(col("gram")).as("sk"))
-        .select(explode(col("sk.counts")).as(Seq("gram", "cnt")),
-          col("sk.maxError").as("max_error"))
-        .orderBy(col("cnt").desc, col("gram"))
-        .limit(50)
-    }),
-
-    // The persisted-sketch workflow end-to-end (the deployment shape:
-    // daily sketches merged without rescanning history): corpus split
-    // by doc_id parity, the "history" half sketched and round-tripped
-    // through a parquet artifact (<= capacity+1 rows), the "new batch"
-    // half sketched fresh, the two MERGED by the aggregator's own
-    // rule — and the merged top-50 must equal the exact GROUP BY over
-    // the WHOLE corpus (mergeable-summaries exactness composes: both
-    // halves stayed exact and the union fits the capacity, so the
-    // merge is a plain sum). Same oracle SQL as the one-shot sketch.
-    "text_heavy_hitters_incremental" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_hhi")
-      try {
-        def grams(d: DataFrame) = d
-          .select(explode(
-            graft.functions.WordNgrams(col("text"), 2,
-              strictFallback = false)).as("gram"))
-          .filter(size(split(col("gram"), " ")) === 2)
-        val docs = documents(s, dir)
-        val hist = graft.functions.FrequentItems.sketch(
-          grams(docs.filter(col("doc_id") % 2 === 0)), "gram",
-          graft.functions.FrequentItems.DefaultCapacity)
-        graft.functions.FrequentItems.writeSketch(s, hist, s"$tmp/sk")
-        val reloaded = graft.functions.FrequentItems.readSketch(s, s"$tmp/sk")
-        val fresh = graft.functions.FrequentItems.sketch(
-          grams(docs.filter(col("doc_id") % 2 === 1)), "gram",
-          graft.functions.FrequentItems.DefaultCapacity)
-        val merged = graft.functions.FrequentItems
-          .merge(reloaded, fresh,
-            graft.functions.FrequentItems.DefaultCapacity)
-        // topK is a driver-local relation (readSketch/merge collect the
-        // bounded states), so nothing here has lineage into tmp — no
-        // checkpoint needed before the finally deletes it
-        graft.functions.FrequentItems.topK(s, merged, 50)
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // Count-Min sketch point-query estimates (the fourth sketch
-    // family: per-key counts under a FIXED d×w memory bound). Build =
-    // one (depth, bucket) groupBy whose Exchange carries ≤ d×w rows
-    // per map task — never the vocabulary; probes = the top-20 exact
-    // terms (deterministic tie-break), estimate = min over the d
-    // rows' counters. Everything is md5-derived and deterministic, so
-    // est, exact, AND the over-count error are hash-exact under the
-    // oracle (the KMV property: approximate answers, exact
-    // restatement). w=128 is sized BELOW the corpus vocabulary on
-    // purpose so collisions are real and the overcount column shows
-    // CMS behaving like CMS, not an exact count in disguise.
-    "text_count_min" -> ((s, dir) => {
-      val terms = tokenTerms(documents(s, dir))
-      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
-      val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
-      val sk = graft.operators.CountMin.sketch(terms, col("term"),
-        depth = 4, width = 128)
-      graft.operators.CountMin.estimate(sk, probes, "term",
-          depth = 4, width = 128)
-        .withColumn("overcount", col("cm_est") - col("n_exact"))
-        .orderBy(col("n_exact").desc, col("term"))
-    }),
-    // The CMS persist/merge lifecycle (the heavy_hitters_incremental
-    // shape): corpus split by doc_id parity, the history half's
-    // sketch round-tripped through a parquet artifact (≤ d×w plain
-    // rows — engine-neutral), merged with the fresh half by cell-wise
-    // summation. Counter matrices add, and group-sums of a disjoint
-    // split equal the total sums, so merge-then-estimate IS
-    // build-then-estimate — the row shares text_count_min's oracle
-    // VERBATIM (the strongest lifecycle claim, per the KMV rows).
-    "text_count_min_merged" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_cms")
-      try {
-        val docs = documents(s, dir)
-        def terms(d: DataFrame) = tokenTerms(d)
-        val hist = graft.operators.CountMin.sketch(
-          terms(docs.filter(col("doc_id") % 2 === 0)), col("term"),
-          depth = 4, width = 128)
-        hist.write.mode("overwrite").parquet(s"$tmp/sk")
-        val fresh = graft.operators.CountMin.sketch(
-          terms(docs.filter(col("doc_id") % 2 === 1)), col("term"),
-          depth = 4, width = 128)
-        val merged = graft.operators.CountMin.merge(
-          s.read.parquet(s"$tmp/sk").unionByName(fresh))
-        val exact = terms(docs).groupBy(col("term"))
-          .agg(count(lit(1)).as("n_exact"))
-        val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
-        graft.operators.CountMin.estimate(merged, probes, "term",
-            depth = 4, width = 128)
-          .withColumn("overcount", col("cm_est") - col("n_exact"))
-          .orderBy(col("n_exact").desc, col("term"))
-          .localCheckpoint(true) // cut lineage into tmp pre-delete
-      } finally deleteRecursively(tmp.toFile)
-    }),
-
-    // Referential-integrity orphan scan. TPC-H guarantees every
-    // l_orderkey resolves, so orphans are planted in-flight (every
-    // 97th order key re-keyed +900M — the decontaminate planting
-    // recipe) and BOTH engines must flag exactly those rows.
-    "quality_orphans" -> ((s, dir) => {
-      val li = lineitem(s, dir)
-        .select("l_orderkey", "l_linenumber", "l_quantity")
-      val withPlanted = li.unionByName(
-        li.filter(col("l_orderkey") % 97 === 0)
-          .select((col("l_orderkey") + lit(900000000L)).as("l_orderkey"),
-            col("l_linenumber"), col("l_quantity")))
-      Relational.orphans(withPlanted,
-        Sources.parquetTable(s, dir, "orders"), "l_orderkey", "o_orderkey")
-    }),
-  )
+  /** One entry per implemented operator from SURVEY.md §2 + §7 —
+    * assembled from the per-family EntryQueries* slices (r16 verdict
+    * item 7). Key-disjointness is a hard require: a name registered in
+    * two families would let one silently shadow the other, and the
+    * driver would verify the wrong plan. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val families = Seq(
+      EntryQueriesFeatures.queries, EntryQueriesDedup.queries,
+      EntryQueriesText.queries, EntryQueriesSimilarity.queries,
+      EntryQueriesMultimodal.queries, EntryQueriesCurate.queries,
+      EntryQueriesStreaming.queries, EntryQueriesOps.queries)
+    val dup = families.flatMap(_.keys)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"query keys registered in more than one family: " +
+        s"${dup.toSeq.sorted.mkString(", ")}")
+    families.reduce(_ ++ _)
+  }
 
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -41,6 +41,21 @@ class EntrySpec extends SparkSpec {
       "a query key is registered in more than one OracleSql* family")
   }
 
+  test("query family slices are key-disjoint and the assembly drops " +
+      "nothing (r17 registry split)") {
+    // SparkEntry.queries itself requires disjointness on every access;
+    // this pins the same invariant from the outside (sum of slice sizes
+    // == assembled size) so a refactor that removes the require cannot
+    // silently regress to last-wins shadowing.
+    val slices = Seq(
+      EntryQueriesFeatures.queries, EntryQueriesDedup.queries,
+      EntryQueriesText.queries, EntryQueriesSimilarity.queries,
+      EntryQueriesMultimodal.queries, EntryQueriesCurate.queries,
+      EntryQueriesStreaming.queries, EntryQueriesOps.queries)
+    assert(slices.map(_.size).sum === SparkEntry.queries.size,
+      "a query key is registered in more than one EntryQueries* family")
+  }
+
   test("registered queries emit no array/vector columns except declared") {
     // Driver pandas diff crashes on array columns (round-1 lesson):
     // oracle-checked queries must be scalar-only.
