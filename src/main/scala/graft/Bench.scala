@@ -220,8 +220,13 @@ object Bench {
     // and compare only against files from STRICTLY EARLIER rounds.
     val files = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty[java.io.File])
+    // the round is the _r<N>.json suffix ONLY — an all-digits strip
+    // would fold family digits in (BENCH_SF1_r16 → "116", so the sf1
+    // prior always looked "newer" than the current round and the
+    // family-aware drift read null; caught on the first r17 sf1 run)
     def roundNum(f: java.io.File): Int =
-      f.getName.replaceAll("\\D", "").toInt
+      "_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
+        .map(_.group(1).toInt).getOrElse(0)
     val currentRound: Option[Int] =
       sys.env.get("SPARK_GRAFT_ROUND")
         .flatMap(s => scala.util.Try(s.toInt).toOption)
