@@ -181,9 +181,11 @@ object Bench {
     val outRowsJson = results.collect {
       case r if r.ok && r.outRows.isDefined =>
         "\"" + r.name + "\":" + r.outRows.get }.mkString("{", ",", "}")
-    // State-operator metrics per stream_* row (r16 verdict item 4)
+    // State-operator metrics per stream_* row (r16 verdict item 4);
+    // gated on ok like out_rows — a query whose stream completed but
+    // whose read-back failed must not ship metrics next to passing rows
     val streamStateJson = results.collect {
-      case r if r.streamState.isDefined =>
+      case r if r.ok && r.streamState.isDefined =>
         "\"" + r.name + "\":" + r.streamState.get }.mkString("{", ",", "}")
     val failed = results.collect { case r if !r.ok => "\"" + r.name + "\"" }
       .mkString("[", ",", "]")
@@ -244,7 +246,7 @@ object Bench {
     val sfDirName = new java.io.File(sfDir).getName
     val family =
       if (sfDirName.contains("lowdup")) "BENCH_SF1_LOWDUP"
-      else if (sfDirName.matches("sf1(?![\\d.]).*|sf1")) "BENCH_SF1"
+      else if (sfDirName.matches("sf1(?![\\d.]).*")) "BENCH_SF1"
       else "BENCH_LOCAL"
     val priorFile = files
       .filter(_.getName.matches(family + "_r\\d+\\.json"))
@@ -293,10 +295,15 @@ object Bench {
     // the first 12 solo numbers prove it) — the cap is recorded as
     // "solo_skipped" so truncation is never silent.
     val soloCap = 12
+    // a solo run that THROWS must not report its elapsed-until-
+    // exception as a legitimate fast min (the triage would read a
+    // crash as "contention, recovered") — failed solo = -1, the same
+    // failure sentinel the queries map uses
     val soloRuns: Seq[(String, Double)] = drifted.take(soloCap)
       .flatMap { case (n, _) =>
         selected.get(n).map { fn =>
-          n -> (1 to 2).map(_ => timedRun(n, fn)._1).min
+          val rs = (1 to 2).map(_ => timedRun(n, fn))
+          n -> (if (rs.forall(_._2.isDefined)) rs.map(_._1).min else -1.0)
         }
       }
     val driftJson = priorFile match {

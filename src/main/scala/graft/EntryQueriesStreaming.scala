@@ -38,8 +38,11 @@ private[graft] object EntryQueriesStreaming {
           transform(col("embedding"),
             (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
             .as("embedding")))
+      // dim pinned at ingest (r17): a ragged embedding now fails the
+      // batch deterministically HERE instead of depending on a bucket
+      // collision to reach the keeper's in-state check
       val banded = Dedup.embeddingBandedVecs(planted,
-          numTables = 4, bitsPerTable = 12)
+          numTables = 4, bitsPerTable = 12, dim = Some(64))
         .as[graft.streaming.BandedVecRow]
       runAvailableNow(s,
         StreamOps.nearDedupCosineStream(banded, minCosine = 0.99).toDF(),

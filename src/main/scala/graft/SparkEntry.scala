@@ -390,7 +390,12 @@ object SparkEntry {
       .filterNot(_.startsWith(s.sparkContext.applicationId + "|"))
       .foreach(k => bucketedJoinTableCache.remove(k).foreach(cleanupBucketed))
     bucketedCleanupHookOnce
-    val e = bucketedJoinTableCache.getOrElseUpdate(annCacheKey(s, dir), {
+    // NOT getOrElseUpdate: its get-then-update window lets a racing
+    // first probe build twice, and with cleanup now keyed off the map
+    // the LOSING build's tables would leak forever (the old
+    // hook-per-build shape covered abandoned builds; this restores
+    // that property by cleaning the loser at the atomic putIfAbsent).
+    val e = bucketedJoinTableCache.get(annCacheKey(s, dir)).getOrElse {
       val suffix = java.util.UUID.randomUUID.toString.replace("-", "_")
       val (tl, to) = (s"graft_bjs_l_$suffix", s"graft_bjs_o_$suffix")
       Sources.writeBucketed(lineitem(s, dir)
@@ -401,8 +406,12 @@ object SparkEntry {
       val locs = Seq(tl, to).map(t => new java.io.File(
         s.sessionState.catalog.defaultTablePath(
           s.sessionState.sqlParser.parseTableIdentifier(t))))
-      BucketedJoinTables(s, Seq(tl, to), locs)
-    })
+      val built = BucketedJoinTables(s, Seq(tl, to), locs)
+      bucketedJoinTableCache.putIfAbsent(annCacheKey(s, dir), built) match {
+        case Some(winner) => cleanupBucketed(built); winner
+        case None => built
+      }
+    }
     (e.tables(0), e.tables(1))
   }
 

@@ -2040,15 +2040,31 @@ object Dedup extends DedupPassages with DedupLines {
       idCol: String = "vec_id",
       numTables: Int = 8,
       bitsPerTable: Int = 16,
-      seed: Long = 42L): DataFrame =
+      seed: Long = 42L,
+      dim: Option[Int] = None): DataFrame = {
     // no repartition: the keeper's groupByKey(_.bk) plans its own
     // Exchange on the extracted key (the minhashBandedShingles rule) —
     // a repartition by the column here would be a second back-to-back
     // shuffle of the heaviest payload (vectors riding every band row)
-    cleanVecs(df, embCol, idCol)
+    val base = cleanVecs(df, embCol, idCol)
+    // dim = Some(d): every row is dimension-checked HERE, at ingest —
+    // deterministic per row. The downstream keeper's in-state check
+    // only fires when a ragged vector happens to share a bucket with
+    // another row (collision-dependent), so a stream that must reject
+    // corrupt embeddings reliably passes the expected dimension here.
+    // assert_true is codegen'd and returns null on success, so the
+    // filter is pass-through for well-formed rows and THROWS (fails
+    // the batch, surfacing the data error) on a mismatch.
+    val screened = dim.foldLeft(base)((d, n) =>
+      d.filter(coalesce(assert_true(size(col("e")) === n,
+        concat(lit(s"embeddingBandedVecs: expected $n-dim embedding, got "),
+          size(col("e")).cast("string"), lit(" for " + idCol + "="),
+          col(idCol).cast("string"))), lit(true))))
+    screened
       .select(col(idCol), col("e"),
         explode(HyperplaneSignature(col("e"), numTables, bitsPerTable, seed))
           .as("bk"))
+  }
 
   /** Incremental embedding near-dup dedup — the cosine member of the
     * incremental trio ([[exactIncremental]], [[minhashIncremental]]):

@@ -73,6 +73,17 @@ trait DedupPassages { self: Dedup.type =>
       window: Int = 16): DataFrame = {
     val kept = passageChunkKeys(df, textCol, idCol, maxDocFreq,
       avgChunkBits, window)
+    sharedChunkPairs(kept, idCol, minShared)
+  }
+
+  /** The chunk-keyed pairing rule stated ONCE: self-join
+    * [[passageChunkKeys]] output on chunk with `id_a < id_b`, count
+    * shared distinct chunks per pair, keep at `minShared`. Shared by
+    * [[passagePairs]] (the one-shot relation) and
+    * [[passageIncremental]]'s within-batch loser block, so the two
+    * paths can never diverge on the pairing semantics. */
+  private def sharedChunkPairs(
+      kept: DataFrame, idCol: String, minShared: Int): DataFrame = {
     val x = kept.alias("x")
     val y = kept.alias("y")
     x.join(y, col("x.chunk") === col("y.chunk") &&
@@ -224,13 +235,7 @@ trait DedupPassages { self: Dedup.type =>
       .agg(count(lit(1)).as("shared_chunks"))
       .filter(col("shared_chunks") >= minShared)
       .select(col(idCol))
-    val x = batchKept.alias("x")
-    val y = batchKept.alias("y")
-    val withinLosers = x.join(y, col("x.chunk") === col("y.chunk") &&
-        col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("id_a"), col(s"y.$idCol").as("id_b"))
-      .agg(count(lit(1)).as("shared_chunks"))
-      .filter(col("shared_chunks") >= minShared)
+    val withinLosers = sharedChunkPairs(batchKept, idCol, minShared)
       .select(col("id_b").as(idCol))
     newDocs.join(crossLosers.union(withinLosers).distinct(),
       Seq(idCol), "left_anti")

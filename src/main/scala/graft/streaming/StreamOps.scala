@@ -776,7 +776,12 @@ object StreamOps {
       val bv = b.toArray
       // a ragged/corrupt embedding is a DATA ERROR, not a far vector —
       // folding it into "not a near-dup" would let a corrupt duplicate
-      // quietly survive dedup; fail the batch so it surfaces upstream
+      // quietly survive dedup. NOTE this in-state check only fires
+      // when the ragged vector shares a bucket with another row
+      // (collision-dependent); the DETERMINISTIC per-row screen is
+      // [[graft.llm.Dedup.embeddingBandedVecs]]'s `dim` parameter at
+      // stream ingest — pass it there; this require is defense in
+      // depth for callers that didn't.
       require(av.length == bv.length,
         s"nearDedupCosineStream: embedding dimension mismatch " +
           s"(${av.length} vs ${bv.length}) — fix the ragged input " +

@@ -951,6 +951,27 @@ class DedupSpec extends SparkSpec {
     assert(out(11L) === 1, "within-batch near-dup flags its larger id")
   }
 
+  test("embeddingBandedVecs dim screen: a ragged vector fails the batch " +
+      "deterministically at ingest (not collision-dependently in-state)") {
+    val s = spark
+    import s.implicits._
+    val base = Seq(
+      (1L, Seq(1.0, 0.0, 0.0)),
+      (2L, Seq(1.0, 0.0))) // ragged — 2-dim in a 3-dim corpus
+      .toDF("vec_id", "embedding")
+    // without dim: both rows band (the permissive legacy behavior)
+    assert(Dedup.embeddingBandedVecs(base,
+      numTables = 2, bitsPerTable = 4).count() === 4)
+    // with dim: the ragged row throws regardless of bucket geometry
+    intercept[Exception] {
+      Dedup.embeddingBandedVecs(base,
+        numTables = 2, bitsPerTable = 4, dim = Some(3)).count()
+    }
+    // and a well-formed frame passes through unchanged
+    assert(Dedup.embeddingBandedVecs(base.filter($"vec_id" === 1L),
+      numTables = 2, bitsPerTable = 4, dim = Some(3)).count() === 2)
+  }
+
   test("passageIncremental: lifted passage from history drops cross, " +
       "within-batch copy drops its larger id, novel and chunkless " +
       "docs survive") {
