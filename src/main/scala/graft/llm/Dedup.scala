@@ -2289,7 +2289,20 @@ object Dedup extends DedupPassages with DedupLines {
     * cosine against any prior row (null when the batch row meets
     * none). Well-formedness screens (`dim`, nulls) mirror [[semantic]];
     * the frame handed to the history build must have used the same
-    * screen or assignment geometry diverges. */
+    * screen or assignment geometry diverges.
+    *
+    * Deliberately NO streaming keeper for this family (the one dedup
+    * modality without one): SemDeDup operates at thresholds
+    * (τ ≈ 0.8) where sign-LSH banding has no selectivity left — the
+    * CELL is the bucket, and a per-cell keeper would have to carry
+    * every cell member's full vector in state (cells are sized to
+    * ~targetCellSize members BY DESIGN, and batch rows must compare
+    * against all of them, not a single keeper). That is the batch
+    * in-cell join wearing a state-store costume, strictly worse than
+    * running THIS incremental refresh on a schedule. Embedding streams
+    * that need in-flight near-dup dropping at high thresholds use
+    * [[graft.streaming.StreamOps.nearDedupCosineStream]], where
+    * LSH selectivity is real and one keeper per bucket suffices. */
   def semanticIncremental(
       newVecs: DataFrame,
       index: Similarity.IvfIndex,
