@@ -1173,4 +1173,29 @@ class StreamingSpec extends SparkSpec {
     assert(field("commit_ms") >= 0 && field("updates_ms") >= 0, js)
     assert(field("state_memory_bytes") > 0, js)
   }
+
+  test("Hamming keeper state-growth LAW, exactly: state rows == distinct " +
+      "band buckets holding an exact fingerprint key (r17 — the scaladoc " +
+      "claim as a CI equality, via the captured metrics)") {
+    // The keeper creates a state row per bucket GROUP, and only exact
+    // rows create entries (probe rows only read) — so the state-store
+    // row count must EQUAL the batch-side distinct count of exact band
+    // keys. This is the "state linear in distinct fingerprints"
+    // contract as an equality, not a bound.
+    graft.SparkEntry.queries("stream_phash_near")(spark, sf0001).count()
+    val js = graft.SparkEntry.lastStreamMetrics
+      .getOrElse(fail("no stream metrics recorded"))
+    val stateRows = "\"state_rows_total\":(\\d+)".r
+      .findFirstMatchIn(js).map(_.group(1).toLong)
+      .getOrElse(fail(s"state_rows_total missing in $js"))
+    import org.apache.spark.sql.functions.col
+    val expected = graft.llm.Multimodal.dHashStreamBanded(
+        graft.llm.Multimodal.bmpDHash(
+          graft.SparkEntry.phashFixture(
+            spark.read.parquet(s"$sf0001/documents.parquet")), "payload"))
+      .filter(col("exact"))
+      .select("bk").distinct().count()
+    assert(stateRows === expected,
+      s"keeper state rows $stateRows != distinct exact buckets $expected")
+  }
 }
