@@ -1198,4 +1198,42 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows === expected,
       s"keeper state rows $stateRows != distinct exact buckets $expected")
   }
+
+  test("cosine keeper state-growth LAW, exactly: state rows == distinct " +
+      "occupied LSH buckets (every bucket holds exactly one keeper)") {
+    // Unlike the Hamming keeper (exact rows create entries, probes
+    // only read), the cosine keeper installs a keeper in EVERY bucket
+    // any row lands in — so state rows must equal the batch-side
+    // distinct band-key count of the same fixture.
+    graft.SparkEntry.queries("stream_embed_near")(spark, sf0001).count()
+    val js = graft.SparkEntry.lastStreamMetrics
+      .getOrElse(fail("no stream metrics recorded"))
+    val stateRows = "\"state_rows_total\":(\\d+)".r
+      .findFirstMatchIn(js).map(_.group(1).toLong)
+      .getOrElse(fail(s"state_rows_total missing in $js"))
+    import org.apache.spark.sql.functions._
+    // the registration's fixture, batch-side: corpus + the three
+    // in-flight plants, banded under the same knobs
+    val base = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>")
+        .as("embedding"))
+    val e0 = base.filter(col("vec_id") === 0L)
+    val e5 = base.filter(col("vec_id") === 5L)
+    val planted = base
+      .unionByName(e0.select(lit(900001L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(1e-4)).otherwise(x))
+          .as("embedding")))
+      .unionByName(e5.select(lit(900002L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding")))
+      .unionByName(e5.select(lit(900003L).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => when(i === 0, -x + lit(1e-4)).otherwise(-x))
+          .as("embedding")))
+    val expected = graft.llm.Dedup.embeddingBandedVecs(planted,
+        numTables = 4, bitsPerTable = 12, dim = Some(64))
+      .select("bk").distinct().count()
+    assert(stateRows === expected,
+      s"keeper state rows $stateRows != distinct occupied buckets $expected")
+  }
 }
