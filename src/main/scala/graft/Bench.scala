@@ -243,30 +243,43 @@ object Bench {
     // /tmp/sf1 → BENCH_SF1, anything else (the driver/local sf0.1 dirs)
     // → BENCH_LOCAL. No same-family prior → "drift": null, never a
     // cross-family compare.
+    // Family membership is an EXACT basename match (r17 advice #3): the
+    // old fallthrough mapped any unrecognized dir (sf2, sf10, a future
+    // sf5_lowdup) to BENCH_LOCAL, silently re-introducing the cross-SF
+    // drift compare the family split exists to prevent. Unknown basename
+    // → no family → "drift": null plus a stderr warning, never a guessed
+    // denominator.
     val sfDirName = new java.io.File(sfDir).getName
-    val family =
-      if (sfDirName.contains("lowdup")) "BENCH_SF1_LOWDUP"
-      else if (sfDirName.matches("sf1(?![\\d.]).*")) "BENCH_SF1"
-      else "BENCH_LOCAL"
-    val priorFile = files
-      .filter(_.getName.matches(family + "_r\\d+\\.json"))
-      .filter(f => currentRound.forall(roundNum(f) < _))
-      .sortBy(roundNum)
-      .lastOption
-    val priorQueries: Map[String, Double] = priorFile.map { f =>
-      val txt = scala.io.Source.fromFile(f)
-      val s = try txt.mkString finally txt.close()
-      // Machine-written single-line JSON; pull the "queries" object.
-      // ASSUMES the flat {"name":sec,...} shape Bench itself writes —
-      // a nested value inside "queries" would cut the match short
-      // (the [^}]* stops at the first '}'). \s* tolerates the
-      // pretty-printed `"queries": {` python's json.dump emits — the
-      // r15 committed artifact used that form and the compact-only
-      // regex silently parsed an EMPTY prior map, making the drift
-      // field vacuous a second way (caught r16: a real 1.5× row went
-      // unflagged against a parse-failed baseline).
-      val qsRe = """"queries":\s*\{([^}]*)\}""".r
-      qsRe.findFirstMatchIn(s).map { mm =>
+    val family: Option[String] = sfDirName match {
+      case "sf0.1" => Some("BENCH_LOCAL")
+      case "sf1" => Some("BENCH_SF1")
+      case "sf1_lowdup" => Some("BENCH_SF1_LOWDUP")
+      case other =>
+        System.err.println(s"[bench] sf dir basename '$other' matches no " +
+          "known artifact family (sf0.1 -> BENCH_LOCAL, sf1 -> BENCH_SF1, " +
+          "sf1_lowdup -> BENCH_SF1_LOWDUP); drift compare disabled " +
+          "for this run")
+        None
+    }
+    val priorFile = family.flatMap { fam =>
+      files
+        .filter(_.getName.matches(fam + "_r\\d+\\.json"))
+        .filter(f => currentRound.forall(roundNum(f) < _))
+        .sortBy(roundNum)
+        .lastOption
+    }
+    // Machine-written single-line JSON; pull a flat {"name":num,...}
+    // object by key. ASSUMES the flat shape Bench itself writes —
+    // a nested value inside the object would cut the match short
+    // (the [^}]* stops at the first '}'). \s* tolerates the
+    // pretty-printed `"queries": {` python's json.dump emits — the
+    // r15 committed artifact used that form and the compact-only
+    // regex silently parsed an EMPTY prior map, making the drift
+    // field vacuous a second way (caught r16: a real 1.5× row went
+    // unflagged against a parse-failed baseline).
+    def flatNumObj(s: String, key: String): Map[String, Double] = {
+      val re = ("\"" + key + """":\s*\{([^}]*)\}""").r
+      re.findFirstMatchIn(s).map { mm =>
         mm.group(1).split(",").flatMap { kv =>
           kv.split(":") match {
             case Array(kq, v) =>
@@ -277,10 +290,33 @@ object Bench {
           }
         }.toMap
       }.getOrElse(Map.empty)
-    }.getOrElse(Map.empty)
+    }
+    val priorText: Option[String] = priorFile.map { f =>
+      val txt = scala.io.Source.fromFile(f)
+      try txt.mkString finally txt.close()
+    }
+    val priorQueries: Map[String, Double] =
+      priorText.map(flatNumObj(_, "queries")).getOrElse(Map.empty)
+    val priorOutRows: Map[String, Double] =
+      priorText.map(flatNumObj(_, "out_rows")).getOrElse(Map.empty)
+    // Composite drift rule (r17 verdict item 4): where BOTH rounds carry
+    // a positive out_rows for the query, a raw-seconds flag must ALSO
+    // hold on seconds-per-output-row — output-volume growth (fixture or
+    // dup-rate changes) then clears itself instead of consuming a solo
+    // re-run slot (the dedup_simhash_verified closure did exactly this
+    // arithmetic by hand across r15-r17). Queries without out_rows on
+    // either side keep the raw-seconds rule unchanged.
+    def perRowHolds(name: String, sec: Double, priorSec: Double): Boolean =
+      (results.find(_.name == name).flatMap(_.outRows),
+        priorOutRows.get(name)) match {
+        case (Some(out), Some(pOut)) if out > 0 && pOut > 0 =>
+          sec / out > (priorSec / pOut) * 1.5
+        case _ => true // no per-row evidence on both sides: raw rule decides
+      }
     val drifted = results.collect {
       case r if r.ok && priorQueries.get(r.name).exists(p =>
-        p > 0 && r.sec > p * 1.5 && r.sec - p > 0.25) =>
+        p > 0 && r.sec > p * 1.5 && r.sec - p > 0.25 &&
+          perRowHolds(r.name, r.sec, p)) =>
         (r.name, r.sec / priorQueries(r.name))
     }.sortBy(-_._2)
     // Automated drift triage (r16 verdict item 3): every flag this far has
@@ -323,6 +359,16 @@ object Bench {
     val loadEnd = loadAvg()
     def la(v: Option[Double]): String = v.map(r4).getOrElse("null")
     println(s"""{"metric":"total","value":${r4(total)},"unit":"sec","baseline_subset":${r4(baseSub)},"streaming_subtotal":${r4(streamSub)},"batch_subtotal":${r4(batchSub)},"load_avg_start":${la(loadStart)},"load_avg_end":${la(loadEnd)},"drift":$driftJson,"queries":$qs,"out_rows":$outRowsJson,"stream_state":$streamStateJson,"runs":$runsJson,"failed":$failed,"sf":"$sfDir","n_queries":${results.size},"n_failed":${results.count(!_.ok)},"total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
+    // Compact summary line AFTER the full artifact (r17 verdict item 2):
+    // the driver's fixed-size tail capture cuts the ~20 KB artifact line
+    // mid-stream (BENCH_r16/r17 read "parsed": null — only the
+    // tail-ordered scalars survived). This line is a few hundred bytes,
+    // sits entirely inside any tail window, and is a complete JSON
+    // object a line-wise json.loads can parse. It repeats the headline
+    // scalars only; the full evidence (runs/out_rows/stream_state/drift
+    // detail) stays on the artifact line above.
+    val driftFlagged = drifted.size
+    println(s"""{"metric":"summary","value":${r4(total)},"unit":"sec","total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"n_queries":${results.size},"n_failed":${results.count(!_.ok)},"drift_flagged":$driftFlagged,"sf":"$sfDir","load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
     spark.stop()
   }
 }
