@@ -20,7 +20,13 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesCurate {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // llm counterpart of demo_all_features: quality → lang filter →
+    // exact dedup composed in one plan, oracle-checked END-TO-END.
     "llm_curate" -> ((s, dir) => Curate(documents(s, dir))),
     // The curation observability deliverable: per-stage attrition
     // (quality → language → exact-dedup) with sequential-funnel
@@ -200,7 +206,12 @@ private[graft] object EntryQueriesCurate {
       Curate.decontaminateBloom(train, bench).select("doc_id")
     }),
 
-    // ------------------------------------------ §7 LLM-pipeline: text ops
+    // ------------------------------------------- §7 snapshot maintenance
+    // CDC merge (MERGE INTO semantics) on an in-flight fixture: replace
+    // every 7th doc (delete-set excluded so the updates batch honors the
+    // one-row-per-key MERGE contract), insert shifted copies, delete
+    // every 13th-residue-5 doc. Single union + keyed-window plan; the
+    // oracle states the same union + row_number formulation.
     "llm_merge_upsert" -> ((s, dir) => {
       val base = documents(s, dir).select(
         col("doc_id"), col("text"), col("source"))
@@ -220,12 +231,9 @@ private[graft] object EntryQueriesCurate {
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("source"))
     }),
-    // SCD2 version history (round 11): the events stream read as a
-    // per-user change log of event_type — each run of equal types is
-    // one version with a [valid_from, valid_to) interval, open for the
-    // latest. event_id breaks seq ties so interval bounds are total-
-    // order deterministic; timestamps formatted for the driver diff
-    // like events_sessionize.
+    // Deterministic held-out split: same doc → same split across
+    // engines/partitionings/reruns (md5-bucket thresholds, the
+    // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
     "llm_hash_split" -> ((s, dir) =>
       Curate.hashSplit(documents(s, dir).select("doc_id", "source"))),
 
@@ -254,8 +262,8 @@ private[graft] object EntryQueriesCurate {
       Curate.splitContamination(corpus)
     }),
 
-    // TPC-H Q1 shape: the canonical scan → partial agg → final agg
-    // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
+    // Within-source quality quartile bins: ntile over the 6dp-rounded
+    // score + id tiebreak (total order identical across engines).
     "llm_quality_quartiles" -> ((s, dir) =>
       Curate.qualityQuartiles(documents(s, dir))),
 
@@ -264,15 +272,5 @@ private[graft] object EntryQueriesCurate {
     // stable under corpus growth; WindowGroupLimit map-side cap.
     "llm_sample_by_source" -> ((s, dir) =>
       Curate.sampleBySource(documents(s, dir), k = 3)),
-
-    // SUMMARIZE-style column profiler, exact path (oracle parity).
-    // o_status_sparse plants nulls in-flight (TPC-H has none) so the
-    // n_nulls column is non-vacuous; the CASE is mirrored literally in
-    // the oracle. profileApprox is the documented at-scale twin
-    // (ProfileSpec pins its rsd bound + Expand-free plan).
-    // Fixed-width 20-bin histogram of l_extendedprice: exact-MIN/MAX
-    // bounds, floor((x−min)/width) assignment (single IEEE ops — no
-    // summation, so bin membership is engine-identical), empty bins
-    // present, max value closed into the last bin.,
   )
 }

@@ -20,7 +20,15 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesDedup {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // --------------------------------------------- §7 LLM-pipeline: dedup
+    // Registered shape is keeper-ids-only, so the groupBy fast path
+    // applies (same rows as the window variant at ~1/5 the cost; the
+    // window path stays oracle-covered end-to-end through llm_curate).
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactKeepers(documents(s, dir))),
     "dedup_exact_groups" -> ((s, dir) =>
@@ -284,17 +292,11 @@ private[graft] object EntryQueriesDedup {
             .localCheckpoint(true)
       }
     }),
-    // ... and the embedding STREAMING twin (r16), completing the
-    // streaming dedup quartet (exact / Jaccard / Hamming / cosine):
-    // the corpus + the same three in-flight planted vectors arrive as
-    // a file stream (planted rows derived FROM the stream — union of
-    // streaming frames), LSH banding is a stateless projection, and
-    // the cosine keeper machine emits drop links verified by exact
-    // cosine in-state. Oracle = brute-force keep-min survivor rules —
-    // exact on this fixture for the dedup_embedding_pairs reasons
-    // (seeded 4×12-bit recall ~1-1e-8 per pair, thresholds far from
-    // every pair's cosine so JVM/DuckDB summation ulps cannot flip a
-    // classification).
+    // Copied-passage candidates, hash-EXACT since r9: the gear-hash
+    // CDC arithmetic is re-implemented in DuckDB SQL (splitmix64 gear
+    // table + recursive per-byte scan — see the oracleSql entry), so
+    // the row pins the exact chunk fingerprints and the full candidate
+    // set, not just run/schema.
     "dedup_passage_pairs" -> ((s, dir) =>
       Dedup.passagePairs(documents(s, dir), minShared = 1)),
     // Edit-distance verification over the same consecutive-id pairs as
@@ -456,8 +458,15 @@ private[graft] object EntryQueriesDedup {
       }
     }),
 
-    // llm counterpart of demo_all_features: quality → lang filter →
-    // exact dedup composed in one plan, oracle-checked END-TO-END.
+    // ------------------------------------------- §7 line-level dedup
+    // CCNet-style keep-first line dedup over the SAME planted fixture
+    // as text_boilerplate — the two operators must disagree exactly
+    // where their semantics do: boilerplate removal kills the banner
+    // EVERYWHERE (df ≥ 10), line dedup keeps its single first
+    // occurrence (doc 0) and removes every later repeat (df ≥ 2 —
+    // including cross-doc repeats of document BODY lines that are far
+    // below the boilerplate threshold). Oracle restates the fixture
+    // and the first-occurrence rank semantics.
     "dedup_lines" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("source"),
         concat_ws("\n",
@@ -489,11 +498,5 @@ private[graft] object EntryQueriesDedup {
         .select(col("doc_id"), md5(col("text")).as("text_md5"),
           col("n_tokens"), col("n_removed"))
     }),
-
-    // --------------------------------------------------- event/stream ops
-    // Timestamps are projected to formatted strings in the registered
-    // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
-    // parquet reads back as ns, DuckDB results as us) — equal wall
-    // times would still hash-mismatch. Operators keep native timestamps.,
   )
 }

@@ -20,7 +20,11 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesFeatures {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
     // ------------------------------------------------ reference surface
     // §2.1 #7 robust_scaling — exact-percentile path (oracle parity, Q5).
     "robust_scaling" -> ((s, dir) =>
@@ -232,10 +236,5 @@ private[graft] object EntryQueriesFeatures {
         .select(col("reg_param"),
           isnan(col("validation_metric")).as("metric_is_empty_nan"))
     }),
-
-    // --------------------------------------------- §7 LLM-pipeline: dedup
-    // Registered shape is keeper-ids-only, so the groupBy fast path
-    // applies (same rows as the window variant at ~1/5 the cost; the
-    // window path stays oracle-covered end-to-end through llm_curate).,
   )
 }

@@ -20,7 +20,12 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesMultimodal {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---------------------------------------- §7 LLM-pipeline: multimodal
     "multimodal_profile" -> ((s, dir) =>
       Multimodal.profile(documents(s, dir), embeddings(s, dir))),
     "multimodal_binary_stats" -> ((s, dir) =>
@@ -172,25 +177,16 @@ private[graft] object EntryQueriesMultimodal {
             .localCheckpoint(true)
       }
     }),
-    // ... and the image dedup STREAMING twin (r16): the planted-clone
-    // fixture arrives as a file stream, per-row dHash + multiprobe
-    // banding are stateless projections, and the Hamming keeper
-    // machine (StreamOps.nearDedupHashStream — per bucket, EXACT
-    // presences register fingerprint→min-id entries, every probe row
-    // verifies by bit_count) emits the drop links. Unlike the Jaccard
-    // keeper, the drop set equals brute-force keep-min BY CONSTRUCTION
-    // under AvailableNow's id-sorted single batch (pigeonhole recall +
-    // full-Hamming verify in-state, no predecessor-chain escapes), so
-    // the oracle is the all-pairs keep-min survivor SQL — exact on any
-    // FIXTURE run this way, with the usual keep-first contract across
-    // live out-of-order micro-batches (see the operator scaladoc).
-    // Survivors read back in phash shape, re-proving the fingerprint
-    // arithmetic.
+    // Round 13: the third real-decode codec, and the second MODALITY —
+    // 16-bit PCM WAV audio (wavFixture — byte-correct RIFF with a
+    // doc-dependent junk chunk, so the data offset varies and the
+    // operator must actually chunk-walk). The operator recovers
+    // channels / sample rate / frame count from the ACTUAL LE header
+    // fields and per-channel stats from the ACTUAL signed-int16
+    // samples at nearest-neighbor frame positions; the oracle
+    // recomputes the same stats from the fixture construction in
+    // text-index space (interleave and sign folded into the formula).
     "multimodal_wav_stats" -> ((s, dir) =>
       Multimodal.wavSampleStats(wavFixture(documents(s, dir)), "payload")),
-
-    // ------------------------------------------ §2.2 engine primitives
-    // composed at scale: pushed-down date filter, per-order pre-agg,
-    // two key joins, two broadcast dims, low-cardinality rollup.,
   )
 }

@@ -20,7 +20,14 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesOps {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ------------------------------------------ §2.2 engine primitives
+    // composed at scale: pushed-down date filter, per-order pre-agg,
+    // two key joins, two broadcast dims, low-cardinality rollup.
     "revenue_by_nation" -> ((s, dir) =>
       Relational.revenueByNation(
         lineitem(s, dir),
@@ -58,12 +65,12 @@ private[graft] object EntryQueriesOps {
       Skew.saltedJoin(hot, dim, Seq("p_partkey"), saltBuckets = 8)
     }),
 
-    // ------------------------------------------- §7 snapshot maintenance
-    // CDC merge (MERGE INTO semantics) on an in-flight fixture: replace
-    // every 7th doc (delete-set excluded so the updates batch honors the
-    // one-row-per-key MERGE contract), insert shifted copies, delete
-    // every 13th-residue-5 doc. Single union + keyed-window plan; the
-    // oracle states the same union + row_number formulation.
+    // SCD2 version history (round 11): the events stream read as a
+    // per-user change log of event_type — each run of equal types is
+    // one version with a [valid_from, valid_to) interval, open for the
+    // latest. event_id breaks seq ties so interval bounds are total-
+    // order deterministic; timestamps formatted for the driver diff
+    // like events_sessionize.
     "merge_scd2" -> ((s, dir) =>
       operators.Merge.scd2(
         events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
@@ -143,31 +150,17 @@ private[graft] object EntryQueriesOps {
       operators.Relational.orderPrioritySummary(s.table(tl), s.table(to))
     }),
 
-    // ------------------------------------- §7 perplexity quality signal
-    // CCNet-style bigram-LM perplexity, self-scored on the corpus: the
-    // model (add-0.5 smoothing, context counts over bigrams, corpus
-    // vocab size) and the per-doc exp(−mean log p) score are both
-    // restated by the DuckDB oracle from the same definition — two
-    // engines, one number. Docs with < 2 tokens score NULL.
+    // --------------------------------------------------- event/stream ops
+    // Timestamps are projected to formatted strings in the registered
+    // shape: the driver's pandas hash is datetime-unit-sensitive (Spark
+    // parquet reads back as ns, DuckDB results as us) — equal wall
+    // times would still hash-mismatch. Operators keep native timestamps.
     "events_window" -> ((s, dir) =>
       StreamOps.windowedEventCounts(events(s, dir))
         .withColumn("window_start",
           date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss"))
         .withColumn("window_end",
           date_format(col("window_end"), "yyyy-MM-dd HH:mm:ss"))),
-    // Round 11 (VERDICT item 6): the FIRST streaming query under the
-    // driver's CORRECTNESS gate — a REAL readStream file source over the
-    // events fixture through the same windowedEventCounts transform,
-    // materialized per micro-batch via foreachBatch in COMPLETE mode
-    // (each batch overwrites the sink with the full updated aggregate,
-    // so the final sink state equals the batch aggregate regardless of
-    // how the source splits micro-batches — the determinism that lets a
-    // stream share its batch twin's DuckDB oracle verbatim). AvailableNow
-    // processes the backlog and stops: the bounded-run mode a backfill
-    // or catch-up deployment uses; an always-on deployment drops the
-    // trigger and keeps the identical plan. StreamingSpec keeps the
-    // MemoryStream multi-batch coverage; this row proves the end-to-end
-    // source → stateful agg → sink path against DuckDB.
     "events_sessionize" -> ((s, dir) =>
       Events.sessionize(events(s, dir))
         .withColumn("ts",
@@ -237,16 +230,9 @@ private[graft] object EntryQueriesOps {
           date_format(col("purchase_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
     }),
 
-    // Fifth streaming oracle row: the STREAM-STREAM interval join
-    // itself under the DuckDB gate — both sides real readStream file
-    // sources with watermarks (mandatory: without them Spark rejects
-    // the unbounded-state append-mode join outright), inner matches
-    // emitted as both sides buffer in the join state store. Same
-    // attributionJoin code as the batch twin, so the oracle IS
-    // events_attribution's inequality-join SQL. The 30-day watermark
-    // spans the fixture so no state eviction drops a late match here;
-    // StreamingSpec pins the eviction semantics (a purchase behind
-    // the watermark is dropped, not matched from evicted state).
+    // TPC-H Q3 shape: top-10 open BUILDING orders by outstanding
+    // revenue. Global top-k plans as TakeOrderedAndProject (per-task
+    // k-row heap + driver merge — no full sort at any scale).
     "orders_top_revenue" -> ((s, dir) =>
       Relational.topRevenueOrders(lineitem(s, dir),
         Sources.parquetTable(s, dir, "orders"), customer(s, dir))),
@@ -351,10 +337,8 @@ private[graft] object EntryQueriesOps {
         .crossJoin(exact) // 1×1
     }),
 
-    // Corpus-shape profiling: per-source token-length quantiles. Exact
-    // sort-based percentile matches DuckDB quantile_cont bit-exactly
-    // (the robust_scaling parity result); approx_percentile is the
-    // documented at-scale twin.
+    // TPC-H Q1 shape: the canonical scan → partial agg → final agg
+    // rollup onto a handful of groups. Sums to cents, avgs to 6dp.
     "lineitem_pricing_summary" -> ((s, dir) =>
       Relational.pricingSummary(lineitem(s, dir))),
 
@@ -437,8 +421,15 @@ private[graft] object EntryQueriesOps {
     // here (oracle path); approx=true is the HLL at-scale twin.
     "events_retention" -> ((s, dir) => Events.retention(events(s, dir))),
 
-    // Within-source quality quartile bins: ntile over the 6dp-rounded
-    // score + id tiebreak (total order identical across engines).
+    // SUMMARIZE-style column profiler, exact path (oracle parity).
+    // o_status_sparse plants nulls in-flight (TPC-H has none) so the
+    // n_nulls column is non-vacuous; the CASE is mirrored literally in
+    // the oracle. profileApprox is the documented at-scale twin
+    // (ProfileSpec pins its rsd bound + Expand-free plan).
+    // Fixed-width 20-bin histogram of l_extendedprice: exact-MIN/MAX
+    // bounds, floor((x−min)/width) assignment (single IEEE ops — no
+    // summation, so bin membership is engine-identical), empty bins
+    // present, max value closed into the last bin.
     "profile_histogram" -> ((s, dir) =>
       Profile.histogram(lineitem(s, dir), "l_extendedprice", nBins = 20)),
 
@@ -478,10 +469,10 @@ private[graft] object EntryQueriesOps {
     "profile_key_skew" -> ((s, dir) =>
       Profile.keySkew(events(s, dir), "user_id")),
 
-    // Corpus-level heavy hitters: exact top-50 word bigrams.
-    // TakeOrderedAndProject after one partial+final count — never a
-    // global sort. Count-desc/gram-asc total order makes the rank-50
-    // cut deterministic in both engines.
+    // Referential-integrity orphan scan. TPC-H guarantees every
+    // l_orderkey resolves, so orphans are planted in-flight (every
+    // 97th order key re-keyed +900M — the decontaminate planting
+    // recipe) and BOTH engines must flag exactly those rows.
     "quality_orphans" -> ((s, dir) => {
       val li = lineitem(s, dir)
         .select("l_orderkey", "l_linenumber", "l_quantity")

@@ -20,7 +20,12 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesSimilarity {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ---------------------------------------- §7 LLM-pipeline: similarity
     "similarity_topk" -> ((s, dir) => {
       val emb = embeddings(s, dir)
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
@@ -264,7 +269,10 @@ private[graft] object EntryQueriesSimilarity {
             .as("recall"))
     }),
 
-    // ---------------------------------------- §7 LLM-pipeline: multimodal
+    // Hybrid retrieval: reciprocal-rank fusion of the PROVEN bm25 and
+    // cosine top-10 rankings over the same query ids (documents and
+    // embeddings share ids in the testdata). Rank-only arithmetic, so
+    // the fused list is exactly derivable from the parent oracles.
     "retrieval_hybrid" -> ((s, dir) => {
       val docs = documents(s, dir)
       val emb = embeddings(s, dir)
@@ -294,11 +302,5 @@ private[graft] object EntryQueriesSimilarity {
       Similarity.ivfProbe(idx, emb.filter(col("vec_id") < 10),
         k = 10, nProbe = 16, roundAt = 6)
     }),
-
-    // Sequence packing: concatenate-and-split bin assignment — each
-    // doc's bin is where its first token lands when the source's docs
-    // are concatenated in doc_id order and cut into 512-token
-    // sequences. One prefix-sum window per source; DuckDB twin is the
-    // identical running-total window.,
   )
 }

@@ -20,7 +20,12 @@ import graft.SparkEntry._
   * not change; [[SparkEntry.queries]] assembles the slices and pins
   * key-disjointness. */
 private[graft] object EntryQueriesText {
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // Seq, not Map (r17 advice #5): a key accidentally registered twice
+  // in ONE literal would silently last-wins inside a Map before any
+  // disjointness check could see it; as a Seq the duplicate survives
+  // to SparkEntry.queries' require, which fails loudly.
+  def entries: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    // ------------------------------------------ §7 LLM-pipeline: text ops
     "text_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(documents(s, dir))
         .select("doc_id", "n_chars_calc", "ws_token_count", "bpe_token_count")),
@@ -89,7 +94,12 @@ private[graft] object EntryQueriesText {
             lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))): _*)
     }),
 
-    // ---------------------------------------- §7 LLM-pipeline: similarity
+    // ------------------------------------- §7 perplexity quality signal
+    // CCNet-style bigram-LM perplexity, self-scored on the corpus: the
+    // model (add-0.5 smoothing, context counts over bigrams, corpus
+    // vocab size) and the per-doc exp(−mean log p) score are both
+    // restated by the DuckDB oracle from the same definition — two
+    // engines, one number. Docs with < 2 tokens score NULL.
     "text_perplexity" -> ((s, dir) =>
       LanguageModel.perplexity(documents(s, dir))),
 
@@ -113,15 +123,13 @@ private[graft] object EntryQueriesText {
         LanguageModel.perplexityAgainst(documents(s, dir), loaded, lv)
           .localCheckpoint(true)
       }),
-    // ... and the STREAMING leg of the frozen perplexity scorer (r16):
-    // the corpus arrives as a file stream and scores against the
-    // RELOADED model artifact — bigram explode stateless, model/context
-    // joins stream-static, the per-doc aggregate in complete mode
-    // (state = one row per doc, the merge-snapshot contract). The
-    // read-back applies the shared output shaping, so the streamed
-    // scores answer text_perplexity_cross's oracle VERBATIM — the
-    // scorer-artifact families (IVF, BM25, CMS, now the LM) each have
-    // a hash-verified streaming ingest leg.
+    // ------------------------------------ §7 boilerplate line removal
+    // C4-style frequent-line filter on a planted multi-line fixture:
+    // every 3rd doc gets a shared subscribe-banner header, every doc a
+    // per-source copyright footer (df ≈ corpus/20 per source) and a
+    // blank separator line; the unique body and the blank line must
+    // survive, the header and footers (df ≥ 10) must not. The oracle
+    // restates the fixture and the distinct-doc-frequency semantics.
     "text_boilerplate" -> ((s, dir) => {
       val docs = documents(s, dir).select(col("doc_id"), col("source"),
         concat_ws("\n",
@@ -134,15 +142,9 @@ private[graft] object EntryQueriesText {
           col("n_lines"), col("n_removed"))
     }),
 
-    // ------------------------------------------- §7 line-level dedup
-    // CCNet-style keep-first line dedup over the SAME planted fixture
-    // as text_boilerplate — the two operators must disagree exactly
-    // where their semantics do: boilerplate removal kills the banner
-    // EVERYWHERE (df ≥ 10), line dedup keeps its single first
-    // occurrence (doc 0) and removes every later repeat (df ≥ 2 —
-    // including cross-doc repeats of document BODY lines that are far
-    // below the boilerplate threshold). Oracle restates the fixture
-    // and the first-occurrence rank semantics.
+    // Sliding-window chunking for context packing: 32-token windows,
+    // stride 24 (8-token overlap). chunk_idx = start/stride in both
+    // engines; ws tokenization matches text_token_stats.
     "text_chunk" -> ((s, dir) =>
       TextAnalysis.chunk(documents(s, dir).select("doc_id", "text"),
         chunkTokens = 32, stride = 24)
@@ -229,14 +231,11 @@ private[graft] object EntryQueriesText {
         topK = 10, excludeSelf = true)
     }),
 
-    // BM25 living index, streaming leg (round 15): the other half
-    // arrives as a readStream file source mapped through the STATELESS
-    // per-row postings projection (bm25PostingsStateless — term counts
-    // from array functions inside the row, no shuffle, no state) into
-    // an append sink; the landed delta merges into the standing index
-    // and the probe answers text_bm25's oracle — the stream_ivf_append
-    // recipe applied to retrieval: append-then-score == build-then-
-    // score, hash-verified.
+    // Sequence packing: concatenate-and-split bin assignment — each
+    // doc's bin is where its first token lands when the source's docs
+    // are concatenated in doc_id order and cut into 512-token
+    // sequences. One prefix-sum window per source; DuckDB twin is the
+    // identical running-total window.
     "text_pack_bins" -> ((s, dir) =>
       TextAnalysis.packBins(
         documents(s, dir).select("doc_id", "source", "text"),
@@ -244,9 +243,10 @@ private[graft] object EntryQueriesText {
         .select("doc_id", "source", "n_tokens", "tokens_before",
           "bin_id", "bin_offset")),
 
-    // TPC-H Q3 shape: top-10 open BUILDING orders by outstanding
-    // revenue. Global top-k plans as TakeOrderedAndProject (per-task
-    // k-row heap + driver merge — no full sort at any scale).
+    // Corpus-shape profiling: per-source token-length quantiles. Exact
+    // sort-based percentile matches DuckDB quantile_cont bit-exactly
+    // (the robust_scaling parity result); approx_percentile is the
+    // documented at-scale twin.
     "text_length_quantiles" -> ((s, dir) =>
       TextAnalysis.lengthQuantiles(documents(s, dir))),
 
@@ -346,9 +346,10 @@ private[graft] object EntryQueriesText {
       } finally deleteRecursively(tmp.toFile)
     }),
 
-    // Deterministic held-out split: same doc → same split across
-    // engines/partitionings/reruns (md5-bucket thresholds, the
-    // mixCorpus parity recipe) — what rand()/randomSplit cannot give.
+    // Corpus-level heavy hitters: exact top-50 word bigrams.
+    // TakeOrderedAndProject after one partial+final count — never a
+    // global sort. Count-desc/gram-asc total order makes the rank-50
+    // cut deterministic in both engines.
     "text_top_ngrams" -> ((s, dir) =>
       TextAnalysis.topNgrams(documents(s, dir), n = 2, k = 50)),
 
@@ -496,10 +497,5 @@ private[graft] object EntryQueriesText {
           .localCheckpoint(true) // cut lineage into tmp pre-delete
       } finally deleteRecursively(tmp.toFile)
     }),
-
-    // Referential-integrity orphan scan. TPC-H guarantees every
-    // l_orderkey resolves, so orphans are planted in-flight (every
-    // 97th order key re-keyed +900M — the decontaminate planting
-    // recipe) and BOTH engines must flag exactly those rows.,
   )
 }

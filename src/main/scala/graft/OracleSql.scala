@@ -10,24 +10,30 @@ package graft
   * (asserted in VerifySpec) so the concatenation order is immaterial. */
 private[graft] object OracleSql {
 
+  // Families contribute Seqs of pairs, not Maps (r17 advice #5): a Map
+  // literal collapses a duplicate key WITHIN one family by last-wins
+  // before any disjointness check can see it; as Seqs every
+  // registration survives to the require below.
+  private[graft] val familyEntries: Seq[Seq[(String, String)]] = Seq(
+    OracleSqlFeatures.entries, OracleSqlRelational.entries,
+    OracleSqlDedup.entries, OracleSqlCurate.entries,
+    OracleSqlText.entries, OracleSqlSimilarity.entries,
+    OracleSqlMultimodal.entries, OracleSqlEvents.entries)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  val all: Map[String, String] =
-    OracleSqlFeatures.all ++
-    OracleSqlRelational.all ++
-    OracleSqlDedup.all ++
-    OracleSqlCurate.all ++
-    OracleSqlText.all ++
-    OracleSqlSimilarity.all ++
-    OracleSqlMultimodal.all ++
-    OracleSqlEvents.all
+  val all: Map[String, String] = {
+    val flat = familyEntries.flatten
+    val dup = flat.map(_._1)
+      .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"oracle keys registered more than once (within or across " +
+        s"families): ${dup.toSeq.sorted.mkString(", ")}")
+    flat.toMap
+  }
 
-  /** Sum of the family-map sizes — equal to `all.size` iff the family
-    * key sets are pairwise disjoint (pinned in VerifySpec, so a
+  /** Sum of the family registration counts — equal to `all.size` iff
+    * every key is registered exactly once (pinned in VerifySpec, so a
     * duplicated key cannot silently drop an oracle). */
-  val familySizeSum: Int =
-    OracleSqlFeatures.all.size + OracleSqlRelational.all.size +
-    OracleSqlDedup.all.size + OracleSqlCurate.all.size +
-    OracleSqlText.all.size + OracleSqlSimilarity.all.size +
-    OracleSqlMultimodal.all.size + OracleSqlEvents.all.size
+  val familySizeSum: Int = familyEntries.map(_.size).sum
 }

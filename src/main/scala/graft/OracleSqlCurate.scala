@@ -9,7 +9,10 @@ private[graft] object OracleSqlCurate {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     // mixture-sampling oracle: the md5-bucket thresholds are the same
     // plan literals the Scala side computes (0.5→'8000', 0.25→'4000',
     // 0.1→'199a'; 1.0→'g' which sorts above every hex char); md5 hex

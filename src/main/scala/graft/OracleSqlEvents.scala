@@ -9,7 +9,10 @@ private[graft] object OracleSqlEvents {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     // Trailing 1-hour RANGE frame on the integer epoch-µs key — both
     // engines share RANGE peer semantics on an exact key, so frames
     // are identical; COUNT exact, value sum 6dp.

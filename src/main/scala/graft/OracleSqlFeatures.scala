@@ -9,7 +9,10 @@ private[graft] object OracleSqlFeatures {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     "robust_scaling" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
         |  (l_quantity - (SELECT quantile_cont(l_quantity, 0.5) FROM lineitem))

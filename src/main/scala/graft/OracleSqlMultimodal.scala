@@ -96,7 +96,10 @@ private[graft] object OracleSqlMultimodal {
     base + pageRankStepsSql + pageRankTailSql("doc_id")
   }
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     "multimodal_phash_pagerank" -> dhashPageRankOracle,
 
     "multimodal_profile" ->

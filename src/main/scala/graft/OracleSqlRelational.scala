@@ -19,7 +19,10 @@ private[graft] object OracleSqlRelational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     "skew_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events
         |FROM events GROUP BY 1""".stripMargin,

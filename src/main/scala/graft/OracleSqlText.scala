@@ -9,7 +9,10 @@ private[graft] object OracleSqlText {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
-  val all: Map[String, String] = Map(
+  // Seq, not Map (r17 advice #5 applied to the oracle registry too):
+  // a within-family duplicate key survives to OracleSql.all's
+  // duplicate require instead of last-wins-collapsing silently.
+  val entries: Seq[(String, String)] = Seq(
     // Per-doc trigram novelty: distinct (doc, gram), gram df, share
     // with corpus df = 1. Same WordNgrams tokenization as the
     // heavy-hitters family; docs under 3 words have no grams and no

@@ -613,18 +613,25 @@ object SparkEntry {
     * item 7). Key-disjointness is a hard require: a name registered in
     * two families would let one silently shadow the other, and the
     * driver would verify the wrong plan. */
+  // Families contribute Seqs of pairs, not Maps (r17 advice #5): a Map
+  // literal collapses a within-family duplicate key by last-wins BEFORE
+  // any check can see it; a Seq preserves every registration, so this
+  // one require catches duplicates both within and across families.
+  private[graft] def queryFamilies
+      : Seq[Seq[(String, (SparkSession, String) => DataFrame)]] = Seq(
+    EntryQueriesFeatures.entries, EntryQueriesDedup.entries,
+    EntryQueriesText.entries, EntryQueriesSimilarity.entries,
+    EntryQueriesMultimodal.entries, EntryQueriesCurate.entries,
+    EntryQueriesStreaming.entries, EntryQueriesOps.entries)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = {
-    val families = Seq(
-      EntryQueriesFeatures.queries, EntryQueriesDedup.queries,
-      EntryQueriesText.queries, EntryQueriesSimilarity.queries,
-      EntryQueriesMultimodal.queries, EntryQueriesCurate.queries,
-      EntryQueriesStreaming.queries, EntryQueriesOps.queries)
-    val dup = families.flatMap(_.keys)
+    val all = queryFamilies.flatten
+    val dup = all.map(_._1)
       .groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
     require(dup.isEmpty,
-      s"query keys registered in more than one family: " +
-        s"${dup.toSeq.sorted.mkString(", ")}")
-    families.reduce(_ ++ _)
+      s"query keys registered more than once (within or across " +
+        s"families): ${dup.toSeq.sorted.mkString(", ")}")
+    all.toMap
   }
 
 

@@ -2033,7 +2033,16 @@ object Dedup extends DedupPassages with DedupLines {
     * shingle sets for the Jaccard keeper). Pure stateless projection +
     * explode, so it runs on a `readStream` frame unchanged; null
     * embeddings emit nothing. Keys are comparable only between frames
-    * built with identical (tables, bits, seed). */
+    * built with identical (tables, bits, seed).
+    *
+    * `dim = Some(d)` here THROWS on the first wrong-dimension row
+    * (codegen'd assert_true fails the batch — a corrupt embedding in
+    * a live stream must surface, not vanish). The batch siblings
+    * [[semantic]]/[[semanticIncremental]] give the SAME-NAMED
+    * parameter the opposite semantics — wrong-dimension rows are
+    * silently DROPPED there (a corpus screen the SQL oracle can
+    * restate). A caller moving `dim` between the paths is choosing
+    * crash-vs-drop; both scaladocs carry this cross-reference. */
   def embeddingBandedVecs(
       df: DataFrame,
       embCol: String = "embedding",
@@ -2203,7 +2212,15 @@ object Dedup extends DedupPassages with DedupLines {
     * WOULD be assigned a cell and compared by truncated min-length
     * cosine ([[graft.functions.CosineSimilarity]] semantics) — a
     * silent false-dup risk, which is why the registered query pins
-    * `dim = Some(64)`.
+    * `dim = Some(64)`. NOTE the same-named parameter DIVERGES across
+    * siblings: here (and in [[semanticIncremental]]) `dim = Some(d)`
+    * silently DROPS wrong-dimension rows — they are "not in the
+    * corpus", the screen the SQL oracle can restate — while
+    * [[embeddingBandedVecs]]' `dim` THROWS on the first mismatch
+    * (assert_true fails the batch), because its streaming consumer
+    * must surface corrupt input rather than quietly thin the stream.
+    * Moving a `dim` argument between the batch and streaming paths
+    * changes drop-vs-crash behavior; pick per pipeline stage.
     *
     * Scale shape (the SemDeDup economics): cell assignment is a
     * narrow codegen'd argmax over broadcast centroid literals — no
@@ -2302,7 +2319,17 @@ object Dedup extends DedupPassages with DedupLines {
     * running THIS incremental refresh on a schedule. Embedding streams
     * that need in-flight near-dup dropping at high thresholds use
     * [[graft.streaming.StreamOps.nearDedupCosineStream]], where
-    * LSH selectivity is real and one keeper per bucket suffices. */
+    * LSH selectivity is real and one keeper per bucket suffices.
+    *
+    * `index` must be a SINGLE-assignment index (`nAssign == 1`,
+    * enforced): [[Similarity.ivfAssign]] replicates each row into
+    * `index.nAssign` cells — the ANN recall trade — but semantic's
+    * contract is ONE row per batch row, and a replicated assignment
+    * would emit one output row per (id, cell) replica (and
+    * [[semanticHistCells]] would persist replica history rows).
+    * [[Similarity.ivfIndexHashInit]] builds nAssign=1 indexes by
+    * construction; a fitted [[Similarity.ivfIndex]] must be built
+    * with `nAssign = 1` explicitly for this family. */
   def semanticIncremental(
       newVecs: DataFrame,
       index: Similarity.IvfIndex,
@@ -2311,6 +2338,11 @@ object Dedup extends DedupPassages with DedupLines {
       embCol: String = "embedding",
       idCol: String = "vec_id",
       dim: Option[Int] = None): DataFrame = {
+    require(index.nAssign == 1,
+      s"semanticIncremental requires a single-assignment index " +
+        s"(nAssign == 1, got ${index.nAssign}): multi-assignment " +
+        "replicates each batch row into nAssign cells and the output " +
+        "would carry one row per replica instead of one per batch row")
     val wellFormed = dim.foldLeft(newVecs.where(col(embCol).isNotNull))(
       (d, n) => d.where(size(col(embCol)) === n))
     val batchCells = Similarity.ivfAssign(index, wellFormed, embCol, idCol)
@@ -2344,10 +2376,18 @@ object Dedup extends DedupPassages with DedupLines {
     * history corpus's cell assignment under `index`, shaped
     * `(idCol, cell, e)` for bucketed-by-`cell` ingest. Split out so
     * the nightly writer and the incremental reader can never disagree
-    * on the schema. */
+    * on the schema. Same `nAssign == 1` contract as the reader
+    * (enforced): a multi-assignment index's `cells` carry one row per
+    * (id, cell) REPLICA, and persisting those as history would hand
+    * the reader duplicate in-cell comparisons. */
   def semanticHistCells(
       index: Similarity.IvfIndex,
-      idCol: String = "vec_id"): DataFrame =
+      idCol: String = "vec_id"): DataFrame = {
+    require(index.nAssign == 1,
+      s"semanticHistCells requires a single-assignment index " +
+        s"(nAssign == 1, got ${index.nAssign}): multi-assignment cells " +
+        "hold one row per (id, cell) replica, not one per history row")
     index.cells.select(col("neighbor_id").as(idCol),
       col("c_emb").as("e"), col("cell"))
+  }
 }

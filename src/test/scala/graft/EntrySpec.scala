@@ -42,18 +42,18 @@ class EntrySpec extends SparkSpec {
   }
 
   test("query family slices are key-disjoint and the assembly drops " +
-      "nothing (r17 registry split)") {
+      "nothing (r17 registry split, r17 advice #5)") {
     // SparkEntry.queries itself requires disjointness on every access;
-    // this pins the same invariant from the outside (sum of slice sizes
-    // == assembled size) so a refactor that removes the require cannot
-    // silently regress to last-wins shadowing.
-    val slices = Seq(
-      EntryQueriesFeatures.queries, EntryQueriesDedup.queries,
-      EntryQueriesText.queries, EntryQueriesSimilarity.queries,
-      EntryQueriesMultimodal.queries, EntryQueriesCurate.queries,
-      EntryQueriesStreaming.queries, EntryQueriesOps.queries)
+    // this pins the same invariant from the outside (total registered
+    // PAIRS == assembled size) so a refactor that removes the require
+    // cannot silently regress to last-wins shadowing. Families are Seqs
+    // of pairs, so a key registered twice WITHIN one family literal
+    // also survives to this count (a Map literal would have collapsed
+    // it before any check could see it).
+    val slices = SparkEntry.queryFamilies
     assert(slices.map(_.size).sum === SparkEntry.queries.size,
-      "a query key is registered in more than one EntryQueries* family")
+      "a query key is registered more than once (within or across " +
+        "EntryQueries* families)")
   }
 
   test("registered queries emit no array/vector columns except declared") {
