@@ -454,12 +454,18 @@ private[graft] object EntryQueriesText {
     // restatement). w=128 is sized BELOW the corpus vocabulary on
     // purpose so collisions are real and the overcount column shows
     // CMS behaving like CMS, not an exact count in disguise.
+    // Tokenize-once (r17 verdict item 5): the row needs per-term EXACT
+    // counts for its probe side anyway, so the sketch builds from that
+    // key-scale aggregate (sketchWeighted — identical counters, since
+    // cell sums of per-term counts ARE the occurrence counts) instead
+    // of re-exploding the corpus; the term-count subtree canonicalizes
+    // once and the scan + regex split run a single time per execution.
     "text_count_min" -> ((s, dir) => {
-      val terms = tokenTerms(documents(s, dir))
-      val exact = terms.groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+      val exact = tokenTerms(documents(s, dir))
+        .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
       val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
-      val sk = graft.operators.CountMin.sketch(terms, col("term"),
-        depth = 4, width = 128)
+      val sk = graft.operators.CountMin.sketchWeighted(
+        exact, col("term"), col("n_exact"), depth = 4, width = 128)
       graft.operators.CountMin.estimate(sk, probes, "term",
           depth = 4, width = 128)
         .withColumn("overcount", col("cm_est") - col("n_exact"))
@@ -473,22 +479,29 @@ private[graft] object EntryQueriesText {
     // split equal the total sums, so merge-then-estimate IS
     // build-then-estimate — the row shares text_count_min's oracle
     // VERBATIM (the strongest lifecycle claim, per the KMV rows).
+    // Tokenize-once here too (r17 verdict item 5): each HALF is
+    // tokenized exactly once into its per-term counts — the half's
+    // sketch builds from those counts (sketchWeighted) and the
+    // full-corpus exact side is the two count frames re-summed by
+    // term (group-sums of the parity split equal the totals), so no
+    // third corpus pass exists anywhere in the plan.
     "text_count_min_merged" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_cms")
       try {
         val docs = documents(s, dir)
-        def terms(d: DataFrame) = tokenTerms(d)
-        val hist = graft.operators.CountMin.sketch(
-          terms(docs.filter(col("doc_id") % 2 === 0)), col("term"),
-          depth = 4, width = 128)
+        def counts(d: DataFrame) = tokenTerms(d)
+          .groupBy(col("term")).agg(count(lit(1)).as("n_exact"))
+        val histCounts = counts(docs.filter(col("doc_id") % 2 === 0))
+        val freshCounts = counts(docs.filter(col("doc_id") % 2 === 1))
+        val hist = graft.operators.CountMin.sketchWeighted(
+          histCounts, col("term"), col("n_exact"), depth = 4, width = 128)
         hist.write.mode("overwrite").parquet(s"$tmp/sk")
-        val fresh = graft.operators.CountMin.sketch(
-          terms(docs.filter(col("doc_id") % 2 === 1)), col("term"),
-          depth = 4, width = 128)
+        val fresh = graft.operators.CountMin.sketchWeighted(
+          freshCounts, col("term"), col("n_exact"), depth = 4, width = 128)
         val merged = graft.operators.CountMin.merge(
           s.read.parquet(s"$tmp/sk").unionByName(fresh))
-        val exact = terms(docs).groupBy(col("term"))
-          .agg(count(lit(1)).as("n_exact"))
+        val exact = histCounts.unionByName(freshCounts)
+          .groupBy(col("term")).agg(sum(col("n_exact")).as("n_exact"))
         val probes = exact.orderBy(col("n_exact").desc, col("term")).limit(20)
         graft.operators.CountMin.estimate(merged, probes, "term",
             depth = 4, width = 128)

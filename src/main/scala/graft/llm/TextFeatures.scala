@@ -141,21 +141,45 @@ object TextFeatures {
       nDocs: Long,
       avgdl: Double)
 
-  /** Build the [[Bm25Index]]: one explode + partial-aggregated shuffle
-    * for postings; df folds off postings at vocabulary scale; (N,
-    * avgdl) is one fixed-size driver aggregate. */
+  /** Build the [[Bm25Index]]: ONE tokenize pass feeds every frame
+    * (r17 verdict item 5 — the languageId single-projection treatment).
+    * The text is split exactly once into a projection that carries the
+    * doc length BESIDE the exploded term (explode_outer, so a
+    * tokenless doc keeps its dl = 0 row — and a null-text doc its
+    * dl = NULL row, the size(null) semantics — preserving N and avgdl
+    * bit-exactly), and that (doc, dl, term) aggregation is
+    * LOCALCHECKPOINTED — the ANN-index treatment (similarity_ivf's
+    * cells): postings, df, and docLen are postings-scale reads of the
+    * materialized blocks, never a re-tokenize. Catalyst alone cannot
+    * share the subtree between them — each consumer prunes it
+    * differently (df drops the tf count, the probe join pushes an
+    * id-notnull into tf's side), so the three lazy lineages stopped
+    * canonicalizing equal and planned three corpus scans (measured:
+    * the pre-r18 probe plan re-ran the regex split 3×). The checkpoint
+    * makes build eager (it already was — the stats head()) and pins
+    * the one-pass claim structurally. Lineage is severed: on block
+    * loss the index must be rebuilt — multi-night deployments persist
+    * with [[writeBm25Index]] instead, where the artifact IS the
+    * materialization. (N, avgdl) stays the one fixed-size driver
+    * aggregate (the RobustScaling quantile-triple pattern). */
   def bm25Index(
       docs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): Bm25Index = {
     val toks = filter(split(lower(col(textCol)), "[^\\p{L}\\p{N}]+"),
       w => length(w) > 0)
-    val docToks = docs.select(col(idCol), toks.as("ws"))
-    val docLen = docToks.select(col(idCol), size(col("ws")).as("dl"))
-    val tf = docToks
-      .select(col(idCol), explode(col("ws")).as("term"))
-      .groupBy(col(idCol), col("term"))
+    val termRows = docs
+      .select(col(idCol), toks.as("ws"))
+      .select(col(idCol), size(col("ws")).as("dl"),
+        explode_outer(col("ws")).as("term"))
+      .groupBy(col(idCol), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val tf = termRows.where(col("term").isNotNull)
+      .select(col(idCol), col("term"), col("tf"))
+    // postings-scale re-aggregations over the checkpointed blocks —
+    // no second text scan anywhere downstream
+    val docLen = termRows.select(col(idCol), col("dl")).distinct()
     val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
     val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
     // Empty-corpus guard (ADVICE r15): avg over zero rows is SQL NULL
@@ -287,10 +311,21 @@ object TextFeatures {
     * corpus-scale query batches); the scalars go to a one-row parquet,
     * so index pieces cannot desynchronize on (N, avgdl). */
   def writeBm25Index(index: Bm25Index, basePath: String): Unit = {
+    // Each write is its own Spark ACTION, so exchange reuse cannot
+    // share the corpus tokenize between them (r17 verdict item 5):
+    // writing tf, docLen and df from their lazy lineages re-tokenized
+    // the corpus three times. Two passes remain — tf and docLen each
+    // scan the text once (docLen is NOT derivable from written
+    // postings: a tokenless or null-text doc has a docLen row but no
+    // posting) — and df folds off the tf ARTIFACT just written (one
+    // row per (doc, term), the Bm25Index invariant both builders and
+    // [[bm25MergePostings]] uphold), re-tokenizing nothing.
     index.tf.write.mode("overwrite").parquet(s"$basePath/tf")
     index.docLen.write.mode("overwrite").parquet(s"$basePath/doclen")
-    index.df.write.mode("overwrite").parquet(s"$basePath/df")
     val spark = index.tf.sparkSession
+    spark.read.parquet(s"$basePath/tf")
+      .groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      .write.mode("overwrite").parquet(s"$basePath/df")
     import spark.implicits._
     Seq((index.nDocs, index.avgdl)).toDF("n_docs", "avgdl")
       .coalesce(1).write.mode("overwrite").parquet(s"$basePath/stats")

@@ -58,6 +58,27 @@ object CountMin {
       .groupBy(col("depth"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[sketch]] from PRE-AGGREGATED (key, count) rows: cell counters
+    * are sums of the counts of the keys hashing there, so building
+    * from `groupBy(key).count()` output is IDENTICAL to building from
+    * the raw occurrence stream — same cells, same counters, same
+    * estimates (group-sums of a partition of the occurrences equal the
+    * total sums). The at-scale point (r17 verdict item 5): when the
+    * caller already needs per-key exact counts (the probe side of
+    * every registered CMS row), this builds the sketch off that
+    * key-scale aggregate instead of re-tokenizing and re-exploding the
+    * corpus — the raw stream is scanned ONCE, and the sketch shuffle
+    * moves ≤ depth × |keys| pre-summed rows, never the occurrence
+    * volume. NULL keys are dropped, matching [[sketch]]. */
+  def sketchWeighted(counts: DataFrame, keyCol: Column, cntCol: Column,
+      depth: Int = DefaultDepth, width: Int = DefaultWidth): DataFrame =
+    counts.filter(keyCol.isNotNull)
+      .select(cntCol.as("w"),
+        posexplode(bucketsFor(keyCol, depth, width))
+          .as(Seq("depth", "bucket")))
+      .groupBy(col("depth"), col("bucket"))
+      .agg(sum(col("w")).as("cnt"))
+
   /** Merge any number of per-batch sketch frames (union them first):
     * counter matrices add cell-wise, and because group-sums of a
     * disjoint split equal the total sums, merge-then-estimate is

@@ -419,6 +419,40 @@ class PlanAuditSpec extends SparkSpec {
       s"sketch side not broadcast:\n${estPlan.take(800)}")
   }
 
+  test("text_count_min tokenizes the corpus once: the term-count " +
+      "subtree is shared between the sketch and probe sides (r17 " +
+      "verdict item 5)") {
+    // The row's exact-probe side and its sketchWeighted side both fold
+    // off the SAME groupBy(term) aggregation — after execution the AQE
+    // final plan must show the exchange reused (or, equivalently, a
+    // single documents scan). Two independent scans would mean the
+    // corpus is tokenized twice again.
+    val df = SparkEntry.queries("text_count_min")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(p.contains("ReusedExchange") || scans == 1,
+      s"term-count subtree not reused ($scans scans):\n${p.take(1200)}")
+  }
+
+  test("bm25Index tokenizes the corpus once: postings, df and docLen " +
+      "scan the checkpointed (doc, dl, term) blocks, not the text " +
+      "(r17 verdict item 5)") {
+    // Catalyst alone could not share the subtree (each consumer prunes
+    // it differently — df drops the count, the probe join pushes an
+    // id-notnull into tf's side — so the lineages stop canonicalizing
+    // equal and planned three corpus scans). The build now
+    // localCheckpoints the aggregation, the ANN-cells treatment: a
+    // probe plan's ONLY documents scan is the query side's.
+    val p = plan("text_bm25")
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"),
+      s"probe does not scan the checkpointed index:\n${p.take(1200)}")
+    val docScans = "documents\\.parquet".r.findAllIn(p).length
+    assert(docScans == 1,
+      s"expected only the query-side documents scan, got $docScans:\n" +
+        p.take(1200))
+  }
+
   test("no registered query plans a CartesianProduct") {
     // MLlib fit queries are excluded: constructing their DataFrame RUNS
     // the fit (CV / TVS / KMeans / PCA / LR — minutes of redundant work

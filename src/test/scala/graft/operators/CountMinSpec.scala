@@ -77,4 +77,28 @@ class CountMinSpec extends SparkSpec {
     assert(perDepth.length == 4)
     perDepth.foreach(r => assert(r.getAs[Long]("m") == n))
   }
+
+  test("count-min: sketchWeighted from per-key counts equals the raw " +
+      "occurrence-stream sketch cell-for-cell (tokenize-once identity, " +
+      "r17 verdict item 5)") {
+    // cell counters are sums of the counts of the keys hashing there,
+    // so pre-aggregating the stream by key before sketching changes
+    // NOTHING — the identity that lets the registered CMS rows share
+    // one corpus pass between their exact-probe and sketch sides.
+    val counts = tokens.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val raw = CountMin.sketch(tokens, col("term"), depth = 4, width = 16)
+    val weighted = CountMin.sketchWeighted(counts, col("term"), col("n"),
+      depth = 4, width = 16)
+    assert(raw.collect().toSet.nonEmpty)
+    assert(raw.exceptAll(weighted).count() == 0)
+    assert(weighted.exceptAll(raw).count() == 0)
+    // null keys dropped, matching sketch
+    val s = spark
+    import s.implicits._
+    val withNull = Seq(Some("a"), None).toDF("term")
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
+    val skNull = CountMin.sketchWeighted(withNull, col("term"), col("n"),
+      depth = 2, width = 8)
+    assert(skNull.agg(sum(col("cnt"))).head().getLong(0) == 2L)
+  }
 }

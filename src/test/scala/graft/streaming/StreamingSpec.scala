@@ -1236,4 +1236,53 @@ class StreamingSpec extends SparkSpec {
     assert(stateRows === expected,
       s"keeper state rows $stateRows != distinct occupied buckets $expected")
   }
+
+  test("Jaccard keeper state-growth LAW, exactly: state rows == distinct " +
+      "occupied band buckets (r17 verdict item 6 — the fourth-to-last " +
+      "keeper bound promoted to an equality)") {
+    // nearDedupStream installs exactly ONE BucketKeeper per bucket
+    // GROUP: the first row of a bucket becomes its keeper, later rows
+    // verify against it (and may replace it) but never add a second
+    // state row, and no bucket loses its keeper inside a run without
+    // TTL. So the state-store row count must EQUAL the batch-side
+    // distinct band-key count of the same fixture under the same
+    // banding knobs — the "state linear in distinct docs × bands"
+    // scaladoc contract as a CI equality, matching the Hamming and
+    // cosine keepers' law tests above.
+    graft.SparkEntry.queries("stream_dedup_near")(spark, sf0001).count()
+    val js = graft.SparkEntry.lastStreamMetrics
+      .getOrElse(fail("no stream metrics recorded"))
+    val stateRows = "\"state_rows_total\":(\\d+)".r
+      .findFirstMatchIn(js).map(_.group(1).toLong)
+      .getOrElse(fail(s"state_rows_total missing in $js"))
+    import org.apache.spark.sql.functions.col
+    val expected = graft.llm.Dedup.minhashBandedShingles(
+        spark.read.parquet(s"$sf0001/documents.parquet")
+          .select(col("doc_id"), col("text")))
+      .select("bk").distinct().count()
+    assert(stateRows === expected,
+      s"keeper state rows $stateRows != distinct occupied buckets $expected")
+  }
+
+  test("exact keeper state-growth LAW, exactly: state rows == distinct " +
+      "dedup keys (dropDuplicatesWithinWatermark holds one entry per " +
+      "first-seen key; fixture span < watermark horizon, so no eviction)") {
+    // stream_dedup_keys keys state on (user_id, event_type); within one
+    // run the store holds exactly one entry per distinct key seen. The
+    // 30-day watermark delay equals the whole fixture span (max ts −
+    // min ts < 30 d), so no entry can expire mid-run under ANY
+    // micro-batch split and the final-batch state gauge must EQUAL the
+    // batch-side distinct key count — the last of the four keepers'
+    // state laws as an equality (r17 verdict item 6).
+    graft.SparkEntry.queries("stream_dedup_keys")(spark, sf0001).count()
+    val js = graft.SparkEntry.lastStreamMetrics
+      .getOrElse(fail("no stream metrics recorded"))
+    val stateRows = "\"state_rows_total\":(\\d+)".r
+      .findFirstMatchIn(js).map(_.group(1).toLong)
+      .getOrElse(fail(s"state_rows_total missing in $js"))
+    val expected = spark.read.parquet(s"$sf0001/events.parquet")
+      .select("user_id", "event_type").distinct().count()
+    assert(stateRows === expected,
+      s"exact keeper state rows $stateRows != distinct keys $expected")
+  }
 }
