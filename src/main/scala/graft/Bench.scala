@@ -1,5 +1,45 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** The measurement protocol [[Bench]] and [[StateProbe]] share — one
+  * definition so the committed BENCH_* artifacts and the provider-A/B
+  * probe numbers stay comparable (a protocol change lands in both or
+  * neither). */
+private[graft] object BenchHarness {
+  /** 4-decimal (0.1 ms) precision: full doubles ballooned the JSON
+    * line past the driver's tail-capture window (BENCH_r09 landed
+    * front-truncated, losing the headline fields) — sub-ms digits are
+    * noise on a shared box anyway. */
+  def r4(v: Double): String = BigDecimal(v)
+    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** One timed execution: (seconds, Some(outputRowCount) |
+    * None-on-failure). The count() it already forces to materialize
+    * the plan IS the output volume — recording it (r16 verdict item 2)
+    * lets any later round compute sec/output-row and separate "query
+    * got slower" from "fixture emits more rows" without trusting
+    * hand-written PLANS.md tables. */
+  def timedRun(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+      : (Double, Option[Long]) = {
+    // per-query isolation: cached fold/CV blocks from one query must
+    // not occupy (or re-register, cf. the r4 "block already exists"
+    // churn) block-manager state while a later query is timed
+    spark.catalog.clearCache()
+    // ... and stale stream metrics must not attribute to a later
+    // stream query whose own run failed before reaching the sink
+    SparkEntry.lastStreamMetrics = None
+    val t0 = System.nanoTime()
+    val cnt = try { Some(fn(spark, sfDir).count()) } catch {
+      case e: Throwable =>
+        System.err.println(
+          s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        None
+    }
+    ((System.nanoTime() - t0) / 1e9, cnt)
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,29 +167,9 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
       case None => SparkEntry.queries
     }
-    // One timed execution: (seconds, Some(outputRowCount) | None-on-failure).
-    // The count() it already forces to materialize the plan IS the output
-    // volume — recording it (r16 verdict item 2) lets any later round
-    // compute sec/output-row and separate "query got slower" from "fixture
-    // emits more rows" without trusting hand-written PLANS.md tables.
     def timedRun(name: String, fn: (SparkSession, String) =>
-        org.apache.spark.sql.DataFrame): (Double, Option[Long]) = {
-      // per-query isolation: cached fold/CV blocks from one query must
-      // not occupy (or re-register, cf. the r4 "block already exists"
-      // churn) block-manager state while a later query is timed
-      spark.catalog.clearCache()
-      // ... and stale stream metrics must not attribute to a later
-      // stream query whose own run failed before reaching the sink
-      SparkEntry.lastStreamMetrics = None
-      val t0 = System.nanoTime()
-      val cnt = try { Some(fn(spark, sfDir).count()) } catch {
-        case e: Throwable =>
-          System.err.println(
-            s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
-          None
-      }
-      ((System.nanoTime() - t0) / 1e9, cnt)
-    }
+        org.apache.spark.sql.DataFrame): (Double, Option[Long]) =
+      BenchHarness.timedRun(spark, sfDir, name, fn)
     case class QueryResult(name: String, sec: Double, ok: Boolean,
       runs: Seq[Double], outRows: Option[Long], streamState: Option[String])
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -164,12 +184,7 @@ object Bench {
       QueryResult(name, runs.map(_._1).min, runs.forall(_._2.isDefined),
         runs.map(_._1), runs.flatMap(_._2).lastOption, streamState)
     }
-    // 4-decimal (0.1 ms) precision: full doubles ballooned the JSON
-    // line past the driver's tail-capture window (BENCH_r09 landed
-    // front-truncated, losing the headline fields) — sub-ms digits are
-    // noise on a shared box anyway
-    def r4(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    def r4(v: Double): String = BenchHarness.r4(v)
     val qs = results.map { r =>
       "\"" + r.name + "\":" + (if (r.ok) r4(r.sec) else "-1") }
       .mkString("{", ",", "}")
@@ -295,10 +310,25 @@ object Bench {
       val txt = scala.io.Source.fromFile(f)
       try txt.mkString finally txt.close()
     }
-    val priorQueries: Map[String, Double] =
+    val priorQueriesParsed: Map[String, Double] =
       priorText.map(flatNumObj(_, "queries")).getOrElse(Map.empty)
+    // Vacuous-prior guard (r18 review): a prior file that EXISTS but
+    // parses to zero queries (tail-truncated capture losing the
+    // "queries" object, or a summary-only artifact) must not ship
+    // "drift":{"vs":...,"flagged":{}} — the r15/r16 failure where a
+    // real regression hid behind a parse-failed baseline. Treat it as
+    // NO compare, loudly.
+    val priorVacuous = priorFile.isDefined && priorQueriesParsed.isEmpty
+    if (priorVacuous)
+      System.err.println(s"[bench] prior ${priorFile.get.getName} parsed " +
+        "to ZERO queries (truncated or summary-only artifact?); " +
+        "drift compare disabled for this run")
+    val priorUsable = priorFile.filter(_ => !priorVacuous)
+    val priorQueries: Map[String, Double] =
+      if (priorVacuous) Map.empty else priorQueriesParsed
     val priorOutRows: Map[String, Double] =
-      priorText.map(flatNumObj(_, "out_rows")).getOrElse(Map.empty)
+      if (priorVacuous) Map.empty
+      else priorText.map(flatNumObj(_, "out_rows")).getOrElse(Map.empty)
     // Composite drift rule (r17 verdict item 4): where BOTH rounds carry
     // a positive out_rows for the query, a raw-seconds flag must ALSO
     // hold on seconds-per-output-row — output-volume growth (fixture or
@@ -342,7 +372,7 @@ object Bench {
           n -> (if (rs.forall(_._2.isDefined)) rs.map(_._1).min else -1.0)
         }
       }
-    val driftJson = priorFile match {
+    val driftJson = priorUsable match {
       case Some(f) =>
         val flagged = drifted.map { case (n, ratio) =>
           "\"" + n + "\":" + r4(ratio) }.mkString("{", ",", "}")
@@ -351,6 +381,15 @@ object Bench {
         val skipped = math.max(0, drifted.size - soloCap)
         s"""{"vs":"${f.getName}","flagged":$flagged,"solo":$solo,"solo_skipped":$skipped}"""
       case None => "null"
+    }
+    // A flag whose automated solo re-run came back UNDER the flag
+    // predicate was contention, not regression — count those so the
+    // summary line (which cannot carry the full solo map) stays
+    // faithful: drift_flagged minus drift_solo_cleared is the number
+    // of flags still standing after in-artifact triage.
+    val soloCleared = soloRuns.count { case (n, s) =>
+      s >= 0 && priorQueries.get(n).exists(p =>
+        !(s > p * 1.5 && s - p > 0.25))
     }
     // headline fields appear BOTH first and last: the driver's capture
     // window has truncated the line from the front (r9), so the tail
@@ -366,9 +405,12 @@ object Bench {
     // sits entirely inside any tail window, and is a complete JSON
     // object a line-wise json.loads can parse. It repeats the headline
     // scalars only; the full evidence (runs/out_rows/stream_state/drift
-    // detail) stays on the artifact line above.
-    val driftFlagged = drifted.size
-    println(s"""{"metric":"summary","value":${r4(total)},"unit":"sec","total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"n_queries":${results.size},"n_failed":${results.count(!_.ok)},"drift_flagged":$driftFlagged,"sf":"$sfDir","load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
+    // detail) stays on the artifact line above. The drift gate is
+    // tri-state (r18 review): drift_checked says whether a usable prior
+    // was compared at all (false reads as "no compare ran", never as
+    // "clean"), and drift_solo_cleared subtracts the flags the
+    // in-artifact solo re-runs already exonerated as contention.
+    println(s"""{"metric":"summary","value":${r4(total)},"unit":"sec","total_sec":${r4(total)},"baseline_subset_sec":${r4(baseSub)},"streaming_subtotal_sec":${r4(streamSub)},"batch_subtotal_sec":${r4(batchSub)},"n_queries":${results.size},"n_failed":${results.count(!_.ok)},"drift_checked":${priorUsable.isDefined},"drift_flagged":${drifted.size},"drift_solo_cleared":$soloCleared,"sf":"$sfDir","load_avg_start_1m":${la(loadStart)},"load_avg_end_1m":${la(loadEnd)}}""")
     spark.stop()
   }
 }

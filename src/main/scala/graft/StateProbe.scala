@@ -24,6 +24,14 @@ object StateProbe {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("stream_dedup_near", "stream_phash_near", "stream_embed_near")
+    // validate BEFORE paying SparkSession startup (the Bench rule): a
+    // typo'd name must fail with the valid alternatives, not a bare
+    // key-not-found after 30 s of JVM warmup
+    val unknown = names.filterNot(SparkEntry.queries.keySet)
+    require(unknown.isEmpty,
+      s"unknown query name(s): ${unknown.mkString(", ")} — valid " +
+        s"stream rows: ${SparkEntry.queries.keySet.filter(
+          _.startsWith("stream_")).toSeq.sorted.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,15 +43,11 @@ object StateProbe {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val rocks = "org.apache.spark.sql.execution.streaming.state." +
       "RocksDBStateStoreProvider"
-    def runOnce(name: String): (Double, Option[String]) = {
-      spark.catalog.clearCache()
-      SparkEntry.lastStreamMetrics = None
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
-      ((System.nanoTime() - t0) / 1e9, SparkEntry.lastStreamMetrics)
-    }
-    def r4(v: Double): String = BigDecimal(v)
-      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toString
+    // measurement protocol is BenchHarness — the ONE definition Bench
+    // also uses, so these numbers stay comparable with the committed
+    // BENCH_* artifacts (a failed run reports sec -1, Bench's failure
+    // sentinel, and the remaining (query, provider) legs still run)
+    import BenchHarness.r4
     names.foreach { name =>
       Seq("default" -> None, "rocksdb" -> Some(rocks)).foreach {
         case (label, provider) =>
@@ -51,12 +55,20 @@ object StateProbe {
             case Some(p) => spark.conf.set(providerKey, p)
             case None => spark.conf.unset(providerKey)
           }
-          val runs = (1 to 2).map(_ => runOnce(name))
-          val best = runs.minBy(_._1)
+          val runs = (1 to 2).map { _ =>
+            val (sec, ok) = BenchHarness.timedRun(spark, sfDir, name,
+              SparkEntry.queries(name))
+            (sec, ok.isDefined, SparkEntry.lastStreamMetrics)
+          }
+          val allOk = runs.forall(_._2)
+          val best = runs.filter(_._2).minByOption(_._1)
           println(s"""{"probe":"state_provider","query":"$name",""" +
-            s""""provider":"$label","sec":${r4(best._1)},""" +
+            s""""provider":"$label",""" +
+            s""""sec":${best.map(b => r4(b._1)).getOrElse("-1")},""" +
+            s""""ok":$allOk,""" +
             s""""runs":[${runs.map(r => r4(r._1)).mkString(",")}],""" +
-            s""""stream_state":${best._2.getOrElse("null")},"sf":"$sfDir"}""")
+            s""""stream_state":${
+              best.flatMap(_._3).getOrElse("null")},"sf":"$sfDir"}""")
       }
     }
     spark.stop()
