@@ -140,6 +140,14 @@ private[graft] object EntryQueriesDedup {
       Dedup.minhashConnectedBestStarFirst(documents(s, dir),
         scoreCol = "n_chars", minJaccard = 0.2)
         .select("doc_id", "lang", "source", "n_chars")),
+    // SOFT dedup (round 18): the same cluster structure emitted as
+    // per-doc TRAINING WEIGHTS (1 / cluster_size, 6dp-floor) instead
+    // of a drop set — a clique of n near-copies keeps all members but
+    // contributes one doc's gradient mass. Same star-first edge set
+    // and components as dedup_minhash_clusters, so the oracle is that
+    // row's recursive closure + a size fold; singletons weigh 1.
+    "dedup_cluster_weights" -> ((s, dir) =>
+      Dedup.minhashClusterWeights(documents(s, dir), minJaccard = 0.2)),
     // Registered in the PRODUCTION star-first shape (round 12, retiring
     // the r11 sf1 weak flag): star-collapse the replica mass first
     // (linear at any duplication rate), then the banded pair self-join

@@ -188,5 +188,49 @@ private[graft] object EntryQueriesMultimodal {
     // text-index space (interleave and sign folded into the formula).
     "multimodal_wav_stats" -> ((s, dir) =>
       Multimodal.wavSampleStats(wavFixture(documents(s, dir)), "payload")),
+    // Round 18: the AUDIO near-dup leg — modality symmetry with the
+    // image family (which has fingerprint/pairs/clusters/incremental/
+    // streaming; audio had only sample stats). dHash on the time axis
+    // (WavDHash: 65 nearest-neighbor mixdown samples, one bit per
+    // adjacent comparison) over audioFixture's longer byte-correct
+    // RIFF clips; the oracle re-derives all 64 bits from the fixture
+    // construction in text-index space (chunk walk + LE int16 +
+    // channel mixdown + sampling arithmetic must all be byte-exact).
+    "multimodal_audio_fingerprint" -> ((s, dir) =>
+      Multimodal.wavDHash(audioFixture(documents(s, dir)), "payload")),
+    // ... audio near-dup pairs: the image family's star-first
+    // multiprobe machinery UNCHANGED on the audio hash frame (same
+    // d0..d7 schema — one near-dup engine, two modalities). Clones
+    // planted at +3M payload-identically surface at hamming 0 (star
+    // edges); one-sample NEAR-VARIANTS planted at +4M surface as
+    // keeper near pairs at hamming 1..4 (bar 4: a one-byte sample
+    // substitution moves at most 3 comparison bits — see
+    // audioCloneFixture — and multiprobe recall is exact to 7), so
+    // BOTH output channels are driver-gated. Oracle = the dhash pairs
+    // recipe over the audio-derived bits at the same bar.
+    "multimodal_audio_pairs" -> ((s, dir) =>
+      Multimodal.dHashPairs(
+        Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload"),
+        maxHamming = 4)),
+    // ... and the audio dedup INCREMENTAL twin: history's exact 16-bit
+    // block keys persisted BUCKETED by bk (the production nightly
+    // shape — candidate join plans no history-side Exchange, payloads
+    // never re-decoded), the batch probing exact+flip keys against it.
+    // Same split/planting rules as multimodal_phash_incremental;
+    // oracle = brute-force all-pairs NOT EXISTS, exact by the
+    // multiprobe recall guarantee (hamming <= 7 covers the <= 2 bar).
+    "multimodal_audio_incremental" -> ((s, dir) => {
+      val all =
+        Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload")
+      val batch = all.filter(
+        col("doc_id") % 10 >= 8 || col("doc_id") >= 3000000L)
+      val hist = all.filter(
+        col("doc_id") % 10 < 8 && col("doc_id") < 3000000L)
+      withBucketedBands(s, "graft_au_hist", Multimodal.dHashBandKeys(hist)) {
+        tbl =>
+          Multimodal.dHashIncremental(batch, s.table(tbl), maxHamming = 2)
+            .localCheckpoint(true)
+      }
+    }),
   )
 }

@@ -120,6 +120,33 @@ private[graft] object EntryQueriesOps {
         .select("event_id", "x", "y", "zval")
     }),
 
+    // Partition-PRUNED scan (round 18 — the third classic layout
+    // lever after bucketing and z-order): events written PARTITIONED
+    // by event_type at ingest (low-cardinality, 5 directories — the
+    // writePartitioned contract), then a one-type query reads back.
+    // Catalyst turns the equality filter into a PartitionFilter, so
+    // the scan never OPENS the other 4/5 of the files — at 100 TB the
+    // bytes are skipped, not read-and-dropped (PlanAuditSpec pins
+    // selectedPartitions == 1 on this exact shape). The registered
+    // row prices write+filtered-read honestly (the layout_bucketed_
+    // join ingest convention); the oracle is the plain filtered
+    // aggregate — physical layout is correctness-invisible.
+    "layout_partition_prune" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pprune_").toString
+      try {
+        Sources.writePartitioned(ev, path, Seq("event_type"))
+        s.read.parquet(path)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"))
+          .localCheckpoint(true)
+      } finally deleteRecursively(new java.io.File(path))
+    }),
+
     // Co-located fact-fact join over ingest-time bucketing: lineitem
     // and orders both written bucketed on their order key, then the
     // forced sort-merge join plans ZERO Exchange on either side — the

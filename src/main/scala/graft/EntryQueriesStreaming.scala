@@ -101,6 +101,28 @@ private[graft] object EntryQueriesStreaming {
           .join(links.select(col("doc_id")).distinct(),
             Seq("doc_id"), "left_anti"))
     }),
+    // ... the AUDIO twin of the Hamming streaming keeper (round 18):
+    // wavDHash fingerprints through the SAME multiprobe banding and
+    // keeper machine — one streaming near-dup engine, two modalities
+    // (the registration differs from stream_phash_near only in the
+    // fingerprint expression and fixture). Same exactness argument:
+    // pigeonhole recall + full-Hamming in-state verify under
+    // AvailableNow's id-sorted single batch ⇒ drop set == brute-force
+    // keep-min; oracle = the all-pairs survivor SQL over the planted
+    // audio relation (clones AND one-sample variants stream through).
+    "stream_audio_near" -> ((s, dir) => {
+      import s.implicits._
+      val banded = Multimodal.dHashStreamBanded(
+          Multimodal.wavDHash(
+            audioCloneFixture(Sources.documentsStream(s, dir)), "payload"))
+        .as[graft.streaming.BandedHashRow]
+      runAvailableNow(s,
+        StreamOps.nearDedupHashStream(banded, maxHamming = 2).toDF(),
+        outputMode = "append", sinkWriteMode = "append")(links =>
+        Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload")
+          .join(links.select(col("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti"))
+    }),
     // ... and the STREAMING leg of the frozen perplexity scorer (r16):
     // the corpus arrives as a file stream and scores against the
     // RELOADED model artifact — bigram explode stateless, model/context

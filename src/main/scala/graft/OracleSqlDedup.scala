@@ -118,6 +118,55 @@ private[graft] object OracleSqlDedup {
         |SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id NOT IN (SELECT id FROM losers)""".stripMargin,
 
+    // soft-dedup weights: the clusters row's edge set + recursive
+    // closure, then a per-component size fold — weight = 1/size in the
+    // family's half-safe floor-6dp form (identical IEEE arithmetic on
+    // the exact integer size in both engines). Docs outside every
+    // cluster are their own singleton at weight 1.
+    "dedup_cluster_weights" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '[^\p{L}\p{N}]+'),
+        |                t -> length(t) > 0) AS tokens
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(CASE WHEN len(tokens) >= 3 THEN
+        |      list_transform(range(1, len(tokens) - 1),
+        |                     i -> concat_ws(' ', tokens[i], tokens[i+1], tokens[i+2]))
+        |      ELSE tokens END) AS sh
+        |  FROM toks WHERE len(tokens) > 0
+        |), edges AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / GREATEST(len(list_distinct(list_concat(a.sh, b.sh))), 1)
+        |        AS jaccard
+        |    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  ) WHERE jaccard >= 0.2
+        |), sym AS (
+        |  SELECT id_a AS src, id_b AS dst FROM edges
+        |  UNION
+        |  SELECT id_b AS src, id_a AS dst FROM edges
+        |), reach AS (
+        |  SELECT DISTINCT src AS id, src AS comp FROM sym
+        |  UNION
+        |  SELECT s.dst AS id, r.comp FROM reach r JOIN sym s ON s.src = r.id
+        |), comps AS (
+        |  SELECT id, MIN(comp) AS component FROM reach GROUP BY id
+        |), sizes AS (
+        |  SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        |  FROM comps GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(c.component, d.doc_id) AS cluster,
+        |  COALESCE(s.csize, 1) AS cluster_size,
+        |  floor(1.0 / COALESCE(s.csize, 1) * 1000000.0 + 0.5) / 1000000.0
+        |    AS weight
+        |FROM documents d
+        |LEFT JOIN comps c ON c.id = d.doc_id
+        |LEFT JOIN sizes s ON s.component = c.component""".stripMargin,
+
     // keep-best variant: identical edges + closure; losers = cluster
     // members that are NOT the (n_chars DESC, id ASC) winner of their
     // component.

@@ -96,10 +96,198 @@ private[graft] object OracleSqlMultimodal {
     base + pageRankStepsSql + pageRankTailSql("doc_id")
   }
 
+  /** The audio dHash re-derived from the WAV fixture CONSTRUCTION
+    * (round 18 — the dhashRowsCtesSql recipe on the time axis):
+    * mixdown sample at position i = sum over channels of the signed LE
+    * int16 at text bytes ((⌊i·nf/65⌋·ch + cc)·2, +1), one bit per
+    * adjacent comparison, row bytes packed by `SUM(bit · (1 << x))`.
+    * The Spark side chunk-walks the ACTUAL RIFF bytes (variable junk
+    * chunk ⇒ variable data offset) — two independent paths to the
+    * same 64 bits. Shared by the fingerprint, pairs, and incremental
+    * rows; `withVariants` adds the +4M one-character-substitution
+    * near-variants (audioCloneFixture's second plant — same geometry,
+    * one moved sample byte) the pairs/incremental fixtures carry. */
+  private def audioHashCtesSql(withVariants: Boolean): String = {
+    val dCols = (0 until 8).map(y =>
+      s"    MAX(CASE WHEN gy = $y THEN d END) AS d$y").mkString(",\n")
+    val variantArm = if (withVariants)
+      s"""
+       |  UNION ALL
+       |  SELECT doc_id + 4000000 AS doc_id,
+       |    CAST(doc_id % 2 + 1 AS INT) AS ch,
+       |    CAST(n_chars % 33 + 32 AS INT) AS nf,
+       |    CAST(doc_id % 1000 + 8000 AS INT) AS sr,
+       |    rpad(concat(substr(text, 1, 9), 'Q', substr(text, 11)), 256, 'x')
+       |      AS padded
+       |  FROM documents WHERE doc_id % 41 = 0""".stripMargin
+    else ""
+    s"""WITH wavp AS (
+       |  SELECT doc_id, CAST(doc_id % 2 + 1 AS INT) AS ch,
+       |    CAST(n_chars % 33 + 32 AS INT) AS nf,
+       |    CAST(doc_id % 1000 + 8000 AS INT) AS sr,
+       |    rpad(text, 256, 'x') AS padded
+       |  FROM documents$variantArm
+       |), raw AS (
+       |  SELECT w.doc_id, i.ii,
+       |    unicode(substr(w.padded,
+       |      CAST((((i.ii * w.nf) // 65) * w.ch + c.cc) * 2 + 1 AS INT), 1))
+       |    + 256 * unicode(substr(w.padded,
+       |      CAST((((i.ii * w.nf) // 65) * w.ch + c.cc) * 2 + 2 AS INT), 1))
+       |    AS u
+       |  FROM wavp w
+       |  CROSS JOIN (SELECT unnest(range(0, 65)) AS ii) i
+       |  CROSS JOIN (SELECT unnest(range(0, 2)) AS cc) c
+       |  WHERE c.cc < w.ch
+       |), smp AS (
+       |  SELECT doc_id, ii,
+       |    CAST(SUM(CASE WHEN u >= 32768 THEN u - 65536 ELSE u END) AS INT)
+       |      AS v
+       |  FROM raw GROUP BY 1, 2
+       |), abits AS (
+       |  SELECT a.doc_id, a.ii AS j,
+       |    CASE WHEN a.v < b.v THEN 1 ELSE 0 END AS bit
+       |  FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.ii = a.ii + 1
+       |  WHERE a.ii < 64
+       |), adrows AS (
+       |  SELECT doc_id, j // 8 AS gy,
+       |    CAST(SUM(bit * (1 << (j % 8))) AS INT) AS d
+       |  FROM abits GROUP BY 1, 2
+       |), ahashes AS (
+       |  SELECT doc_id,
+       |$dCols
+       |  FROM adrows GROUP BY 1
+       |)""".stripMargin
+  }
+
+  private val audioFingerprintOracle: String =
+    audioHashCtesSql(false) + """
+      |SELECT w.doc_id, CAST(1 AS INT) AS is_wav, w.ch AS channels,
+      |  w.sr AS sample_rate, CAST(w.nf AS BIGINT) AS n_frames,
+      |  h.d0, h.d1, h.d2, h.d3, h.d4, h.d5, h.d6, h.d7
+      |FROM ahashes h JOIN wavp w USING (doc_id)""".stripMargin
+
+  /** Star-first like the Spark side (the dhashPairsCtesSql shape on
+    * audio hashes): identical-hash members star to their min-id keeper
+    * at hamming 0; only DISTINCT hashes enter the band join — 8
+    * one-byte bands are recall-complete to hamming ≤ 7 by pigeonhole,
+    * covering the ≤ 2 bar. Clones planted at +3M reuse their
+    * original's payload, so their bits are the original's rows. */
+  private val audioPairsCtesSql: String = {
+    val ds = (0 until 8).map(y => s"d$y").mkString(", ")
+    val bandV = (0 until 8).map(y => s"WHEN $y THEN d$y").mkString(" ")
+    val ham = (for (y <- 0 until 8; bit <- 0 until 8) yield
+      s"((xor(pa.d$y, pb.d$y) >> $bit) & 1)").mkString(" + ")
+    audioHashCtesSql(true) + s"""
+      |, planted AS (
+      |  SELECT doc_id, $ds FROM ahashes
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, $ds FROM ahashes
+      |  WHERE doc_id % 29 = 0 AND doc_id < 4000000
+      |), keyed AS (
+      |  SELECT doc_id, $ds,
+      |    MIN(doc_id) OVER (PARTITION BY $ds) AS keeper
+      |  FROM planted
+      |), star AS (
+      |  SELECT keeper AS id_a, doc_id AS id_b, 0 AS hamming
+      |  FROM keyed WHERE doc_id <> keeper
+      |), reps AS (
+      |  SELECT doc_id, $ds FROM keyed WHERE doc_id = keeper
+      |), bands AS (
+      |  SELECT doc_id, b.i AS band, CASE b.i $bandV END AS v
+      |  FROM reps CROSS JOIN (SELECT unnest(range(0, 8)) AS i) b
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, bb.doc_id AS id_b
+      |  FROM bands a JOIN bands bb ON a.band = bb.band AND a.v = bb.v
+      |    AND a.doc_id < bb.doc_id
+      |), ham AS (
+      |  SELECT c.id_a, c.id_b,
+      |    $ham AS hamming
+      |  FROM cand c JOIN reps pa ON pa.doc_id = c.id_a
+      |    JOIN reps pb ON pb.doc_id = c.id_b
+      |), apairs AS (
+      |  SELECT id_a, id_b, hamming FROM star
+      |  UNION ALL
+      |  SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 4
+      |)""".stripMargin
+  }
+
+  private val audioPairsOracle: String =
+    audioPairsCtesSql + """
+      |SELECT id_a, id_b, hamming FROM apairs""".stripMargin
+
+  /** The audio incremental twin's survivor rules — the
+    * dhashIncrementalOracle recipe on audio hashes: a batch clip
+    * survives iff NO history clip and NO smaller-id batch clip sits
+    * within hamming ≤ 2; exact by the multiprobe recall guarantee.
+    * Geometry columns come from the ORIGINAL doc's wavp row (clones
+    * are payload-identical, and +3M preserves doc_id mod 2 and mod
+    * 1000, so the parsed channels/sample_rate equal the originals'). */
+  private val audioIncrementalOracle: String = {
+    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
+    def ham(a: String, b: String): String =
+      (for (y <- 0 until 8; bit <- 0 until 8) yield
+        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
+    audioHashCtesSql(true) + s"""
+      |, pall AS (
+      |  SELECT h.doc_id, w.ch, w.sr, w.nf, $hds
+      |  FROM ahashes h JOIN wavp w USING (doc_id)
+      |  UNION ALL
+      |  SELECT h.doc_id + 3000000, w.ch, w.sr, w.nf, $hds
+      |  FROM ahashes h JOIN wavp w USING (doc_id)
+      |  WHERE h.doc_id % 29 = 0 AND h.doc_id < 4000000
+      |), batch AS (
+      |  SELECT * FROM pall WHERE doc_id % 10 >= 8 OR doc_id >= 3000000
+      |), hist AS (
+      |  SELECT * FROM pall WHERE doc_id % 10 < 8 AND doc_id < 3000000
+      |)
+      |SELECT bt.doc_id, CAST(1 AS INT) AS is_wav, bt.ch AS channels,
+      |  bt.sr AS sample_rate, CAST(bt.nf AS BIGINT) AS n_frames,
+      |  bt.d0, bt.d1, bt.d2, bt.d3, bt.d4, bt.d5, bt.d6, bt.d7
+      |FROM batch bt
+      |WHERE NOT EXISTS (
+      |    SELECT 1 FROM hist hh WHERE ${ham("bt", "hh")} <= 2)
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM batch b2 WHERE b2.doc_id < bt.doc_id
+      |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
+  }
+
+  /** The audio streaming keeper's survivor rules — the
+    * dhashStreamNearOracle recipe on the audio relation: a row
+    * survives iff NO smaller-id row (original, clone, or one-sample
+    * variant) sits within hamming ≤ 2. Exact by CONSTRUCTION of the
+    * keeper machine, not a fixture property. */
+  private val audioStreamNearOracle: String = {
+    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
+    def ham(a: String, b: String): String =
+      (for (y <- 0 until 8; bit <- 0 until 8) yield
+        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
+    audioHashCtesSql(true) + s"""
+      |, pall AS (
+      |  SELECT h.doc_id, w.ch, w.sr, w.nf, $hds
+      |  FROM ahashes h JOIN wavp w USING (doc_id)
+      |  UNION ALL
+      |  SELECT h.doc_id + 3000000, w.ch, w.sr, w.nf, $hds
+      |  FROM ahashes h JOIN wavp w USING (doc_id)
+      |  WHERE h.doc_id % 29 = 0 AND h.doc_id < 4000000
+      |), drops AS (
+      |  SELECT DISTINCT b2.doc_id
+      |  FROM pall a JOIN pall b2 ON a.doc_id < b2.doc_id
+      |  WHERE ${ham("a", "b2")} <= 2
+      |)
+      |SELECT doc_id, CAST(1 AS INT) AS is_wav, ch AS channels,
+      |  sr AS sample_rate, CAST(nf AS BIGINT) AS n_frames,
+      |  d0, d1, d2, d3, d4, d5, d6, d7
+      |FROM pall WHERE doc_id NOT IN (SELECT doc_id FROM drops)""".stripMargin
+  }
+
   // Seq, not Map (r17 advice #5 applied to the oracle registry too):
   // a within-family duplicate key survives to OracleSql.all's
   // duplicate require instead of last-wins-collapsing silently.
   val entries: Seq[(String, String)] = Seq(
+    "multimodal_audio_fingerprint" -> audioFingerprintOracle,
+    "multimodal_audio_pairs" -> audioPairsOracle,
+    "multimodal_audio_incremental" -> audioIncrementalOracle,
+    "stream_audio_near" -> audioStreamNearOracle,
     "multimodal_phash_pagerank" -> dhashPageRankOracle,
 
     "multimodal_profile" ->

@@ -87,6 +87,17 @@ private[graft] object OracleSqlRelational {
         |  CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM hist""".stripMargin,
 
+    // partition-prune oracle: the plain filtered daily aggregate —
+    // the partitioned write/pruned read on the Spark side must be
+    // correctness-invisible (integer-only outputs, so no float
+    // parity concern; day via UTC strftime == date_format).
+    "layout_partition_prune" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS day,
+        |  COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
+
     // z-order oracle: the identical 4-step shift-OR-mask spread on both
     // 16-bit dimensions (masks 0x00FF00FF, 0x0F0F0F0F, 0x33333333,
     // 0x55555555 in decimal), interleaved x-even / y-odd. The linear

@@ -221,6 +221,63 @@ object SparkEntry {
     docs.select(col("doc_id"), unhex(hexPayload).as("payload"))
   }
 
+  /** The audio-FINGERPRINT fixture (round 18): [[wavFixture]]'s
+    * byte-correct RIFF assembly with LONGER clips — 32..64 frames (the
+    * stats fixture's 4..12 frames leave a 65-position dHash nearly
+    * constant; at 32..64 the signature carries ~32 comparison bits, the
+    * image row's bit density) and a wider junk-chunk range so the data
+    * offset still varies per doc. Samples are the doc's ASCII-pinned
+    * text padded with 'x' to 256 bytes, interleaved LE int16 by
+    * channel — near-dup TEXTS become near-dup CLIPS, so the corpus's
+    * planted text replicas surface as natural audio near-dups. */
+  private[graft] def audioFixture(docs: DataFrame): DataFrame = {
+    val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")     // 1..2
+    val nf = (pmod(col("n_chars"), lit(33L)) + 32).cast("int")  // 32..64
+    val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
+    val junk = (pmod(col("doc_id"), lit(7L)) * 2 + 2).cast("int") // 2..14
+    val dataBytes = nf * ch * lit(2)
+    val padded = rpad(col("text"), 64 * 2 * 2, "x")
+    val hexPayload = concat(
+      lit("52494646"), // RIFF
+      leHex(lit(4 + 24) + lit(8) + junk + lit(8) + dataBytes, 4),
+      lit("57415645"), // WAVE
+      lit("666D7420"), leHex(lit(16), 4), // fmt , size 16
+      leHex(lit(1), 2), leHex(ch, 2), leHex(sr, 4),
+      leHex(sr * ch * lit(2), 4), leHex(ch * lit(2), 2), leHex(lit(16), 2),
+      lit("4C495354"), leHex(junk, 4), // LIST junk chunk
+      lit("00" * 14).substr(lit(1), junk * lit(2)),
+      lit("64617461"), leHex(dataBytes, 4), // data
+      hex(padded.substr(lit(1), dataBytes).cast("binary")))
+    docs.select(col("doc_id"), unhex(hexPayload).as("payload"))
+  }
+
+  /** [[audioFixture]] plus two plants — payload-identical clones at
+    * +3M for every 29th doc (the [[phashFixture]] recipe: the
+    * hamming-0 star channel), and NEAR-VARIANTS at +4M for every 41st
+    * doc: the same clip re-rendered from a text whose 10th character
+    * is substituted ('Q', length-preserving, always inside the sampled
+    * data region), so exactly one int16 sample byte moves and the
+    * fingerprint differs by ≤ 3 bits — the hamming-1..4 NEAR channel
+    * of the pairs row is driver-gated, not spec-only (a text
+    * insertion would shift every later sample and land far). +4M
+    * preserves doc_id mod 2 / mod 1000, so the variant's planted
+    * channels/sample_rate equal the original's. Shared by the audio
+    * pairs and incremental rows, whose oracles restate the same
+    * union. */
+  private[graft] def audioCloneFixture(docs: DataFrame): DataFrame = {
+    val base = audioFixture(docs)
+    val varDocs = docs.filter(col("doc_id") % 41 === 0)
+      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+        col("n_chars"),
+        concat(substring(col("text"), 1, 9), lit("Q"),
+          expr("substring(text, 11)")).as("text"))
+    base.unionByName(
+      base.filter(col("doc_id") % 29 === 0)
+        .select((col("doc_id") + lit(3000000L)).as("doc_id"),
+          col("payload")))
+      .unionByName(audioFixture(varDocs))
+  }
+
   /** customer with `(features, label)` — the ML-pipeline input frame
     * (label = c_mktsegment indexed, features = numeric customer cols). */
   private[graft] def customerFeatures(s: SparkSession, dir: String): DataFrame =

@@ -1043,6 +1043,54 @@ object Dedup extends DedupPassages with DedupLines {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** SOFT dedup — per-doc training weights from the near-dup cluster
+    * structure instead of dropping rows (round 18): every doc gets
+    * `weight = 1 / cluster_size`, so a clique of n near-copies
+    * contributes ONE document's worth of gradient mass in aggregate
+    * while all n survive (the duplicate-downweighting alternative to
+    * hard dedup that several LLM-corpus pipelines prefer — drops lose
+    * the best copy's formatting variants; weights keep them and
+    * neutralize the frequency skew). Cluster membership is EXACTLY
+    * [[minhashConnectedStarFirst]]'s (same star-first edge set, same
+    * components), so exactness inherits the clusters row's recall
+    * argument; docs in no cluster weigh 1 with themselves as cluster.
+    *
+    * Output: `(idCol, cluster, cluster_size, weight)` — cluster = the
+    * component's min id, weight 6dp-floor-rounded (the family's
+    * half-safe recipe: `floor((1/size)·10⁶ + 0.5)/10⁶`, identical IEEE
+    * arithmetic in both engines on the exact integer size).
+    *
+    * Scale: the edge set and components are the clusters row's cost;
+    * on top of that one partial-aggregated groupBy over component ids
+    * (≤ one row per doc) and one equi-join back to the corpus — no new
+    * corpus-sized shuffle beyond the join on `idCol`. */
+  def minhashClusterWeights(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.5,
+      seed: Long = 42L): DataFrame = {
+    val docs = df.select(col(idCol), col(textCol))
+    val (nh, nb) = minhashKnobs(docs.count(), minJaccard, numHashes, bands)
+    val base = minhashBase(docs, textCol, idCol, nh, seed)
+    val comps = connectedComponents(
+      minhashStarFirstEdges(base.select(col(idCol), col("sh")),
+        bandKeysFromSigs(base, idCol, nh, nb), idCol, minJaccard))
+    val sizes = comps.groupBy(col("component"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val m = comps.join(sizes, "component")
+      .select(col("id").as(idCol), col("component"), col("cluster_size"))
+    val size = coalesce(col("cluster_size"), lit(1L))
+    df.select(col(idCol)).join(m, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("cluster"),
+        size.as("cluster_size"),
+        (floor(lit(1.0) / size * lit(1000000.0) + lit(0.5)) / 1000000.0)
+          .as("weight"))
+  }
+
   /** [[minhashIncremental]] in the star-first shape: the WITHIN-BATCH
     * self-join — the C(m,2) mechanism when a batch carries replica
     * groups — is replaced by verified star links over the batch band

@@ -497,6 +497,29 @@ object Multimodal {
         col("m.n_frames").as("n_frames") +: stats: _*)
   }
 
+  /** dHash perceptual signature per AUDIO clip — see
+    * [[graft.functions.WavDHash]] for the sampling/bit contract (the
+    * [[bmpDHash]] recipe on the time axis: 65 nearest-neighbor mixdown
+    * samples, one bit per adjacent comparison). One codegen'd call
+    * fused into the payload scan (zero shuffles, 65·channels 16-bit
+    * reads per row); the eight hash bytes come out as the SAME plain
+    * INT columns `d0..d7` as the image family, so [[dHashPairs]],
+    * [[dHashBandKeys]], [[dHashIncremental]] and the streaming keeper
+    * machinery run on audio frames UNCHANGED — one near-dup engine,
+    * two modalities. */
+  def wavDHash(
+      df: DataFrame,
+      binCol: String,
+      idCol: String = "doc_id"): DataFrame =
+    df.select(col(idCol), graft.functions.WavDHash(col(binCol)).as("m"))
+      .select(col(idCol) +:
+        coalesce(col("m.is_wav"), lit(0)).as("is_wav") +:
+        col("m.channels").as("channels") +:
+        col("m.sample_rate").as("sample_rate") +:
+        col("m.n_frames").as("n_frames") +:
+        (0 until graft.functions.WavDHash.HashBytes)
+          .map(y => col(s"m.d$y").as(s"d$y")): _*)
+
   /** Frame sampling over an opaque payload: `n` fixed-width byte slices
     * at even strides (the video-frame-extraction plumbing, with the
     * codec stubbed as raw slicing). Pure codegen'd expression — schema

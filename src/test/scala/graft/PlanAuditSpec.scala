@@ -637,4 +637,39 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("l_tax") && !p.contains("l_shipdate"),
       "robust_scaling scan reads columns it does not use")
   }
+
+  test("layout_partition_prune: the one-type filter becomes a " +
+      "PartitionFilter and the scan opens exactly 1 of the 5 " +
+      "type-partition directories (r18)") {
+    // The at-scale claim of the partition-prune row: at 100 TB the
+    // other 4/5 of the corpus is SKIPPED (directories never listed
+    // into the scan), not read-and-filtered. Asserted on the exact
+    // write-partitioned → filtered-read shape the registered row
+    // runs, via the scan node's selected-partition count.
+    val ev = spark.read.parquet(s"$sf0001/events.parquet")
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("event_type"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_plan_pprune_").toString
+    try {
+      graft.sources.Sources.writePartitioned(ev, path, Seq("event_type"))
+      val back = spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col("event_type")
+          === "purchase")
+      val scans = back.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no file scan in the pruned-read plan")
+      assert(scans.head.partitionFilters.nonEmpty,
+        "the event_type filter did not reach the partition level")
+      val selected = scans.head.selectedPartitions.partitionCount
+      assert(selected == 1,
+        s"want 1 of 5 partition dirs selected, got $selected")
+      // and the data filter is gone from the row level: all rows in
+      // the surviving directory qualify by construction
+      assert(back.count() ==
+        ev.filter(org.apache.spark.sql.functions.col("event_type")
+          === "purchase").count())
+    } finally SparkEntry.deleteRecursively(new java.io.File(path))
+  }
 }

@@ -447,4 +447,71 @@ class MultimodalSpec extends SparkSpec {
       assert(surv == Set(12L, 14L))
     } finally spark.sql("DROP TABLE IF EXISTS graft_test_ph_hist")
   }
+
+  test("wavDHash: monotone clips saturate/zero the bits, a one-sample " +
+      "dip flips exactly one bit, stereo mixes down by channel SUM; " +
+      "clones star at hamming 0 through the image banding machinery " +
+      "unchanged; non-WAV and truncated are null, never wrong (r18)") {
+    val s = spark
+    import s.implicits._
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(samples: Seq[Int], ch: Int, sr: Int, junk: Int): Array[Byte] = {
+      val data = samples.flatMap(v => le(v & 0xffffL, 2))
+      ("RIFF".getBytes("US-ASCII") ++ le(4 + 24 + 8 + junk + 8 + data.size, 4) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++
+        le(sr, 4) ++ le(sr.toLong * ch * 2, 4) ++ le(ch * 2, 2) ++ le(16, 2) ++
+        "LIST".getBytes("US-ASCII") ++ le(junk, 4) ++ Array.fill(junk)(0.toByte) ++
+        "data".getBytes("US-ASCII") ++ le(data.size, 4) ++ data).toArray
+    }
+    // 65 frames ⇒ sample position i reads frame i exactly
+    val up = wav((0 until 65).map(_ * 10), 1, 8000, 2)
+    val const = wav(Seq.fill(65)(42), 1, 8000, 4)
+    // one dip at frame 32 (below frame 31's value): comparison j=31
+    // (v31 < v32) flips off — bit 7 of d3 — and j=32 (v32 < v33)
+    // stays on; everything else is untouched
+    val dipped = wav((0 until 65).map(i =>
+      if (i == 32) 5 else i * 10), 1, 8000, 2)
+    // stereo whose MIXDOWN strictly decreases while channel 1 strictly
+    // increases — all-zero bits proves the hash sums channels (a
+    // c1-only read would saturate to 255)
+    val downMix = wav((0 until 65).flatMap(i => Seq(i, -3 * i)), 2, 44100, 6)
+    val df = Seq(
+      (1L, up), (2L, up), (3L, dipped), (4L, const), (5L, downMix),
+      (6L, "RIFFxxxxWAVEnot audio at all".getBytes("US-ASCII")),
+      (7L, up.take(up.length - 8))) // data chunk truncated
+      .toDF("doc_id", "payload")
+    val hashes = Multimodal.wavDHash(df, "payload")
+    val h = hashes.collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (0 until 8).foreach { y =>
+      assert(h(1L).getAs[Int](s"d$y") == 255, s"up d$y")
+      assert(h(4L).getAs[Int](s"d$y") == 0, s"const d$y")
+      assert(h(5L).getAs[Int](s"d$y") == 0, s"downMix d$y")
+    }
+    assert(h(3L).getAs[Int]("d3") == 255 - 128) // bit 7 cleared
+    (0 until 8).filter(_ != 3).foreach(y =>
+      assert(h(3L).getAs[Int](s"d$y") == 255))
+    assert(h(1L).getAs[Int]("channels") == 1 &&
+      h(1L).getAs[Long]("n_frames") == 65L &&
+      h(5L).getAs[Int]("channels") == 2)
+    assert(h(6L).getAs[Int]("is_wav") == 0 && h(6L).isNullAt(5))
+    // truncated: header-true geometry, null hash bytes
+    assert(h(7L).getAs[Int]("is_wav") == 1 &&
+      h(7L).getAs[Int]("channels") == 1 && h(7L).isNullAt(5))
+    // the IMAGE pairing machinery runs on the audio frame unchanged:
+    // the clone (2) stars to its keeper (1) at hamming 0, the dip is
+    // keeper-near at hamming 1, and the const/downMix clips (4, 5) —
+    // identical all-zero hashes despite different geometry — star
+    // together (signature identity is the star criterion, as on the
+    // image side); null-hash rows never enter
+    val pairs = Multimodal.dHashPairs(hashes, maxHamming = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    assert(pairs == Map((1L, 2L) -> 0, (1L, 3L) -> 1, (4L, 5L) -> 0))
+    // zero shuffles: scan-fused projection
+    val plan = hashes.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(400))
+  }
 }
