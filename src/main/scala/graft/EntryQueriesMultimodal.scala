@@ -212,6 +212,16 @@ private[graft] object EntryQueriesMultimodal {
       Multimodal.dHashPairs(
         Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload"),
         maxHamming = 4)),
+    // ... audio near-dup clusters: the connected-components machinery
+    // (star variant) over the audio star+near edge set — the image
+    // clusters row on the second modality; oracle = the recursive
+    // min-label closure over the same apairs relation.
+    "multimodal_audio_clusters" -> ((s, dir) =>
+      Dedup.connectedComponentsStar(
+        Multimodal.dHashPairs(
+          Multimodal.wavDHash(audioCloneFixture(documents(s, dir)),
+            "payload"),
+          maxHamming = 4))),
     // ... and the audio dedup INCREMENTAL twin: history's exact 16-bit
     // block keys persisted BUCKETED by bk (the production nightly
     // shape — candidate join plans no history-side Exchange, payloads

@@ -215,6 +215,22 @@ private[graft] object OracleSqlMultimodal {
     audioPairsCtesSql + """
       |SELECT id_a, id_b, hamming FROM apairs""".stripMargin
 
+  /** Components over the audio star+near edge set — the
+    * dedup_components recursive min-label closure on the audio
+    * modality (the dhashClustersOracle recipe). */
+  private val audioClustersOracle: String =
+    audioPairsCtesSql.replaceFirst("WITH ", "WITH RECURSIVE ") + """
+      |, asym AS (
+      |  SELECT id_a AS src, id_b AS dst FROM apairs
+      |  UNION
+      |  SELECT id_b AS src, id_a AS dst FROM apairs
+      |), areach AS (
+      |  SELECT DISTINCT src AS id, src AS comp FROM asym
+      |  UNION
+      |  SELECT s.dst AS id, r.comp FROM areach r JOIN asym s ON s.src = r.id
+      |)
+      |SELECT id, min(comp) AS component FROM areach GROUP BY id""".stripMargin
+
   /** The audio incremental twin's survivor rules — the
     * dhashIncrementalOracle recipe on audio hashes: a batch clip
     * survives iff NO history clip and NO smaller-id batch clip sits
@@ -286,6 +302,7 @@ private[graft] object OracleSqlMultimodal {
   val entries: Seq[(String, String)] = Seq(
     "multimodal_audio_fingerprint" -> audioFingerprintOracle,
     "multimodal_audio_pairs" -> audioPairsOracle,
+    "multimodal_audio_clusters" -> audioClustersOracle,
     "multimodal_audio_incremental" -> audioIncrementalOracle,
     "stream_audio_near" -> audioStreamNearOracle,
     "multimodal_phash_pagerank" -> dhashPageRankOracle,
