@@ -202,7 +202,7 @@ private[graft] object EntryQueriesMultimodal {
     // multiprobe machinery UNCHANGED on the audio hash frame (same
     // d0..d7 schema — one near-dup engine, two modalities). Clones
     // planted at +3M payload-identically surface at hamming 0 (star
-    // edges); one-sample NEAR-VARIANTS planted at +4M surface as
+    // edges); one-sample NEAR-VARIANTS planted at +6M surface as
     // keeper near pairs at hamming 1..4 (bar 4: a one-byte sample
     // substitution moves at most 3 comparison bits — see
     // audioCloneFixture — and multiprobe recall is exact to 7), so

@@ -9,6 +9,16 @@ private[graft] object OracleSqlMultimodal {
   import SparkEntry.{ScoringCoefficients, ScoringIntercepts, PcaScoringLoadings}
   import graft.features.DimReduction
 
+  /** The 64 shift-and-mask hamming terms between two `d0..d7` rows —
+    * ONE generator for every near-dup oracle in this file (r18 review:
+    * five character-identical local copies had accumulated; a future
+    * bit-layout change must apply everywhere or nowhere). */
+  private def hamSql(a: String, b: String): String =
+    (for (y <- 0 until 8; bit <- 0 until 8) yield
+      s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
+
+  private val hdsSql: String = (0 until 8).map(y => s"h.d$y").mkString(", ")
+
   /** The incremental twin's survivor rules: a batch image survives iff
     * NO history image and NO smaller-id batch image sits within
     * hamming ≤ 2 — the brute-force restatement of the banded candidate
@@ -16,16 +26,12 @@ private[graft] object OracleSqlMultimodal {
     * frame extends the pairs fixture with width/height (clones reuse
     * their original's BMP geometry — payloads are byte-identical). */
   private val dhashIncrementalOracle: String = {
-    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
-    def ham(a: String, b: String): String =
-      (for (y <- 0 until 8; bit <- 0 until 8) yield
-        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
     dhashRowsCtesSql + s"""
       |, pall AS (
-      |  SELECT h.doc_id, b.w, b.h, $hds
+      |  SELECT h.doc_id, b.w, b.h, $hdsSql
       |  FROM hashes h JOIN bmp b USING (doc_id)
       |  UNION ALL
-      |  SELECT h.doc_id + 3000000, b.w, b.h, $hds
+      |  SELECT h.doc_id + 3000000, b.w, b.h, $hdsSql
       |  FROM hashes h JOIN bmp b USING (doc_id) WHERE h.doc_id % 29 = 0
       |), batch AS (
       |  SELECT * FROM pall WHERE doc_id % 10 >= 8 OR doc_id >= 3000000
@@ -37,10 +43,10 @@ private[graft] object OracleSqlMultimodal {
       |  bt.d6, bt.d7
       |FROM batch bt
       |WHERE NOT EXISTS (
-      |    SELECT 1 FROM hist hh WHERE ${ham("bt", "hh")} <= 2)
+      |    SELECT 1 FROM hist hh WHERE ${hamSql("bt", "hh")} <= 2)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM batch b2 WHERE b2.doc_id < bt.doc_id
-      |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
+      |      AND ${hamSql("bt", "b2")} <= 2)""".stripMargin
   }
 
   /** The streaming keeper's survivor rules — brute-force keep-min
@@ -50,21 +56,17 @@ private[graft] object OracleSqlMultimodal {
     * against registered entries — no keeper-chain escapes), not a
     * fixture property. */
   private val dhashStreamNearOracle: String = {
-    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
-    def ham(a: String, b: String): String =
-      (for (y <- 0 until 8; bit <- 0 until 8) yield
-        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
     dhashRowsCtesSql + s"""
       |, pall AS (
-      |  SELECT h.doc_id, b.w, b.h, $hds
+      |  SELECT h.doc_id, b.w, b.h, $hdsSql
       |  FROM hashes h JOIN bmp b USING (doc_id)
       |  UNION ALL
-      |  SELECT h.doc_id + 3000000, b.w, b.h, $hds
+      |  SELECT h.doc_id + 3000000, b.w, b.h, $hdsSql
       |  FROM hashes h JOIN bmp b USING (doc_id) WHERE h.doc_id % 29 = 0
       |), drops AS (
       |  SELECT DISTINCT b2.doc_id
       |  FROM pall a JOIN pall b2 ON a.doc_id < b2.doc_id
-      |  WHERE ${ham("a", "b2")} <= 2
+      |  WHERE ${hamSql("a", "b2")} <= 2
       |)
       |SELECT doc_id, CAST(1 AS INT) AS is_bmp, w AS width, h AS height,
       |  d0, d1, d2, d3, d4, d5, d6, d7
@@ -104,7 +106,7 @@ private[graft] object OracleSqlMultimodal {
     * The Spark side chunk-walks the ACTUAL RIFF bytes (variable junk
     * chunk ⇒ variable data offset) — two independent paths to the
     * same 64 bits. Shared by the fingerprint, pairs, and incremental
-    * rows; `withVariants` adds the +4M one-character-substitution
+    * rows; `withVariants` adds the +6M one-character-substitution
     * near-variants (audioCloneFixture's second plant — same geometry,
     * one moved sample byte) the pairs/incremental fixtures carry. */
   private def audioHashCtesSql(withVariants: Boolean): String = {
@@ -113,7 +115,7 @@ private[graft] object OracleSqlMultimodal {
     val variantArm = if (withVariants)
       s"""
        |  UNION ALL
-       |  SELECT doc_id + 4000000 AS doc_id,
+       |  SELECT doc_id + 6000000 AS doc_id,
        |    CAST(doc_id % 2 + 1 AS INT) AS ch,
        |    CAST(n_chars % 33 + 32 AS INT) AS nf,
        |    CAST(doc_id % 1000 + 8000 AS INT) AS sr,
@@ -175,14 +177,12 @@ private[graft] object OracleSqlMultimodal {
   private val audioPairsCtesSql: String = {
     val ds = (0 until 8).map(y => s"d$y").mkString(", ")
     val bandV = (0 until 8).map(y => s"WHEN $y THEN d$y").mkString(" ")
-    val ham = (for (y <- 0 until 8; bit <- 0 until 8) yield
-      s"((xor(pa.d$y, pb.d$y) >> $bit) & 1)").mkString(" + ")
     audioHashCtesSql(true) + s"""
       |, planted AS (
       |  SELECT doc_id, $ds FROM ahashes
       |  UNION ALL
       |  SELECT doc_id + 3000000, $ds FROM ahashes
-      |  WHERE doc_id % 29 = 0 AND doc_id < 4000000
+      |  WHERE doc_id % 29 = 0 AND doc_id < 6000000
       |), keyed AS (
       |  SELECT doc_id, $ds,
       |    MIN(doc_id) OVER (PARTITION BY $ds) AS keeper
@@ -201,7 +201,7 @@ private[graft] object OracleSqlMultimodal {
       |    AND a.doc_id < bb.doc_id
       |), ham AS (
       |  SELECT c.id_a, c.id_b,
-      |    $ham AS hamming
+      |    ${hamSql("pa", "pb")} AS hamming
       |  FROM cand c JOIN reps pa ON pa.doc_id = c.id_a
       |    JOIN reps pb ON pb.doc_id = c.id_b
       |), apairs AS (
@@ -238,20 +238,26 @@ private[graft] object OracleSqlMultimodal {
     * Geometry columns come from the ORIGINAL doc's wavp row (clones
     * are payload-identical, and +3M preserves doc_id mod 2 and mod
     * 1000, so the parsed channels/sample_rate equal the originals'). */
-  private val audioIncrementalOracle: String = {
-    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
-    def ham(a: String, b: String): String =
-      (for (y <- 0 until 8; bit <- 0 until 8) yield
-        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
-    audioHashCtesSql(true) + s"""
+  /** hashes + parsed geometry for the full planted audio relation
+    * (base + clones at +3M; the +6M variants already ride `ahashes`)
+    * — the one pall CTE the incremental and streaming survivor
+    * oracles share (r18 review: it had been pasted twice). Clones
+    * join geometry by the ORIGINAL doc_id: payloads are
+    * byte-identical and +3M preserves doc_id mod 2 / mod 1000, so
+    * the parsed channels/sample_rate equal the originals'. */
+  private val audioPallSql: String = s"""
       |, pall AS (
-      |  SELECT h.doc_id, w.ch, w.sr, w.nf, $hds
+      |  SELECT h.doc_id, w.ch, w.sr, w.nf, $hdsSql
       |  FROM ahashes h JOIN wavp w USING (doc_id)
       |  UNION ALL
-      |  SELECT h.doc_id + 3000000, w.ch, w.sr, w.nf, $hds
+      |  SELECT h.doc_id + 3000000, w.ch, w.sr, w.nf, $hdsSql
       |  FROM ahashes h JOIN wavp w USING (doc_id)
-      |  WHERE h.doc_id % 29 = 0 AND h.doc_id < 4000000
-      |), batch AS (
+      |  WHERE h.doc_id % 29 = 0 AND h.doc_id < 6000000
+      |)""".stripMargin
+
+  private val audioIncrementalOracle: String = {
+    audioHashCtesSql(true) + audioPallSql + s"""
+      |, batch AS (
       |  SELECT * FROM pall WHERE doc_id % 10 >= 8 OR doc_id >= 3000000
       |), hist AS (
       |  SELECT * FROM pall WHERE doc_id % 10 < 8 AND doc_id < 3000000
@@ -261,10 +267,10 @@ private[graft] object OracleSqlMultimodal {
       |  bt.d0, bt.d1, bt.d2, bt.d3, bt.d4, bt.d5, bt.d6, bt.d7
       |FROM batch bt
       |WHERE NOT EXISTS (
-      |    SELECT 1 FROM hist hh WHERE ${ham("bt", "hh")} <= 2)
+      |    SELECT 1 FROM hist hh WHERE ${hamSql("bt", "hh")} <= 2)
       |  AND NOT EXISTS (
       |    SELECT 1 FROM batch b2 WHERE b2.doc_id < bt.doc_id
-      |      AND ${ham("bt", "b2")} <= 2)""".stripMargin
+      |      AND ${hamSql("bt", "b2")} <= 2)""".stripMargin
   }
 
   /** The audio streaming keeper's survivor rules — the
@@ -273,22 +279,11 @@ private[graft] object OracleSqlMultimodal {
     * variant) sits within hamming ≤ 2. Exact by CONSTRUCTION of the
     * keeper machine, not a fixture property. */
   private val audioStreamNearOracle: String = {
-    val hds = (0 until 8).map(y => s"h.d$y").mkString(", ")
-    def ham(a: String, b: String): String =
-      (for (y <- 0 until 8; bit <- 0 until 8) yield
-        s"((xor($a.d$y, $b.d$y) >> $bit) & 1)").mkString(" + ")
-    audioHashCtesSql(true) + s"""
-      |, pall AS (
-      |  SELECT h.doc_id, w.ch, w.sr, w.nf, $hds
-      |  FROM ahashes h JOIN wavp w USING (doc_id)
-      |  UNION ALL
-      |  SELECT h.doc_id + 3000000, w.ch, w.sr, w.nf, $hds
-      |  FROM ahashes h JOIN wavp w USING (doc_id)
-      |  WHERE h.doc_id % 29 = 0 AND h.doc_id < 4000000
-      |), drops AS (
+    audioHashCtesSql(true) + audioPallSql + s"""
+      |, drops AS (
       |  SELECT DISTINCT b2.doc_id
       |  FROM pall a JOIN pall b2 ON a.doc_id < b2.doc_id
-      |  WHERE ${ham("a", "b2")} <= 2
+      |  WHERE ${hamSql("a", "b2")} <= 2
       |)
       |SELECT doc_id, CAST(1 AS INT) AS is_wav, ch AS channels,
       |  sr AS sample_rate, CAST(nf AS BIGINT) AS n_frames,

@@ -205,9 +205,26 @@ object SparkEntry {
     val nf = (pmod(col("n_chars"), lit(9L)) + 4).cast("int")   // 4..12
     val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
     val junk = (pmod(col("doc_id"), lit(5L)) * 2 + 2).cast("int") // 2..10
+    docs.select(col("doc_id"),
+      unhex(wavPayloadHex(ch, nf, sr, junk, padLen = 12 * 2 * 2))
+        .as("payload"))
+  }
+
+  /** The byte-correct RIFF/WAVE hex assembly shared by [[wavFixture]]
+    * and [[audioFixture]] (r18 review: it had been copied with three
+    * constants changed — a fix to the shared layout must apply to both
+    * or the stale copy's oracle breaks): PCM `fmt ` chunk from the
+    * planted (ch, sr), a variable-length `LIST` junk chunk (so the
+    * data offset is doc-dependent and a fixed-offset cheat cannot
+    * pass), and a `data` chunk whose samples are the doc's text padded
+    * with 'x' to `padLen` then cut to nf·ch·2 bytes, interleaved LE
+    * int16 by channel. Callers must keep nf·ch·2 ≤ padLen and
+    * junk ≤ 14. */
+  private[graft] def wavPayloadHex(ch: Column, nf: Column, sr: Column,
+      junk: Column, padLen: Int): Column = {
     val dataBytes = nf * ch * lit(2)
-    val padded = rpad(col("text"), 12 * 2 * 2, "x")
-    val hexPayload = concat(
+    val padded = rpad(col("text"), padLen, "x")
+    concat(
       lit("52494646"), // RIFF
       leHex(lit(4 + 24) + lit(8) + junk + lit(8) + dataBytes, 4),
       lit("57415645"), // WAVE
@@ -215,10 +232,9 @@ object SparkEntry {
       leHex(lit(1), 2), leHex(ch, 2), leHex(sr, 4),
       leHex(sr * ch * lit(2), 4), leHex(ch * lit(2), 2), leHex(lit(16), 2),
       lit("4C495354"), leHex(junk, 4), // LIST junk chunk
-      lit("00" * 10).substr(lit(1), junk * lit(2)),
+      lit("00" * 14).substr(lit(1), junk * lit(2)),
       lit("64617461"), leHex(dataBytes, 4), // data
       hex(padded.substr(lit(1), dataBytes).cast("binary")))
-    docs.select(col("doc_id"), unhex(hexPayload).as("payload"))
   }
 
   /** The audio-FINGERPRINT fixture (round 18): [[wavFixture]]'s
@@ -235,39 +251,32 @@ object SparkEntry {
     val nf = (pmod(col("n_chars"), lit(33L)) + 32).cast("int")  // 32..64
     val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
     val junk = (pmod(col("doc_id"), lit(7L)) * 2 + 2).cast("int") // 2..14
-    val dataBytes = nf * ch * lit(2)
-    val padded = rpad(col("text"), 64 * 2 * 2, "x")
-    val hexPayload = concat(
-      lit("52494646"), // RIFF
-      leHex(lit(4 + 24) + lit(8) + junk + lit(8) + dataBytes, 4),
-      lit("57415645"), // WAVE
-      lit("666D7420"), leHex(lit(16), 4), // fmt , size 16
-      leHex(lit(1), 2), leHex(ch, 2), leHex(sr, 4),
-      leHex(sr * ch * lit(2), 4), leHex(ch * lit(2), 2), leHex(lit(16), 2),
-      lit("4C495354"), leHex(junk, 4), // LIST junk chunk
-      lit("00" * 14).substr(lit(1), junk * lit(2)),
-      lit("64617461"), leHex(dataBytes, 4), // data
-      hex(padded.substr(lit(1), dataBytes).cast("binary")))
-    docs.select(col("doc_id"), unhex(hexPayload).as("payload"))
+    docs.select(col("doc_id"),
+      unhex(wavPayloadHex(ch, nf, sr, junk, padLen = 64 * 2 * 2))
+        .as("payload"))
   }
 
   /** [[audioFixture]] plus two plants — payload-identical clones at
     * +3M for every 29th doc (the [[phashFixture]] recipe: the
-    * hamming-0 star channel), and NEAR-VARIANTS at +4M for every 41st
+    * hamming-0 star channel), and NEAR-VARIANTS at +6M for every 41st
     * doc: the same clip re-rendered from a text whose 10th character
     * is substituted ('Q', length-preserving, always inside the sampled
     * data region), so exactly one int16 sample byte moves and the
     * fingerprint differs by ≤ 3 bits — the hamming-1..4 NEAR channel
     * of the pairs row is driver-gated, not spec-only (a text
-    * insertion would shift every later sample and land far). +4M
-    * preserves doc_id mod 2 / mod 1000, so the variant's planted
-    * channels/sample_rate equal the original's. Shared by the audio
-    * pairs and incremental rows, whose oracles restate the same
+    * insertion would shift every later sample and land far). +6M
+    * preserves doc_id mod 2 / mod 1000 (the variant's planted
+    * channels/sample_rate equal the original's), and the 3M gap
+    * between the two plant offsets keeps them collision-free for any
+    * natural id < 3M — the SAME tolerance the +3M convention already
+    * imposes on every planted fixture (a +4M offset would have
+    * silently tightened it to 1M; r18 review finding). Shared by the
+    * audio pairs and incremental rows, whose oracles restate the same
     * union. */
   private[graft] def audioCloneFixture(docs: DataFrame): DataFrame = {
     val base = audioFixture(docs)
     val varDocs = docs.filter(col("doc_id") % 41 === 0)
-      .select((col("doc_id") + lit(4000000L)).as("doc_id"),
+      .select((col("doc_id") + lit(6000000L)).as("doc_id"),
         col("n_chars"),
         concat(substring(col("text"), 1, 9), lit("Q"),
           expr("substring(text, 11)")).as("text"))

@@ -69,15 +69,6 @@ object WavDHash {
     (0 until HashBytes).map(y =>
       StructField(s"d$y", IntegerType, nullable = true)))
 
-  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
-  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
-  private def le32(b: Array[Byte], i: Int): Long =
-    u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
-      (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
-  private def chunkId(b: Array[Byte], i: Int, id: String): Boolean =
-    u8(b, i) == id.charAt(0) && u8(b, i + 1) == id.charAt(1) &&
-      u8(b, i + 2) == id.charAt(2) && u8(b, i + 3) == id.charAt(3)
-
   private def notWav: InternalRow = new GenericInternalRow(
     Array[Any](0, null, null, null,
       null, null, null, null, null, null, null, null))
@@ -87,49 +78,22 @@ object WavDHash {
       null, null, null, null, null, null, null, null))
 
   /** Static helper shared by interpreted eval and generated code —
-    * chunk-walk identical to [[WavSampleStats.parse]]. */
+    * chunk walk via the shared [[RiffPcm]] (ONE parse contract for
+    * both WAV expressions). */
   def parse(bytes: Array[Byte]): InternalRow = {
-    val n = bytes.length
-    if (n < 12 || !chunkId(bytes, 0, "RIFF") || !chunkId(bytes, 8, "WAVE"))
-      return notWav
-    var fmtTag = -1
-    var ch = -1
-    var sr = -1L
-    var bps = -1
-    var dataOff = -1L
-    var dataSize = -1L
-    var i = 12L
-    while (i + 8 <= n && (fmtTag < 0 || dataOff < 0)) {
-      val ii = i.toInt
-      val size = le32(bytes, ii + 4)
-      if (chunkId(bytes, ii, "fmt ")) {
-        if (size < 16 || i + 8 + 16 > n) return notWav
-        fmtTag = le16(bytes, ii + 8)
-        ch = le16(bytes, ii + 10)
-        sr = le32(bytes, ii + 12)
-        bps = le16(bytes, ii + 22)
-      } else if (chunkId(bytes, ii, "data")) {
-        dataOff = i + 8
-        dataSize = size
-      }
-      // RIFF chunks are word-aligned: odd sizes carry a pad byte
-      i += 8 + size + (size & 1L)
-    }
-    if (fmtTag != 1 || bps != 16 || ch < 1 || ch > 2 || sr < 1 ||
-      sr > Int.MaxValue || dataOff < 0) return notWav
-    val frames = dataSize / (ch * 2L)
-    if (dataOff + dataSize > n || frames == 0)
-      return geomOnly(ch, sr.toInt, frames)
+    val r = RiffPcm.walk(bytes)
+    if (r == null) return notWav
+    if (!r.samplable) return geomOnly(r.ch, r.sr, r.frames)
     // 65 nearest-neighbor mixdown samples (channel-sum, signed)
     val v = new Array[Int](Positions)
     var s = 0
     while (s < Positions) {
-      val frame = frames * s / Positions
-      val base = (dataOff + (frame * ch) * 2L).toInt
+      val frame = r.frames * s / Positions
+      val base = (r.dataOff + (frame * r.ch) * 2L).toInt
       var mix = 0
       var c = 0
-      while (c < ch) {
-        var x = le16(bytes, base + c * 2)
+      while (c < r.ch) {
+        var x = RiffPcm.le16(bytes, base + c * 2)
         if (x >= 0x8000) x -= 0x10000 // signed int16
         mix += x
         c += 1
@@ -138,7 +102,7 @@ object WavDHash {
       s += 1
     }
     val out = new Array[Any](4 + HashBytes)
-    out(0) = 1; out(1) = ch; out(2) = sr.toInt; out(3) = frames
+    out(0) = 1; out(1) = r.ch; out(2) = r.sr; out(3) = r.frames
     var y = 0
     while (y < HashBytes) {
       var row = 0
