@@ -438,4 +438,38 @@ class PropertySpec extends SparkSpec {
       assert(merged.values.toSeq == ref.values.toSeq, s"k=$k n=$n")
     }
   }
+
+  test("property: wavDHash single-sample locality — editing one sample " +
+      "moves at most 3 of the 64 bits for 33..64-frame clips (each frame " +
+      "is read by <= 2 of the 65 positions, touching <= 3 adjacent " +
+      "comparisons), and a byte-identical clone moves none (r18)") {
+    // direct static-helper calls — no Spark session in the loop
+    def le(v: Long, n: Int): Seq[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte)
+    def wav(samples: Seq[Int], ch: Int): Array[Byte] = {
+      val junk = 4
+      val data = samples.flatMap(v => le(v & 0xffffL, 2))
+      ("RIFF".getBytes("US-ASCII") ++
+        le(4 + 24 + 8 + junk + 8 + data.size, 4) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(ch, 2) ++
+        le(8000, 4) ++ le(8000L * ch * 2, 4) ++ le(ch * 2, 2) ++ le(16, 2) ++
+        "LIST".getBytes("US-ASCII") ++ le(junk, 4) ++
+        Array.fill(junk)(0.toByte) ++
+        "data".getBytes("US-ASCII") ++ le(data.size, 4) ++ data).toArray
+    }
+    def bits(row: org.apache.spark.sql.catalyst.InternalRow): Seq[Int] =
+      (0 until 8).map(y => row.getInt(4 + y))
+    for (trial <- 1 to 40) {
+      val nf = 33 + rng.nextInt(32) // 33..64: every frame read <= 2x
+      val base = Array.fill(nf)(rng.nextInt(65536) - 32768)
+      val aB = bits(graft.functions.WavDHash.parse(wav(base.toSeq, 1)))
+      assert(bits(graft.functions.WavDHash.parse(wav(base.toSeq, 1))) == aB)
+      val idx = rng.nextInt(nf)
+      val edited = base.clone(); edited(idx) = rng.nextInt(65536) - 32768
+      val bB = bits(graft.functions.WavDHash.parse(wav(edited.toSeq, 1)))
+      val ham = (0 until 8).map(y => Integer.bitCount(aB(y) ^ bB(y))).sum
+      assert(ham <= 3, s"trial $trial nf=$nf idx=$idx ham=$ham")
+    }
+  }
 }

@@ -123,6 +123,52 @@ class DedupSpec extends SparkSpec {
     assert(best.count() == byMin.count())
   }
 
+  test("minhashClusterWeights: weight = floor6(1/cluster_size), one row " +
+      "per doc, aggregate mass = cluster count, and the min member per " +
+      "cluster is exactly the hard-dedup survivor set (r18)") {
+    val s = spark
+    import s.implicits._
+    val t0 = docs.filter(col("doc_id") === 0L).head().getAs[String]("text")
+    val words = t0.split(" ")
+    val b = (words.take(words.length - 1) :+ "zzz1").mkString(" ")
+    val c = ("zzz2" +: words.tail.take(words.length - 2) :+ "zzz1").mkString(" ")
+    val chain = docs.select("doc_id", "text").unionByName(
+      Seq((200001L, b), (200002L, c)).toDF("doc_id", "text"))
+    val w = Dedup.minhashClusterWeights(chain, minJaccard = 0.5)
+    // exactly one weight row per input doc
+    assert(w.count() == chain.count())
+    // the planted chain joins doc 0's cluster: same label, same size,
+    // weight = the half-safe floor-6dp of 1/size (size may exceed 3 if
+    // the corpus holds natural near-dups of doc 0 — assert consistency,
+    // not a fixed size)
+    val ch = w.filter(col("doc_id").isin(0L, 200001L, 200002L)).collect()
+    assert(ch.length == 3)
+    assert(ch.map(_.getAs[Long]("cluster")).toSet.size == 1)
+    val sz = ch.head.getAs[Long]("cluster_size")
+    assert(sz >= 3L)
+    val expected = math.floor(1.0 / sz * 1000000.0 + 0.5) / 1000000.0
+    assert(ch.forall(_.getAs[Double]("weight") == expected))
+    // singletons weigh exactly 1 with themselves as cluster label
+    val singles = w.filter(col("cluster_size") === 1)
+    assert(singles.count() > 0)
+    assert(singles.filter(col("weight") =!= 1.0).count() == 0)
+    assert(singles.filter(col("cluster") =!= col("doc_id")).count() == 0)
+    // soft-dedup mass invariant: total weight ≈ number of clusters
+    // (each cluster sums to size·floor6(1/size) ∈ [1 − size·1e-6, 1])
+    val totalW = w.agg(sum("weight")).head().getDouble(0)
+    val nClusters = w.select("cluster").distinct().count()
+    assert(math.abs(totalW - nClusters) < 0.01,
+      s"mass $totalW vs clusters $nClusters")
+    // consistency with the HARD dedup row: the min member of every
+    // cluster is exactly minhashConnectedStarFirst's survivor set
+    val survivors = Dedup.minhashConnectedStarFirst(chain, minJaccard = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val minPerCluster = w.groupBy("cluster")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("m"))
+      .collect().map(_.getAs[Long]("m")).toSet
+    assert(minPerCluster == survivors)
+  }
+
   test("exactGroups: duplicate group has size 2 and keeps min id") {
     val g = Dedup.exactGroups(planted).filter(col("group_size") > 1)
     assert(g.count() == 1)
