@@ -75,6 +75,22 @@ private[graft] object EntryQueriesSimilarity {
       Similarity.ivfProbe(cachedIvfHashInit(s, dir),
         embeddings(s, dir).filter(col("vec_id") < 10),
         k = 10, nProbe = 4, roundAt = 6)),
+    // The living index's DELETE leg (round 18): drop every 7th-mod-3
+    // vector from the cached index WITHOUT refitting (one anti-join on
+    // neighbor_id; the quantizer stays frozen — the ivfAppend contract
+    // in reverse), then probe. ~1/7 of the corpus vanishes from the
+    // candidate cells, so deleted ids that held top-10 slots in
+    // similarity_ivf are replaced by the next survivors — the oracle
+    // is the shared probe chain with the survivor filter applied to
+    // the candidate set (the same frozen full-corpus quantizer CTE:
+    // deletion must NOT move centroids to hash).
+    "similarity_ivf_delete" -> ((s, dir) =>
+      Similarity.ivfProbe(
+        Similarity.ivfDelete(cachedIvfHashInit(s, dir),
+          embeddings(s, dir).filter(col("vec_id") % 7 === 3)
+            .select(col("vec_id"))),
+        embeddings(s, dir).filter(col("vec_id") < 10),
+        k = 10, nProbe = 4, roundAt = 6)),
     // The build half under its own named timer (round 11): a FRESH
     // uncached hash-init build, materialized through its per-cell
     // occupancy/id-checksum profile — count+sum force the full corpus

@@ -102,6 +102,23 @@ private[graft] object OracleSqlSimilarity {
     // identity, so persistence itself is under the oracle.
     "similarity_ivf" -> ivfHashInitOracle,
 
+    // The DELETE leg (round 18): the SAME frozen quantizer + probe
+    // chain — centroids still drawn over the FULL corpus (deletion
+    // must not refit; a re-drawn quantizer would move every cell and
+    // the row would mismatch) — with the survivor filter applied to
+    // the candidate set only. One surgical edit of the shared chain so
+    // the probe arithmetic is stated exactly once.
+    "similarity_ivf_delete" -> (ivfAssignCtesSql +
+      ivfProbeScoredCtesSql.replace(
+        "WHERE a.vec_id <> p.query_id",
+        "WHERE a.vec_id <> p.query_id AND a.vec_id % 7 <> 3") + """
+      |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS rank, cosine
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      |  FROM scored
+      |) WHERE rnk <= 10""".stripMargin),
+
     "similarity_ivf_persisted" -> ivfHashInitOracle,
 
     "similarity_ivf_recall" -> ivfRecallOracle,

@@ -247,6 +247,27 @@ object Similarity {
     index.copy(cells = index.cells.unionByName(
       ivfAssign(index, batch, embCol, idCol)))
 
+  /** DELETE vectors from a built index WITHOUT refitting the quantizer
+    * or re-reading the corpus — the living index's remaining lifecycle
+    * leg (round 18; build → append → persist → stream-ingest existed,
+    * deletion did not): cells rows whose `neighbor_id` is in
+    * `deletedIds` anti-join away; the quantizer stays frozen exactly
+    * as in [[ivfAppend]] (removal cannot move coarse centroids, so
+    * survivor recall is unchanged — a rebuild on distribution drift
+    * stays a policy decision). For the persisted deployment this is
+    * the COMPACTION form (rewrite the bucketed cells table minus the
+    * tombstones); the cheaper continuous form anti-joins the same
+    * tombstone frame at probe time with the identical plan shape.
+    * `deletedIds` is a deletion batch — small, so the anti-join
+    * broadcasts and the cells side never shuffles. */
+  def ivfDelete(
+      index: IvfIndex,
+      deletedIds: DataFrame,
+      idCol: String = "vec_id"): IvfIndex =
+    index.copy(cells = index.cells.join(
+      deletedIds.select(col(idCol).as("neighbor_id")).distinct(),
+      Seq("neighbor_id"), "left_anti"))
+
   /** The stateless assignment delta inside [[ivfAppend]], exposed for
     * the STREAMING ingest twin: a narrow codegen'd projection against
     * the frozen quantizer (broadcast centroids, no shuffle, no join,

@@ -633,4 +633,44 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.map(_.toString).sorted.toSeq ==
       again.map(_.toString).sorted.toSeq)
   }
+
+  test("ivfDelete: tombstoned vectors vanish from probes without a " +
+      "refit; survivors re-rank exactly as the full probe minus the " +
+      "deleted rows (r18)") {
+    val idx = Similarity.ivfIndexHashInit(embeddings, nCells = 16)
+    val deleted = embeddings.filter(col("vec_id") % 7 === 3)
+      .select("vec_id")
+    val deletedSet = deleted.collect().map(_.getLong(0)).toSet
+    assert(deletedSet.nonEmpty)
+    val queries = embeddings.filter(col("vec_id") < 5)
+    val after = Similarity.ivfProbe(Similarity.ivfDelete(idx, deleted),
+        queries, k = 10, nProbe = 4, roundAt = 6)
+      .collect()
+    assert(after.length == 5 * 10) // plenty of survivors per cell
+    assert(after.forall(r =>
+      !deletedSet.contains(r.getAs[Long]("neighbor_id"))))
+    // frozen-quantizer semantics: probed cells and candidate scores
+    // are the FULL index's — so the delete-probe must equal the full
+    // probe's candidate ranking with deleted rows dropped and ranks
+    // recomputed (k=600 >= any candidate set on this fixture, so the
+    // full probe enumerates every candidate)
+    val ref = Similarity.ivfProbe(idx, queries, k = 600, nProbe = 4,
+        roundAt = 6)
+      .collect()
+      .filter(r => !deletedSet.contains(r.getAs[Long]("neighbor_id")))
+      .groupBy(_.getAs[Long]("query_id"))
+      .toSeq
+      .flatMap { case (q, rows) =>
+        rows.sortBy(r =>
+            (-r.getAs[Double]("cosine"), r.getAs[Long]("neighbor_id")))
+          .take(10).zipWithIndex
+          .map { case (r, i) =>
+            (q, r.getAs[Long]("neighbor_id"), i + 1,
+              r.getAs[Double]("cosine")) }
+      }.toSet
+    val got = after.map(r => (r.getAs[Long]("query_id"),
+      r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank"),
+      r.getAs[Double]("cosine"))).toSet
+    assert(got == ref)
+  }
 }
