@@ -219,6 +219,25 @@ private[graft] object EntryQueriesText {
     // text_bm25's oracle: append-then-score must equal
     // build-then-score — retrieval now has the same incremental story
     // as the ANN family (ivfAppend/pqAppend).
+    // The living index's DELETE leg at the retrieval layer (round 18,
+    // the ivfDelete counterpart): build on the full corpus, take down
+    // every 7th-mod-3 doc — postings/lengths anti-join away, df
+    // decrements fold off the index's own tf frame (nothing
+    // re-tokenizes), (N, avgdl) re-derives exactly — then probe.
+    // Oracle = the bm25 chain with the corpus-side CTEs restricted to
+    // survivors while queries stay the full doc set: delete-then-score
+    // must equal build-on-survivors-then-score bit-for-bit.
+    "text_bm25_delete" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val pruned = TextFeatures.bm25Delete(
+        TextFeatures.bm25Index(docs),
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      TextFeatures.bm25Probe(pruned,
+        docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            col("text").as("query_text")),
+        topK = 10, excludeSelf = true)
+    }),
     "text_bm25_append" -> ((s, dir) => {
       val docs = documents(s, dir)
       val base = TextFeatures.bm25Index(docs.filter(col("doc_id") % 2 === 0))

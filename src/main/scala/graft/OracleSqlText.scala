@@ -435,6 +435,26 @@ private[graft] object OracleSqlText {
     // pattern).
     "text_bm25" -> bm25Oracle,
 
+    // The DELETE leg (round 18): the same bm25 chain with the
+    // CORPUS-side CTEs (dl, tfc — hence stats/dfx downstream)
+    // restricted to survivors while the query CTE keeps the full doc
+    // set (a taken-down doc may still be used as a query). Surgical
+    // edits of the shared chain so the scoring arithmetic is stated
+    // once; delete-then-score must equal build-on-survivors.
+    "text_bm25_delete" -> (bm25CtesSql
+      .replace("  SELECT doc_id, len(ws) AS dl FROM toks\n",
+        "  SELECT doc_id, len(ws) AS dl FROM toks" +
+          " WHERE doc_id % 7 <> 3\n")
+      .replace("  FROM (SELECT doc_id, unnest(ws) AS term FROM toks)\n",
+        "  FROM (SELECT doc_id, unnest(ws) AS term FROM toks\n" +
+          "        WHERE doc_id % 7 <> 3)\n") + """
+      |SELECT query_id, doc_id, CAST(rnk AS INT) AS rank, bm25
+      |FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+      |  FROM scored
+      |) WHERE rnk <= 10""".stripMargin),
+
     "text_bm25_persisted" -> bm25Oracle,
 
     // The living-index legs (r15) share the SAME twin: an appended

@@ -304,6 +304,41 @@ object TextFeatures {
     bm25MergePostings(index,
       bm25PostingsStateless(newDocs, textCol, idCol), idCol)
 
+  /** Remove documents from a standing index WITHOUT re-reading any
+    * text — the retrieval counterpart of
+    * [[graft.llm.Similarity.ivfDelete]] and the inverse of
+    * [[bm25Append]] (round 18; the living index had build / append /
+    * persist / stream-ingest legs but no takedown path): postings and
+    * lengths anti-join away; per-term df decrements by the deleted
+    * docs' own per-term document counts, FOLDED OFF the index's tf
+    * frame (the [[writeBm25Index]] artifact-fold trick — nothing
+    * re-tokenizes); terms whose df reaches zero drop, exactly as a
+    * rebuild on the survivors would never have seen them; (N, avgdl)
+    * re-derives from the surviving lengths — dl is integral, so the
+    * average is exact and delete-then-score equals
+    * build-on-survivors-then-score bit-for-bit (the registered oracle
+    * row pins it). `deletedIds` is a takedown batch — small, so the
+    * anti-joins broadcast and the postings side never shuffles. */
+  def bm25Delete(
+      index: Bm25Index,
+      deletedIds: DataFrame,
+      idCol: String = "doc_id"): Bm25Index = {
+    val del = deletedIds.select(col(idCol)).distinct()
+    val delDf = index.tf.join(del, Seq(idCol), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("del_docs"))
+    val tf = index.tf.join(del, Seq(idCol), "left_anti")
+    val docLen = index.docLen.join(del, Seq(idCol), "left_anti")
+    val dft = index.df.join(delDf, Seq("term"), "left")
+      .select(col("term"),
+        (col("df_docs") - coalesce(col("del_docs"), lit(0L)))
+          .as("df_docs"))
+      .filter(col("df_docs") > 0)
+    val statsRow = docLen.agg(count(lit(1)), avg(col("dl"))).head()
+    require(statsRow.getLong(0) > 0,
+      "bm25Delete: deletion removed every document in the index")
+    Bm25Index(tf, docLen, dft, statsRow.getLong(0), statsRow.getDouble(1))
+  }
+
   /** Persist a built [[Bm25Index]] — build-once / probe-many across
     * sessions. Postings and lengths go to plain parquet (the probe
     * touches postings via a broadcast-side term join — no keyed

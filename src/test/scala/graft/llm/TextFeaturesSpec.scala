@@ -176,6 +176,30 @@ class TextFeaturesSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("bm25Delete: deleted docs vanish and the pruned index probes " +
+      "identical to a from-scratch build on the survivors — df " +
+      "decrements, zero-df terms drop, scalars re-derive exactly (r18)") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val q = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("text").as("query_text"))
+    val pruned = TextFeatures.bm25Delete(
+      TextFeatures.bm25Index(docs),
+      docs.filter(col("doc_id") % 3 === 1).select(col("doc_id")))
+    val rebuilt = TextFeatures.bm25Index(docs.filter(col("doc_id") % 3 =!= 1))
+    assert(pruned.nDocs == rebuilt.nDocs)
+    assert(pruned.avgdl == rebuilt.avgdl,
+      s"avgdl ${pruned.avgdl} vs ${rebuilt.avgdl} — integral dl must " +
+        "re-derive exactly")
+    assert(pruned.df.exceptAll(rebuilt.df).count() == 0 &&
+      rebuilt.df.exceptAll(pruned.df).count() == 0)
+    val a = TextFeatures.bm25Probe(pruned, q, topK = 10, excludeSelf = true)
+    val b = TextFeatures.bm25Probe(rebuilt, q, topK = 10, excludeSelf = true)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // and no deleted id survives anywhere in the index pieces
+    assert(pruned.tf.filter(col("doc_id") % 3 === 1).count() == 0)
+    assert(pruned.docLen.filter(col("doc_id") % 3 === 1).count() == 0)
+  }
+
   test("rrfFuse: hand-computed fusion; absent side contributes nothing") {
     val s = spark
     import s.implicits._
