@@ -111,9 +111,17 @@ private[graft] object EntryQueriesMultimodal {
     // full-hamming verify spelled as 64 shift-and-mask terms both
     // engines state. Clones planted at +3M payload-identically (the
     // decontaminate planting recipe) must surface at hamming 0.
+    // r18 optimization (all composite phash/audio rows): the dHash
+    // frame is localCheckpoint'ed before the join/window machinery.
+    // The fixture+dhash subtree otherwise re-plans (and, pre-compile-
+    // fix, re-failed codegen) inside EVERY downstream job's plan and
+    // re-evaluates 2-4× per query; materializing the ~12-int-column
+    // frame once replays cheap blocks instead. In-query, per
+    // invocation — nothing persists across runs. Rows unchanged.
     "multimodal_phash_pairs" -> ((s, dir) => {
       Multimodal.dHashPairs(
-        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
+        Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+          .localCheckpoint(true),
         maxHamming = 2)
     }),
     // ... and image clusters: the text family's connected-components
@@ -126,7 +134,8 @@ private[graft] object EntryQueriesMultimodal {
     "multimodal_phash_clusters" -> ((s, dir) => {
       Dedup.connectedComponentsStar(
         Multimodal.dHashPairs(
-          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
+          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+            .localCheckpoint(true),
           maxHamming = 2))
     }),
     // Corpus-scale PageRank evidence (r16, verdict item 5): the SAME
@@ -140,7 +149,8 @@ private[graft] object EntryQueriesMultimodal {
     // same 3-step 6dp-floored trajectory.
     "multimodal_phash_pagerank" -> ((s, dir) => {
       val pairs = Multimodal.dHashPairs(
-          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload"),
+          Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+            .localCheckpoint(true),
           maxHamming = 2)
         .select("id_a", "id_b")
         // three consumers (two sym directions + nodes): replay compact
@@ -167,6 +177,7 @@ private[graft] object EntryQueriesMultimodal {
     "multimodal_phash_incremental" -> ((s, dir) => {
       val all =
         Multimodal.bmpDHash(phashFixture(documents(s, dir)), "payload")
+          .localCheckpoint(true)
       val batch = all.filter(
         col("doc_id") % 10 >= 8 || col("doc_id") >= 3000000L)
       val hist = all.filter(
@@ -210,7 +221,8 @@ private[graft] object EntryQueriesMultimodal {
     // recipe over the audio-derived bits at the same bar.
     "multimodal_audio_pairs" -> ((s, dir) =>
       Multimodal.dHashPairs(
-        Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload"),
+        Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload")
+          .localCheckpoint(true),
         maxHamming = 4)),
     // ... audio near-dup clusters: the connected-components machinery
     // (star variant) over the audio star+near edge set — the image
@@ -220,7 +232,7 @@ private[graft] object EntryQueriesMultimodal {
       Dedup.connectedComponentsStar(
         Multimodal.dHashPairs(
           Multimodal.wavDHash(audioCloneFixture(documents(s, dir)),
-            "payload"),
+            "payload").localCheckpoint(true),
           maxHamming = 4))),
     // ... and the audio dedup INCREMENTAL twin: history's exact 16-bit
     // block keys persisted BUCKETED by bk (the production nightly
@@ -232,6 +244,7 @@ private[graft] object EntryQueriesMultimodal {
     "multimodal_audio_incremental" -> ((s, dir) => {
       val all =
         Multimodal.wavDHash(audioCloneFixture(documents(s, dir)), "payload")
+          .localCheckpoint(true)
       val batch = all.filter(
         col("doc_id") % 10 >= 8 || col("doc_id") >= 3000000L)
       val hist = all.filter(

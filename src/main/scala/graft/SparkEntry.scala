@@ -166,12 +166,25 @@ object SparkEntry {
   }
 
   private[graft] def bmpFixture(docs: DataFrame): DataFrame = {
-    val w = (pmod(col("n_chars"), lit(7L)) + 2).cast("int") // 2..8
-    val h = (pmod(col("doc_id"), lit(5L)) + 2).cast("int")  // 2..6
+    // r18 optimization: (w, h, padded) are STAGED as their own Project
+    // instead of inlined at every use site — the single-Project form
+    // repeated the pmod/rpad chains ~50× and its fused
+    // fixture+bmp_dhash span generated a processNext() past the JVM's
+    // 64 KB method limit: Janino failed (~0.4 s per attempt, on EVERY
+    // execution — compile failures are not cached) and the stage ran
+    // interpreted. CollapseProject keeps non-cheap multi-referenced
+    // aliases staged, so the fused span now evaluates each shared term
+    // once into a local and compiles. Same expressions, same bytes.
+    val staged = docs.select(col("doc_id"),
+      (pmod(col("n_chars"), lit(7L)) + 2).cast("int").as("w"), // 2..8
+      (pmod(col("doc_id"), lit(5L)) + 2).cast("int").as("h"),  // 2..6
+      rpad(col("text"), 8 * 6 * 3, "x").as("padded"))
+    val w = col("w")
+    val h = col("h")
     val pad = pmod(lit(4) - pmod(w * lit(3), lit(4)), lit(4))
     val stride = w * lit(3) + pad
     def le(c: Column, nBytes: Int): Column = leHex(c, nBytes)
-    val padded = rpad(col("text"), 8 * 6 * 3, "x")
+    val padded = col("padded")
     val padHex = lit("000000").substr(lit(1), pad * lit(2))
     // file row r carries text bytes [r·3w, (r+1)·3w) + stride padding
     val raster = concat((0 until 6).map { r =>
@@ -186,7 +199,7 @@ object SparkEntry {
       lit("28000000"), le(w, 4), le(h, 4), lit("0100"), lit("1800"),
       lit("00000000"), le(stride * h, 4),
       lit("00000000" * 4)) // ppm×2, clrUsed, clrImportant
-    docs.select(col("doc_id"), unhex(concat(header, raster)).as("payload"))
+    staged.select(col("doc_id"), unhex(concat(header, raster)).as("payload"))
   }
 
   /** Planted 16-bit PCM WAV fixture over documents (round 13, the
@@ -201,13 +214,18 @@ object SparkEntry {
     * the ACTUAL bytes for geometry and sample values for its oracle
     * row to hash. */
   private[graft] def wavFixture(docs: DataFrame): DataFrame = {
-    val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")    // 1..2
-    val nf = (pmod(col("n_chars"), lit(9L)) + 4).cast("int")   // 4..12
-    val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
-    val junk = (pmod(col("doc_id"), lit(5L)) * 2 + 2).cast("int") // 2..10
-    docs.select(col("doc_id"),
-      unhex(wavPayloadHex(ch, nf, sr, junk, padLen = 12 * 2 * 2))
-        .as("payload"))
+    // planted fields staged as their own Project (the bmpFixture
+    // codegen-size treatment): the RIFF assembly references each one
+    // several times, and inlining the pmod chains at every site blew
+    // the fused span past the 64 KB codegen method limit
+    val staged = docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(2L)) + 1).cast("int").as("ch"),    // 1..2
+      (pmod(col("n_chars"), lit(9L)) + 4).cast("int").as("nf"),   // 4..12
+      (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int").as("sr"),
+      (pmod(col("doc_id"), lit(5L)) * 2 + 2).cast("int").as("junk")) // 2..10
+    staged.select(col("doc_id"),
+      unhex(wavPayloadHex(col("ch"), col("nf"), col("sr"), col("junk"),
+        padLen = 12 * 2 * 2)).as("payload"))
   }
 
   /** The byte-correct RIFF/WAVE hex assembly shared by [[wavFixture]]
@@ -247,13 +265,15 @@ object SparkEntry {
     * channel — near-dup TEXTS become near-dup CLIPS, so the corpus's
     * planted text replicas surface as natural audio near-dups. */
   private[graft] def audioFixture(docs: DataFrame): DataFrame = {
-    val ch = (pmod(col("doc_id"), lit(2L)) + 1).cast("int")     // 1..2
-    val nf = (pmod(col("n_chars"), lit(33L)) + 32).cast("int")  // 32..64
-    val sr = (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int")
-    val junk = (pmod(col("doc_id"), lit(7L)) * 2 + 2).cast("int") // 2..14
-    docs.select(col("doc_id"),
-      unhex(wavPayloadHex(ch, nf, sr, junk, padLen = 64 * 2 * 2))
-        .as("payload"))
+    // staged like [[wavFixture]] — same codegen-size rationale
+    val staged = docs.select(col("doc_id"), col("text"),
+      (pmod(col("doc_id"), lit(2L)) + 1).cast("int").as("ch"),     // 1..2
+      (pmod(col("n_chars"), lit(33L)) + 32).cast("int").as("nf"),  // 32..64
+      (pmod(col("doc_id"), lit(1000L)) + 8000).cast("int").as("sr"),
+      (pmod(col("doc_id"), lit(7L)) * 2 + 2).cast("int").as("junk")) // 2..14
+    staged.select(col("doc_id"),
+      unhex(wavPayloadHex(col("ch"), col("nf"), col("sr"), col("junk"),
+        padLen = 64 * 2 * 2)).as("payload"))
   }
 
   /** [[audioFixture]] plus two plants — payload-identical clones at

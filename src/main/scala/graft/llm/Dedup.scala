@@ -494,11 +494,18 @@ object Dedup extends DedupPassages with DedupLines {
       val propagated = edges
         .join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("component"))
-      // EAGER: materialized before labels is freed
+      // LAZY round checkpoint + ONE count() job per round (r18
+      // optimization, the connectedComponentsStar recipe): the changed-
+      // label count's inner join consumes every partition of `next`
+      // (caching them, and the lazy local checkpoint truncates lineage
+      // at that job's end), so `labels` is only unpersisted after the
+      // new round is fully materialized — the safety the old eager
+      // comment pinned, now provided by the convergence job itself
+      // instead of a second driver job.
       val next = persistRound(
         labels.select("id", "component").union(propagated)
           .groupBy("id").agg(min("component").as("component")),
-        checkpointDir)
+        checkpointDir, eager = false)
       changed = next
         .join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") =!= col("prev")).count()
@@ -559,14 +566,35 @@ object Dedup extends DedupPassages with DedupLines {
     var converged = edges.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = persistRound(smallStar(largeStar(edges)), checkpointDir)
-      // canonical + distinct on both sides ⇒ set equality is "no row
-      // only-in-one-side" either way; both excepts ride the same plans
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // ONE driver job per round (r18 optimization): the round's frame
+      // is checkpointed LAZILY and the convergence count() both
+      // materializes it (caching all partitions — `except` scans every
+      // partition of both legs, and the lazy local checkpoint truncates
+      // lineage when that first job completes, so the unpersist of the
+      // previous round below stays safe) and decides the fixpoint. The
+      // previous `persist-then-two-isEmpty` form ran 2-3 driver jobs per
+      // round — and on the ~20-round cluster rows per-JOB overhead, not
+      // the tiny shuffles, was the measured cost (isEmpty's incremental
+      // take(1) added scale-up rounds of its own on the converged
+      // check). Canonical + distinct on both sides ⇒ set equality is
+      // "no row only-in-one-side" either way; the union of the two
+      // excepts states it in one exact, countable frame.
+      val next = persistRound(smallStar(largeStar(edges)), checkpointDir,
+        eager = false)
+      // set equality of two CANONICAL DISTINCT edge frames, one
+      // exchange: a pair group counts 2 iff it sits in both sides
+      // (each side contributes ≤ 1 row), so "no group with count ≠ 2"
+      // ⟺ next == edges, exactly — where the two-except form paid
+      // 4-5 AQE stage-jobs per round, this pays ~2
+      converged = next.unionByName(edges)
+        .groupBy("src", "dst").count()
+        .where(col("count") =!= 2).count() == 0L
       edges.unpersist()
       edges = next
       iter += 1
     }
+    if (sys.env.contains("GRAFT_CC_DEBUG"))
+      System.err.println(s"[cc-star] converged=$converged after $iter rounds")
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxIter rounds — " +
@@ -636,8 +664,8 @@ object Dedup extends DedupPassages with DedupLines {
     * default) — without it the per-round files accumulate until the
     * application exits and the dir is deleted externally. Long-running
     * services calling CC repeatedly should set that conf. */
-  private def persistRound(df: DataFrame, checkpointDir: Option[String])
-      : DataFrame = checkpointDir match {
+  private def persistRound(df: DataFrame, checkpointDir: Option[String],
+      eager: Boolean = true): DataFrame = checkpointDir match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       // setCheckpointDir mints a fresh UUID subdir per call AND stores
@@ -647,8 +675,13 @@ object Dedup extends DedupPassages with DedupLines {
       // checkpoint dir exists yet; an application-configured dir is
       // respected rather than repointed.
       if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      df.checkpoint(true)
-    case None => df.localCheckpoint(true)
+      df.checkpoint(eager)
+    // eager = false defers materialization to the caller's next action
+    // over the FULL frame (the CC loops' convergence count) — one
+    // driver job does both. Callers passing eager = false must consume
+    // every partition before unpersisting the frame this one derives
+    // from (see the loop comments).
+    case None => df.localCheckpoint(eager)
   }
 
   /** MinHash dedup by connected components: drops every doc whose

@@ -184,7 +184,15 @@ object Profile {
     // separate full `nn.count()` corpus scan (fused per the r12
     // verdict: ~one corpus pass recovered, roughly halving the sf0.1
     // profile_equidepth regression the two-phase CDF introduced)
-    val counts = distinctCounts(nn, x)
+    // r18 optimization: the distinct frame feeds TWO consumers — the
+    // fused (n, extrema) aggregate and the CDF's bucket/window phases —
+    // and without materialization each re-ran the corpus-wide
+    // groupBy(value) scan (two identical ~4 MB map-side shuffle writes
+    // in the sf0.1 profile). One localCheckpoint of the
+    // distinct-bounded (v, cnt) frame replaces the second corpus pass
+    // with a block replay; still distinct-bounded at 100 TB (the same
+    // bound the CDF design already carries).
+    val counts = distinctCounts(nn, x).localCheckpoint(true)
     val (n, mn, mx) = countsStats(counts)
     require(n > 0, s"exactPercentiles: column '$column' is all null")
     // 0-indexed ranks of each cut's interpolation neighbors
