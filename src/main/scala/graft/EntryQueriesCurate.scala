@@ -112,7 +112,7 @@ private[graft] object EntryQueriesCurate {
         (2000001L, "alpha beta gamma delta epsilon eta"),
         (2000002L, "alpha beta gamma delta epsilon theta"))
         .toDF("doc_id", "text")
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = documentsSpread(s, dir).select(col("doc_id"), col("text"))
         .unionByName(planted)
       val candidates = docs.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1).as("id_b"))
@@ -183,7 +183,7 @@ private[graft] object EntryQueriesCurate {
     // into the train side; the oracle is brute-force cross-corpus
     // Jaccard, so banding recall is under the hash too.
     "llm_decontaminate_near" -> ((s, dir) => {
-      val base = documents(s, dir).select(col("doc_id"), col("text"))
+      val base = documentsSpread(s, dir).select(col("doc_id"), col("text"))
       val bench = base.filter(col("doc_id") % 41 === 0)
       val train = base.filter(col("doc_id") % 41 =!= 0).unionByName(
         bench.select((col("doc_id") + lit(1000000L)).as("doc_id"),

@@ -67,7 +67,7 @@ private[graft] object EntryQueriesDedup {
         (2000001L, "alpha beta gamma delta epsilon eta"),
         (2000002L, "alpha beta gamma delta epsilon theta"))
         .toDF("doc_id", "text")
-      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val docs = documentsSpread(s, dir).select(col("doc_id"), col("text"))
         .unionByName(planted)
       val pairs = docs.select(col("doc_id").as("id_a"),
         (col("doc_id") + 1).as("id_b"))
@@ -106,7 +106,7 @@ private[graft] object EntryQueriesDedup {
     // qualifying pair; the other 24 are replica mass the collapse
     // already attributed).
     "dedup_minhash_pairs" -> ((s, dir) =>
-      Dedup.minhashPairsStarFirst(documents(s, dir), minJaccard = 0.2,
+      Dedup.minhashPairsStarFirst(documentsSpread(s, dir), minJaccard = 0.2,
         collapseJaccard = 0.95)),
     // The deployment composition end-to-end: banded candidates →
     // exact-Jaccard verify → connected components → keep the smallest
@@ -126,7 +126,7 @@ private[graft] object EntryQueriesDedup {
     // anti-join end-to-end). Raw minhashConnected stays the un-benched
     // ground truth (DedupSpec).
     "dedup_minhash_clusters" -> ((s, dir) =>
-      Dedup.minhashConnectedStarFirst(documents(s, dir), minJaccard = 0.2)
+      Dedup.minhashConnectedStarFirst(documentsSpread(s, dir), minJaccard = 0.2)
         .select("doc_id", "lang", "source", "n_chars")),
     // Same clusters, production keep rule: the LONGEST member survives
     // (ties to the smaller id) instead of the smallest id — the
@@ -137,7 +137,7 @@ private[graft] object EntryQueriesDedup {
     // via their star links, so a high-quality replica can still win —
     // keep policy identical to the raw path; oracle unchanged.
     "dedup_minhash_clusters_best" -> ((s, dir) =>
-      Dedup.minhashConnectedBestStarFirst(documents(s, dir),
+      Dedup.minhashConnectedBestStarFirst(documentsSpread(s, dir),
         scoreCol = "n_chars", minJaccard = 0.2)
         .select("doc_id", "lang", "source", "n_chars")),
     // SOFT dedup (round 18): the same cluster structure emitted as
@@ -147,7 +147,7 @@ private[graft] object EntryQueriesDedup {
     // and components as dedup_minhash_clusters, so the oracle is that
     // row's recursive closure + a size fold; singletons weigh 1.
     "dedup_cluster_weights" -> ((s, dir) =>
-      Dedup.minhashClusterWeights(documents(s, dir), minJaccard = 0.2)),
+      Dedup.minhashClusterWeights(documentsSpread(s, dir), minJaccard = 0.2)),
     // Registered in the PRODUCTION star-first shape (round 12, retiring
     // the r11 sf1 weak flag): star-collapse the replica mass first
     // (linear at any duplication rate), then the banded pair self-join
@@ -200,7 +200,7 @@ private[graft] object EntryQueriesDedup {
     // Raw-corpus Dedup.simhashVerified stays the un-benched
     // brute-force validation baseline (DedupSpec).
     "dedup_simhash_verified" -> ((s, dir) =>
-      Dedup.simhashVerifiedStarFirst(documents(s, dir), minJaccard = 0.5)),
+      Dedup.simhashVerifiedStarFirst(documentsSpread(s, dir), minJaccard = 0.5)),
     // Incremental dedup: the batch tail (last decimal-digit ids) deduped
     // against the keeper hashes of the historical 80% — the same split
     // both engines can compute, so the anti-join is oracle-exact.
@@ -250,7 +250,7 @@ private[graft] object EntryQueriesDedup {
       }
     }),
     "dedup_minhash_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
+      val docs = documentsSpread(s, dir)
       val batch = docs.filter(col("doc_id") % 10 >= 8)
       val hist = docs.filter(col("doc_id") % 10 < 8)
       withBucketedBands(s, "graft_mh_hist", Dedup.minhashBandKeys(hist)) {
@@ -325,7 +325,7 @@ private[graft] object EntryQueriesDedup {
     // proposes all of them — the row guards CDC recall end-to-end
     // (deterministic gear hash, no seed ⇒ stable).
     "dedup_passage_verified" -> ((s, dir) =>
-      Dedup.passageVerified(documents(s, dir))),
+      Dedup.passageVerified(documentsSpread(s, dir))),
     // ... and the CDC INCREMENTAL twin (r17): history chunk
     // fingerprints persist bucketed by chunk (df-pruned at ingest
     // against the history corpus), the batch is chunked and probes the
@@ -344,7 +344,7 @@ private[graft] object EntryQueriesDedup {
     // 8/16) over hist∪batch with the same per-side df pruning and
     // both loser rules.
     "dedup_passage_incremental" -> ((s, dir) => {
-      val docs = documents(s, dir)
+      val docs = documentsSpread(s, dir)
       val hist = docs.filter(col("doc_id") % 10 < 8)
       val planted = hist.filter(col("doc_id") === 0L)
         .select(lit(900001L).as("doc_id"),

@@ -39,6 +39,35 @@ object SparkEntry {
   private[graft] def events(spark: SparkSession, dir: String): DataFrame =
     Sources.eventsTable(spark, dir)
 
+  /** Spread a freshly-scanned narrow frame across the session's full
+    * parallelism BEFORE expensive per-row compute (optimization guide
+    * §2.5 "input skew — one huge unsplittable file": the testdata
+    * parquet files are single-row-group, so a scan yields 1-2 tasks no
+    * matter the split config, and tokenize/shingle/fingerprint/fixture
+    * work measured 0.5-3.4 s on ONE of 32 cores in the r18 profiles).
+    * Scale-adaptive, not a local-tuned constant: when the scan already
+    * yields >= defaultParallelism partitions — the 100 TB case, where
+    * the corpus arrives as many files/row groups — this is a no-op, so
+    * no corpus-wide shuffle is ever added at scale. The repartition key
+    * is the row id (deterministic hash — rand-keyed repartition can
+    * duplicate/lose rows under task retry, SPARK-38388; guide §2.5).
+    * Applied at the REGISTRATION layer only: operator internals keep
+    * their PlanAuditSpec-pinned shapes, and the Exchange this adds
+    * carries the narrow scan projection, never a derived wide row. */
+  private[graft] def spreadScan(df: DataFrame, key: String = "doc_id")
+      : DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p, col(key))
+  }
+
+  /** [[documents]] spread to full parallelism — used by the
+    * registrations whose first stage is expensive per-row compute
+    * (tokenize / shingle / minhash / fixture assembly). Cheap
+    * aggregate-only rows keep the plain scan: the extra Exchange costs
+    * more than their single-task scan stage. */
+  private[graft] def documentsSpread(s: SparkSession, dir: String): DataFrame =
+    spreadScan(documents(s, dir))
+
   /** One (term) row per token of the corpus — the repo-standard
     * tokenization (lowercase, split on non-alphanumeric, drop
     * empties; the text_tfidf_exact recipe) shared by the Count-Min
@@ -676,7 +705,17 @@ object SparkEntry {
       val writeBatch = (batch: DataFrame, bid: Long) => {
         val b = if (tagBatchId) batch.withColumn("batch_id", lit(bid))
                 else batch
-        b.coalesce(1).write.mode(sinkWriteMode).parquet(sink)
+        // repartition(1), NOT coalesce(1), for the one-file sink: a
+        // coalesce(1) here collapsed the ENTIRE post-shuffle stage —
+        // including the stateful operator, which runs above the state
+        // Exchange — into one task (r18 profile: stream_dedup_near's
+        // state stage read its full 30 MB shuffle on t=1;
+        // stream_attribution's join state op likewise). repartition
+        // inserts its own exchange BELOW the write, so the state
+        // stores keep their 8-way parallelism and only the tiny
+        // result rows funnel into the single writer task. Same rows,
+        // same single output file per batch.
+        b.repartition(1).write.mode(sinkWriteMode).parquet(sink)
       }
       val q = stream.writeStream
         .outputMode(outputMode)

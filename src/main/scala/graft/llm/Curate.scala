@@ -444,6 +444,10 @@ object Curate {
       .join(broadcast(bBands.withColumnRenamed(idCol, "id_b")), "bk")
       .select(col(idCol).as("id_a"), col("id_b"))
       .distinct()
+      // r18: ngramJaccard reads `pairs` twice (candidate-id semi-join
+      // + the pair join) — un-cut, the banded broadcast join and its
+      // corpus-side minhash re-ran per reference. Compact id pairs.
+      .localCheckpoint(false)
     Dedup.ngramJaccard(t.unionByName(bNeg), cands,
       textCol = textCol, idCol = idCol)
       .filter(col("jaccard") >= minJaccard)

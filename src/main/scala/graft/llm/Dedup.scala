@@ -1901,6 +1901,13 @@ object Dedup extends DedupPassages with DedupLines {
     val shingles = shingled(candidates, textCol, idCol, n)
       .select(col(idCol),
         array_sort(array_distinct(col("shingles"))).as("sh"))
+      // r18: [[jaccardOverShingleFrame]] reads this frame TWICE (the
+      // id_a and id_b joins) — un-cut, the whole candidate-semi-join +
+      // tokenize subtree re-evaluated per side (measured 2 identical
+      // 1-2 s corpus-tokenize stages per ngramJaccard call in the
+      // llm_decontaminate_near profile). The lazy checkpoint holds
+      // compact (id, sorted-shingles) rows; both sides replay blocks.
+      .localCheckpoint(false)
     jaccardOverShingleFrame(shingles, pairs, idCol)
   }
 

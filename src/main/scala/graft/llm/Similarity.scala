@@ -594,45 +594,86 @@ object Similarity {
       .join(vecs.select(col("vid").as("b"), col("e").as("eb")), "b")
       .select(col("query_id"), col("a"), col("b"),
         round(cosine(col("ea"), col("eb")), 6).as("sim"))
-      .localCheckpoint(false)
-    val wq = Window.partitionBy(col("query_id"))
-      .orderBy(col("mmr_score").desc, col("neighbor_id"))
-    // step 1: maxsim over the empty selection is 0 — same formula
-    // λ·(6dp) − (1−λ)·(6dp) is an EXACT 7-decimal value — the 6dp
-    // half-boundary regime where BigDecimal HALF_UP and DuckDB's
-    // multiply-then-round disagree; floor(x·1e6+0.5)/1e6 is identical
-    // IEEE arithmetic in both engines (the pca_power lesson)
-    def floor6(c: Column): Column =
-      floor(c * lit(1000000.0) + lit(0.5)) / lit(1000000.0)
-    val sel1 = cands
-      .withColumn("mmr_score",
-        floor6(lit(lambda) * col("cosine") -
-          lit(oneMinusLambda) * lit(0.0)))
-      .withColumn("rn", row_number().over(wq))
-      .filter(col("rn") === 1)
-      .select(col("query_id"), col("neighbor_id"),
-        lit(1).as("mmr_rank"), col("mmr_score"))
-    (2 to select).foldLeft(sel1) { (selected, t) =>
-      val rem = cands.join(selected
-          .select(col("query_id"), col("neighbor_id")),
-        Seq("query_id", "neighbor_id"), "left_anti")
-      val withMax = rem
-        .join(pairSim.withColumnRenamed("a", "neighbor_id"),
-          Seq("query_id", "neighbor_id"))
-        .join(selected.select(col("query_id"),
-          col("neighbor_id").as("b")), Seq("query_id", "b"))
-        .groupBy(col("query_id"), col("neighbor_id"), col("cosine"))
-        .agg(max(col("sim")).as("maxsim"))
-      val pick = withMax
-        .withColumn("mmr_score",
-          floor6(lit(lambda) * col("cosine") -
-            lit(oneMinusLambda) * col("maxsim")))
-        .withColumn("rn", row_number().over(wq))
-        .filter(col("rn") === 1)
-        .select(col("query_id"), col("neighbor_id"),
-          lit(t).as("mmr_rank"), col("mmr_score"))
-      selected.unionByName(pick)
+    // r18 optimization (guide §3.3 / §5): the greedy loop used to be
+    // `select` UNROLLED join+window steps over a plan that deepened
+    // each step — ~25 AQE-replanned shuffle stages and ~5 s of pure
+    // driver planning for ≤ |queries|·k² rows (measured: wall 7.8 s,
+    // stage time 2.7 s). The relevance and pairwise-sim legs — the
+    // corpus-scale work — stay distributed and 6dp-round exactly as
+    // before; only the selection LOOP over those two bounded,
+    // model-artifact-sized relations (≤ k + k² rows per query — the
+    // codebook-collect precedent) moves to the driver. The arithmetic
+    // below is the same IEEE double ops on the same 6dp inputs the
+    // unrolled plan evaluated — λ·(6dp) − (1−λ)·(6dp) with
+    // floor(x·1e6+0.5)/1e6 (the pca_power lesson) and the
+    // (score desc, neighbor_id asc) tie-break — so the selection
+    // trajectory is bit-identical and the DuckDB oracle (which
+    // restates the unrolled steps) is unchanged.
+    def floor6d(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5) / 1000000.0
+    // (id asc) tie-break comparator over the collected id type — the
+    // row_number orderBy semantics for the column types this operator
+    // accepts (integral ids in every registered use; strings fall back
+    // to their natural order exactly as Spark would sort them)
+    def idLt(a: Any, b: Any): Boolean = (a, b) match {
+      case (x: Long, y: Long) => x < y
+      case (x: Int, y: Int) => x < y
+      case (x: String, y: String) => x < y
+      case (x: Number, y: Number) => x.doubleValue < y.doubleValue
+      case _ => String.valueOf(a) < String.valueOf(b)
     }
+    val candRows = cands.collect()
+    val simRows = pairSim.collect()
+    val simByQ = simRows.groupBy(_.get(0)).map { case (q, rs) =>
+      q -> rs.map(r => (r.get(1), r.get(2)) -> r.getDouble(3)).toMap
+    }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.Row]
+    candRows.groupBy(_.get(0)).foreach { case (q, rs) =>
+      val cs = rs.map(r => (r.get(1), r.getDouble(2))).toSeq
+      val sims = simByQ.getOrElse(q, Map.empty[(Any, Any), Double])
+      var selected = Vector.empty[Any]
+      var t = 1
+      var done = false
+      while (t <= select && !done) {
+        // candidates not yet selected, scored against the selection;
+        // step 1 scores λ·rel − (1−λ)·0 (max over the empty set = 0);
+        // steps ≥ 2 keep the unrolled plan's inner-join semantics — a
+        // remaining candidate with no pairwise-sim row to any selected
+        // doc is not scorable this step
+        val scored = cs.filterNot(c => selected.contains(c._1)).flatMap {
+          case (id, cos) =>
+            if (t == 1)
+              Some((id, floor6d(lambda * cos - oneMinusLambda * 0.0)))
+            else {
+              val ss = selected.flatMap(b => sims.get((id, b)))
+              if (ss.isEmpty) None
+              else Some((id, floor6d(lambda * cos -
+                oneMinusLambda * ss.max)))
+            }
+        }
+        if (scored.isEmpty) done = true
+        else {
+          val (bestId, bestScore) = scored.reduceLeft { (p, c) =>
+            if (c._2 > p._2 || (c._2 == p._2 && idLt(c._1, p._1))) c else p
+          }
+          out += org.apache.spark.sql.Row(q, bestId, t, bestScore)
+          selected = selected :+ bestId
+          t += 1
+        }
+      }
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("query_id",
+        cands.schema("query_id").dataType),
+      org.apache.spark.sql.types.StructField("neighbor_id",
+        cands.schema("neighbor_id").dataType),
+      org.apache.spark.sql.types.StructField("mmr_rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("mmr_score",
+        org.apache.spark.sql.types.DoubleType)))
+    import scala.jdk.CollectionConverters._
+    corpus.sparkSession.createDataFrame(out.asJava, schema)
   }
 
   def labelOutliers(

@@ -91,7 +91,20 @@ object Sources {
     val loc = new org.apache.hadoop.fs.Path(
       spark.sessionState.catalog.defaultTablePath(ident))
     loc.getFileSystem(spark.sessionState.newHadoopConf()).delete(loc, true)
-    val w = df.write.mode("overwrite").format("parquet")
+    // Hash-distribute by the bucket key BEFORE the bucketed write
+    // (optimization guide §6, Iceberg's `write.distribution-mode=hash`
+    // rationale applied to Spark bucketing): without it every input
+    // task writes its own file per bucket — numBuckets × tasks small
+    // files at scale — and a single-row-group input (the local
+    // testdata shape) writes ALL buckets from one task (measured 2.9 s
+    // single-task saveAsTable in the r18 layout_bucketed_join
+    // profile). Spark's repartition hash and its bucket-id hash are
+    // the same Murmur3-pmod family, so each of the numBuckets write
+    // tasks holds exactly one bucket: numBuckets files total, written
+    // in parallel. Read-side layout and results are unchanged.
+    val distributed = df.repartition(numBuckets,
+      org.apache.spark.sql.functions.col(bucketCol))
+    val w = distributed.write.mode("overwrite").format("parquet")
       .bucketBy(numBuckets, bucketCol)
     (if (sortWithinBuckets) w.sortBy(bucketCol) else w).saveAsTable(table)
   }

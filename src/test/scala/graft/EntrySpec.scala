@@ -70,4 +70,22 @@ class EntrySpec extends SparkSpec {
       }
     }
   }
+
+  test("spreadScan: widens an under-parallel scan to defaultParallelism, " +
+      "no-ops at or above it, and never changes rows (r18 optimization)") {
+    val p = spark.sparkContext.defaultParallelism
+    val docs = graft.sources.Sources.parquetTable(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+    // the single-row-group fixture scans to fewer partitions than p
+    assume(docs.rdd.getNumPartitions < p)
+    val spread = SparkEntry.spreadScan(docs)
+    assert(spread.rdd.getNumPartitions == p)
+    // rows are the scan's rows exactly (repartition moves, never edits)
+    assert(spread.orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    // at/above parallelism the frame passes through untouched — the
+    // 100 TB case (many files/row groups) must not gain an Exchange
+    val wide = docs.repartition(p + 2, col("doc_id"))
+    assert(SparkEntry.spreadScan(wide) eq wide)
+  }
 }

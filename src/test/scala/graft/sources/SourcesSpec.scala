@@ -297,4 +297,32 @@ class SourcesSpec extends SparkSpec {
       }
     } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_docs")
   }
+
+  test("writeBucketed: hash distribution writes one file per non-empty " +
+      "bucket (r18 optimization — not tasks x buckets)") {
+    // The pre-write repartition(numBuckets, bucketCol) aligns write
+    // tasks with bucket ids (same Murmur3-pmod hash family), so the
+    // table holds at most numBuckets parquet files however many tasks
+    // scanned the input — the small-files guarantee at scale, and the
+    // parallel-write fix locally. Join results stay bucketed-correct
+    // (the zero-Exchange test above runs against the same writer).
+    import org.apache.spark.sql.functions.col
+    val docs = Sources.parquetTable(spark, sf0001, "documents")
+      .select("doc_id", "lang")
+      // many input partitions on purpose: the old writer would emit a
+      // file per (task, bucket) pair
+      .repartition(8, col("doc_id"))
+    Sources.writeBucketed(docs, "graft_bucketed_files", "doc_id",
+      numBuckets = 4)
+    try {
+      val loc = new java.io.File(
+        spark.sessionState.catalog.defaultTablePath(
+          spark.sessionState.sqlParser
+            .parseTableIdentifier("graft_bucketed_files")))
+      val files = Option(loc.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length <= 4, files.map(_.getName).mkString(", "))
+      assert(spark.table("graft_bucketed_files").count() == docs.count())
+    } finally spark.sql("DROP TABLE IF EXISTS graft_bucketed_files")
+  }
 }
