@@ -23,8 +23,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Scale notes: CV cost is folds × gridpoints fits; each
   * LogisticRegression iteration is a distributed treeAggregate. MLlib's
   * CrossValidator can run grid points concurrently — `parallelism` is
-  * surfaced and defaults to 4 (the reference fits strictly
-  * sequentially).
+  * surfaced and auto-sizes to the independent fit count (folds ×
+  * gridpoints, capped at 16) when not given; the reference fits
+  * strictly sequentially.
   */
 object ValidationCurves {
   /** np.logspace(-6, -1, 5), the reference's default axis. */
@@ -58,9 +59,18 @@ object ValidationCurves {
       labelCol: String = "label",
       estimator: Option[Estimator[_]] = None,
       numFolds: Int = 3,
-      parallelism: Int = 4,
+      parallelism: Int = 0,
       seed: Long = 42L,
       foldCol: Option[String] = None): DataFrame = {
+    // parallelism <= 0 → auto: the CV runs folds × gridpoints fully
+    // independent fits, so run them ALL concurrently (capped at 16 —
+    // each fit is its own sequence of tiny driver-submitted jobs, and
+    // past the fit count extra threads only contend). Changes no
+    // result, only wall-clock (r19; the fixed 4 left 9 independent
+    // fits 2.25-deep on an otherwise idle scheduler).
+    val par =
+      if (parallelism > 0) parallelism
+      else math.min(16, math.max(1, paramRange.size * numFolds))
     val est = estimator.getOrElse(
       new LogisticRegression().setLabelCol(labelCol).setFeaturesCol("features"))
     val param = est.getParam(paramName)
@@ -74,7 +84,7 @@ object ValidationCurves {
       .setEstimatorParamMaps(grid)
       .setEvaluator(evaluator)
       .setNumFolds(numFolds)
-      .setParallelism(parallelism)
+      .setParallelism(par)
       .setSeed(seed)
     // deterministic pre-assigned folds ([[foldAssignments]]) instead of
     // the seeded-random kFold sampling; values must sit in [0, numFolds)

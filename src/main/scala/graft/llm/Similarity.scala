@@ -622,47 +622,27 @@ object Similarity {
       case (x: Number, y: Number) => x.doubleValue < y.doubleValue
       case _ => String.valueOf(a) < String.valueOf(b)
     }
-    val candRows = cands.collect()
-    val simRows = pairSim.collect()
-    val simByQ = simRows.groupBy(_.get(0)).map { case (q, rs) =>
-      q -> rs.map(r => (r.get(1), r.get(2)) -> r.getDouble(3)).toMap
-    }
-    val out = scala.collection.mutable.ArrayBuffer
-      .empty[org.apache.spark.sql.Row]
-    candRows.groupBy(_.get(0)).foreach { case (q, rs) =>
-      val cs = rs.map(r => (r.get(1), r.getDouble(2))).toSeq
-      val sims = simByQ.getOrElse(q, Map.empty[(Any, Any), Double])
-      var selected = Vector.empty[Any]
-      var t = 1
-      var done = false
-      while (t <= select && !done) {
-        // candidates not yet selected, scored against the selection;
-        // step 1 scores λ·rel − (1−λ)·0 (max over the empty set = 0);
-        // steps ≥ 2 keep the unrolled plan's inner-join semantics — a
-        // remaining candidate with no pairwise-sim row to any selected
-        // doc is not scorable this step
-        val scored = cs.filterNot(c => selected.contains(c._1)).flatMap {
-          case (id, cos) =>
-            if (t == 1)
-              Some((id, floor6d(lambda * cos - oneMinusLambda * 0.0)))
-            else {
-              val ss = selected.flatMap(b => sims.get((id, b)))
-              if (ss.isEmpty) None
-              else Some((id, floor6d(lambda * cos -
-                oneMinusLambda * ss.max)))
-            }
-        }
-        if (scored.isEmpty) done = true
-        else {
-          val (bestId, bestScore) = scored.reduceLeft { (p, c) =>
-            if (c._2 > p._2 || (c._2 == p._2 && idLt(c._1, p._1))) c else p
-          }
-          out += org.apache.spark.sql.Row(q, bestId, t, bestScore)
-          selected = selected :+ bestId
-          t += 1
-        }
-      }
-    }
+    // r19 (ADVICE r18, medium): the r18 shape collected cands AND
+    // pairSim to the DRIVER — bounded per query (k + k² rows) but
+    // linear in |queries|, a driver-OOM hazard at scale. The greedy
+    // loop now runs ON EXECUTORS, per query, via one groupByKey +
+    // flatMapGroups over the union of the two bounded relations
+    // (kind 0 = candidate, kind 1 = pairwise sim); nothing is ever
+    // collected. The per-query arithmetic below is byte-for-byte the
+    // r18 driver loop's (same floor6d, same idLt tie-break, same
+    // inner-join no-sim-row semantics), so the selection trajectory —
+    // and the DuckDB oracle — is unchanged. The group key is
+    // String.valueOf(query_id): injective for every id type the
+    // operator accepts (integral/string), so grouping by it IS
+    // grouping by the id. The closure is a non-codegen stage, but it
+    // touches ≤ k + k² rows per query — model-artifact-sized, never
+    // corpus-sized (guide §4 note).
+    val idType = cands.schema("neighbor_id").dataType
+    val unified = cands.select(col("query_id"), lit(0).as("kind"),
+        col("neighbor_id").as("ia"), lit(null).cast(idType).as("ib"),
+        col("cosine").as("v"))
+      .unionByName(pairSim.select(col("query_id"), lit(1).as("kind"),
+        col("a").as("ia"), col("b").as("ib"), col("sim").as("v")))
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("query_id",
         cands.schema("query_id").dataType),
@@ -672,8 +652,49 @@ object Similarity {
         org.apache.spark.sql.types.IntegerType, nullable = false),
       org.apache.spark.sql.types.StructField("mmr_score",
         org.apache.spark.sql.types.DoubleType)))
-    import scala.jdk.CollectionConverters._
-    corpus.sparkSession.createDataFrame(out.asJava, schema)
+    import org.apache.spark.sql.{Encoders, Row}
+    unified.groupByKey(r => String.valueOf(r.get(0)))(Encoders.STRING)
+      .flatMapGroups { (_: String, it: Iterator[Row]) =>
+        val rows = it.toArray
+        val q = rows.head.get(0)
+        val cs = rows.iterator.filter(_.getInt(1) == 0)
+          .map(r => (r.get(2), r.getDouble(4))).toSeq
+        val sims = rows.iterator.filter(_.getInt(1) == 1)
+          .map(r => (r.get(2), r.get(3)) -> r.getDouble(4)).toMap
+        val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var selected = Vector.empty[Any]
+        var t = 1
+        var done = false
+        while (t <= select && !done) {
+          // candidates not yet selected, scored against the selection;
+          // step 1 scores λ·rel − (1−λ)·0 (max over the empty set = 0);
+          // steps ≥ 2 keep the unrolled plan's inner-join semantics — a
+          // remaining candidate with no pairwise-sim row to any selected
+          // doc is not scorable this step
+          val scored = cs.filterNot(c => selected.contains(c._1)).flatMap {
+            case (id, cos) =>
+              if (t == 1)
+                Some((id, floor6d(lambda * cos - oneMinusLambda * 0.0)))
+              else {
+                val ss = selected.flatMap(b => sims.get((id, b)))
+                if (ss.isEmpty) None
+                else Some((id, floor6d(lambda * cos -
+                  oneMinusLambda * ss.max)))
+              }
+          }
+          if (scored.isEmpty) done = true
+          else {
+            val (bestId, bestScore) = scored.reduceLeft { (p, c) =>
+              if (c._2 > p._2 || (c._2 == p._2 && idLt(c._1, p._1))) c else p
+            }
+            out += Row(q, bestId, t, bestScore)
+            selected = selected :+ bestId
+            t += 1
+          }
+        }
+        out.iterator
+      }(Encoders.row(schema))
+      .toDF()
   }
 
   def labelOutliers(

@@ -301,8 +301,21 @@ object TextFeatures {
       newDocs: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id"): Bm25Index =
+    // the delta postings projection is the expensive leg (per-row
+    // O(distinct terms × tokens) array transforms over the batch) and
+    // [[bm25MergePostings]] fans it into FOUR consumers — the merged
+    // tf, docLen, df frames and the (N, avgdl) stats head() — each of
+    // which otherwise re-plans and re-runs the full batch tokenize
+    // (r19, guide §7.2; measured: text_bm25_append ran the delta
+    // projection 4× ≈ 22 jobs / 2.9 s). One eager localCheckpoint
+    // materializes it once — the same treatment [[bm25Index]] gives
+    // its own termRows. In-query, per invocation; rows unchanged. The
+    // streaming leg (stream_bm25_append) is untouched: its delta
+    // arrives already materialized from the append sink, so it calls
+    // [[bm25MergePostings]] directly.
     bm25MergePostings(index,
-      bm25PostingsStateless(newDocs, textCol, idCol), idCol)
+      bm25PostingsStateless(newDocs, textCol, idCol).localCheckpoint(true),
+      idCol)
 
   /** Remove documents from a standing index WITHOUT re-reading any
     * text — the retrieval counterpart of
