@@ -65,6 +65,11 @@ object RobustScaling {
       cols: Seq[String],
       probs: Seq[Double]): Map[String, Seq[Double]] = {
     import org.apache.spark.sql.expressions.Window
+    // NOT spread before the aggregate (r19 measured, guide §1): a
+    // (c, v)-keyed repartition of the raw pairs to defaultParallelism
+    // replaced the 3-scan-task map-side partial agg with a 1.8M-row
+    // full shuffle and regressed winsorize 2.07 → 3.29 s — the
+    // combine-then-shuffle shape wins even under-parallelized.
     val pairs = df.select(explode(array(cols.zipWithIndex.map {
         case (c, i) => struct(lit(i).as("c"), col(c).cast("double").as("v"))
       }: _*)).as("cv"))
@@ -72,6 +77,13 @@ object RobustScaling {
       .where(col("v").isNotNull)
     val dist = pairs.groupBy(col("c"), col("v"))
       .agg(count(lit(1)).as("cnt"))
+      // pin the window's distribution to one partition per column:
+      // left to AQE the few-MB post-shuffle frame coalesces into ONE
+      // task and every column's rank sort serializes behind the
+      // largest (measured 1.45 s single-task for 3 columns); an
+      // explicit column-keyed repartition keeps the per-column sorts
+      // parallel (parallelism = |cols|, the natural bound here)
+      .repartition(cols.size, col("c"))
     val wCum = Window.partitionBy(col("c")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(col("c"))

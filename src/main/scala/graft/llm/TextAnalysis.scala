@@ -678,6 +678,10 @@ object TextAnalysis {
     // engines spell the same operand order
     val pmi = round(log(lit(nDocs.toDouble) * col("c_xy") /
       (col("c_x").cast("double") * col("c_y").cast("double"))), 6)
+    // partition-less window, BOUNDED (r19 WindowExec audit): the
+    // rank <= topK predicate rewrites the input to a distributed
+    // TakeOrderedAndProject (plan-verified), so the single-partition
+    // Window only ever re-ranks <= topK rows — never the pair relation
     val w = Window.orderBy(col("pmi").desc, col("t1"), col("t2"))
     pairs.withColumn("pmi", pmi)
       .withColumn("rank", row_number().over(w))

@@ -101,6 +101,35 @@ class FeaturesSpec extends SparkSpec {
     assert(math.abs(r.getDouble(1) - eMax) <= math.abs(eMax) * 0.05 + 1.0)
   }
 
+  test("exact quantiles: the r19 distribution-aggregation path is " +
+      "bit-identical to Spark's percentile aggregate (duplicate values " +
+      "force the equal-key branch, fractional positions interpolate, " +
+      "integral positions hit the no-interpolation branch, null skipped)") {
+    val s = spark
+    import s.implicits._
+    // sorted non-null multiset: [-4, 1, 1, 2.5, 2.5, 3, 10] (n = 7)
+    val df = Seq[java.lang.Double](3.0, 1.0, 1.0, 2.5, null, 10.0, -4.0,
+      2.5).toDF("x")
+    // (0.25, _): pos 1.5 lands between two EQUAL keys (1, 1);
+    // (_, 0.5): pos 3.0 is integral (floor == ceil);
+    // the others interpolate with a real fraction — all three branches
+    // of the Percentile arithmetic are exercised, and every expected
+    // value sits strictly inside (min, max) so the winsorize clip
+    // bounds EQUAL the quantiles exactly
+    for ((lo, hi) <- Seq((0.05, 0.95), (0.25, 0.75), (0.1, 0.5))) {
+      val Seq(qlo, qhi) = df
+        .agg(percentile(col("x"), array(lit(lo), lit(hi))))
+        .head().getSeq[Double](0).toSeq
+      val r = RobustScaling.winsorize(df, Seq("x"), lo = lo, hi = hi,
+          exact = true)
+        .agg(min("x_wins"), max("x_wins")).head()
+      assert(java.lang.Double.compare(r.getDouble(0), qlo) == 0,
+        s"lo quantile at p=$lo: got ${r.getDouble(0)}, want $qlo")
+      assert(java.lang.Double.compare(r.getDouble(1), qhi) == 0,
+        s"hi quantile at p=$hi: got ${r.getDouble(1)}, want $qhi")
+    }
+  }
+
   test("add_split_column: random split is seeded-deterministic and 0/1") {
     val a = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))
     val b = SplitColumn.random(iris).select("is_train").collect().map(_.getInt(0))

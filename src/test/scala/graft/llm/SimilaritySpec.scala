@@ -590,6 +590,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("mmrRerank: corpus-as-queries (|Q| = 200) runs the per-query " +
+      "greedy distributed — the r19 flatMapGroups shape that removed " +
+      "the |Q|-linear driver collect — with full per-query output") {
+    val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .where(col("embedding").isNotNull && size(col("embedding")) === 64)
+    val out = Similarity.mmrRerank(emb, emb, k = 5, select = 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.size == emb.count())
+    byQ.foreach { case (qid, rows) =>
+      assert(rows.length == 3, s"query $qid")
+      assert(rows.map(_.getAs[Long]("neighbor_id")).distinct.length == 3)
+      assert(rows.map(_.getAs[Int]("mmr_rank")).sorted.toSeq == Seq(1, 2, 3))
+    }
+  }
+
   test("randomProjection: basis-vector rows read the sign matrix " +
       "directly; the matrix matches the md5 recipe") {
     val s = spark
