@@ -1200,7 +1200,15 @@ object Dedup extends DedupPassages with DedupLines {
     val (nh, nb) = minhashKnobs(
       histDocs.select(col(idCol)).count(), minJaccard, numHashes, bands)
     val batchDocs = newDocs.select(col(idCol), col(textCol))
+    // materialized ONCE (r19, guide §7.2): the batch band keys —
+    // tokenize + minhash + banding — feed TWO consumers (the star
+    // linking and the survivor anti-join into the cross join) and the
+    // sf0.1 profile showed the derivation re-run 3× (three identical
+    // 175 KB exchanges each fed by its own batch tokenize); the lazy
+    // checkpoint replays compact (id, bk) rows instead. In-query, per
+    // invocation; rows unchanged.
     val batchBands = minhashBandKeys(newDocs, textCol, idCol, nh, nb, seed)
+      .localCheckpoint(false)
     val hb = histBands.getOrElse(minhashBandKeys(
       histDocs, textCol, idCol, nh, nb, seed))
     // lineage cut (see [[minhashPairsStarFirst]]): the within-loser ids

@@ -226,8 +226,14 @@ trait DedupPassages { self: Dedup.type =>
       maxDocFreq: Int = 1000,
       avgChunkBits: Int = 6,
       window: Int = 16): DataFrame = {
+    // materialized ONCE (r19, guide §7.2): the batch chunking — the
+    // per-byte gear-hash scan, this operator's expensive leg (2.3 s of
+    // the sf0.1 profile) — feeds TWO consumers (the cross candidate
+    // join and the within-batch pair join) and re-ran per consumer;
+    // the lazy checkpoint replays compact (id, chunk) rows instead.
+    // In-query, per invocation; rows unchanged.
     val batchKept = passageChunkKeys(newDocs, textCol, idCol, maxDocFreq,
-      avgChunkBits, window)
+      avgChunkBits, window).localCheckpoint(false)
     val crossLosers = batchKept
       .join(histChunks.select(col(idCol).as("hist_id"), col("chunk")),
         "chunk")
